@@ -1,0 +1,83 @@
+"""Fixture-table catalog: parquet directory -> named DataFrames/views.
+
+The reference's unit of data exchange is a directory of files
+(reference workflow.py:42-43, 59-60); ours is a parquet table loaded
+as a DataFrame and optionally registered as a temp view so queries can
+be written in either the DataFrame or SQL API.
+
+Scale note: loading is lazy (schema-only); filters and projections
+applied by downstream queries push down into the parquet scan, so the
+same catalog works unchanged whether the directory holds 6 MB or
+100 TB (with partition pruning if the physical layout is partitioned).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Runtime confs every query depends on, set defensively because the
+    calling session may not be ours (the correctness driver builds its
+    own): UTC so timestamp literals are TZ-independent, nanosAsLong so
+    events.parquet (TIMESTAMP NANOS) is readable under Spark 4."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _ensure_session_conf(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = _fix_nanos_ts(df)
+    return df
+
+
+def _fix_nanos_ts(df: DataFrame) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) in parquet; Spark 4 reads it (under
+    spark.sql.legacy.parquet.nanosAsLong) as a BIGINT of epoch-nanos.
+    Convert to a real timestamp, truncating ns -> us exactly as Spark
+    <=3.x did natively."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = False
+) -> dict[str, DataFrame]:
+    """Load every fixture table that exists under ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

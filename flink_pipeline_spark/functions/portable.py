@@ -1,0 +1,85 @@
+"""Cross-engine (Spark <-> DuckDB) portable expression helpers.
+
+The driver's correctness gate hashes query output values, so every
+computed value must be bit-identical between the Spark implementation
+and the DuckDB oracle. These helpers encode the conventions:
+
+  * hash56: a deterministic 56-bit integer hash of a string, computed
+    as the first 14 hex digits of md5 — both engines have md5, both
+    can parse hex into a BIGINT, and 56 bits stays well inside i64.
+    This single primitive powers fingerprinting, MinHash, SimHash and
+    banding identically in both engines.
+  * round for double aggregates: floating aggregation order differs
+    between engines (and between Spark partitions run-to-run), so any
+    sum/avg of doubles is rounded to ROUND_SCALE decimals before
+    leaving a query.
+  * epoch seconds for timestamps: fixtures mix ms- and ns-precision
+    timestamps (FIXTURES.md); Spark truncates ns->us on read, so raw
+    timestamps never leave a query — they are projected to BIGINT
+    epoch seconds (or DATE strings) in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ROUND_SCALE = 4
+HASH56_HEX_DIGITS = 14  # 14 hex digits = 56 bits < 63
+
+# ---------------------------------------------------------------------------
+# Spark side (Column helpers)
+# ---------------------------------------------------------------------------
+
+
+def hash56(col: Column | str) -> Column:
+    """56-bit md5-prefix hash of a string column (Spark side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, HASH56_HEX_DIGITS), 16, 10).cast(
+        "long"
+    )
+
+
+def round_agg(col: Column, scale: int = ROUND_SCALE) -> Column:
+    """Canonical rounding for double-valued aggregates.
+
+    NOT ``F.round``: Spark rounds the shortest decimal repr (BigDecimal
+    HALF_UP) while DuckDB rounds the binary value, so the two disagree
+    on ~1% of values in the 4th decimal. ``floor(x*10^s + 0.5)/10^s``
+    is pure IEEE double arithmetic — bit-identical across engines.
+    """
+    f = 10**scale
+    return F.floor(col * F.lit(f) + F.lit(0.5)) / F.lit(f)
+
+
+def epoch_s(col: Column | str) -> Column:
+    """Timestamp -> BIGINT epoch seconds (Spark side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_timestamp(c).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# SQL-text generators (used to build both Spark SQL and DuckDB oracle text)
+# ---------------------------------------------------------------------------
+
+
+def hash56_sql_spark(expr: str) -> str:
+    return f"CAST(conv(substring(md5(CAST({expr} AS STRING)), 1, {HASH56_HEX_DIGITS}), 16, 10) AS BIGINT)"
+
+
+def hash56_sql_duckdb(expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, {HASH56_HEX_DIGITS})) AS BIGINT)"
+    )
+
+
+def epoch_s_sql_duckdb(expr: str) -> str:
+    # floor() first: duckdb epoch() returns a fractional double and a bare
+    # BIGINT cast *rounds*, while Spark's unix_timestamp truncates.
+    return f"CAST(floor(epoch({expr})) AS BIGINT)"
+
+
+def round_sql(expr: str, scale: int = ROUND_SCALE) -> str:
+    """Portable-round SQL text (valid in both Spark SQL and DuckDB)."""
+    f = 10**scale
+    return f"floor(({expr}) * {f} + 0.5) / {f}"

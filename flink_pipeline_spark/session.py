@@ -1,0 +1,89 @@
+"""SparkSession construction with fail-fast config validation.
+
+Mirrors the reference's up-front environment validation (verify_conf,
+reference workflow.py:102-121) as engine-config validation: bad values
+fail at session build time, not mid-query.
+
+Scale notes (100 TB / 1000-executor design point):
+  - AQE is always on: runtime partition coalescing, skew-join splitting
+    and dynamic join-strategy demotion are what keep a static plan
+    honest at 1000x the calibration data volume.
+  - ``shuffle_partitions`` defaults to the local core count; on a real
+    cluster set it ~2-3x total cores (or leave AQE's coalescing to trim
+    an intentionally high value).
+  - Timezone is pinned to UTC so timestamp semantics match the DuckDB
+    oracle and are cluster-location-independent.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class EngineConf:
+    """Validated engine configuration (GlobalConf analog,
+    reference workflow.py:21-38)."""
+
+    app_name: str = "flink_pipeline_spark"
+    master: str = field(
+        default_factory=lambda: f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    )
+    shuffle_partitions: int = field(
+        default_factory=lambda: int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", os.cpu_count() or 8)
+        )
+    )
+    driver_memory: str = "48g"
+    timezone: str = "UTC"
+    adaptive: bool = True
+    arrow: bool = True
+    ui_enabled: bool = False
+    extra: dict[str, str] = field(default_factory=dict)
+
+    def validate(self) -> None:
+        """Fail fast on nonsense config (verify_conf analog)."""
+        if self.shuffle_partitions <= 0:
+            raise ValueError(
+                f"shuffle_partitions must be > 0, got {self.shuffle_partitions}"
+            )
+        if not self.driver_memory[:-1].isdigit() or self.driver_memory[-1] not in "gmk":
+            raise ValueError(f"bad driver_memory: {self.driver_memory!r}")
+        if not (self.master.startswith("local") or "://" in self.master or
+                self.master in ("yarn", "k8s")):
+            raise ValueError(f"bad master: {self.master!r}")
+
+
+def get_session(conf: EngineConf | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    One session serves all queries — the Spark analog of the reference's
+    session-reuse optimization (one long-lived Flink/YARN session for
+    many job submissions, workflow.py:195-239).
+    """
+    conf = conf or EngineConf()
+    conf.validate()
+    builder = (
+        SparkSession.builder.master(conf.master)
+        .appName(conf.app_name)
+        .config("spark.sql.shuffle.partitions", str(conf.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", str(conf.adaptive).lower())
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", conf.driver_memory)
+        .config("spark.sql.session.timeZone", conf.timezone)
+        .config("spark.sql.execution.arrow.pyspark.enabled", str(conf.arrow).lower())
+        .config("spark.ui.enabled", str(conf.ui_enabled).lower())
+        .config("spark.sql.shuffle.spill.compress", "true")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
+        # default; read as long and convert in the catalog (ns -> us).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in conf.extra.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
