@@ -55,11 +55,14 @@ def _load_all() -> None:
     if _LOADED:
         return
     from . import (  # noqa: F401
+        aggregates,
+        joins,
+        llm_ops,
+        pipeline_queries,
         relational,
         scans,
         streaming_queries,
-        llm_ops,
-        pipeline_queries,
+        windows_sorts,
     )
 
     _LOADED = True

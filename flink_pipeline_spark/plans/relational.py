@@ -144,7 +144,11 @@ def q_filter_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-membership filter — reference workflow.py:328."""
-    return fixture_df(spark, "log_lines").filter(F.col("line").contains("Flink session"))
+    return (
+        fixture_df(spark, "log_lines")
+        .filter(F.col("line").contains("Flink session"))
+        .select("line")
+    )
 
 
 @register(
@@ -156,8 +160,10 @@ def q_filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_filter_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex sanity filter on app ids — reference workflow.py:329."""
-    return fixture_df(spark, "log_lines").filter(
-        F.col("line").rlike(r"^application_[0-9]+_[0-9]+")
+    return (
+        fixture_df(spark, "log_lines")
+        .filter(F.col("line").rlike(r"^application_[0-9]+_[0-9]+"))
+        .select("line")
     )
 
 

@@ -1,1 +1,106 @@
-"""Placeholder — populated in a later milestone."""
+"""Source/scan operators (SURVEY.md §2.1 SRC rows).
+
+The reference's sources are directory listings, FS walks with
+metadata, gzipped text, and header-skipped subprocess tables; here
+they are declarative scans: the listing fixture, Spark's hidden
+``_metadata`` columns on file sources, ``spark.read.text`` over
+gzip (codec auto-detected), and ordered offset.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import fixture_df, fixture_values_sql
+from .registry import register
+
+# The gzipped log fixture is committed in-repo (generated from the same
+# LOG_LINES literal as the VALUES fixture; see fixtures/ and
+# sources/fixtures.py).
+LOG_GZ = os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "session_log.txt.gz")
+LOG_GZ = os.path.abspath(LOG_GZ)
+
+# Oracle SQL is a static string; the correctness driver always runs it at
+# sf0.01, so the parquet path is pinned there (the Spark side uses the
+# sf_dir argument).
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+@register(
+    "q_scan_listing",
+    oracle=f"""
+    SELECT regexp_extract(name, '([^/]+)$', 1) AS entry, kind
+    FROM {fixture_values_sql('file_listing')}
+    WHERE regexp_replace(name, '/[^/]+$', '') = 'hdfs://nn/out'
+    """,
+)
+def q_scan_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-listing scan with kind metadata — ``phdfs.lsl``
+    (reference workflow.py:403-405)."""
+    fl = fixture_df(spark, "file_listing")
+    return fl.filter(
+        F.regexp_replace("name", r"/[^/]+$", "") == "hdfs://nn/out"
+    ).select(F.regexp_extract("name", r"([^/]+)$", 1).alias("entry"), "kind")
+
+
+@register(
+    "q_scan_file_metadata",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file, count(*) AS n
+    FROM read_parquet('{ORACLE_SF_DIR}/lineitem.parquet', filename=true)
+    GROUP BY 1
+    """,
+)
+def q_scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-metadata scan: rows per physical file via the hidden
+    ``_metadata`` column — the FS-walk-with-metadata analog (reference
+    workflow.py:364-371)."""
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        df.select(F.col("_metadata.file_path").alias("fp"))
+        .select(F.regexp_extract("fp", r"([^/]+)$", 1).alias("file"))
+        .groupBy("file")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_scan_text",
+    oracle=f"""
+    SELECT line, length(line) AS len
+    FROM read_csv('{LOG_GZ}', delim=chr(1), header=false, quote='',
+                  columns={{'line': 'VARCHAR'}})
+    WHERE line LIKE 'Seconds for %'
+    """,
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed text source (codec auto-detected) — the
+    ``gunzip -c`` process-substitution source (reference
+    baseline_workflow.py:143-144)."""
+    df = spark.read.text(LOG_GZ)
+    return (
+        df.filter(F.col("value").startswith("Seconds for "))
+        .select(F.col("value").alias("line"), F.length("value").alias("len"))
+    )
+
+
+@register(
+    "q_tsv_header_skip",
+    oracle=f"""
+    SELECT string_split(line, chr(9))[1] AS first_field
+    FROM {fixture_values_sql('log_lines')}
+    WHERE lineno > 2 AND lineno <= 6
+    """,
+)
+def q_tsv_header_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subprocess-output table: skip the 2 header lines, project the
+    first tab-separated field — ``check_output(...).split('\\n')[2:]``
+    then ``split('\\t', 1)[0]`` (reference workflow.py:325-329,
+    416-420, util.py:43-47)."""
+    ll = fixture_df(spark, "log_lines")
+    return ll.filter((F.col("lineno") > 2) & (F.col("lineno") <= 6)).select(
+        F.split(F.col("line"), "\t").getItem(0).alias("first_field")
+    )

@@ -63,18 +63,18 @@ FILE_LISTING = [
     ("/local/scratch/readme.txt", "file", 512),
 ]
 
-LOG_LINES_COLS = ("line",)
+LOG_LINES_COLS = ("lineno", "line")
 LOG_LINES = [
-    ("Total number of applications (application-types: [] and states: [RUNNING]):2",),
-    ("                Application-Id\t    Application-Name\t    Application-Type",),
-    ("application_1465386216906_0001\tFlink session with 8 TaskManagers\tApache Flink",),
-    ("application_1465386216906_0002\tseqal_DNA16-0084-R0001\tMAPREDUCE",),
-    ("application_1465386216906_0003\tseqal_DNA16-0085-R0002\tMAPREDUCE",),
-    ("not-an-app-row free text here",),
-    ("yarn application -kill application_1465386216906_0001",),
-    ("Seconds for bcl conversion: 123.45",),
-    ("Seconds for alignment: 678.90",),
-    ("INFO some other log line without metrics",),
+    (1, "Total number of applications (application-types: [] and states: [RUNNING]):2"),
+    (2, "                Application-Id\t    Application-Name\t    Application-Type"),
+    (3, "application_1465386216906_0001\tFlink session with 8 TaskManagers\tApache Flink"),
+    (4, "application_1465386216906_0002\tseqal_DNA16-0084-R0001\tMAPREDUCE"),
+    (5, "application_1465386216906_0003\tseqal_DNA16-0085-R0002\tMAPREDUCE"),
+    (6, "not-an-app-row free text here"),
+    (7, "yarn application -kill application_1465386216906_0001"),
+    (8, "Seconds for bcl conversion: 123.45"),
+    (9, "Seconds for alignment: 678.90"),
+    (10, "INFO some other log line without metrics"),
 ]
 
 ATTEMPTS_COLS = (
@@ -123,7 +123,7 @@ READ_PAIRS = [
 _SCHEMAS = {
     "read_files": (READ_FILES_COLS, READ_FILES, "filename STRING"),
     "file_listing": (FILE_LISTING_COLS, FILE_LISTING, "name STRING, kind STRING, size BIGINT"),
-    "log_lines": (LOG_LINES_COLS, LOG_LINES, "line STRING"),
+    "log_lines": (LOG_LINES_COLS, LOG_LINES, "lineno INT, line STRING"),
     "attempts": (
         ATTEMPTS_COLS,
         ATTEMPTS,
