@@ -39,9 +39,41 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     """Runtime confs every query depends on, set defensively because the
     calling session may not be ours (the correctness driver builds its
     own): UTC so timestamp literals are TZ-independent, nanosAsLong so
-    events.parquet (TIMESTAMP NANOS) is readable under Spark 4."""
+    events.parquet (TIMESTAMP NANOS) is readable under Spark 4, and the
+    package shipped to Python workers so pandas-UDF closures that
+    reference this module resolve even when the driver process found it
+    via sys.path rather than PYTHONPATH."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ship_package(spark)
+
+
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """addPyFile a zip of flink_pipeline_spark so executor-side Python
+    workers can unpickle UDF closures referencing it."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "flink_pipeline_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _dirs, files in os.walk(pkg_root):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.join(
+                        "flink_pipeline_spark", os.path.relpath(full, pkg_root)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(key)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

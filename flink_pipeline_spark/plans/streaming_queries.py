@@ -1,1 +1,119 @@
-"""Placeholder — populated in a later milestone."""
+"""Batch-checkable streaming queries (SURVEY.md §2.9).
+
+Each query applies the SAME transform the streaming layer uses
+(streaming/windows.py, streaming/state.py) to the batch events table;
+Structured Streaming's unified semantics make the batch result the
+specification for the stream (tests/test_streaming.py asserts
+stream == batch on every one of these).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..functions.portable import round_sql
+from ..sources.fixtures import fixture_df, fixture_values_sql
+from ..streaming.state import track_jobs
+from ..streaming.windows import (
+    session_counts,
+    sliding_counts,
+    stream_dedup,
+    tumbling_counts,
+)
+from .registry import register
+
+_EVENTS_TS = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT CAST(floor({_EVENTS_TS} / 600) * 600 AS BIGINT) AS ws,
+           event_type,
+           count(*) AS n,
+           {round_sql('sum(value)')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows (ST10). Spark aligns window
+    starts to the epoch, so the oracle is integer bucketing."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"), "10 minutes")
+
+
+@register(
+    "q_stream_sliding",
+    oracle=f"""
+    SELECT CAST(floor({_EVENTS_TS} / 300) * 300 - o.off AS BIGINT) AS ws,
+           count(*) AS n,
+           {round_sql('sum(value)')} AS total_value
+    FROM events CROSS JOIN (VALUES (0), (300)) o(off)
+    GROUP BY 1
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (width 10 min, slide 5 min): every event falls in
+    exactly width/slide = 2 windows; the oracle materializes both."""
+    return sliding_counts(load_table(spark, sf_dir, "events"), "10 minutes", "5 minutes")
+
+
+@register(
+    "q_stream_session",
+    oracle=f"""
+    WITH t AS (
+        SELECT user_id, {_EVENTS_TS} AS ts_s, value FROM events
+    ), marked AS (
+        SELECT *, CASE WHEN ts_s - lag(ts_s) OVER w >= 1800 OR
+                            lag(ts_s) OVER w IS NULL
+                       THEN 1 ELSE 0 END AS new_session
+        FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+    ), numbered AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT min(ts_s) AS session_start, user_id, count(*) AS n,
+           {round_sql('sum(value)')} AS total_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (30-minute gap, ST10): Spark's
+    ``session_window`` vs the classic gaps-and-islands formulation in
+    the oracle — a session closes when the next event arrives >= gap
+    after the previous one."""
+    return session_counts(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
+@register(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on (user_id, event_type) (ST11); on a stream this is
+    watermark-bounded dropDuplicates state."""
+    return stream_dedup(load_table(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+@register(
+    "q_job_tracker",
+    oracle=f"""
+    SELECT job_id,
+           arg_max(state, tick) AS final_state,
+           max(retcode) AS retcode,
+           (arg_max(state, tick) IN ('FAILED', 'KILLED')
+            OR coalesce(max(retcode), 0) <> 0) AS failed,
+           CAST(count(*) AS INT) AS n_events,
+           min(tick) AS first_tick,
+           max(tick) AS last_tick
+    FROM {fixture_values_sql('job_events')}
+    GROUP BY job_id
+    """,
+)
+def q_job_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AlignJob/_wait state machine (ST2) over the job-events fixture
+    via grouped applyInPandas — the custom-stateful-operator path, still
+    oracle-checkable because the fold is deterministic."""
+    return track_jobs(fixture_df(spark, "job_events"))

@@ -141,6 +141,9 @@ _SCHEMAS = {
 
 def fixture_df(spark: SparkSession, name: str) -> DataFrame:
     """Build the fixture as a Spark DataFrame (explicit DDL schema)."""
+    from ..catalog import _ensure_session_conf
+
+    _ensure_session_conf(spark)
     cols, rows, ddl = _SCHEMAS[name]
     return spark.createDataFrame(rows, schema=ddl)
 

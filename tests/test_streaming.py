@@ -1,0 +1,214 @@
+"""Structured Streaming tests (SURVEY.md §5.2 'streaming tests').
+
+Strategy: the batch result of each transform is the specification; the
+same transform run as a real file-source stream (multiple micro-batches
+via maxFilesPerTrigger) through a memory sink must produce the same
+rows. Plus lifecycle: listener metrics, checkpointed restart, stop-all.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_pipeline_spark.catalog import load_table
+from flink_pipeline_spark.sources.fixtures import fixture_df
+from flink_pipeline_spark.streaming.lifecycle import (
+    MetricsListener,
+    run_with_restarts,
+    stop_all_queries,
+)
+from flink_pipeline_spark.streaming.state import track_jobs, track_jobs_stream
+from flink_pipeline_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    stream_dedup,
+    tumbling_counts,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """events table materialized as 4 parquet files so maxFilesPerTrigger=1
+    yields 4 micro-batches."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _read_stream(spark, d):
+    schema = spark.read.parquet(d).schema
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+
+
+def _run_to_memory(df, mode: str) -> str:
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return name
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "transform,mode",
+    [
+        (lambda df: tumbling_counts(df, "10 minutes"), "complete"),
+        (lambda df: sliding_counts(df, "10 minutes", "5 minutes"), "complete"),
+        (lambda df: session_counts(df, "30 minutes"), "complete"),
+    ],
+    ids=["tumbling", "sliding", "session"],
+)
+def test_stream_equals_batch_windows(spark, events_stream_dir, transform, mode):
+    batch = transform(load_table(spark, SF_DIR, "events"))
+    name = _run_to_memory(transform(_read_stream(spark, events_stream_dir)), mode)
+    assert _rows(spark.table(name)) == _rows(batch)
+
+
+def test_stream_dedup_equals_batch(spark, events_stream_dir):
+    keys = ["user_id", "event_type"]
+    batch = stream_dedup(load_table(spark, SF_DIR, "events"), keys)
+    sdf = stream_dedup(_read_stream(spark, events_stream_dir), keys, watermark="1 hour")
+    name = _run_to_memory(sdf.select(*keys), "append")
+    assert _rows(spark.table(name).distinct()) == _rows(batch)
+
+
+def test_tumbling_append_with_watermark(spark, tmp_path):
+    """Append mode only emits watermark-closed windows — the late-data
+    policy (ST5). The stream is fed in event-time order (4 files with
+    ascending mtimes; the file source processes by mod time), so closed
+    windows carry exact counts and only trailing windows are withheld.
+    """
+    import os
+    import time
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("ts", "user_id", "event_type", "value")
+        .orderBy("ts")
+        .toPandas()
+    )
+    quarter = len(ev) // 4 + 1
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = time.time() - 100
+    for i in range(4):
+        p = str(src / f"part-{i}.parquet")
+        ev.iloc[i * quarter : (i + 1) * quarter].to_parquet(
+            p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(p, (t0 + i * 10, t0 + i * 10))
+
+    batch = _rows(tumbling_counts(load_table(spark, SF_DIR, "events"), "10 minutes"))
+    sdf = tumbling_counts(
+        _read_stream(spark, str(src)), "10 minutes", watermark="10 minutes"
+    )
+    name = _run_to_memory(sdf, "append")
+    emitted = _rows(spark.table(name))
+    assert set(emitted).issubset(set(batch)), "closed windows must match batch exactly"
+    # everything except windows near the stream's end must have emitted
+    assert len(emitted) >= len(batch) - 25
+    assert len(emitted) < len(batch)  # trailing windows withheld: watermark is real
+
+
+@pytest.fixture(scope="module")
+def job_events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("job_events"))
+    fixture_df(spark, "job_events").repartition(3).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_job_tracker_stream_equals_batch(spark, job_events_dir):
+    batch = {r["job_id"]: tuple(r) for r in track_jobs(fixture_df(spark, "job_events")).collect()}
+    sdf = track_jobs_stream(_read_stream(spark, job_events_dir))
+    name = _run_to_memory(sdf, "update")
+    # update mode emits one snapshot per (batch, job); the last snapshot
+    # per job must equal the batch fold.
+    import pandas as pd
+
+    pdf = spark.table(name).toPandas()
+    assert len(pdf) >= 3
+    final = {}
+    for _, row in pdf.iterrows():
+        final[row["job_id"]] = tuple(row)  # memory sink preserves arrival order
+    assert set(final) == set(batch)
+    for k in batch:
+        assert final[k] == batch[k], f"{k}: {final[k]} != {batch[k]}"
+
+
+def test_job_tracker_rejects_invalid_state(spark):
+    bad = spark.createDataFrame(
+        [("j1", 0, "EXPLODED", None)], "job_id STRING, tick INT, state STRING, retcode INT"
+    )
+    with pytest.raises(Exception, match="unexpected application state"):
+        track_jobs(bad).collect()
+
+
+def test_metrics_listener(spark, events_stream_dir):
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        name = _run_to_memory(
+            _read_stream(spark, events_stream_dir).groupBy("event_type").count(),
+            "complete",
+        )
+        assert spark.table(name).count() > 0
+        assert listener.metrics.batches >= 1
+        assert listener.metrics.rows > 0
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_checkpointed_restart_no_duplicates(spark, tmp_path):
+    """ST7: a restarted query with the same checkpoint must not re-emit
+    committed batches (checkpoint recovery replaces the reference's
+    re-run-from-scratch retry)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = fixture_df(spark, "job_events")
+    base.limit(5).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    attempt = run_with_restarts(start, max_retries=3)
+    assert attempt == 1
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 5
+    # second run over the same source: nothing new to process
+    run_with_restarts(start, max_retries=3)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_stop_all_queries(spark, events_stream_dir):
+    q = (
+        _read_stream(spark, events_stream_dir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mem_stopall_" + uuid.uuid4().hex[:6])
+        .start()
+    )
+    assert len(spark.streams.active) >= 1
+    n = stop_all_queries(spark)
+    assert n >= 1
+    assert all(not q2.isActive for q2 in [q])
