@@ -1,0 +1,63 @@
+"""Portable text/hash expression builders for the LLM-data operators.
+
+Each helper returns SQL text in both dialects (Spark SQL / DuckDB) from
+the same constants, so the dedup/similarity pipelines are bit-identical
+across engines. The primitive everything rests on is hash56
+(functions/portable.py): md5-prefix -> BIGINT, reduced mod P31 so the
+affine MinHash transforms (a*x + b) % P31 never overflow int64
+(x < 2^31, a < 2^20 -> a*x < 2^51).
+"""
+
+from __future__ import annotations
+
+from .portable import hash56_sql_duckdb, hash56_sql_spark
+
+P31 = 2_147_483_647  # 2^31 - 1 (prime)
+
+# Fixed affine MinHash parameters (k = 12 functions, 4 bands x 3 rows).
+# Deterministic literals: runtime randomness would break resume/oracle.
+MINHASH_PARAMS = [
+    (746777, 1060577), (141667, 1985771), (430013, 175261), (982451, 505447),
+    (611953, 1941979), (287117, 743327), (524287, 131071), (917501, 623851),
+    (334171, 1299709), (700417, 822977), (198491, 1583539), (865957, 399989),
+]
+MINHASH_BANDS = 4
+MINHASH_ROWS = 3  # per band; k = bands * rows
+
+SIMHASH_BITS = 16
+
+
+def shingle_hash_sql(engine: str, shingle_expr: str) -> str:
+    """shingle text -> integer in [0, P31)."""
+    h = hash56_sql_spark if engine == "spark" else hash56_sql_duckdb
+    return f"({h(shingle_expr)} % {P31})"
+
+
+def shingles_sql(engine: str, text_expr: str, n: int = 3, distinct: bool = True) -> str:
+    """Word n-gram shingles of a space-tokenized text column
+    (set semantics when ``distinct``)."""
+    if engine == "spark":
+        toks = f"split({text_expr}, ' ')"
+        body = (
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(0, size({toks}) - {n}), "
+            f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))) "
+            f"ELSE array() END"
+        )
+        return f"array_distinct({body})" if distinct else f"({body})"
+    toks = f"string_split({text_expr}, ' ')"
+    body = (
+        f"list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+    return f"list_distinct({body})" if distinct else f"({body})"
+
+
+def minhash_params_values_sql() -> str:
+    body = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS))
+    return f"(VALUES {body}) AS hp(i, a, b)"
+
+
+def bits_values_sql(bits: int = SIMHASH_BITS) -> str:
+    body = ", ".join(f"({b})" for b in range(bits))
+    return f"(VALUES {body}) AS bits(b)"

@@ -1,1 +1,535 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline queries (SURVEY.md §2.11, BASELINE.json north star):
+dedup family, similarity search, multimodal metadata, text analysis.
+
+Every hash in these pipelines is the portable md5-prefix hash, so even
+MinHash-LSH and SimHash are replayed bit-for-bit by the DuckDB oracle —
+no rows-only escape hatches except where sketches are inherently
+engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.portable import hash56_sql_duckdb, round_sql
+from ..functions.text import (
+    P31,
+    minhash_params_values_sql,
+    shingle_hash_sql,
+    shingles_sql,
+)
+from ..operators.llm import (
+    cosine_pairs,
+    ivf_assign,
+    lsh_candidate_pairs,
+    minhash_signatures,  # noqa: F401 (re-exported for tests)
+    simhash,
+    topk_neighbors,
+    verified_near_dups,
+)
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# L1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by full text: canonical keeper = min doc_id. At scale
+    this groups by a 128-bit text digest instead of the text itself so
+    the shuffle carries 16 bytes per doc, not the document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+@register(
+    "q_dedup_key",
+    oracle="""
+    SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup with keeper selection (the fixtures have no exact
+    text dups, so the keyed variant exercises real multi-row groups)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2: near-dup dedup — MinHash-LSH, SimHash, blocked n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+_MINHASH_ORACLE = f"""
+    WITH sets AS (
+        SELECT doc_id, {shingles_sql('duckdb', 'text', 3)} AS s FROM documents
+    ), hx AS (
+        SELECT doc_id, {shingle_hash_sql('duckdb', 'shingle')} AS x
+        FROM (SELECT doc_id, unnest(s) AS shingle FROM sets) t
+    ), mh AS (
+        SELECT doc_id, hp.i, min((hp.a * x + hp.b) % {P31}) AS mh
+        FROM hx CROSS JOIN {minhash_params_values_sql()}
+        GROUP BY doc_id, hp.i
+    ), sig AS (
+        SELECT doc_id, i // 3 AS band,
+               string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
+        FROM mh GROUP BY doc_id, i // 3
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ), verified AS (
+        SELECT doc_a, doc_b,
+               floor((len(list_intersect(sa.s, sb.s))::DOUBLE
+                      / len(list_distinct(list_concat(sa.s, sb.s)))) * 10000 + 0.5)
+                 / 10000 AS jacc
+        FROM cand
+        JOIN sets sa ON sa.doc_id = cand.doc_a
+        JOIN sets sb ON sb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b, jacc FROM verified WHERE jacc >= 0.8
+"""
+
+
+@register("q_dedup_minhash", oracle=_MINHASH_ORACLE)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup: 3-word shingles -> 12 minhashes -> 4
+    bands x 3 rows -> band-bucket candidates -> exact-Jaccard verify at
+    0.8. See operators/llm.py for the 100 TB notes."""
+    d = load_table(spark, sf_dir, "documents")
+    return verified_near_dups(d, lsh_candidate_pairs(d), threshold=0.8)
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), contrib AS (
+        SELECT doc_id, b,
+               CASE WHEN (({shingle_hash_sql('duckdb', 'tok')} >> b) & 1) = 1
+                    THEN 1 ELSE -1 END AS c
+        FROM toks CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),
+                                     (10),(11),(12),(13),(14),(15)) bits(b)
+    ), bitsum AS (
+        SELECT doc_id, b, sum(c) AS s FROM contrib GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM bitsum GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit token-multiset SimHash per doc. Pair detection (hamming
+    blocking) is exercised in tests; the per-doc signature is the
+    oracle-checked surface."""
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id, lang, n_chars, {shingles_sql('duckdb', 'text', 2)} AS s
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               floor((len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(list_concat(a.s, b.s)))) * 10000 + 0.5)
+                 / 10000 AS jacc
+        FROM sets a JOIN sets b
+          ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 20
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jacc FROM pairs WHERE jacc >= 0.8
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked bigram-Jaccard near-dedup: candidate pairs are blocked on
+    (lang, |n_chars delta| <= 20) — an equi-ish join that avoids
+    all-pairs; the block predicate trades recall for scale and is the
+    knob to widen on a real corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    sets = d.select(
+        "doc_id", "lang", "n_chars", F.expr(shingles_sql("spark", "text", 2)).alias("s")
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("s").alias("sa"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("s").alias("sb"),
+    )
+    jacc = F.expr(
+        "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20)
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a", "doc_b", (F.floor(jacc * 10000 + F.lit(0.5)) / 10000).alias("jacc")
+        )
+        .filter(F.col("jacc") >= 0.8)
+    )
+
+
+_COS_DUCK = (
+    "(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x AS DOUBLE)))"
+    " / (sqrt(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({a}, x -> CAST(x AS DOUBLE))))"
+    " * sqrt(list_dot_product(list_transform({b}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x AS DOUBLE))))))"
+)
+
+
+@register(
+    "q_dedup_embed_cosine",
+    oracle=f"""
+    SELECT vec_a, vec_b, cos FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               floor({_COS_DUCK.format(a='a.embedding', b='b.embedding')} * 10000 + 0.5)
+                 / 10000 AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) t WHERE cos >= 0.4
+    """,
+)
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4 — the fixture's
+    random vectors top out near 0.51, so this is the discriminative
+    range)."""
+    return cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# L3: similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sim_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, rank, cos FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               floor({_COS_DUCK.format(a='q.embedding', b='e.embedding')} * 10000 + 0.5)
+                 / 10000 AS cos,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY floor({_COS_DUCK.format(a='q.embedding', b='e.embedding')}
+                                  * 10000 + 0.5) / 10000 DESC, e.vec_id) AS rank
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    ) t WHERE rank <= 3
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-3 cosine neighbors for query vectors (vec_id<5);
+    the query side broadcasts, the corpus scan stays put."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_neighbors(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+@register(
+    "q_sim_ivf",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT e.vec_id, c.vec_id AS cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_COS_DUCK.format(a='e.embedding', b='c.embedding')} DESC,
+                            c.vec_id) AS rn
+        FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+    )
+    SELECT cell, count(*) AS n_members
+    FROM assigned WHERE rn = 1 GROUP BY cell
+    """,
+)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its max-cosine
+    centroid (centroids = vec_id<8). The scale path: a later query
+    probes only its centroid's cell — corpus cross-join shrinks by the
+    cell count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, emb.filter(F.col("vec_id") < 8))
+    return assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
+
+
+# ---------------------------------------------------------------------------
+# L4: multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           substr(md5(text), 1, 8) AS content_hash,
+           CASE WHEN octet_length(encode(text)) > 300 THEN 'large' ELSE 'small' END
+               AS size_class
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: payload as opaque binary + typed
+    metadata (byte length, content hash, size class). Decode/feature
+    extraction is the stubbed pandas-UDF path (operators/multimodal.py);
+    the schema/metadata plumbing is the oracle-checked surface."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("byte_len"),
+        F.substring(F.md5(F.col("text")), 1, 8).alias("content_hash"),
+        F.when(F.octet_length(payload) > 300, "large")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L5: text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_tokens",
+    oracle="""
+    SELECT tok, n, rank FROM (
+        SELECT tok, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        GROUP BY tok
+    ) r WHERE rank <= 20
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies, top 20."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+
+
+@register(
+    "q_text_ngram_stats",
+    oracle=f"""
+    SELECT lang, bigram, n, rank FROM (
+        SELECT lang, bigram, count(*) AS n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, bigram) AS rank
+        FROM (SELECT lang, unnest({shingles_sql('duckdb', 'text', 2, distinct=False)})
+                     AS bigram
+              FROM documents) t
+        GROUP BY lang, bigram
+    ) r WHERE rank <= 5
+    """,
+)
+def q_text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequencies, top 5 per lang."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang",
+        F.explode(F.expr(shingles_sql("spark", "text", 2, distinct=False))).alias(
+            "bigram"
+        ),
+    )
+    counts = grams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+LANGWORDS = {
+    "en": ("the", "a"),
+    "de": ("window", "row"),
+    "es": ("data", "query"),
+    "fr": ("table", "line"),
+    "zh": ("hash", "join"),
+}
+
+
+def _langwords_values_sql() -> str:
+    body = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in sorted(LANGWORDS.items()) for w in ws
+    )
+    return f"(VALUES {body}) AS lw(lw_lang, word)"
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), scores AS (
+        SELECT doc_id, lw_lang, count(*) AS score
+        FROM toks JOIN {_langwords_values_sql()} ON tok = word
+        GROUP BY doc_id, lw_lang
+    ), best AS (
+        SELECT doc_id, lw_lang, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lw_lang) AS rn
+        FROM scores
+    )
+    SELECT d.doc_id,
+           coalesce(b.lw_lang, 'und') AS pred_lang,
+           coalesce(b.score, 0) AS score
+    FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON d.doc_id = b.doc_id
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-list language ID: score = count of lang-marker tokens,
+    argmax with deterministic tie-break, 'und' when nothing matches.
+    (The n-gram-profile heuristic in miniature; the fixture vocabulary
+    is synthetic, so marker lists are drawn from it.)"""
+    spark_lw = spark.createDataFrame(
+        [(lang, w) for lang, ws in sorted(LANGWORDS.items()) for w in ws],
+        "lw_lang STRING, word STRING",
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    scores = (
+        toks.join(F.broadcast(spark_lw), toks.tok == spark_lw.word)
+        .groupBy("doc_id", "lw_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lw_lang"))
+    best = scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        d.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lw_lang"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(F.col("score"), F.lit(0)).alias("score"),
+        )
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               length(replace(text, ' ', '')) AS n_letter_chars
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           {round_sql('n_distinct::DOUBLE / n_tokens')} AS distinct_ratio,
+           {round_sql('n_letter_chars::DOUBLE / n_tokens')} AS avg_tok_len,
+           {round_sql('0.4 * least(n_tokens / 50.0, 1.0)'
+                      ' + 0.3 * (n_distinct::DOUBLE / n_tokens)'
+                      ' + 0.3 * least(n_letter_chars::DOUBLE / n_tokens / 6.0, 1.0)')}
+               AS quality
+    FROM m
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation + lexical diversity +
+    token-length saturation (the punct/stopword-ratio family of filters;
+    this vocabulary has no punctuation to count)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_letter_chars"),
+    )
+    dr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    al = F.col("n_letter_chars").cast("double") / F.col("n_tokens")
+    quality = (
+        0.4 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+        + 0.3 * dr
+        + 0.3 * F.least(al / 6.0, F.lit(1.0))
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        r4(dr).alias("distinct_ratio"),
+        r4(al).alias("avg_tok_len"),
+        r4(quality).alias("quality"),
+    )
+
+
+@register(
+    "q_text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_ ]')) AS re_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (word runs | single non-word marks)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.expr("regexp_count(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_ ]')").alias("re_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(sum(ord * {shingle_hash_sql('duckdb', 'tok')}) % {P31} AS BIGINT)
+               AS fingerprint
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+        FROM documents
+    ) t
+    GROUP BY doc_id
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: sum of position-weighted
+    token hashes mod P31 (the rolling-hash family, expressed as one
+    aggregation; positions <= 2^7, hashes < 2^31, so the sum stays
+    well inside int64)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    th = shingle_hash_sql("spark", "tok")
+    return toks.groupBy("doc_id").agg(
+        F.expr(f"CAST(sum((pos + 1) * {th}) % {P31} AS BIGINT)").alias("fingerprint")
+    )

@@ -1,0 +1,87 @@
+"""Behavioral tests for the LLM-data operators beyond oracle parity:
+known near-dup recovery, simhash locality, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_pipeline_spark.catalog import load_table
+from flink_pipeline_spark.operators.llm import (
+    lsh_candidate_pairs,
+    simhash,
+    topk_neighbors,
+    verified_near_dups,
+)
+from flink_pipeline_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_features,
+    to_multimodal,
+)
+
+from .conftest import SF_DIR
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    """The fixture plants shingle-Jaccard ~0.98 pairs; banded LSH with
+    4 bands x 3 rows must surface them and verification must score
+    them high."""
+    docs = load_table(spark, SF_DIR, "documents")
+    found = verified_near_dups(docs, lsh_candidate_pairs(docs), threshold=0.8)
+    rows = {(r.doc_a, r.doc_b): r.jacc for r in found.collect()}
+    assert len(rows) >= 5, f"expected planted near-dups, got {rows}"
+    assert all(j >= 0.8 for j in rows.values())
+
+
+def test_simhash_locality(spark):
+    """Near-dup docs (high shingle Jaccard) must land within small
+    hamming distance; the 16-bit signature must be in range."""
+    docs = load_table(spark, SF_DIR, "documents")
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert all(0 <= v < 2**16 for v in sh.values())
+    near = verified_near_dups(docs, lsh_candidate_pairs(docs), threshold=0.9).collect()
+    assert near
+    for r in near:
+        ham = bin(sh[r.doc_a] ^ sh[r.doc_b]).count("1")
+        assert ham <= 4, f"near-dup pair {(r.doc_a, r.doc_b)} hamming {ham}"
+
+
+def test_topk_self_excluded_and_ranked(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = topk_neighbors(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, 6))
+        cs = [r[1] for r in rows]
+        assert cs == sorted(cs, reverse=True), f"cos not monotone for {q}"
+
+
+def test_multimodal_schema_and_fake_decode(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    mm = to_multimodal(docs)
+    assert [f.name for f in mm.schema.fields] == ["doc_id", "payload", "meta"]
+    assert mm.schema["payload"].dataType.typeName() == "binary"
+    meta_names = [f.name for f in mm.schema["meta"].dataType.fields]
+    assert meta_names == ["byte_len", "content_hash", "mime"]
+
+    feats = decode_features(mm, impl="fake")
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.features) == FEATURE_DIM
+        assert r.features[0] == float(r.byte_len)
+    # deterministic: re-run yields identical features
+    again = {r.doc_id: r.features for r in decode_features(mm, impl="fake").collect()}
+    assert all(again[r.doc_id] == r.features for r in rows)
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    mm = to_multimodal(load_table(spark, SF_DIR, "documents").limit(5))
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        decode_features(mm, impl="real").collect()
+    with pytest.raises(ValueError, match="impl must be"):
+        decode_features(mm, impl="nope")
