@@ -1,0 +1,144 @@
+"""Pipeline façade (SURVEY.md M4): the reference's two-stage workflow
+re-expressed as native Spark stages.
+
+reference workflow.py                    -> here
+  STAGE 1 flink bclconverter (381-396)   -> convert(): demultiplexed
+    demux to per-sample dirs (SNK1)         partitionBy("sample") write
+    post-hoc prune empty/Undetermined      in-stream filters (ST5
+    (360-378, OPT2)                         replacing post-hoc deletes)
+  STAGE 2 per-sample seqal (477-509)     -> align(): groupBy("sample")
+    one YARN app per sample (ST8)           .applyInPandas(aligner) —
+                                            Spark schedules groups in
+                                            parallel; no process fleet
+  --skip-bcl stage gating (OPT3)         -> skip_convert flag reusing the
+                                            materialized intermediate
+  output-must-not-exist precheck (59-60) -> same, fail-fast
+  timing report (523-548, A4)            -> per-stage seconds in result
+
+Scale notes: the demux write is one shuffle on sample (partitionBy);
+downstream reads are partition-pruned per sample; the aligner UDF
+receives Arrow batches per group, so executor memory bounds the
+largest sample partition — salt hot samples upstream if one sample
+dominates (the reference had the same constraint per YARN app).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SAM_SCHEMA = (
+    "qname STRING, flag INT, rname STRING, pos BIGINT, mapq INT, cigar STRING"
+)
+
+P31 = 2_147_483_647
+
+
+def fake_align(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in for the per-sample aligner (reference
+    workflow.py:483-490 seal seqal; baseline bwa mem): each read pair
+    emits one SAM-shaped row per mate. Self-contained closure (no
+    module refs) and arithmetically identical to the SQL oracle in
+    plans/pipeline_queries.py."""
+    import hashlib
+
+    sample = key[0]
+    rows = []
+    for r in pdf.itertuples(index=False):
+        for flag, seq in ((0, r.seq1), (16, r.seq2)):
+            h = int(hashlib.md5(seq.encode()).hexdigest()[:14], 16)
+            rows.append(
+                {
+                    "qname": r.read_id,
+                    "flag": flag,
+                    "rname": sample,
+                    "pos": (h % P31) % 100000,
+                    "mapq": 60 - (len(seq) % 10),
+                    "cigar": f"{len(seq)}M",
+                }
+            )
+    return pd.DataFrame(rows, columns=["qname", "flag", "rname", "pos", "mapq", "cigar"])
+
+
+@dataclass
+class PipelineConf:
+    output_dir: str
+    skip_convert: bool = False  # OPT3: reuse existing intermediate
+    remove_intermediate: bool = False  # OPT1: delete consumed stage output
+    min_payload_len: int = 1  # ST5/OPT2: empty-record prune threshold
+
+
+@dataclass
+class PipelineResult:
+    convert_secs: float = 0.0
+    align_secs: float = 0.0
+    total_secs: float = 0.0
+    samples: list[str] = field(default_factory=list)
+    sam_rows: int = 0
+
+
+class Pipeline:
+    """scan -> filter -> demux-write -> per-sample transform -> sink,
+    the baseline_workflow.py shape (§3.2) on a read-pairs DataFrame."""
+
+    def __init__(self, spark: SparkSession, conf: PipelineConf) -> None:
+        self.spark = spark
+        self.conf = conf
+        self.prq_dir = os.path.join(conf.output_dir, "prq")
+        self.sam_dir = os.path.join(conf.output_dir, "sam")
+
+    def run(self, pairs: DataFrame) -> PipelineResult:
+        res = PipelineResult()
+        t0 = time.time()
+        if self.conf.skip_convert and os.path.isdir(self.prq_dir):
+            pass  # reuse materialized intermediate (reference --skip-bcl)
+        else:
+            if os.path.isdir(self.prq_dir):
+                raise FileExistsError(
+                    f"output {self.prq_dir} already exists "
+                    "(reference precondition workflow.py:59-60)"
+                )
+            self._convert(pairs)
+        res.convert_secs = time.time() - t0
+
+        t1 = time.time()
+        res.samples, res.sam_rows = self._align()
+        res.align_secs = time.time() - t1
+        res.total_secs = time.time() - t0
+
+        if self.conf.remove_intermediate:
+            import shutil
+
+            shutil.rmtree(self.prq_dir, ignore_errors=True)
+        return res
+
+    # -- stage 1: demultiplexed partitioned write (SNK1 + ST5) ----------
+    def _convert(self, pairs: DataFrame) -> None:
+        cleaned = pairs.filter(
+            (F.lower(F.col("sample")) != "undetermined")
+            & ~F.col("sample").startswith("_")
+            & (F.length("seq1") >= self.conf.min_payload_len)
+            & (F.length("seq2") >= self.conf.min_payload_len)
+        )
+        (
+            cleaned.write.partitionBy("sample")
+            .option("compression", "gzip")
+            .mode("errorifexists")
+            .parquet(self.prq_dir)
+        )
+
+    # -- stage 2: per-sample grouped transform (U1 + ST8) ----------------
+    def _align(self) -> tuple[list[str], int]:
+        prq = self.spark.read.parquet(self.prq_dir)
+        sam = prq.groupBy("sample").applyInPandas(
+            lambda key, pdf: fake_align(key, pdf), schema=SAM_SCHEMA
+        )
+        sam.write.option("sep", "\t").mode("overwrite").csv(self.sam_dir)
+        out = self.spark.read.option("sep", "\t").schema(SAM_SCHEMA).csv(self.sam_dir)
+        samples = [r.sample for r in prq.select("sample").distinct().collect()]
+        return sorted(samples), out.count()

@@ -118,6 +118,10 @@ READ_PAIRS = [
     ("DNA16-0085-R0002", "r004", "TTTTACGT", "IIIIIIII", "ACGTAAAA", "IIIIIIII"),
     ("DNA16-0085-R0002", "r005", "CCCCACGT", "GGGGIIII", "ACGTGGGG", "IIIIGGGG"),
     ("DNA16-0086-R0003", "r006", "ACGTCCCC", "IIIIIIII", "GGGGACGT", "HHHHIIII"),
+    # pruning targets for the pipeline facade (ST5): undetermined sample
+    # and an empty-payload record
+    ("Undetermined", "r090", "NNNNNNNN", "!!!!!!!!", "NNNNNNNN", "!!!!!!!!"),
+    ("DNA16-0084-R0001", "r091", "", "", "", ""),
 ]
 
 _SCHEMAS = {
