@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark driver (SURVEY.md §3.3, M6): times the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_secs, "unit": "sec",
+   "queries": {name: secs, ...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver-side collect cost). Modeled on the reference's experiment.py
+protocol (timing around the whole stage, experiment.py:42-61) minus
+repeats — the driver records per-round history instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_flagship",
+    "q_filter_range",
+    "q_join_inner",
+    "q_join_asof",
+    "q_window_rank",
+    "q_stream_tumbling",
+    "q_stream_session",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_sim_topk",
+    "q_text_tokens",
+    "q_grouped_transform",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from flink_pipeline_spark.plans import query_fns
+    from flink_pipeline_spark.session import EngineConf, get_session
+
+    spark = get_session(
+        EngineConf(app_name="flink_pipeline_spark_bench", master=f"local[{cpus}]")
+    )
+
+    fns = query_fns()
+    # Warmup (not counted): JVM/codegen on the smallest query, plus one
+    # tiny pandas UDF so Python-worker startup isn't billed to the first
+    # UDF query.
+    from pyspark.sql import functions as F
+
+    fns["q_flagship"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # enough groups that every Python worker slot runs a pandas task
+    (
+        spark.range(1024)
+        .withColumn("g", F.col("id") % 64)
+        .repartition(64, "g")
+        .groupBy("g")
+        .applyInPandas(lambda pdf: pdf[["id"]], schema="id BIGINT")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -37,48 +37,94 @@ from ..functions.text import (
 # ---------------------------------------------------------------------------
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound expansion stages use every core: the small-SF
+    fixtures are single-row-group parquets (unsplittable -> 1 scan
+    partition), so shingling/hashing would otherwise run single-
+    threaded. The repartition moves only the tiny source rows; on a
+    real multi-file 100 TB table the scan is already wide and this is
+    a no-op."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, s: array<string>) — distinct word n-gram shingles."""
-    return docs.select("doc_id", F.expr(shingles_sql("spark", "text", n)).alias("s"))
+    """(doc_id, s: array<string>) — distinct word n-gram shingles.
+
+    NOTE: do NOT select this array and explode it in a separate
+    projection — Catalyst then re-evaluates the whole shingle
+    expression once per emitted element (~|shingles| x blowup,
+    measured 60x). Use exploded_shingles() instead."""
+    return _fan_out(docs).select(
+        "doc_id", F.expr(shingles_sql("spark", "text", n)).alias("s")
+    )
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, i, mh): k minhash values per doc under fixed affine
-    transforms of the shingle hash."""
-    spark = docs.sparkSession
-    hp = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PARAMS)], "i INT, a BIGINT, b BIGINT"
+def exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — the explode fused into the same projection as
+    the shingle expression (single evaluation per row)."""
+    return _fan_out(docs).select(
+        "doc_id", F.explode(F.expr(shingles_sql("spark", "text", n))).alias("shingle")
     )
-    exploded = doc_shingles(docs, n).select(
-        "doc_id", F.explode("s").alias("shingle")
-    )
+
+
+def minhash_wide(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): all k minhashes in ONE narrow pass —
+    the md5 is computed once per shingle, the k affine transforms are
+    codegen'd column expressions, and the single groupBy(doc_id) gets
+    map-side partial min. (The naive shingle x hash-function cross join
+    recomputes the md5 k times and shuffles k x |shingles| rows — 25x
+    slower at sf0.1.)"""
+    exploded = exploded_shingles(docs, n)
     hashed = exploded.select(
         "doc_id", F.expr(shingle_hash_sql("spark", "shingle")).alias("x")
     )
+    hcols = [
+        ((F.lit(a) * F.col("x") + F.lit(b)) % P31).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
     return (
-        hashed.join(F.broadcast(hp))
-        .groupBy("doc_id", "i")
-        .agg(F.min(F.expr(f"(a * x + b) % {P31}")).alias("mh"))
+        hashed.select("doc_id", *hcols)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"mh_{i}") for i in range(len(MINHASH_PARAMS))])
     )
 
 
-def lsh_band_signatures(mh: DataFrame) -> DataFrame:
-    """(doc_id, band, sig): concat the band's minhashes in row order."""
-    return (
-        mh.withColumn("band", F.expr(f"i div {MINHASH_ROWS}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.expr(
-                "concat_ws('-', transform(array_sort(collect_list(struct(i, mh))), "
-                "s -> CAST(s.mh AS STRING)))"
-            ).alias("sig")
-        )
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, i, mh): long-form view of minhash_wide."""
+    wide = minhash_wide(docs, n)
+    k = len(MINHASH_PARAMS)
+    stack = ", ".join(f"{i}, mh_{i}" for i in range(k))
+    return wide.selectExpr("doc_id", f"stack({k}, {stack}) AS (i, mh)")
+
+
+def lsh_band_signatures(docs_or_wide: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, band, sig): band signature = '-'-joined minhashes of the
+    band's rows, built from the wide form with no extra shuffle."""
+    wide = (
+        docs_or_wide
+        if "mh_0" in docs_or_wide.columns
+        else minhash_wide(docs_or_wide, n)
     )
+    bands = len(MINHASH_PARAMS) // MINHASH_ROWS
+    sig_cols = [
+        F.concat_ws(
+            "-",
+            *[
+                F.col(f"mh_{b * MINHASH_ROWS + r}").cast("string")
+                for r in range(MINHASH_ROWS)
+            ],
+        ).alias(f"sig{b}")
+        for b in range(bands)
+    ]
+    wide_sigs = wide.select("doc_id", *sig_cols)
+    stack = ", ".join(f"{b}, sig{b}" for b in range(bands))
+    return wide_sigs.selectExpr("doc_id", f"stack({bands}, {stack}) AS (band, sig)")
 
 
 def lsh_candidate_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_a, doc_b): distinct unordered pairs sharing >= 1 band bucket."""
-    sigs = lsh_band_signatures(minhash_signatures(docs, n))
+    sigs = lsh_band_signatures(docs, n)
     a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (
@@ -122,7 +168,7 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     the summed ±1 contributions of each token's hash bit b."""
     spark = docs.sparkSession
     bit_df = spark.createDataFrame([(b,) for b in range(bits)], "b INT")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    toks = _fan_out(docs).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     th = shingle_hash_sql("spark", "tok")
     contrib = toks.join(F.broadcast(bit_df)).select(
         "doc_id",

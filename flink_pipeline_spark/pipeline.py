@@ -28,41 +28,14 @@ import os
 import time
 from dataclasses import dataclass, field
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .functions.udfs import P31, fake_align  # noqa: F401 (P31 re-exported)
 
 SAM_SCHEMA = (
     "qname STRING, flag INT, rname STRING, pos BIGINT, mapq INT, cigar STRING"
 )
-
-P31 = 2_147_483_647
-
-
-def fake_align(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic stand-in for the per-sample aligner (reference
-    workflow.py:483-490 seal seqal; baseline bwa mem): each read pair
-    emits one SAM-shaped row per mate. Self-contained closure (no
-    module refs) and arithmetically identical to the SQL oracle in
-    plans/pipeline_queries.py."""
-    import hashlib
-
-    sample = key[0]
-    rows = []
-    for r in pdf.itertuples(index=False):
-        for flag, seq in ((0, r.seq1), (16, r.seq2)):
-            h = int(hashlib.md5(seq.encode()).hexdigest()[:14], 16)
-            rows.append(
-                {
-                    "qname": r.read_id,
-                    "flag": flag,
-                    "rname": sample,
-                    "pos": (h % P31) % 100000,
-                    "mapq": 60 - (len(seq) % 10),
-                    "cigar": f"{len(seq)}M",
-                }
-            )
-    return pd.DataFrame(rows, columns=["qname", "flag", "rname", "pos", "mapq", "cigar"])
 
 
 @dataclass
@@ -135,9 +108,7 @@ class Pipeline:
     # -- stage 2: per-sample grouped transform (U1 + ST8) ----------------
     def _align(self) -> tuple[list[str], int]:
         prq = self.spark.read.parquet(self.prq_dir)
-        sam = prq.groupBy("sample").applyInPandas(
-            lambda key, pdf: fake_align(key, pdf), schema=SAM_SCHEMA
-        )
+        sam = prq.groupBy("sample").applyInPandas(fake_align, schema=SAM_SCHEMA)
         sam.write.option("sep", "\t").mode("overwrite").csv(self.sam_dir)
         out = self.spark.read.option("sep", "\t").schema(SAM_SCHEMA).csv(self.sam_dir)
         samples = [r.sample for r in prq.select("sample").distinct().collect()]

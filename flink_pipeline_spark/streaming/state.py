@@ -24,16 +24,8 @@ from typing import Any, Iterable
 import pandas as pd
 from pyspark.sql import DataFrame
 
-VALID_STATES = {
-    "NEW",
-    "NEW_SAVING",
-    "SUBMITTED",
-    "ACCEPTED",
-    "RUNNING",
-    "FINISHED",
-    "FAILED",
-    "KILLED",
-}
+from ..functions.udfs import VALID_STATES, job_emit as _emit, job_fold as _fold
+
 TERMINAL_STATES = {"FINISHED", "FAILED", "KILLED"}
 
 OUTPUT_SCHEMA = (
@@ -43,44 +35,6 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = (
     "state STRING, state_tick INT, retcode INT, n INT, first_tick INT, last_tick INT"
 )
-
-
-def _fold(job_id: str, pdf: pd.DataFrame, prior: tuple | None = None) -> tuple:
-    """Fold observations into the job-state tuple. The current state is
-    the one with the greatest tick (arg-max), so the fold is insensitive
-    to observation order across micro-batches."""
-    pdf = pdf.sort_values("tick")
-    state, state_tick, retcode, n, first, last = prior or (None, -1, None, 0, None, None)
-    for row in pdf.itertuples(index=False):
-        if row.state not in VALID_STATES:  # workflow.py:187-190
-            raise ValueError(f"unexpected application state {row.state!r} for {job_id}")
-        t = int(row.tick)
-        if t >= state_tick:
-            state, state_tick = row.state, t
-        if row.retcode is not None and not pd.isna(row.retcode):
-            retcode = int(row.retcode)
-        n += 1
-        first = t if first is None else min(first, t)
-        last = t if last is None else max(last, t)
-    return state, state_tick, retcode, n, first, last
-
-
-def _emit(job_id: str, st: tuple) -> pd.DataFrame:
-    state, _state_tick, retcode, n, first, last = st
-    failed = state in ("FAILED", "KILLED") or (retcode is not None and retcode != 0)
-    return pd.DataFrame(
-        [
-            {
-                "job_id": job_id,
-                "final_state": state,
-                "retcode": retcode,
-                "failed": failed,
-                "n_events": n,
-                "first_tick": first,
-                "last_tick": last,
-            }
-        ]
-    )
 
 
 def track_jobs(df: DataFrame) -> DataFrame:
