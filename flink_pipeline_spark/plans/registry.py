@@ -62,6 +62,7 @@ def _load_all() -> None:
         relational,
         scans,
         streaming_queries,
+        udf_queries,
         windows_sorts,
     )
 
