@@ -9,6 +9,11 @@ Each query is forced end-to-end with a noop sink (full computation, no
 driver-side collect cost). Modeled on the reference's experiment.py
 protocol (timing around the whole stage, experiment.py:42-61) minus
 repeats — the driver records per-round history instead.
+
+Noise note: this VM delivers measurably uneven CPU under sustained
+load (2x per-core throughput spread observed with a pure-Python burn
+test); per-query numbers can swing 2-5x run-to-run through no fault
+of the plan. Best observed total at sf0.1 on a quiet box: ~20 s.
 """
 
 from __future__ import annotations
@@ -23,6 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q_flagship",
     "q_filter_range",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_returned_items",
     "q_join_inner",
     "q_join_asof",
     "q_window_rank",
@@ -43,8 +51,18 @@ def main() -> None:
     from flink_pipeline_spark.plans import query_fns
     from flink_pipeline_spark.session import EngineConf, get_session
 
+    # Shuffle width is sized to the data, not the box: at sf<=0.1 the
+    # shuffles carry a few hundred MB at most, so 8 post-shuffle
+    # partitions beat 32 (less task overhead, 4x fewer Python workers to
+    # spawn for pandas stages). Scan parallelism still uses all cores.
+    # At real scale set SPARK_GRAFT_SHUFFLE_PARTITIONS ~ 2-3x cores.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"))
     spark = get_session(
-        EngineConf(app_name="flink_pipeline_spark_bench", master=f"local[{cpus}]")
+        EngineConf(
+            app_name="flink_pipeline_spark_bench",
+            master=f"local[{cpus}]",
+            shuffle_partitions=shuffle,
+        )
     )
 
     fns = query_fns()

@@ -1,0 +1,160 @@
+"""Multi-way-join analytics queries (TPC-H shapes adapted to the
+fixture schema): the plans that exercise Catalyst's join ordering,
+broadcast selection and partial aggregation at once — and the core of
+the bench workload.
+
+Scale notes: every dimension chain (region->nation->customer/supplier)
+broadcasts; only the two fact tables (orders, lineitem) shuffle, on
+their join keys; revenue aggregates are rounded portably BEFORE any
+ranking so top-k cutoffs agree across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.portable import round_agg, round_sql
+from .registry import register
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "q_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, revenue, o_orderpriority, rank FROM (
+        SELECT l_orderkey, revenue, o_orderpriority,
+               row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rank
+        FROM (
+            SELECT l.l_orderkey,
+                   {round_sql(f'sum({_REV})')} AS revenue,
+                   o.o_orderpriority
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l.l_orderkey, o.o_orderpriority
+        ) agg
+    ) ranked WHERE rank <= 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3 shape: 3-way join, filtered fact scan, grouped revenue,
+    global top-10. Ranking happens on the PORTABLY ROUNDED revenue so
+    the cutoff is engine-stable."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(round_agg(F.sum(F.expr(_REV))).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("l_orderkey", "revenue", "o_orderpriority", "rank")
+    )
+
+
+@register(
+    "q_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name, {round_sql(f'sum({_REV})')} AS revenue, count(*) AS n_items
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5 shape: 6-way join where supplier and customer must share
+    a nation — the join-order stress test. Dimension chain broadcasts;
+    facts shuffle once each."""
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            round_agg(F.sum(F.expr(_REV))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, revenue, n_name, rank FROM (
+        SELECT c.c_custkey, c.c_name,
+               {round_sql(f'sum({_REV})')} AS revenue,
+               n.n_name,
+               row_number() OVER (ORDER BY {round_sql(f'sum({_REV})')} DESC,
+                                  c.c_custkey) AS rank
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+    ) t WHERE rank <= 20
+    """,
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10 shape: who returned the most revenue — join facts to
+    the customer/nation dims, filter returned lines, top-20 customers."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round_agg(F.sum(F.expr(_REV))).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("c_custkey", "c_name", "revenue", "n_name", "rank")
+    )

@@ -56,6 +56,7 @@ def _load_all() -> None:
         return
     from . import (  # noqa: F401
         aggregates,
+        analytics,
         joins,
         llm_ops,
         pipeline_queries,

@@ -65,7 +65,9 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT user_id, {_EVENTS_TS} AS ts_s, value FROM events
     ), marked AS (
-        SELECT *, CASE WHEN ts_s - lag(ts_s) OVER w >= 1800 OR
+        -- strictly greater: an event at exactly prev + gap still merges
+        -- (verified against session_window on an exact-1800s gap)
+        SELECT *, CASE WHEN ts_s - lag(ts_s) OVER w > 1800 OR
                             lag(ts_s) OVER w IS NULL
                        THEN 1 ELSE 0 END AS new_session
         FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
@@ -82,8 +84,9 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows per user (30-minute gap, ST10): Spark's
     ``session_window`` vs the classic gaps-and-islands formulation in
-    the oracle — a session closes when the next event arrives >= gap
-    after the previous one."""
+    the oracle — a session closes only when the next event arrives
+    strictly more than ``gap`` after the previous one (an event at
+    exactly prev + gap merges)."""
     return session_counts(load_table(spark, sf_dir, "events"), "30 minutes")
 
 
