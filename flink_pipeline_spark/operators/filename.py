@@ -36,6 +36,22 @@ def parse_read_files(df: DataFrame) -> DataFrame:
     )
 
 
+def parse_read_files_strict(df: DataFrame) -> DataFrame:
+    """Like :func:`parse_read_files` but enforcing the grammar's
+    else-raise: a read token outside {R1, R2} fails the query
+    (reference baseline_workflow.py:111-116 raises on unexpected
+    filename shape)."""
+    parsed = parse_read_files(df)
+    return parsed.withColumn(
+        "read",
+        F.when(F.col("read").isin("R1", "R2"), F.col("read")).otherwise(
+            F.raise_error(
+                F.concat(F.lit("unexpected read token in filename: "), F.col("filename"))
+            )
+        ),
+    )
+
+
 def parsed_read_files_sql(alias: str = "parsed") -> str:
     """DuckDB CTE body equivalent of :func:`parse_read_files`."""
     return f"""

@@ -114,6 +114,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_near_dups(d, lsh_candidate_pairs(d), threshold=0.8)
 
 
+@register("q_dedup_near", oracle=_MINHASH_ORACLE)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §2.11 L2's canonical name for near-dup dedup — the
+    MinHash-LSH pipeline (planned as rows-only there; delivered with a
+    full DuckDB oracle via the portable md5-prefix hash)."""
+    return q_dedup_minhash(spark, sf_dir)
+
+
 @register(
     "q_dedup_simhash",
     oracle=f"""

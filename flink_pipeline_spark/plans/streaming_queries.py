@@ -120,3 +120,65 @@ def q_job_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     via grouped applyInPandas — the custom-stateful-operator path, still
     oracle-checkable because the fold is deterministic."""
     return track_jobs(fixture_df(spark, "job_events"))
+
+
+@register(
+    "q_stream_interval_join",
+    oracle=f"""
+    SELECT c.event_id AS l_id, c.user_id,
+           {_EVENTS_TS.replace('ts', 'c.ts')} AS l_ts_s,
+           p.event_id AS r_id,
+           {_EVENTS_TS.replace('ts', 'p.ts')} AS r_ts_s
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND {_EVENTS_TS.replace('ts', 'p.ts')}
+         BETWEEN {_EVENTS_TS.replace('ts', 'c.ts')} - 1800
+             AND {_EVENTS_TS.replace('ts', 'c.ts')}
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (J5 streaming face), batch-checked:
+    clicks enriched with all purchases of the same user in the
+    preceding 30 minutes. On streams both sides carry watermarks and
+    the time bound lets Spark evict join state (streaming/joins.py;
+    stream==batch proven in tests/test_harness_and_joins.py)."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.joins import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    return interval_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+
+
+@register(
+    "q_skew_salted_agg",
+    oracle=f"""
+    SELECT event_type, {round_sql('sum(value)')} AS total, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation (the hot-key survival path at
+    100 TB): results must equal the plain groupBy — the oracle IS the
+    plain formulation."""
+    from pyspark.sql import functions as F
+
+    from ..operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        key="event_type",
+        salt_from="event_id",
+        aggs={"total": ("sum", "value"), "n": ("count", "event_id")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        (F.floor(F.col("total") * 10000 + F.lit(0.5)) / 10000).alias("total"),
+        "n",
+    )

@@ -24,6 +24,7 @@ def spark():
             app_name="flink_pipeline_spark_tests",
             shuffle_partitions=8,
             driver_memory="8g",
+            extra={"spark.sql.warehouse.dir": "/tmp/fps_test_warehouse"},
         )
     )
     yield s
