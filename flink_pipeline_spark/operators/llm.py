@@ -140,7 +140,11 @@ def verified_near_dups(
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate pairs:
     (doc_a, doc_b, jacc) with jacc >= threshold."""
-    sets = doc_shingles(docs, n)
+    # persist: both join branches (sa, sb) consume the same shingle
+    # arrays — cache one copy instead of recomputing the shingling per
+    # branch (~3x at sf0.1). One small row per doc; LRU-evictable, no
+    # explicit unpersist (the caller may not have executed yet).
+    sets = doc_shingles(docs, n).persist()
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     jacc = F.expr(

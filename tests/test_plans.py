@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(pushdown, pruning, broadcast, bucketing) asserted so a future edit
+can't silently trade them away. These are the properties the .explain
+audit verified; see README 'Designed-for-100-TB choices'."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from flink_pipeline_spark.plans import query_fns
+
+from .conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = query_fns()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _read_schemas(plan: str) -> list[list[str]]:
+    """Column lists of each FileScan (ReadSchema is rendered truncated,
+    so parse the scan's output attribute list instead)."""
+    return [
+        s.split(",") if s else []
+        for s in re.findall(r"FileScan parquet[^\[]*\[([^\]]*)\]", plan)
+    ]
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "q_filter_range")
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    # column pruning: the 11-column lineitem scan reads only 4 columns
+    schemas = _read_schemas(plan)
+    assert schemas and all(len(s) <= 4 for s in schemas)
+
+
+def test_flagship_prunes_columns(spark):
+    plan = _plan(spark, "q_flagship")
+    schemas = _read_schemas(plan)
+    assert schemas and all(len(s) <= 7 for s in schemas), schemas
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("q_join_inner", "q_broadcast_lookup", "q_shipping_priority"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+
+
+def test_asof_join_is_single_window_pass(spark):
+    """The as-of join must stay a window formulation — exactly one
+    shuffle (hashpartitioning on user_id), no join operator."""
+    plan = _plan(spark, "q_join_asof")
+    assert "Join" not in plan.replace("AdaptiveSparkPlan", "")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_no_cartesian(spark):
+    plan = _plan(spark, "q_dedup_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_agg_two_stages(spark):
+    plan = _plan(spark, "q_skew_salted_agg")
+    # partial agg on (key, salt) then final on key: two hash-agg pairs
+    assert plan.count("HashAggregate") >= 4
