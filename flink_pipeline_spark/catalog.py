@@ -62,7 +62,11 @@ def _ship_package(spark: SparkSession) -> None:
     import zipfile
 
     pkg_root = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "flink_pipeline_spark_pkg.zip")
+    # per-process name: a shared fixed path would race concurrent
+    # drivers (truncated zip mid-addPyFile) and collide across users
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"flink_pipeline_spark_pkg_{os.getpid()}.zip"
+    )
     with zipfile.ZipFile(zpath, "w") as zf:
         for dirpath, _dirs, files in os.walk(pkg_root):
             for fn in files:
@@ -102,13 +106,14 @@ def _fix_nanos_ts(df: DataFrame) -> DataFrame:
 def load_tables(
     spark: SparkSession, sf_dir: str, register_views: bool = False
 ) -> dict[str, DataFrame]:
-    """Load every fixture table that exists under ``sf_dir``."""
+    """Load every fixture table that exists under ``sf_dir`` (through
+    load_table, so session-conf healing and the events timestamp fix
+    apply uniformly)."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
-        path = table_path(sf_dir, name)
-        if not os.path.exists(path):
+        if not os.path.exists(table_path(sf_dir, name)):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df

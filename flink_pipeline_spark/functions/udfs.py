@@ -59,27 +59,30 @@ VALID_STATES = {
 
 
 def job_fold(job_id: str, pdf: pd.DataFrame, prior: tuple | None = None) -> tuple:
-    """Fold observations into the job-state tuple. The current state is
-    the one with the greatest tick (arg-max), so the fold is insensitive
-    to observation order across micro-batches."""
+    """Fold observations into the job-state tuple. Both the current
+    state and the retcode are arg-max-by-tick (retcode over non-null
+    observations only), so the fold is insensitive to observation order
+    across micro-batches and matches the SQL oracle's arg_max."""
     pdf = pdf.sort_values("tick")
-    state, state_tick, retcode, n, first, last = prior or (None, -1, None, 0, None, None)
+    state, state_tick, retcode, retcode_tick, n, first, last = prior or (
+        None, -1, None, -1, 0, None, None,
+    )
     for row in pdf.itertuples(index=False):
         if row.state not in VALID_STATES:  # workflow.py:187-190
             raise ValueError(f"unexpected application state {row.state!r} for {job_id}")
         t = int(row.tick)
         if t >= state_tick:
             state, state_tick = row.state, t
-        if row.retcode is not None and not pd.isna(row.retcode):
-            retcode = int(row.retcode)
+        if row.retcode is not None and not pd.isna(row.retcode) and t >= retcode_tick:
+            retcode, retcode_tick = int(row.retcode), t
         n += 1
         first = t if first is None else min(first, t)
         last = t if last is None else max(last, t)
-    return state, state_tick, retcode, n, first, last
+    return state, state_tick, retcode, retcode_tick, n, first, last
 
 
 def job_emit(job_id: str, st: tuple) -> pd.DataFrame:
-    state, _state_tick, retcode, n, first, last = st
+    state, _state_tick, retcode, _retcode_tick, n, first, last = st
     failed = state in ("FAILED", "KILLED") or (retcode is not None and retcode != 0)
     return pd.DataFrame(
         [

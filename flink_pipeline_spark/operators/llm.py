@@ -271,8 +271,11 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
         F.col("norm").alias("nc"),
     )
     cos = F.expr(DOT_SQL.format(a="embedding", b="ec")) / (F.col("norm") * F.col("nc"))
+    # round-before-rank: the argmax must be taken on the portably
+    # rounded cosine or sub-ulp evaluation-order differences between
+    # engines can flip the assigned cell
     scored = e.join(F.broadcast(c)).select(
-        "vec_id", "cell", cos.alias("cos")
+        "vec_id", "cell", (F.floor(cos * 10000 + F.lit(0.5)) / 10000).alias("cos")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(

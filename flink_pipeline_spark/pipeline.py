@@ -66,6 +66,9 @@ class Pipeline:
         self.sam_dir = os.path.join(conf.output_dir, "sam")
 
     def run(self, pairs: DataFrame) -> PipelineResult:
+        from .catalog import _ensure_session_conf
+
+        _ensure_session_conf(self.spark)
         res = PipelineResult()
         t0 = time.time()
         if self.conf.skip_convert and os.path.isdir(self.prq_dir):

@@ -23,10 +23,10 @@ from .registry import register
     oracle=f"""
     WITH {parsed_read_files_sql()}
     SELECT sample,
-           string_agg(filename, ',' ORDER BY filename)
-               FILTER (WHERE read = 'R1') AS r1_files,
-           string_agg(filename, ',' ORDER BY filename)
-               FILTER (WHERE read = 'R2') AS r2_files,
+           coalesce(string_agg(filename, ',' ORDER BY filename)
+               FILTER (WHERE read = 'R1'), '') AS r1_files,
+           coalesce(string_agg(filename, ',' ORDER BY filename)
+               FILTER (WHERE read = 'R2'), '') AS r2_files,
            count(*) AS n_files
     FROM parsed
     GROUP BY sample

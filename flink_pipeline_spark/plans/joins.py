@@ -148,7 +148,7 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l.name, l.kind, l.size
     FROM listing l
-    LEFT JOIN bad b ON l.name = b.name OR l.name LIKE b.name || '/%'
+    LEFT JOIN bad b ON l.name = b.name OR starts_with(l.name, b.name || '/')
     WHERE b.name IS NULL AND l.name LIKE 'hdfs://%'
     """,
 )

@@ -268,7 +268,8 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.vec_id, c.vec_id AS cell,
                row_number() OVER (
                    PARTITION BY e.vec_id
-                   ORDER BY {_COS_DUCK.format(a='e.embedding', b='c.embedding')} DESC,
+                   ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
+                                  * 10000 + 0.5) / 10000 DESC,
                             c.vec_id) AS rn
         FROM embeddings e JOIN embeddings c ON c.vec_id < 8
     )

@@ -105,9 +105,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT job_id,
            arg_max(state, tick) AS final_state,
-           max(retcode) AS retcode,
+           arg_max(retcode, tick) AS retcode,
            (arg_max(state, tick) IN ('FAILED', 'KILLED')
-            OR coalesce(max(retcode), 0) <> 0) AS failed,
+            OR coalesce(arg_max(retcode, tick), 0) <> 0) AS failed,
            CAST(count(*) AS INT) AS n_events,
            min(tick) AS first_tick,
            max(tick) AS last_tick

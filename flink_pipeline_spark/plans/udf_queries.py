@@ -67,7 +67,7 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-defined table function (U5): one row in -> up to 5 (pos,
     tok) rows out — the 1->n shape of the reference's aligner (SAM
     records per read, SURVEY.md U1/U5)."""
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos INT, tok STRING")
     class HeadTokens:

@@ -26,9 +26,6 @@ def interval_join(
 ) -> DataFrame:
     """(left.event_id, key, left ts, right.event_id, right ts) pairs
     with right.ts in [left.ts - lookback, left.ts]."""
-    lookback_s = {"30 minutes": 1800, "10 minutes": 600}.get(lookback)
-    if lookback_s is None:
-        raise ValueError(f"unsupported lookback {lookback!r}")
 
     def floored(df: DataFrame) -> DataFrame:
         return df.withColumn("ts", F.timestamp_seconds(F.unix_timestamp("ts")))
@@ -47,7 +44,7 @@ def interval_join(
     joined = l.join(
         r,
         (F.col(key) == F.col("r_key"))
-        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback_s} SECONDS"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("r_ts") <= F.col("l_ts")),
         "inner",
     )

@@ -33,12 +33,16 @@ OUTPUT_SCHEMA = (
     "n_events INT, first_tick INT, last_tick INT"
 )
 STATE_SCHEMA = (
-    "state STRING, state_tick INT, retcode INT, n INT, first_tick INT, last_tick INT"
+    "state STRING, state_tick INT, retcode INT, retcode_tick INT, "
+    "n INT, first_tick INT, last_tick INT"
 )
 
 
 def track_jobs(df: DataFrame) -> DataFrame:
     """Batch face: one output row per job_id."""
+    from ..catalog import _ensure_session_conf
+
+    _ensure_session_conf(df.sparkSession)
 
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return _emit(key[0], _fold(key[0], pdf))
@@ -50,6 +54,9 @@ def track_jobs_stream(sdf: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Streaming face: incremental fold with keyed state; emits the
     current job snapshot on every update (output mode 'update'), like
     the reference's per-poll progress report (workflow.py:456-460)."""
+    from ..catalog import _ensure_session_conf
+
+    _ensure_session_conf(sdf.sparkSession)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(

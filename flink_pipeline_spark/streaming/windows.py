@@ -32,7 +32,7 @@ def _floored_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df.withColumn(ts_col, F.timestamp_seconds(F.unix_timestamp(F.col(ts_col))))
 
 
-def _window_agg(grouped, extra_key_cols: list[str]):
+def _window_agg(grouped):
     return grouped.agg(
         F.count("*").alias("n"),
         round_agg(F.sum("value")).alias("total_value"),
@@ -49,7 +49,7 @@ def tumbling_counts(
     df = _floored_ts(df, ts_col)
     if watermark:
         df = df.withWatermark(ts_col, watermark)
-    out = _window_agg(df.groupBy(F.window(ts_col, width), "event_type"), ["event_type"])
+    out = _window_agg(df.groupBy(F.window(ts_col, width), "event_type"))
     return out.select(
         F.unix_timestamp("window.start").cast("long").alias("ws"),
         "event_type",
@@ -69,7 +69,7 @@ def sliding_counts(
     df = _floored_ts(df, ts_col)
     if watermark:
         df = df.withWatermark(ts_col, watermark)
-    out = _window_agg(df.groupBy(F.window(ts_col, width, slide)), [])
+    out = _window_agg(df.groupBy(F.window(ts_col, width, slide)))
     return out.select(
         F.unix_timestamp("window.start").cast("long").alias("ws"),
         "n",
@@ -89,9 +89,7 @@ def session_counts(
     df = _floored_ts(df, ts_col)
     if watermark:
         df = df.withWatermark(ts_col, watermark)
-    out = _window_agg(
-        df.groupBy(F.session_window(F.col(ts_col), gap), "user_id"), ["user_id"]
-    )
+    out = _window_agg(df.groupBy(F.session_window(F.col(ts_col), gap), "user_id"))
     return out.select(
         F.unix_timestamp("session_window.start").cast("long").alias("session_start"),
         "user_id",
