@@ -61,6 +61,7 @@ def _load_all() -> None:
         llm_ops,
         pipeline_queries,
         relational,
+        sampling,
         scans,
         streaming_queries,
         udf_queries,

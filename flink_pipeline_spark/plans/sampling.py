@@ -1,0 +1,127 @@
+"""Deterministic sampling + distribution queries — training-data
+pipeline staples (BASELINE.json north star) built on the portable
+hash so samples are REPRODUCIBLE: the same rows are selected on any
+cluster, any partitioning, any engine — which `df.sample`'s
+per-partition RNG cannot promise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.portable import hash56_sql_duckdb, hash56_sql_spark, round_sql
+from .registry import register
+
+
+@register(
+    "q_sample_systematic",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {hash56_sql_duckdb('doc_id')} % 10 = 0
+    """,
+)
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample: keep rows whose key-hash lands in one
+    of 10 buckets. Scale note: purely map-side (no shuffle), stable
+    under repartitioning, and composable (the same predicate selects
+    the same rows in a later run or another system)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.expr(f"{hash56_sql_spark('doc_id')} % 10 = 0")).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {hash56_sql_duckdb('doc_id')}, doc_id) AS rn
+        FROM documents
+    ) t WHERE rn <= 20
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: exactly 20 docs per language, chosen by hash
+    order (deterministic, unbiased w.r.t. insertion order). The
+    balanced-classes primitive for training-set construction."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.expr(hash56_sql_spark("doc_id")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "q_percentile",
+    oracle=f"""
+    SELECT l_returnflag,
+           {round_sql('median(l_extendedprice)')} AS median_price,
+           {round_sql('quantile_cont(l_extendedprice, 0.95)')} AS p95_price,
+           {round_sql('max(l_extendedprice)')} AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p95) per group — both engines use
+    linear interpolation over the sorted values, so results are
+    bit-comparable after the portable round. (approx_percentile is the
+    sketch-based 100 TB path; like HLL it is engine-specific, so the
+    exact form carries the oracle check.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        r4(F.expr("percentile(l_extendedprice, 0.5)")).alias("median_price"),
+        r4(F.expr("percentile(l_extendedprice, 0.95)")).alias("p95_price"),
+        r4(F.max("l_extendedprice")).alias("max_price"),
+    )
+
+
+@register(
+    "q_text_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 5
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
+    """,
+)
+def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup check on 40-char prefixes over blocked
+    pairs (same lang, nearby ids). Levenshtein is O(len^2) per pair —
+    the prefix cap and blocking are what keep it feasible; at corpus
+    scale this runs only on LSH candidates, never all pairs."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 40).alias("prefix")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("prefix").alias("pa"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("prefix").alias("pb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("doc_b") - F.col("doc_a") <= 5),
+        )
+        .select("doc_a", "doc_b", F.levenshtein("pa", "pb").alias("dist"))
+        .filter(F.col("dist") <= 20)
+    )
