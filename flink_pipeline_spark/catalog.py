@@ -77,6 +77,10 @@ def _ship_package(spark: SparkSession) -> None:
                     )
                     zf.write(full, rel)
     sc.addPyFile(zpath)
+    # NOTE: the source zip must outlive the session — local-mode
+    # executors fetch lazily and re-validate against this path
+    # ("exists and does not match" if deleted). ~100 KB per process
+    # in the temp dir is the cost of the race-free per-PID name.
     _SHIPPED.add(key)
 
 

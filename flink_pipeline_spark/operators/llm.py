@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.portable import round_agg
 from ..functions.text import (
     MINHASH_PARAMS,
     MINHASH_ROWS,
@@ -156,7 +157,7 @@ def verified_near_dups(
         .select(
             "doc_a",
             "doc_b",
-            (F.floor(jacc * 10000 + F.lit(0.5)) / 10000).alias("jacc"),
+            round_agg(jacc).alias("jacc"),
         )
         .filter(F.col("jacc") >= threshold)
     )
@@ -228,7 +229,7 @@ def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a", "vec_b", (F.floor(cos * 10000 + F.lit(0.5)) / 10000).alias("cos")
+            "vec_a", "vec_b", round_agg(cos).alias("cos")
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -249,7 +250,7 @@ def topk_neighbors(emb: DataFrame, queries: DataFrame, k: int = 3) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (F.floor(cos * 10000 + F.lit(0.5)) / 10000).alias("cos"),
+            round_agg(cos).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -275,7 +276,7 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     # rounded cosine or sub-ulp evaluation-order differences between
     # engines can flip the assigned cell
     scored = e.join(F.broadcast(c)).select(
-        "vec_id", "cell", (F.floor(cos * 10000 + F.lit(0.5)) / 10000).alias("cos")
+        "vec_id", "cell", round_agg(cos).alias("cos")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(

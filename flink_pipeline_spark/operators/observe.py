@@ -21,10 +21,15 @@ def observed_prune(
     dropped counts. Read ``obs.get`` AFTER an action on the returned
     frame."""
     obs = Observation(observation_name)
+    # NULL-safe accounting: a NULL predicate row IS pruned by filter(),
+    # so kept counts coalesce(keep, false) and dropped = total - kept
+    # (the naive sum((~keep)::long) skips NULLs and undercounts).
+    kept = F.coalesce(F.sum(F.coalesce(keep, F.lit(False)).cast("long")), F.lit(0))
+    total = F.count(F.lit(1))
     observed = df.observe(
         obs,
-        F.count(F.lit(1)).alias("rows_total"),
-        F.sum(keep.cast("long")).alias("rows_kept"),
-        F.sum((~keep).cast("long")).alias("rows_dropped"),
+        total.alias("rows_total"),
+        kept.alias("rows_kept"),
+        (total - kept).alias("rows_dropped"),
     )
     return observed.filter(keep), obs

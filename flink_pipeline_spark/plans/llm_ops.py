@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.portable import hash56_sql_duckdb, round_sql
+from ..functions.portable import round_agg, hash56_sql_duckdb, round_sql
 from ..functions.text import (
     P31,
     minhash_params_values_sql,
@@ -199,7 +199,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("doc_a") < F.col("doc_b")),
         )
         .select(
-            "doc_a", "doc_b", (F.floor(jacc * 10000 + F.lit(0.5)) / 10000).alias("jacc")
+            "doc_a", "doc_b", round_agg(jacc).alias("jacc")
         )
         .filter(F.col("jacc") >= 0.8)
     )
@@ -482,13 +482,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * dr
         + 0.3 * F.least(al / 6.0, F.lit(1.0))
     )
-    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
     return m.select(
         "doc_id",
         "n_tokens",
-        r4(dr).alias("distinct_ratio"),
-        r4(al).alias("avg_tok_len"),
-        r4(quality).alias("quality"),
+        round_agg(dr).alias("distinct_ratio"),
+        round_agg(al).alias("avg_tok_len"),
+        round_agg(quality).alias("quality"),
     )
 
 

@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.portable import hash56_sql_duckdb, round_sql
+from ..functions.portable import round_agg, hash56_sql_duckdb, round_sql
 from ..pipeline import P31, SAM_SCHEMA, fake_align
 from ..sources.fixtures import fixture_df, fixture_values_sql
 from .registry import register
@@ -77,7 +77,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("repeat_num").agg(
         F.count("*").alias("n"),
-        (F.floor(F.sum("total_secs") * 10000 + F.lit(0.5)) / 10000).alias("secs"),
+        round_agg(F.sum("total_secs")).alias("secs"),
     )
 
 

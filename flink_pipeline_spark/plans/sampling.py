@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.portable import hash56_sql_duckdb, hash56_sql_spark, round_sql
+from ..functions.portable import round_agg, hash56_sql_duckdb, hash56_sql_spark, round_sql
 from .registry import register
 
 
@@ -79,11 +79,10 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-based 100 TB path; like HLL it is engine-specific, so the
     exact form carries the oracle check.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
     return li.groupBy("l_returnflag").agg(
-        r4(F.expr("percentile(l_extendedprice, 0.5)")).alias("median_price"),
-        r4(F.expr("percentile(l_extendedprice, 0.95)")).alias("p95_price"),
-        r4(F.max("l_extendedprice")).alias("max_price"),
+        round_agg(F.expr("percentile(l_extendedprice, 0.5)")).alias("median_price"),
+        round_agg(F.expr("percentile(l_extendedprice, 0.95)")).alias("p95_price"),
+        round_agg(F.max("l_extendedprice")).alias("max_price"),
     )
 
 

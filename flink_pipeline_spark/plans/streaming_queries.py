@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from ..functions.portable import round_sql
+from ..functions.portable import round_agg, round_sql
 from ..sources.fixtures import fixture_df, fixture_values_sql
 from ..streaming.state import track_jobs
 from ..streaming.windows import (
@@ -179,6 +179,6 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_type",
-        (F.floor(F.col("total") * 10000 + F.lit(0.5)) / 10000).alias("total"),
+        round_agg(F.col("total")).alias("total"),
         "n",
     )

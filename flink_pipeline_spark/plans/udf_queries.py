@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import round_sql
+from ..functions.portable import round_agg, round_sql
 from .registry import register
 
 
@@ -103,5 +103,5 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema("event_id BIGINT, event_type STRING, value DOUBLE").json(out)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        (F.floor(F.sum("value") * 10000 + F.lit(0.5)) / 10000).alias("total"),
+        round_agg(F.sum("value")).alias("total"),
     )

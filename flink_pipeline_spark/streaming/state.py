@@ -12,9 +12,9 @@ Two faces, one fold function:
     the fold is deterministic given the per-job sort, and expressible as
     arg_max SQL).
   * ``track_jobs_stream`` — ``applyInPandasWithState`` with the same fold
-    applied incrementally; state is the tiny (state, retcode, n, first,
-    last) tuple, evicted on timeout — bounded regardless of stream
-    length.
+    applied incrementally; state is the tiny 7-field tuple of
+    STATE_SCHEMA (state+tick, retcode+tick, count, first/last tick),
+    evicted on timeout — bounded regardless of stream length.
 """
 
 from __future__ import annotations
