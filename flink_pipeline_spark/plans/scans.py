@@ -23,10 +23,10 @@ from .registry import register
 LOG_GZ = os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "session_log.txt.gz")
 LOG_GZ = os.path.abspath(LOG_GZ)
 
-# Oracle SQL is a static string; the correctness driver always runs it at
-# sf0.01, so the parquet path is pinned there (the Spark side uses the
-# sf_dir argument).
-ORACLE_SF_DIR = "/root/testdata/sf0.01"
+# Oracle SQL that must read the scale-factor parquet embeds the
+# {SF_DIR} placeholder; registry.oracle_sqls() resolves it per run
+# (driver default sf0.01, local mirror whatever SF it tests), keeping
+# both sides of the compare on the same input at any SF.
 
 
 @register(
@@ -50,7 +50,7 @@ def q_scan_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scan_file_metadata",
     oracle=f"""
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS file, count(*) AS n
-    FROM read_parquet('{ORACLE_SF_DIR}/lineitem.parquet', filename=true)
+    FROM read_parquet('{{SF_DIR}}/lineitem.parquet', filename=true)
     GROUP BY 1
     """,
 )

@@ -15,17 +15,11 @@ ALL = sorted(query_fns())
 WITH_ORACLE = sorted(oracle_sqls())
 ROWS_ONLY = sorted(set(ALL) - set(WITH_ORACLE))
 
-# Oracles whose SQL pins a literal sf0.01 path (the driver always runs
-# oracles at sf0.01; these can't parity-check at other SFs).
-SF_PINNED = {"q_scan_file_metadata"}
-
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(spark, oracle, name):
-    if name in SF_PINNED and not SF_DIR.rstrip("/").endswith("sf0.01"):
-        pytest.skip(f"{name} oracle pins the sf0.01 path")
     df = query_fns()[name](spark, SF_DIR)
-    assert_parity(df, oracle, oracle_sqls()[name], name=name)
+    assert_parity(df, oracle, oracle_sqls(SF_DIR)[name], name=name)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
