@@ -3,15 +3,21 @@ similarity search, text analysis — the Spark faces.
 
 100 TB design notes (per operator):
   * MinHash-LSH (near-dedup): never all-pairs. Shingle -> k minhashes
-    -> band signatures -> candidates = pairs sharing a band bucket
-    (a shuffle on (band, sig), cost O(docs x bands)) -> exact-Jaccard
+    -> band signatures -> candidates = pairs within a band bucket
+    (one shuffle on (band, sig), cost O(docs x bands)) -> exact-Jaccard
     verify only candidates. Hot buckets (boilerplate docs) are the skew
-    risk: cap bucket size or salt in production.
+    risk: buckets above MAX_LSH_BUCKET docs are dropped outright, which
+    bounds the candidate count at bands * buckets * cap^2 regardless of
+    corpus skew (a boilerplate bucket at 100 TB would otherwise make
+    the pair step quadratic).
   * SimHash: one pass, 64 bits of state per doc; pair detection blocks
     on hash prefix so the join is equi, not theta.
-  * Embedding cosine: norms precomputed once; brute-force all-pairs is
-    the sf-scale baseline, IVF (assign to nearest centroid, search own
-    cell) is the scale path — the cross join shrinks by the cell count.
+  * Embedding cosine: norms precomputed once. Exact all-pairs is
+    inherently O(n^2) compare work, but it is executed as a triangle-
+    blocked equi-join (broadcast block-pair table, shuffle hash join on
+    the block key) so the n^2 work spreads over ~B^2/2 independent
+    partitions instead of one BroadcastNestedLoopJoin task. IVF (assign
+    to nearest centroid, pair within cell) is the sub-quadratic path.
   * Everything is built-in expressions (JVM-codegen'd, no Python in the
     hot path); hashes are md5-prefix-based so the DuckDB oracle can
     replay them bit-for-bit.
@@ -44,9 +50,10 @@ def _fan_out(df: DataFrame) -> DataFrame:
     partition), so shingling/hashing would otherwise run single-
     threaded. The repartition moves only the tiny source rows; on a
     real multi-file 100 TB table the scan is already wide and this is
-    a no-op."""
+    a no-op. Width is inferred from the scan's file count (reuses the
+    relation's cached FileIndex — no .rdd plan materialization)."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+    return df.repartition(p) if len(df.inputFiles()) < p else df
 
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -69,14 +76,23 @@ def exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def minhash_wide(docs: DataFrame, n: int = 3) -> DataFrame:
+def exploded_from_sets(sets: DataFrame) -> DataFrame:
+    """(doc_id, shingle) from a precomputed (doc_id, s) frame. Only use
+    with a persisted/cached ``sets`` — exploding an UNcached projected
+    array re-evaluates the shingle expression once per element (the
+    measured 60x blowup exploded_shingles() exists to avoid)."""
+    return sets.select("doc_id", F.explode("s").alias("shingle"))
+
+
+def minhash_wide(docs: DataFrame, n: int = 3, sets: DataFrame | None = None) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}): all k minhashes in ONE narrow pass —
     the md5 is computed once per shingle, the k affine transforms are
     codegen'd column expressions, and the single groupBy(doc_id) gets
     map-side partial min. (The naive shingle x hash-function cross join
     recomputes the md5 k times and shuffles k x |shingles| rows — 25x
-    slower at sf0.1.)"""
-    exploded = exploded_shingles(docs, n)
+    slower at sf0.1.) Pass a persisted ``sets`` (from doc_shingles) to
+    share one shingling pass with the verify stage."""
+    exploded = exploded_from_sets(sets) if sets is not None else exploded_shingles(docs, n)
     hashed = exploded.select(
         "doc_id", F.expr(shingle_hash_sql("spark", "shingle")).alias("x")
     )
@@ -99,13 +115,15 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return wide.selectExpr("doc_id", f"stack({k}, {stack}) AS (i, mh)")
 
 
-def lsh_band_signatures(docs_or_wide: DataFrame, n: int = 3) -> DataFrame:
+def lsh_band_signatures(
+    docs_or_wide: DataFrame, n: int = 3, sets: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, band, sig): band signature = '-'-joined minhashes of the
     band's rows, built from the wide form with no extra shuffle."""
     wide = (
         docs_or_wide
         if "mh_0" in docs_or_wide.columns
-        else minhash_wide(docs_or_wide, n)
+        else minhash_wide(docs_or_wide, n, sets=sets)
     )
     bands = len(MINHASH_PARAMS) // MINHASH_ROWS
     sig_cols = [
@@ -123,29 +141,58 @@ def lsh_band_signatures(docs_or_wide: DataFrame, n: int = 3) -> DataFrame:
     return wide_sigs.selectExpr("doc_id", f"stack({bands}, {stack}) AS (band, sig)")
 
 
-def lsh_candidate_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_a, doc_b): distinct unordered pairs sharing >= 1 band bucket."""
-    sigs = lsh_band_signatures(docs, n)
-    a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+# Per-(band, sig) bucket cap: a bucket this hot is boilerplate, not
+# near-dup signal, and pairing inside it is quadratic. Mirrored in the
+# DuckDB oracle (plans/llm_ops.py) so both engines define the same
+# operator. Fixture buckets top out well below this.
+MAX_LSH_BUCKET = 256
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    sets: DataFrame | None = None,
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """(doc_a, doc_b): distinct unordered pairs sharing >= 1 band bucket
+    of size <= max_bucket.
+
+    One shuffle (groupBy band, sig) replaces the former self-join on
+    (band, sig): pairs are generated by double-exploding each bucket's
+    collected id array, so bucket size is observed and capped BEFORE any
+    pair exists — the skew guard the module header describes. Memory per
+    group is O(max_bucket), pair output O(max_bucket^2) worst case."""
+    sigs = lsh_band_signatures(docs, n, sets=sets)
+    buckets = (
+        sigs.groupBy("band", "sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
     return (
-        a.join(b, ["band", "sig"])
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
         .distinct()
     )
 
 
 def verified_near_dups(
-    docs: DataFrame, candidates: DataFrame, n: int = 3, threshold: float = 0.8
+    docs: DataFrame,
+    candidates: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate pairs:
-    (doc_a, doc_b, jacc) with jacc >= threshold."""
+    (doc_a, doc_b, jacc) with jacc >= threshold. Pass the same persisted
+    ``sets`` used for candidate generation to shingle the corpus once
+    for the whole pipeline."""
     # persist: both join branches (sa, sb) consume the same shingle
     # arrays — cache one copy instead of recomputing the shingling per
     # branch (~3x at sf0.1). One small row per doc; LRU-evictable, no
     # explicit unpersist (the caller may not have executed yet).
-    sets = doc_shingles(docs, n).persist()
+    if sets is None:
+        sets = doc_shingles(docs, n).persist()
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     jacc = F.expr(
@@ -210,26 +257,62 @@ def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
-    """(vec_a, vec_b, cos): unordered pairs with cosine >= threshold.
-    Brute-force pair enumeration (calibration scale); see ivf_assign for
-    the cell-pruned variant."""
-    e = with_norm(emb)
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("norm").alias("na"),
+def cosine_pairs(emb: DataFrame, threshold: float, n_blocks: int = 16) -> DataFrame:
+    """(vec_a, vec_b, cos): ALL unordered pairs with cosine >= threshold
+    — exact, no recall loss.
+
+    Plan shape: instead of the theta join ``vec_a < vec_b`` (a
+    BroadcastNestedLoopJoin whose n^2 compares funnel through however
+    many tasks hold the streamed side), each vector is hashed to one of
+    ``n_blocks`` triangle blocks and both sides equi-join on the
+    (bi, bj) block-pair key via a broadcast pair table. Same O(n^2)
+    compare work, but shuffled into B(B+1)/2 independent hash-join
+    partitions that scale out with the cluster. Each side is replicated
+    ~B/2 x in the shuffle — the standard triangle-partitioning trade.
+    For sub-quadratic candidate generation see cosine_pairs_ivf."""
+    spark = emb.sparkSession
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi INT, bj INT",
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("norm").alias("nb"),
+    e = with_norm(emb).withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    # Left rows land in every pair-key whose bi is their block; right
+    # rows in every pair-key whose bj is — so block pair (p, q), p <= q,
+    # holds exactly (block p) x (block q) and the join key is the
+    # composite (bi, bj): B(B+1)/2 distinct shuffle keys.
+    a = (
+        e.select(
+            F.col("vec_id").alias("ida"),
+            F.col("embedding").alias("ea"),
+            F.col("norm").alias("na"),
+            "blk",
+        )
+        .join(F.broadcast(block_pairs), F.col("blk") == F.col("bi"))
+        .drop("blk")
+    )
+    b = (
+        e.select(
+            F.col("vec_id").alias("idb"),
+            F.col("embedding").alias("eb"),
+            F.col("norm").alias("nb"),
+            "blk",
+        )
+        .join(F.broadcast(block_pairs), F.col("blk") == F.col("bj"))
+        .drop("blk")
     )
     cos = F.expr(DOT_SQL.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    # Cross-block pairs (bi < bj) appear exactly once with arbitrary id
+    # order (fixed by least/greatest); same-block pairs appear twice and
+    # are halved by the ida < idb filter.
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(b, ["bi", "bj"])
+        .filter((F.col("bi") < F.col("bj")) | (F.col("ida") < F.col("idb")))
         .select(
-            "vec_a", "vec_b", round_agg(cos).alias("cos")
+            F.least("ida", "idb").alias("vec_a"),
+            F.greatest("ida", "idb").alias("vec_b"),
+            round_agg(cos).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -281,4 +364,35 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
         "vec_id", "cell"
+    )
+
+
+def cosine_pairs_ivf(
+    emb: DataFrame, centroids: DataFrame, threshold: float
+) -> DataFrame:
+    """(vec_a, vec_b, cos): near-dup pairs generated WITHIN IVF cells
+    only — the sub-quadratic scale path for embedding dedup. Pair work
+    drops from O(n^2) to O(sum cell_i^2); recall is bounded by the
+    quantizer (pairs split across cells are missed — the documented
+    ANN trade, tunable via centroid count / multi-probe)."""
+    assigned = ivf_assign(emb, centroids)
+    e = with_norm(emb).join(assigned, "vec_id")
+    a = e.select(
+        "cell",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = e.select(
+        "cell",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = F.expr(DOT_SQL.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", round_agg(cos).alias("cos"))
+        .filter(F.col("cos") >= threshold)
     )

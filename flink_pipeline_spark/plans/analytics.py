@@ -13,10 +13,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.portable import round_agg, round_sql
+from ..operators.topk import rank_after_topk
 from .registry import register
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -62,11 +62,10 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(round_agg(F.sum(F.expr(_REV))).alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("l_orderkey", "revenue", "o_orderpriority", "rank")
+    # top-k FIRST (TakeOrderedAndProject), rank attached over the <= 10
+    # survivors — never a global window over every l_orderkey
+    return rank_after_topk(agg, 10, "revenue", "l_orderkey").select(
+        "l_orderkey", "revenue", "o_orderpriority", "rank"
     )
 
 
@@ -152,9 +151,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(round_agg(F.sum(F.expr(_REV))).alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("c_custkey", "c_name", "revenue", "n_name", "rank")
+    # same top-k-before-rank shape as q_shipping_priority
+    return rank_after_topk(agg, 20, "revenue", "c_custkey").select(
+        "c_custkey", "c_name", "revenue", "n_name", "rank"
     )

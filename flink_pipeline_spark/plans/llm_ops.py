@@ -22,7 +22,10 @@ from ..functions.text import (
     shingles_sql,
 )
 from ..operators.llm import (
+    MAX_LSH_BUCKET,
     cosine_pairs,
+    cosine_pairs_ivf,
+    doc_shingles,
     ivf_assign,
     lsh_candidate_pairs,
     minhash_signatures,  # noqa: F401 (re-exported for tests)
@@ -30,6 +33,7 @@ from ..operators.llm import (
     topk_neighbors,
     verified_near_dups,
 )
+from ..operators.topk import rank_after_topk
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -88,10 +92,16 @@ _MINHASH_ORACLE = f"""
         SELECT doc_id, i // 3 AS band,
                string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
         FROM mh GROUP BY doc_id, i // 3
+    ), bucket AS (
+        -- per-(band, sig) size cap, mirroring MAX_LSH_BUCKET: hot
+        -- buckets are boilerplate, not near-dup signal
+        SELECT band, sig FROM sig GROUP BY band, sig
+        HAVING count(*) BETWEEN 2 AND {MAX_LSH_BUCKET}
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sig a JOIN sig b
           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        JOIN bucket k ON a.band = k.band AND a.sig = k.sig
     ), verified AS (
         SELECT doc_a, doc_b,
                floor((len(list_intersect(sa.s, sb.s))::DOUBLE
@@ -108,10 +118,15 @@ _MINHASH_ORACLE = f"""
 @register("q_dedup_minhash", oracle=_MINHASH_ORACLE)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup: 3-word shingles -> 12 minhashes -> 4
-    bands x 3 rows -> band-bucket candidates -> exact-Jaccard verify at
-    0.8. See operators/llm.py for the 100 TB notes."""
+    bands x 3 rows -> capped band-bucket candidates -> exact-Jaccard
+    verify at 0.8. The persisted shingle sets feed BOTH the signature
+    pass and the verify pass — one shingling of the corpus total. See
+    operators/llm.py for the 100 TB notes."""
     d = load_table(spark, sf_dir, "documents")
-    return verified_near_dups(d, lsh_candidate_pairs(d), threshold=0.8)
+    sets = doc_shingles(d).persist()
+    return verified_near_dups(
+        d, lsh_candidate_pairs(d, sets=sets), threshold=0.8, sets=sets
+    )
 
 
 @register("q_dedup_near", oracle=_MINHASH_ORACLE)
@@ -168,39 +183,53 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked bigram-Jaccard near-dedup: candidate pairs are blocked on
-    (lang, |n_chars delta| <= 20) — an equi-ish join that avoids
-    all-pairs; the block predicate trades recall for scale and is the
-    knob to widen on a real corpus."""
+    """Blocked bigram-Jaccard near-dedup. Candidate generation is a pure
+    EQUI-join on (lang, length bin): n_chars is binned at the block
+    width (20) and the probe side replicates to bin-1/bin/bin+1, which
+    losslessly covers every |delta| <= 20 pair — join-key cardinality is
+    #langs x #bins, not #langs (the near-cartesian the lang-only key
+    degenerates to at scale). Shingle arrays stay OUT of the candidate
+    shuffle: the light (doc_id, lang, n_chars) skeleton generates pairs,
+    then two doc_id equi-joins attach the persisted sets for the exact
+    Jaccard verify — the same shape as the MinHash verify stage."""
     d = load_table(spark, sf_dir, "documents")
     sets = d.select(
-        "doc_id", "lang", "n_chars", F.expr(shingles_sql("spark", "text", 2)).alias("s")
+        "doc_id", F.expr(shingles_sql("spark", "text", 2)).alias("s")
+    ).persist()
+    skel = d.select(
+        "doc_id", "lang", "n_chars", F.floor(F.col("n_chars") / 20).alias("bin")
     )
-    a = sets.select(
+    a = skel.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
+        "lang",
         F.col("n_chars").alias("nc_a"),
-        F.col("s").alias("sa"),
+        F.col("bin").alias("bin_a"),
     )
-    b = sets.select(
+    b = skel.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
+        "lang",
         F.col("n_chars").alias("nc_b"),
-        F.col("s").alias("sb"),
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("bin_a"),
     )
+    cand = (
+        a.join(b, ["lang", "bin_a"])
+        .filter(
+            (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20)
+            & (F.col("doc_a") < F.col("doc_b"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     jacc = F.expr(
         "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"
     )
     return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20)
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select(
-            "doc_a", "doc_b", round_agg(jacc).alias("jacc")
-        )
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", round_agg(jacc).alias("jacc"))
         .filter(F.col("jacc") >= 0.8)
     )
 
@@ -227,10 +256,49 @@ _COS_DUCK = (
     """,
 )
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.4 — the fixture's
-    random vectors top out near 0.51, so this is the discriminative
-    range)."""
+    """EXACT embedding-cosine near-dup pairs (threshold 0.4 — the
+    fixture's random vectors top out near 0.51, so this is the
+    discriminative range). Executed as a triangle-blocked equi-join —
+    the O(n^2) compares distribute over block-pair partitions instead
+    of one BroadcastNestedLoopJoin task; q_dedup_embed_ivf is the
+    sub-quadratic ANN variant."""
     return cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "q_dedup_embed_ivf",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.vec_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
+                                      * 10000 + 0.5) / 10000 DESC,
+                                c.vec_id) AS rn
+            FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+        ) t WHERE rn = 1
+    ), members AS (
+        SELECT em.vec_id, em.embedding, a.cell
+        FROM embeddings em JOIN assigned a ON a.vec_id = em.vec_id
+    )
+    SELECT vec_a, vec_b, cos FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               floor({_COS_DUCK.format(a='a.embedding', b='b.embedding')} * 10000 + 0.5)
+                 / 10000 AS cos
+        FROM members a JOIN members b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ) t WHERE cos >= 0.4
+    """,
+)
+def q_dedup_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-blocked embedding near-dup pairs — the sub-quadratic scale
+    path: IVF-assign every vector (centroids = vec_id<8), generate
+    pairs only within a cell (equi-join on cell). Recall vs the exact
+    q_dedup_embed_cosine is bounded by the quantizer; the oracle
+    replays the identical assignment, so the check is still exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_ivf(emb, emb.filter(F.col("vec_id") < 8), threshold=0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -337,15 +405,18 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token frequencies, top 20."""
+    """Corpus token frequencies, top 20. Top-k runs FIRST as
+    orderBy().limit() (distributed TakeOrderedAndProject — per-partition
+    top-20, tiny merge) and the rank column is attached over the <= 20
+    surviving rows; ranking the full distinct-token set with a global
+    window would funnel every token through one task at scale."""
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
-    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    return rank_after_topk(counts, 20, "n", "tok")
 
 
 @register(

@@ -62,6 +62,33 @@ def test_minhash_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_allpairs_cosine_is_equijoin(spark):
+    """Exact all-pairs cosine must stay the triangle-blocked equi-join,
+    never a theta join (BNLJ funnels all n^2 compares through the
+    streamed side's tasks)."""
+    plan = _plan(spark, "q_dedup_embed_cosine")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_blocked_equijoin(spark):
+    """Candidate blocking must be the (lang, length-bin) equi-join, not
+    a lang-only near-cartesian."""
+    plan = _plan(spark, "q_dedup_ngram_jaccard")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ranked_topk_no_global_window(spark):
+    """Ranked reports take top-k distributed (TakeOrderedAndProject)
+    and attach rank over the <= k survivors — a global WindowExec here
+    is the single-partition cliff the bench log used to warn about."""
+    for name in ("q_shipping_priority", "q_returned_items", "q_text_tokens"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Window" not in plan, name
+
+
 def test_salted_agg_two_stages(spark):
     plan = _plan(spark, "q_skew_salted_agg")
     # partial agg on (key, salt) then final on key: two hash-agg pairs
