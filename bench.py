@@ -5,22 +5,33 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": total_secs, "unit": "sec",
    "queries": {name: secs, ...}, "sf": ...}
 
-Each query is forced end-to-end with a noop sink (full computation, no
-driver-side collect cost). Modeled on the reference's experiment.py
-protocol (timing around the whole stage, experiment.py:42-61) minus
-repeats — the driver records per-round history instead.
+Protocol (reference experiment.py parity):
+  * The query sweep runs $SPARK_GRAFT_BENCH_REPEATS times (default 3,
+    the reference's --num-repeats default, experiment.py:364) and the
+    JSON line reports the PER-QUERY MEDIAN — the defensible statistic
+    on this VM, whose CPU delivery swings 2-5x run-to-run (measured
+    with a pure-Python burn test).
+  * The two-stage pipeline (the reference's actual workload: demux
+    convert + per-sample align) runs the same number of repeats with
+    up to 3 attempts each (experiment.py:341-357) and appends one CSV
+    row per attempt to $SPARK_GRAFT_BENCH_CSV (default
+    ./bench_results.csv) in the reference's exact results.csv schema
+    (experiment.py:259-269):
+      repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs
+    with bcl_secs = our convert stage, align_secs = our align stage.
 
-Noise note: this VM delivers measurably uneven CPU under sustained
-load (2x per-core throughput spread observed with a pure-Python burn
-test); per-query numbers can swing 2-5x run-to-run through no fault
-of the plan. Best observed total at sf0.1 on a quiet box: ~20 s.
+Each query is forced end-to-end with a noop sink (full computation, no
+driver-side collect cost).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -43,10 +54,50 @@ HEADLINE = [
     "q_grouped_transform",
 ]
 
+CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"
+MAX_RETRIES = 3  # reference experiment.py:330-357
+
+
+def _run_pipeline_experiment(spark, repeats: int, csv_path: str) -> None:
+    """The reference's Experiment.execute() on our Pipeline: N repeats,
+    <= MAX_RETRIES attempts each, one CSV row per attempt."""
+    from flink_pipeline_spark.pipeline import Pipeline, PipelineConf
+    from flink_pipeline_spark.sources.fixtures import fixture_df
+
+    pairs = fixture_df(spark, "read_pairs")
+    rows: list[str] = []
+    for rep in range(1, repeats + 1):
+        for attempt in range(1, MAX_RETRIES + 1):
+            out = tempfile.mkdtemp(prefix=f"bench_pipe_r{rep}a{attempt}_")
+            shutil.rmtree(out)  # Pipeline requires a fresh output dir
+            try:
+                res = Pipeline(spark, PipelineConf(output_dir=out)).run(pairs)
+                rows.append(
+                    f"{rep},{attempt},0,-,"
+                    f"{res.total_secs:.3f},{res.convert_secs:.3f},{res.align_secs:.3f}"
+                )
+                break
+            except Exception:
+                rows.append(f"{rep},{attempt},1,-,0.0,0.0,0.0")
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+        else:
+            raise RuntimeError(f"pipeline repeat {rep} failed {MAX_RETRIES} times")
+    first = not os.path.exists(csv_path)
+    with open(csv_path, "a") as f:
+        if first:
+            f.write(CSV_HEADER + "\n")
+        f.write("\n".join(rows) + "\n")
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    csv_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_CSV",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.csv"),
+    )
 
     from flink_pipeline_spark.plans import query_fns
     from flink_pipeline_spark.session import EngineConf, get_session
@@ -84,16 +135,16 @@ def main() -> None:
         .save()
     )
 
-    # best-of-2 per query: this VM's CPU delivery is uneven run-to-run
-    # (see noise note above); the min is the plan's actual capability.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(repeats):
+        for name in HEADLINE:
             t0 = time.time()
             fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples[name].append(time.time() - t0)
+    timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
+    best = {n: round(min(v), 3) for n, v in samples.items()}
+
+    _run_pipeline_experiment(spark, repeats, csv_path)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -103,6 +154,13 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # min-of-N alongside the median: this VM's CPU delivery
+                # swings 2-5x, so the min is the plan's capability and
+                # the median the expected wall time; round-1 reported
+                # best-of-2, comparable to queries_min.
+                "queries_min": best,
+                "value_min": round(sum(best.values()), 3),
+                "protocol": f"median_of_{repeats}",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

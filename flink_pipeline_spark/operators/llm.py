@@ -239,6 +239,60 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     )
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): ALL pairs within ``max_hamming`` bits —
+    exact recall via pigeonhole blocking, never an all-pairs join.
+
+    The signature splits into ``max_hamming + 1`` bit-blocks; two
+    signatures within the distance MUST agree exactly on at least one
+    block, so candidates = pairs sharing a (block, block-bits) bucket —
+    an equi-key, one shuffle, with the same collect/cap/double-explode
+    bucket guard as MinHash-LSH. Exact ``bit_count(xor)`` verifies each
+    candidate; blocking guarantees no pair is missed."""
+    nblocks = max_hamming + 1
+    if bits % nblocks:
+        raise ValueError(f"bits={bits} must divide into {nblocks} blocks")
+    width = bits // nblocks
+    mask = (1 << width) - 1
+    sh = simhash(docs, bits)
+    keys = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.expr(f"(simhash >> {b * width}) & {mask}").alias("key"),
+                )
+                for b in range(nblocks)
+            ]
+        )
+    ).alias("k")
+    keyed = sh.select("doc_id", "simhash", keys).select(
+        "doc_id", "simhash", "k.blk", "k.key"
+    )
+    buckets = (
+        keyed.groupBy("blk", "key")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    )
+    return (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity
 # ---------------------------------------------------------------------------

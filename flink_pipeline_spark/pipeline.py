@@ -114,5 +114,7 @@ class Pipeline:
         sam = prq.groupBy("sample").applyInPandas(fake_align, schema=SAM_SCHEMA)
         sam.write.option("sep", "\t").mode("overwrite").csv(self.sam_dir)
         out = self.spark.read.option("sep", "\t").schema(SAM_SCHEMA).csv(self.sam_dir)
-        samples = [r.sample for r in prq.select("sample").distinct().collect()]
+        # one single-row aggregate (map-side partial collect_set) instead
+        # of pulling a distinct row per sample through the driver
+        samples = prq.agg(F.collect_set("sample").alias("s")).first()["s"]
         return sorted(samples), out.count()

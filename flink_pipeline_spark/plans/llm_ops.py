@@ -30,6 +30,7 @@ from ..operators.llm import (
     lsh_candidate_pairs,
     minhash_signatures,  # noqa: F401 (re-exported for tests)
     simhash,
+    simhash_pairs,
     topk_neighbors,
     verified_near_dups,
 )
@@ -137,10 +138,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_dedup_minhash(spark, sf_dir)
 
 
-@register(
-    "q_dedup_simhash",
-    oracle=f"""
-    WITH toks AS (
+# Shared DuckDB replay of the 16-bit token-multiset SimHash (ends in
+# CTE ``sh(doc_id, simhash)``), used by both the signature query and
+# the pair-detection query.
+_SIMHASH_CTE = f"""toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ), contrib AS (
         SELECT doc_id, b,
@@ -150,18 +151,52 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      (10),(11),(12),(13),(14),(15)) bits(b)
     ), bitsum AS (
         SELECT doc_id, b, sum(c) AS s FROM contrib GROUP BY doc_id, b
-    )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
-               AS simhash
-    FROM bitsum GROUP BY doc_id
+    ), sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM bitsum GROUP BY doc_id
+    )"""
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM sh
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit token-multiset SimHash per doc. Pair detection (hamming
-    blocking) is exercised in tests; the per-doc signature is the
-    oracle-checked surface."""
+    """16-bit token-multiset SimHash per doc — the signature surface;
+    q_dedup_simhash_pairs is the pair-detection deliverable."""
     return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE}, keys AS (
+        SELECT doc_id, simhash, b AS blk, (simhash >> (b * 4)) & 15 AS key
+        FROM sh CROSS JOIN (VALUES (0),(1),(2),(3)) blocks(b)
+    ), bucket AS (
+        SELECT blk, key FROM keys GROUP BY blk, key
+        HAVING count(*) BETWEEN 2 AND 1024
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM keys a JOIN keys b
+          ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+        JOIN bucket k ON a.blk = k.blk AND a.key = k.key
+    )
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIR detection (the L2 deliverable): pigeonhole
+    blocking on 4-bit signature blocks makes the candidate join equi
+    (any pair within hamming 3 shares >= 1 exact block), then exact
+    bit_count(xor) verification — all-pairs never materializes."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
 @register(

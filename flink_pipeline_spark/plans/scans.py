@@ -23,6 +23,12 @@ from .registry import register
 LOG_GZ = os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "session_log.txt.gz")
 LOG_GZ = os.path.abspath(LOG_GZ)
 
+# Committed deterministic binary fixtures (see fixtures/blobs/): the
+# opaque-payload source the multimodal layer reads at scale.
+BLOB_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "blobs")
+)
+
 # Oracle SQL that must read the scale-factor parquet embeds the
 # {SF_DIR} placeholder; registry.oracle_sqls() resolves it per run
 # (driver default sf0.01, local mirror whatever SF it tests), keeping
@@ -84,6 +90,30 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df.filter(F.col("value").startswith("Seconds for "))
         .select(F.col("value").alias("line"), F.length("value").alias("len"))
+    )
+
+
+@register(
+    "q_scan_binary",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+           octet_length(content) AS n_bytes,
+           hex(content)[1:16] AS head_hex
+    FROM read_blob('{BLOB_DIR}/*.bin')
+    """,
+)
+def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary file source (SURVEY.md §2.1 SRC4 — the reference
+    moves opaque payload files it never parses, workflow.py:251):
+    ``spark.read.format("binaryFile")`` yields (path, length, content)
+    per file; downstream multimodal decode consumes the same shape. At
+    scale each file is one row/partition-slice — the pattern for
+    image/audio payload ingestion."""
+    df = spark.read.format("binaryFile").load(os.path.join(BLOB_DIR, "*.bin"))
+    return df.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("file"),
+        F.length("content").cast("bigint").alias("n_bytes"),
+        F.substring(F.hex("content"), 1, 16).alias("head_hex"),
     )
 
 

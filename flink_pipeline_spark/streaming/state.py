@@ -50,24 +50,48 @@ def track_jobs(df: DataFrame) -> DataFrame:
     return df.groupBy("job_id").applyInPandas(fn, schema=OUTPUT_SCHEMA)
 
 
-def track_jobs_stream(sdf: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+def track_jobs_stream(
+    sdf: DataFrame, timeout: str = "NoTimeout", timeout_ms: int = 60_000
+) -> DataFrame:
     """Streaming face: incremental fold with keyed state; emits the
     current job snapshot on every update (output mode 'update'), like
-    the reference's per-poll progress report (workflow.py:456-460)."""
+    the reference's per-poll progress report (workflow.py:456-460).
+
+    With ``timeout="ProcessingTimeTimeout"`` a job silent for
+    ``timeout_ms`` of processing time is EVICTED: its state is removed
+    (keyed state stays bounded regardless of stream length) and its
+    final snapshot is emitted — the reference's give-up-on-silent-job
+    policy (experiment.py:345-357)."""
     from ..catalog import _ensure_session_conf
 
     _ensure_session_conf(sdf.sparkSession)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if timeout not in ("NoTimeout", "ProcessingTimeTimeout"):
+        # EventTimeTimeout needs a caller-supplied watermark column; not
+        # part of the reference semantics (its poller is wall-clock).
+        raise ValueError(f"unsupported timeout {timeout!r}")
+
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # Idle key: emit the last snapshot as the job's final word,
+            # then drop the state — NOT update(), which would resurrect
+            # the key and leak state forever.
+            final: tuple | None = tuple(state.get) if state.exists else None
+            state.remove()
+            if final is not None:
+                yield _emit(key[0], final)
+            return
         prior: tuple | None = tuple(state.get) if state.exists else None
         st: Any = prior
         for pdf in pdfs:
             st = _fold(key[0], pdf, st)
         if st is not None:
             state.update(st)
+            if timeout == "ProcessingTimeTimeout":
+                state.setTimeoutDuration(timeout_ms)
             yield _emit(key[0], st)
 
     return sdf.groupBy("job_id").applyInPandasWithState(

@@ -10,6 +10,7 @@ from flink_pipeline_spark.catalog import load_table
 from flink_pipeline_spark.operators.llm import (
     lsh_candidate_pairs,
     simhash,
+    simhash_pairs,
     topk_neighbors,
     verified_near_dups,
 )
@@ -44,6 +45,26 @@ def test_simhash_locality(spark):
     for r in near:
         ham = bin(sh[r.doc_a] ^ sh[r.doc_b]).count("1")
         assert ham <= 4, f"near-dup pair {(r.doc_a, r.doc_b)} hamming {ham}"
+
+
+def test_simhash_pairs_exact_recall(spark):
+    """Pigeonhole blocking is exact: the pair query must return EVERY
+    pair within the hamming threshold (verified brute-force from the
+    signatures), with the correct distance."""
+    docs = load_table(spark, SF_DIR, "documents")
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ids = sorted(sh)
+    expected = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == expected
 
 
 def test_topk_self_excluded_and_ranked(spark):

@@ -146,6 +146,52 @@ def test_job_tracker_stream_equals_batch(spark, job_events_dir):
         assert final[k] == batch[k], f"{k}: {final[k]} != {batch[k]}"
 
 
+def test_job_tracker_stream_timeout_evicts(spark, tmp_path):
+    """ST2 eviction through the LIBRARY API: with ProcessingTimeTimeout,
+    every job that goes silent is re-emitted once as its final snapshot
+    and its keyed state removed. (Poll the sink — with timeout batches
+    running, processAllAvailable can block forever.)"""
+    import time
+
+    src = str(tmp_path / "src")
+    fixture_df(spark, "job_events").coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = spark.readStream.schema(schema).parquet(src)
+
+    out = track_jobs_stream(sdf, timeout="ProcessingTimeTimeout", timeout_ms=500)
+    name = "mem_evict_" + uuid.uuid4().hex[:6]
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+
+    jobs = {r.job_id for r in fixture_df(spark, "job_events").select("job_id").distinct().collect()}
+    done = False
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not done:
+            counts: dict[str, int] = {}
+            for r in spark.table(name).collect():
+                counts[r.job_id] = counts.get(r.job_id, 0) + 1
+            # one live snapshot (single micro-batch) + one eviction emit
+            done = bool(jobs) and all(counts.get(j, 0) >= 2 for j in jobs)
+            if not done:
+                time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert done, "timeout eviction never fired for all jobs"
+
+    # the eviction snapshot re-emits the final fold unchanged
+    batch = {r["job_id"]: tuple(r) for r in track_jobs(fixture_df(spark, "job_events")).collect()}
+    last = {}
+    for r in spark.table(name).collect():  # memory sink preserves order
+        last[r.job_id] = tuple(r)
+    assert last == batch
+
+
+def test_job_tracker_stream_rejects_event_time_timeout(spark, job_events_dir):
+    with pytest.raises(ValueError, match="unsupported timeout"):
+        track_jobs_stream(_read_stream(spark, job_events_dir), timeout="EventTimeTimeout")
+
+
 def test_job_tracker_rejects_invalid_state(spark):
     bad = spark.createDataFrame(
         [("j1", 0, "EXPLODED", None)], "job_id STRING, tick INT, state STRING, retcode INT"
