@@ -6,11 +6,17 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
    "queries": {name: secs, ...}, "sf": ...}
 
 Protocol (reference experiment.py parity):
-  * The query sweep runs $SPARK_GRAFT_BENCH_REPEATS times (default 3,
-    the reference's --num-repeats default, experiment.py:364) and the
-    JSON line reports the PER-QUERY MEDIAN — the defensible statistic
-    on this VM, whose CPU delivery swings 2-5x run-to-run (measured
-    with a pure-Python burn test).
+  * One UNTIMED warm-up sweep runs every headline query once, so JVM
+    codegen, parquet footer caching, and Python-worker spawn aren't
+    billed to repeat 1 (the reference's own first repeats show the
+    same cold-start in its results.csv).
+  * The timed sweep then runs $SPARK_GRAFT_BENCH_REPEATS times
+    (default 5; the reference's --num-repeats default is 3,
+    experiment.py:364) and the JSON line reports the PER-QUERY
+    MEDIAN — the defensible statistic on this VM, whose CPU delivery
+    swings 2-5x in multi-second windows (measured with a pure-Python
+    burn test; a 3-sample median can land entirely inside one such
+    window, 5 samples ride it out).
   * The two-stage pipeline (the reference's actual workload: demux
     convert + per-sample align) runs the same number of repeats with
     up to 3 attempts each (experiment.py:341-357) and appends one CSV
@@ -93,7 +99,7 @@ def _run_pipeline_experiment(spark, repeats: int, csv_path: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     csv_path = os.environ.get(
         "SPARK_GRAFT_BENCH_CSV",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.csv"),
@@ -117,30 +123,22 @@ def main() -> None:
     )
 
     fns = query_fns()
-    # Warmup (not counted): JVM/codegen on the smallest query, plus one
-    # tiny pandas UDF so Python-worker startup isn't billed to the first
-    # UDF query.
-    from pyspark.sql import functions as F
 
-    fns["q_flagship"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    # enough groups that every Python worker slot runs a pandas task
-    (
-        spark.range(1024)
-        .withColumn("g", F.col("id") % 64)
-        .repartition(64, "g")
-        .groupBy("g")
-        .applyInPandas(lambda pdf: pdf[["id"]], schema="id BIGINT")
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
-
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(repeats):
+    def sweep(record: dict[str, list[float]] | None) -> None:
         for name in HEADLINE:
             t0 = time.time()
             fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples[name].append(time.time() - t0)
+            if record is not None:
+                record[name].append(time.time() - t0)
+        # a few queries persist() intermediates (shingle sets); each
+        # re-invocation builds a fresh plan, so drop the previous
+        # sweep's cached copies instead of accumulating them
+        spark.catalog.clearCache()
+
+    sweep(None)  # warm-up: JVM codegen, file listing, worker spawn
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(repeats):
+        sweep(samples)
     timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     best = {n: round(min(v), 3) for n, v in samples.items()}
 
@@ -160,7 +158,7 @@ def main() -> None:
                 # best-of-2, comparable to queries_min.
                 "queries_min": best,
                 "value_min": round(sum(best.values()), 3),
-                "protocol": f"median_of_{repeats}",
+                "protocol": f"warmup+median_of_{repeats}",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
