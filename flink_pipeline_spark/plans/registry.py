@@ -102,6 +102,7 @@ def _load_all() -> None:
         sampling,
         scans,
         streaming_queries,
+        training,
         udf_queries,
         windows_sorts,
     )

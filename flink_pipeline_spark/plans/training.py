@@ -1,0 +1,276 @@
+"""Training-data-pipeline queries — the operations a 100 TB pretraining
+corpus build runs between "raw documents" and "tokenized shards":
+deterministic split assignment, benchmark decontamination, sequence
+packing, repetition scoring, and the data-mixture report.
+
+These extend the reference's dataflow surface (its pipeline stops at
+per-sample demux/align, workflow.py:232-260) with the north-star LLM
+layer; every query keeps the portable-hash / floor-round conventions
+(functions/portable.py) so the DuckDB oracle replays it exactly.
+
+Scale notes are per-query; the common theme: per-doc map work stays in
+whole-stage codegen, small reference sets broadcast, and nothing ranks
+or windows over an unpartitioned global ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.portable import hash56, hash56_sql_duckdb, round_agg, round_sql
+from ..functions.text import shingles_sql
+from .registry import register
+
+# Sequence-packing token budget (tokens per training sequence). Small
+# enough that fixture docs (~30-130 tokens) produce multi-doc chunks.
+PACK_BUDGET = 512
+
+_HASH_DOC = hash56_sql_duckdb("doc_id")
+
+
+@register(
+    "q_train_split",
+    oracle=f"""
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           {round_sql('avg(n_chars)')} AS avg_chars
+    FROM (
+        SELECT text, n_chars,
+               CASE WHEN {_HASH_DOC} % 100 < 80 THEN 'train'
+                    WHEN {_HASH_DOC} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ) t
+    GROUP BY split
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: hash56(doc_id) % 100
+    into 80/10/10. Content-independent and engine-independent — the
+    same doc lands in the same split on any cluster, any run, which is
+    what makes held-out sets trustworthy across pipeline re-runs.
+
+    Scale: a pure map (md5 in codegen) followed by a 3-group aggregate;
+    no shuffle wider than the final partial/merge agg."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = hash56(F.col("doc_id")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("t"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t").alias("n_tokens"),
+            round_agg(F.avg("n_chars")).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source,
+               unnest({shingles_sql('duckdb', 'text', 3)}) AS sh
+        FROM documents
+    ), bench AS (
+        SELECT DISTINCT sh FROM sh WHERE source = 'src0'
+    ), hits AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN bench b USING (sh)
+        WHERE s.source <> 'src0'
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(sum(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clean
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.source <> 'src0'
+    GROUP BY d.lang
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a corpus doc (source != 'src0') is
+    contaminated if it shares ANY 3-word shingle with the benchmark set
+    (source = 'src0' stands in for the eval suite). Reports per-lang
+    contaminated/clean counts — the go/no-go report before training.
+
+    Scale: the benchmark shingle set is small by construction (eval
+    suites are MBs, the corpus is TBs), so it BROADCASTS and the
+    corpus-side probe is a broadcast left-semi join — the 100 TB side
+    never shuffles; contaminated doc_ids are then a second broadcast
+    semi/anti side for the final per-lang count."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(shingles_sql("spark", "text", 3))).alias("sh"),
+    )
+    bench = sh.filter(F.col("source") == "src0").select("sh").distinct()
+    hits = (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        d.filter(F.col("source") != "src0")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("n_clean"),
+        )
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, source, doc_id,
+               len(string_split(text, ' ')) AS tok
+        FROM documents
+    ), packed AS (
+        SELECT lang, source, tok,
+               CAST(floor(
+                   (sum(tok) OVER (PARTITION BY lang, source ORDER BY doc_id)
+                    - tok) / {PACK_BUDGET}.0) AS BIGINT) AS chunk_id
+        FROM t
+    )
+    SELECT lang, source, chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS chunk_tokens
+    FROM packed
+    GROUP BY lang, source, chunk_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): within each (lang, source)
+    shard, docs in doc_id order are laid end-to-end and a doc is
+    assigned to the chunk its FIRST token lands in at a PACK_BUDGET
+    (512)-token budget — the standard pretraining shard layout. Output: docs and
+    token totals per chunk.
+
+    Scale: the running sum is a window per (lang, source) shard — at
+    100 TB the shard key is whatever the layout already partitions by
+    (path prefix / writer task), so each window sorts one shard, never
+    a global ordering. Chunk assignment and the final rollup are then
+    shard-local (one shuffle on the shard key, reused by the window AND
+    the aggregate)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang", "source", "doc_id", F.size(F.split("text", " ")).alias("tok")
+    )
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    packed = t.select(
+        "lang",
+        "source",
+        "tok",
+        F.floor((F.sum("tok").over(w) - F.col("tok")) / float(PACK_BUDGET))
+        .cast("long")
+        .alias("chunk_id"),
+    )
+    return packed.groupBy("lang", "source", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("chunk_tokens"),
+    )
+
+
+@register(
+    "q_text_repetition",
+    oracle=f"""
+    WITH counts AS (
+        SELECT doc_id, tok, count(*) AS n
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents) t
+        GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(max(n) AS BIGINT) AS top_n,
+           {round_sql('max(n)::DOUBLE / sum(n)')} AS top_share,
+           {round_sql('1.0 - count(*)::DOUBLE / sum(n)')} AS rep_ratio
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring (the Gopher-rule family): per doc, the share
+    of the most-frequent token and the fraction of tokens that repeat
+    an earlier one. High values flag boilerplate/spam for the quality
+    filter downstream.
+
+    Scale: explode -> two-level aggregate, both with map-side partial
+    aggregation; per-doc state is one (max, sum, count) triple."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    top_share = F.max("n").cast("double") / F.sum("n")
+    rep_ratio = 1.0 - F.count("*").cast("double") / F.sum("n")
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.max("n").alias("top_n"),
+        round_agg(top_share).alias("top_share"),
+        round_agg(rep_ratio).alias("rep_ratio"),
+    )
+
+
+@register(
+    "q_source_mix",
+    oracle="""
+    WITH mix AS (
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents
+        GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, tokens,
+           floor((tokens / total) * 10000 + 0.5) / 10000 AS token_share
+    FROM mix CROSS JOIN
+         (SELECT sum(tokens)::DOUBLE AS total FROM mix) tot
+    """,
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture report: per (source, lang) doc/token counts and each
+    cell's share of all corpus tokens — the table a training run's data
+    card ships, and the input to mixture re-weighting.
+
+    Scale: one aggregate; the corpus-total denominator is a 1-row
+    aggregate attached by broadcast cross join (NOT a global window —
+    no single-partition funnel). The mix aggregate is persisted so the
+    denominator subtree reuses it instead of re-scanning the corpus —
+    #sources x #langs rows of cache buys one fewer 100 TB scan."""
+    d = load_table(spark, sf_dir, "documents")
+    mix = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("tokens"),
+    ).persist()
+    total = mix.agg(F.sum("tokens").cast("double").alias("total"))
+    return mix.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "tokens",
+        round_agg(F.col("tokens") / F.col("total")).alias("token_share"),
+    )

@@ -1,0 +1,94 @@
+"""Semantic tests for the training-data-pipeline queries (oracle parity
+is covered separately by test_oracle_parity; these check the SEMANTICS
+against brute-force recomputation)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from flink_pipeline_spark.catalog import load_table
+from flink_pipeline_spark.plans.training import (
+    PACK_BUDGET,
+    q_decontaminate,
+    q_pack_sequences,
+    q_source_mix,
+    q_text_repetition,
+    q_train_split,
+)
+
+from .conftest import SF_DIR
+
+
+def test_train_split_partitions_everything(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    total = docs.count()
+    out = {r.split: r for r in q_train_split(spark, SF_DIR).collect()}
+    assert set(out) == {"train", "val", "test"}
+    assert sum(r.n_docs for r in out.values()) == total
+    # 80/10/10 by hash: loose bounds, the fixture is small
+    assert out["train"].n_docs / total > 0.6
+    assert out["val"].n_docs / total < 0.25
+
+
+def test_train_split_deterministic(spark):
+    a = sorted(map(tuple, q_train_split(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, q_train_split(spark, SF_DIR).collect()))
+    assert a == b
+
+
+def test_decontaminate_counts_consistent(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus_by_lang = {
+        r.lang: r.n
+        for r in docs.filter(F.col("source") != "src0")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    out = q_decontaminate(spark, SF_DIR).collect()
+    assert {r.lang for r in out} == set(corpus_by_lang)
+    for r in out:
+        assert r.n_contaminated + r.n_clean == corpus_by_lang[r.lang]
+        assert r.n_docs == corpus_by_lang[r.lang]
+
+
+def test_pack_sequences_matches_bruteforce(spark):
+    """Exact recomputation of one shard's packing in plain Python."""
+    docs = load_table(spark, SF_DIR, "documents")
+    lang, source = docs.select("lang", "source").first()
+    rows = (
+        docs.filter((F.col("lang") == lang) & (F.col("source") == source))
+        .select("doc_id", F.size(F.split("text", " ")).alias("tok"))
+        .collect()
+    )
+    expected: dict[int, list[int]] = {}
+    cum = 0
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        expected.setdefault(cum // PACK_BUDGET, []).append(r.tok)
+        cum += r.tok
+    got = {
+        r.chunk_id: (r.n_docs, r.chunk_tokens)
+        for r in q_pack_sequences(spark, SF_DIR)
+        .filter((F.col("lang") == lang) & (F.col("source") == source))
+        .collect()
+    }
+    assert got == {c: (len(v), sum(v)) for c, v in expected.items()}
+
+
+def test_repetition_matches_counter(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(20).collect()
+    out = {r.doc_id: r for r in q_text_repetition(spark, SF_DIR).collect()}
+    for d in docs:
+        c = Counter(d.text.split(" "))
+        r = out[d.doc_id]
+        assert r.n_tokens == sum(c.values())
+        assert r.top_n == max(c.values())
+
+
+def test_source_mix_shares_sum_to_one(spark):
+    out = q_source_mix(spark, SF_DIR).collect()
+    assert abs(sum(r.token_share for r in out) - 1.0) < 1e-3
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(r.n_docs for r in out) == docs.count()
