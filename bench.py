@@ -58,6 +58,11 @@ HEADLINE = [
     "q_sim_topk",
     "q_text_tokens",
     "q_grouped_transform",
+    # training-data layer (round 2): decontamination is the join-heavy
+    # one, packing the window-heavy one, split the pure-map one
+    "q_train_split",
+    "q_decontaminate",
+    "q_pack_sequences",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"
