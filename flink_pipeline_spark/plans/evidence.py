@@ -1,0 +1,129 @@
+"""Verification-evidence ledger: orders the registry so the driver's
+fixed per-round correctness window always lands on the queries whose
+evidence is weakest.
+
+The driver verifies the first K queries of ``query_fns()`` each round
+and records CORRECTNESS_r{N}.json. Round 2's ordering put never-checked
+queries first, which accumulates coverage but has a blind spot: a query
+REWRITTEN after earning its row keeps stale green evidence forever.
+This module closes that hole with per-query fingerprints:
+
+  fingerprint(name) = sha256(source of the query fn, which includes its
+                             @register decorator and oracle SQL)
+
+``verified_fingerprints.json`` records, per query, the fingerprint the
+code had when its most recent driver row was earned. Ordering classes:
+
+  0. never checked            — no CORRECTNESS row in any round
+  1. stale evidence           — checked, but current fingerprint differs
+                                from the recorded one (plan or oracle
+                                rewritten since verification)
+  2. current evidence         — checked and unchanged; stalest round
+                                first, so old rows refresh round-robin
+
+``sync()`` must run at ROUND START, before any code is edited: at that
+moment the working tree is exactly the snapshot the driver verified, so
+recording current fingerprints for the latest round's rows is sound.
+(Recording them later would bless post-verification edits.)
+Run: ``python -m flink_pipeline_spark.plans.evidence``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import re
+from pathlib import Path
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+LEDGER_PATH = Path(__file__).resolve().parent / "verified_fingerprints.json"
+
+
+def fingerprint(fn, oracle: str | None) -> str:
+    """Hash of the query's full registered surface: the function source
+    (inspect includes the decorator call, hence the oracle literal) plus
+    the resolved oracle string as a belt-and-braces second input."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # dynamically defined fn: always "changed"
+        src = repr(fn)
+    h = hashlib.sha256()
+    h.update(src.encode())
+    h.update(b"\x00")
+    h.update((oracle or "").encode())
+    return h.hexdigest()[:20]
+
+
+def correctness_rows() -> dict[str, int]:
+    """query name -> most recent round with a driver CORRECTNESS row."""
+    latest: dict[str, int] = {}
+    for p in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            names = json.loads(p.read_text()).keys()
+        except (OSError, ValueError):
+            continue
+        for name in names:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def load_ledger() -> dict:
+    try:
+        return json.loads(LEDGER_PATH.read_text())
+    except (OSError, ValueError):
+        return {"synced_rounds": [], "queries": {}}
+
+
+def verification_order(queries: dict, oracles: dict) -> list[str]:
+    """Registry names, weakest evidence first (see module docstring)."""
+    latest = correctness_rows()
+    ledger = load_ledger()["queries"]
+
+    def klass(name: str) -> int:
+        if name not in latest:
+            return 0
+        rec = ledger.get(name)
+        if rec is None or rec.get("fp") != fingerprint(
+            queries[name], oracles.get(name)
+        ):
+            return 1
+        return 2
+
+    # stable sort: load order preserved within (class, round) ties
+    return sorted(queries, key=lambda n: (klass(n), latest.get(n, 0)))
+
+
+def sync(queries: dict, oracles: dict) -> list[str]:
+    """Record current fingerprints for rounds not yet synced. ONLY valid
+    at round start (working tree == the snapshot the driver verified).
+    Returns the query names whose ledger entries were written."""
+    ledger = load_ledger()
+    latest = correctness_rows()
+    synced = set(ledger["synced_rounds"])
+    new_rounds = sorted({r for r in latest.values() if r not in synced})
+    written: list[str] = []
+    for name, rnd in sorted(latest.items()):
+        if rnd in new_rounds and name in queries:
+            ledger["queries"][name] = {
+                "fp": fingerprint(queries[name], oracles.get(name)),
+                "round": rnd,
+            }
+            written.append(name)
+    ledger["synced_rounds"] = sorted(synced | set(new_rounds))
+    LEDGER_PATH.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
+    return written
+
+
+def main() -> None:
+    from . import registry
+
+    registry._load_all()
+    written = sync(registry.QUERIES, registry.ORACLES)
+    print(f"synced {len(written)} fingerprints -> {LEDGER_PATH.name}")
+
+
+if __name__ == "__main__":
+    main()

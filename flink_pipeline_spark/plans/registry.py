@@ -11,7 +11,6 @@ drift is a correctness failure.
 
 from __future__ import annotations
 
-import json
 from collections.abc import Callable
 from pathlib import Path
 
@@ -32,28 +31,17 @@ SF_DIR_PLACEHOLDER = "{SF_DIR}"
 DEFAULT_ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
-def _previously_checked() -> set[str]:
-    """Query names that already have a driver CORRECTNESS row (any round).
+def _evidence_order(d: dict) -> dict:
+    """Reorder so the driver's fixed verification window lands on the
+    weakest evidence first: never-checked queries, then queries whose
+    code changed since their last CORRECTNESS row (stale evidence),
+    then everything else stalest-round-first so old rows refresh
+    round-robin. See evidence.py for the fingerprint ledger."""
+    from .evidence import verification_order
 
-    The driver verifies a fixed-size window of queries per round, in
-    registry order. Listing not-yet-checked queries first means each
-    round's window lands on fresh queries, so correctness evidence
-    accumulates across rounds instead of re-verifying the same prefix.
-    """
-    seen: set[str] = set()
-    for p in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
-        try:
-            seen.update(json.loads(p.read_text()).keys())
-        except (OSError, ValueError):
-            continue
-    return seen
-
-
-def _unchecked_first(d: dict) -> dict:
-    checked = _previously_checked()
-    fresh = {k: v for k, v in d.items() if k not in checked}
-    rest = {k: v for k, v in d.items() if k in checked}
-    return {**fresh, **rest}
+    order = verification_order(QUERIES, ORACLES)
+    rank = {name: i for i, name in enumerate(order)}
+    return dict(sorted(d.items(), key=lambda kv: rank.get(kv[0], len(rank))))
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -73,14 +61,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def query_fns() -> dict[str, QueryFn]:
     _load_all()
-    return _unchecked_first(QUERIES)
+    return _evidence_order(QUERIES)
 
 
 def oracle_sqls(sf_dir: str = DEFAULT_ORACLE_SF_DIR) -> dict[str, str]:
     _load_all()
     return {
         k: v.replace(SF_DIR_PLACEHOLDER, sf_dir)
-        for k, v in _unchecked_first(ORACLES).items()
+        for k, v in _evidence_order(ORACLES).items()
     }
 
 

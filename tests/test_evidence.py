@@ -1,0 +1,83 @@
+"""Evidence-ledger tests: the driver-window ordering must put the
+weakest correctness evidence first (never-checked, then rewritten-
+since-verification, then stalest round)."""
+
+from __future__ import annotations
+
+import json
+
+from flink_pipeline_spark.plans import evidence, registry
+
+
+def test_ledger_matches_registry():
+    registry._load_all()
+    ledger = evidence.load_ledger()
+    # every registered query with a driver row has a ledger entry
+    latest = evidence.correctness_rows()
+    for name in registry.QUERIES:
+        if name in latest:
+            assert name in ledger["queries"], f"{name} checked but not in ledger"
+
+
+def test_order_classes():
+    registry._load_all()
+    order = evidence.verification_order(registry.QUERIES, registry.ORACLES)
+    assert set(order) == set(registry.QUERIES)
+    latest = evidence.correctness_rows()
+    ledger = evidence.load_ledger()["queries"]
+
+    def klass(name):
+        if name not in latest:
+            return 0
+        rec = ledger.get(name)
+        if rec is None or rec["fp"] != evidence.fingerprint(
+            registry.QUERIES[name], registry.ORACLES.get(name)
+        ):
+            return 1
+        return 2
+
+    ks = [klass(n) for n in order]
+    assert ks == sorted(ks), "order must be non-decreasing evidence class"
+    # within class 2, stalest round first
+    rounds = [latest[n] for n, k in zip(order, ks) if k == 2]
+    assert rounds == sorted(rounds)
+
+
+def test_fingerprint_tracks_source_change():
+    def fn_a(spark, sf_dir):
+        return 1
+
+    def fn_b(spark, sf_dir):
+        return 2
+
+    assert evidence.fingerprint(fn_a, "SELECT 1") != evidence.fingerprint(
+        fn_b, "SELECT 1"
+    )
+    assert evidence.fingerprint(fn_a, "SELECT 1") != evidence.fingerprint(
+        fn_a, "SELECT 2"
+    )
+    assert evidence.fingerprint(fn_a, "SELECT 1") == evidence.fingerprint(
+        fn_a, "SELECT 1"
+    )
+
+
+def test_registry_exposes_evidence_order():
+    fns = registry.query_fns()
+    sqls = registry.oracle_sqls()
+    order = evidence.verification_order(registry.QUERIES, registry.ORACLES)
+    assert list(fns) == order
+    # oracles keep the same relative order (subset: rows-only queries absent)
+    pos = {n: i for i, n in enumerate(order)}
+    idx = [pos[n] for n in sqls]
+    assert idx == sorted(idx)
+
+
+def test_sync_is_idempotent(tmp_path, monkeypatch):
+    monkeypatch.setattr(evidence, "LEDGER_PATH", tmp_path / "ledger.json")
+    registry._load_all()
+    first = evidence.sync(registry.QUERIES, registry.ORACLES)
+    assert first  # seeds every checked query
+    again = evidence.sync(registry.QUERIES, registry.ORACLES)
+    assert again == []  # already-synced rounds are not re-recorded
+    d = json.loads((tmp_path / "ledger.json").read_text())
+    assert set(d["synced_rounds"]) == set(evidence.correctness_rows().values())
