@@ -110,8 +110,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the benchmark shingle set is small by construction (eval
     suites are MBs, the corpus is TBs), so it BROADCASTS and the
     corpus-side probe is a broadcast left-semi join — the 100 TB side
-    never shuffles; contaminated doc_ids are then a second broadcast
-    semi/anti side for the final per-lang count."""
+    never shuffles there. The contaminated-ids set is NOT broadcast: its
+    size scales with corpus contamination (billions of ids at 100 TB
+    with a few-percent hit rate), so the join-back is left unhinted and
+    AQE picks the strategy — broadcast when hits is actually small,
+    shuffle join on the 8-byte doc_id key otherwise."""
     d = load_table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id",
@@ -128,7 +131,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.filter(F.col("source") != "src0")
-        .join(F.broadcast(hits), "doc_id", "left")
+        .join(hits, "doc_id", "left")
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),

@@ -93,3 +93,13 @@ def test_salted_agg_two_stages(spark):
     plan = _plan(spark, "q_skew_salted_agg")
     # partial agg on (key, salt) then final on key: two hash-agg pairs
     assert plan.count("HashAggregate") >= 4
+
+
+def test_decontaminate_hits_not_broadcast(spark):
+    """Only the benchmark shingle set may carry a broadcast hint. The
+    contaminated-ids set is corpus-derived (its size scales with the
+    corpus), so a forced broadcast there is an OOM cliff at 100 TB —
+    the join-back must be left to AQE."""
+    df = query_fns()["q_decontaminate"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
