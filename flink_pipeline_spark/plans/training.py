@@ -28,6 +28,13 @@ from .registry import register
 # enough that fixture docs (~30-130 tokens) produce multi-doc chunks.
 PACK_BUDGET = 512
 
+# Sub-shard width for two-pass packing: docs are grouped into doc_id
+# ranges of this many ids, so the per-row running sum never sorts more
+# than one range in one task. Small enough that the sf0.01 fixtures
+# produce many sub-shards per (lang, source) shard; at real scale this
+# would be sized to ~a task's worth of rows.
+PACK_SUBSHARD = 256
+
 _HASH_DOC = hash56_sql_duckdb("doc_id")
 
 
@@ -171,22 +178,50 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (512)-token budget — the standard pretraining shard layout. Output: docs and
     token totals per chunk.
 
-    Scale: the running sum is a window per (lang, source) shard — at
-    100 TB the shard key is whatever the layout already partitions by
-    (path prefix / writer task), so each window sorts one shard, never
-    a global ordering. Chunk assignment and the final rollup are then
-    shard-local (one shuffle on the shard key, reused by the window AND
-    the aggregate)."""
+    Scale: TWO-PASS. A single running-sum window per (lang, source)
+    would sort an entire shard in one task — a straggler/spill cliff
+    when one shard dominates the corpus. Instead docs are cut into
+    doc_id-range sub-shards (floor(doc_id / PACK_SUBSHARD)):
+
+      pass 1  per-sub-shard token totals — a tiny aggregate;
+              prefix-sum those totals within each shard (a window over
+              #sub-shards rows, not over docs) to get each sub-shard's
+              starting offset;
+      pass 2  running sum WITHIN each sub-shard (bounded sort: at most
+              PACK_SUBSHARD rows per task) + the joined-in offset
+              reconstructs the exact shard-wide cumulative sum.
+
+    Identical chunk assignment to the one-window formulation (the
+    decomposition is exact), but no task ever sorts more than one
+    sub-shard. The offsets table is #sub-shards rows; the join back is
+    an equi-join AQE can broadcast when it is small."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
-        "lang", "source", "doc_id", F.size(F.split("text", " ")).alias("tok")
+        "lang",
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("tok"),
+        F.floor(F.col("doc_id") / PACK_SUBSHARD).alias("sub_id"),
     )
-    w = Window.partitionBy("lang", "source").orderBy("doc_id")
-    packed = t.select(
+    totals = t.groupBy("lang", "source", "sub_id").agg(
+        F.sum("tok").alias("sub_tok")
+    )
+    w_off = Window.partitionBy("lang", "source").orderBy("sub_id")
+    offsets = totals.select(
+        "lang",
+        "source",
+        "sub_id",
+        (F.sum("sub_tok").over(w_off) - F.col("sub_tok")).alias("offset"),
+    )
+    w_local = Window.partitionBy("lang", "source", "sub_id").orderBy("doc_id")
+    packed = t.join(offsets, ["lang", "source", "sub_id"]).select(
         "lang",
         "source",
         "tok",
-        F.floor((F.sum("tok").over(w) - F.col("tok")) / float(PACK_BUDGET))
+        F.floor(
+            (F.col("offset") + F.sum("tok").over(w_local) - F.col("tok"))
+            / float(PACK_BUDGET)
+        )
         .cast("long")
         .alias("chunk_id"),
     )

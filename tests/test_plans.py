@@ -103,3 +103,32 @@ def test_decontaminate_hits_not_broadcast(spark):
     df = query_fns()["q_decontaminate"](spark, SF_DIR)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 1, analyzed
+
+
+def test_pack_sequences_no_shard_wide_doc_window(spark):
+    """Two-pass packing: the per-doc running sum must be partitioned by
+    the doc_id-range sub-shard, never by (lang, source) alone — one
+    shard of a 100 TB corpus in a single window task is the straggler
+    cliff the two-pass formulation exists to avoid. The shard-level
+    prefix sum may only run over aggregated sub-shard totals."""
+    import re
+
+    plan = _plan(spark, "q_pack_sequences")
+    windows = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert windows, plan
+    for spec in windows:
+        if "doc_id" in spec:
+            assert "sub_id" in spec.split("doc_id")[0], spec
+
+
+def test_dedup_exact_shuffles_digest_not_text(spark):
+    """The exact-dedup exchange must carry the 128-bit md5 digest, not
+    the document text — the shuffle key is what rides the wire at
+    100 TB."""
+    plan = _plan(spark, "q_dedup_exact")
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan
+    for keys in exchanges:
+        assert "text" not in keys, keys
