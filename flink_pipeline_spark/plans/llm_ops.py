@@ -46,17 +46,22 @@ from .registry import register
     "q_dedup_exact",
     oracle="""
     SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-    FROM documents GROUP BY text
+    FROM documents GROUP BY md5(text)
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by full text: canonical keeper = min doc_id. At scale
-    this groups by a 128-bit text digest instead of the text itself so
-    the shuffle carries 16 bytes per doc, not the document."""
+    """Exact dedup by text content: canonical keeper = min doc_id.
+    Groups by the 128-bit md5 digest, not the text itself, so the
+    shuffle carries 32 hex bytes per doc instead of the whole document
+    — at 100 TB the exchange moves ~0.003% of the corpus. md5 is
+    engine-portable (DuckDB md5 == Spark md5), so the oracle replays
+    the digest grouping bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
-    ).select("keep_id", "n_copies")
+    return (
+        d.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
 
 
 @register(
