@@ -186,15 +186,53 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_distinct")  # rows-only: HLL sketches differ across engines
+# HLL++ default relative standard deviation is 0.05; the gate allows
+# 3 sigma, so a correct sketch fails with probability ~0.3% per cell.
+APPROX_DISTINCT_RTOL = 0.15
+
+
+@register(
+    "q_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS parts_ok,
+           TRUE AS orders_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct (HLL++) — the 100 TB path for cardinality:
     constant memory per group vs exact countDistinct's shuffle of every
-    distinct value. No oracle: sketch estimates are engine-specific."""
+    distinct value. Sketch estimates are engine-specific, so the raw
+    approx values can't hash-match an oracle; instead the query emits
+    the exact counts plus booleans asserting the HLL estimate landed
+    within APPROX_DISTINCT_RTOL of exact, and the oracle expects those
+    booleans TRUE — a real driver gate on the sketch's accuracy. (The
+    exact countDistinct columns are the test harness, not the scale
+    path; a production rollup would emit only the sketches.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.approx_count_distinct("l_orderkey").alias("ao"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+    def ok(approx, exact):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= F.lit(APPROX_DISTINCT_RTOL) * F.col(exact)
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        ok("ap", "exact_parts").alias("parts_ok"),
+        ok("ao", "exact_orders").alias("orders_ok"),
     )
 
 
