@@ -1,12 +1,15 @@
 """Multimodal columns (SURVEY.md L4): opaque binary payloads + typed
 metadata, with decode/feature-extraction as Arrow-batched pandas UDFs.
 
-The container has no image/audio codecs, so the actual decode is
-STUBBED: ``decode_features(..., impl="real")`` raises
-NotImplementedError, while ``impl="fake"`` runs a deterministic
-bytes-level feature extractor through the exact same Spark plumbing
-(mapInPandas over binary columns, Arrow batches, explicit schema) —
-the part that matters for the engine is real and tested.
+The container has no image/audio codec libraries, so the "real" decode
+is a self-contained struct-unpack codec: payload bytes are parsed as
+little-endian unsigned 16-bit samples (the 16-bit PCM layout) and
+summarized into deterministic sample-domain features — a genuine
+decode step (bytes -> typed samples -> features) with no external
+deps, replayable byte-for-byte by the DuckDB oracle via read_blob hex
+arithmetic. ``impl="fake"`` keeps the original bytes-level summary
+through the exact same Spark plumbing (mapInPandas over binary
+columns, Arrow batches, explicit schema).
 
 Scale notes: payloads ride as parquet binary; mapInPandas streams
 Arrow record batches so a partition never fully materializes in
@@ -68,9 +71,9 @@ def _fake_decode(payload: bytes) -> list[float]:
 def decode_features(mm: DataFrame, impl: str = "fake") -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas.
 
-    impl="real" is the codec slot (unavailable in this container ->
-    NotImplementedError raised executor-side at first batch);
-    impl="fake" exercises identical plumbing deterministically.
+    impl="real" runs the PCM16 struct-unpack codec (bytes -> uint16
+    samples -> sample-domain features); impl="fake" runs the original
+    bytes-level summary through identical plumbing.
     """
     if impl not in ("real", "fake"):
         raise ValueError(f"impl must be 'real' or 'fake', got {impl!r}")
@@ -97,18 +100,80 @@ def decode_features(mm: DataFrame, impl: str = "fake") -> DataFrame:
                 float(sum(payload[:16]) % 256),
             ]
 
+        def real(payload: bytes) -> list[float]:
+            # struct-unpack decode: little-endian uint16 samples, a
+            # trailing odd byte is ignored (truncated frame)
+            import numpy as np
+
+            v = np.frombuffer(
+                bytes(payload)[: len(payload) // 2 * 2], dtype="<u2"
+            ).astype("int64")
+            if v.size == 0:
+                return [0.0] * dim
+            return [
+                float(v.size),
+                float(v[0]),
+                float(v[-1]),
+                float(int(v.sum()) % 99991),
+                float(v.max()),
+                float(v.min()),
+                float(len(np.unique(v))),
+                float(int((v * v).sum()) % 99991),
+            ]
+
+        decode = real if use_real else fake
         for pdf in batches:
-            if use_real:
-                raise NotImplementedError(
-                    "real decode requires image/audio codecs not present in "
-                    "this environment; use impl='fake' for the plumbing path"
-                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "byte_len": pdf["payload"].map(len),
-                    "features": pdf["payload"].map(fake),
+                    "features": pdf["payload"].map(decode),
                 }
             )
 
     return mm.select("doc_id", "payload").mapInPandas(extract, schema=FEATURES_SCHEMA)
+
+
+PCM16_SCHEMA = (
+    "file STRING, n_samples BIGINT, peak BIGINT, energy BIGINT, mean_ampl DOUBLE"
+)
+
+
+def decode_pcm16(files: DataFrame) -> DataFrame:
+    """Per-file PCM16 decode: (file, content: binary) -> sample stats.
+
+    The codec parses each payload as little-endian unsigned 16-bit
+    samples and emits exact-integer sample statistics plus the
+    floor-rounded mean — every output is engine-portable, so the
+    DuckDB oracle replays the decode from read_blob hex arithmetic.
+    """
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for file, content in zip(pdf["file"], pdf["content"]):
+                b = bytes(content)
+                v = np.frombuffer(b[: len(b) // 2 * 2], dtype="<u2").astype("int64")
+                n = int(v.size)
+                if n == 0:
+                    rows.append((file, 0, 0, 0, 0.0))
+                    continue
+                mean = float(int(v.sum())) / n
+                rows.append(
+                    (
+                        file,
+                        n,
+                        int(v.max()),
+                        int((v * v).sum()),
+                        math.floor(mean * 10_000 + 0.5) / 10_000,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["file", "n_samples", "peak", "energy", "mean_ampl"]
+            )
+
+    return files.select("file", "content").mapInPandas(dec, schema=PCM16_SCHEMA)

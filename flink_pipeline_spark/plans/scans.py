@@ -134,3 +134,56 @@ def q_tsv_header_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ll.filter((F.col("lineno") > 2) & (F.col("lineno") <= 6)).select(
         F.split(F.col("line"), "\t").getItem(0).alias("first_field")
     )
+
+
+_HEXDIGITS = "0123456789ABCDEF"
+
+
+@register(
+    "q_multimodal_decode",
+    oracle=f"""
+    WITH b AS (
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+               hex(content) AS h,
+               octet_length(content) AS n
+        FROM read_blob('{BLOB_DIR}/*.bin')
+    ), idx AS (
+        SELECT file, h, unnest(range(1, n // 2 + 1)) AS j FROM b
+    ), samples AS (
+        -- sample j = byte(2j-1) + 256 * byte(2j), little-endian;
+        -- byte k is hex chars [2k-1, 2k], decoded via strpos
+        SELECT file,
+               (strpos('{_HEXDIGITS}', h[4*j-3:4*j-3]) - 1) * 16
+             + (strpos('{_HEXDIGITS}', h[4*j-2:4*j-2]) - 1)
+             + ((strpos('{_HEXDIGITS}', h[4*j-1:4*j-1]) - 1) * 16
+              + (strpos('{_HEXDIGITS}', h[4*j:4*j]) - 1)) * 256 AS v
+        FROM idx
+    )
+    SELECT file,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(max(v) AS BIGINT) AS peak,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           floor(avg(v) * 10000 + 0.5) / 10000 AS mean_ampl
+    FROM samples
+    GROUP BY file
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode end-to-end (SURVEY.md L4; reference moves opaque
+    payloads it never parses, workflow.py:251 — the north-star layer
+    DOES parse them): binaryFile scan -> PCM16 struct-unpack codec in
+    an Arrow-batched mapInPandas -> per-file sample statistics. The
+    DuckDB oracle replays the decode with read_blob hex arithmetic, so
+    the codec itself is hash-gated, not just the plumbing.
+
+    Scale: one row per file from the scan, codec work is per-partition
+    Python over Arrow batches; the aggregate is per-file (keys =
+    files), so no wide shuffle — the pattern for audio feature
+    extraction over a payload lake."""
+    from ..operators.multimodal import decode_pcm16
+
+    df = spark.read.format("binaryFile").load(os.path.join(BLOB_DIR, "*.bin"))
+    files = df.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("file"), "content"
+    )
+    return decode_pcm16(files)

@@ -100,9 +100,46 @@ def test_multimodal_schema_and_fake_decode(spark):
     assert all(again[r.doc_id] == r.features for r in rows)
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_real_decode_pcm16(spark):
+    """impl='real' is the PCM16 struct-unpack codec: deterministic,
+    sample-domain (first feature = sample count = byte_len // 2), and
+    distinct from the bytes-level fake."""
     mm = to_multimodal(load_table(spark, SF_DIR, "documents").limit(5))
-    with pytest.raises(Exception, match="NotImplementedError|real decode"):
-        decode_features(mm, impl="real").collect()
+    rows = decode_features(mm, impl="real").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r.features) == FEATURE_DIM
+        assert r.features[0] == float(r.byte_len // 2)
+    again = {r.doc_id: r.features for r in decode_features(mm, impl="real").collect()}
+    assert all(again[r.doc_id] == r.features for r in rows)
+    fake = {r.doc_id: r.features for r in decode_features(mm, impl="fake").collect()}
+    assert any(fake[r.doc_id] != r.features for r in rows)
     with pytest.raises(ValueError, match="impl must be"):
         decode_features(mm, impl="nope")
+
+
+def test_decode_pcm16_matches_numpy(spark):
+    """The per-file codec's stats agree with a direct struct-unpack of
+    the committed fixture bytes."""
+    import math
+    from pathlib import Path
+
+    import numpy as np
+
+    from flink_pipeline_spark.operators.multimodal import decode_pcm16
+    from flink_pipeline_spark.plans.scans import BLOB_DIR
+
+    df = spark.read.format("binaryFile").load(BLOB_DIR + "/*.bin")
+    files = df.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("file"), "content"
+    )
+    got = {r.file: r for r in decode_pcm16(files).collect()}
+    for p in sorted(Path(BLOB_DIR).glob("*.bin")):
+        b = p.read_bytes()
+        v = np.frombuffer(b[: len(b) // 2 * 2], dtype="<u2").astype("int64")
+        r = got[p.name]
+        assert r.n_samples == v.size
+        assert r.peak == int(v.max())
+        assert r.energy == int((v * v).sum())
+        mean = float(int(v.sum())) / v.size
+        assert r.mean_ampl == math.floor(mean * 10_000 + 0.5) / 10_000
