@@ -51,9 +51,15 @@ def _fan_out(df: DataFrame) -> DataFrame:
     threaded. The repartition moves only the tiny source rows; on a
     real multi-file 100 TB table the scan is already wide and this is
     a no-op. Width is inferred from the scan's file count (reuses the
-    relation's cached FileIndex — no .rdd plan materialization)."""
+    relation's cached FileIndex — no .rdd plan materialization on the
+    file-scan path). Non-file-backed frames (in-memory fixtures,
+    derived frames in tests) report zero inputFiles; for those the
+    partition count decides, so an already-wide frame is NOT forced
+    through a pointless shuffle — the .rdd fallback never runs for
+    the parquet scans this guards at scale."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(p) if len(df.inputFiles()) < p else df
+    width = len(df.inputFiles()) or df.rdd.getNumPartitions()
+    return df.repartition(p) if width < p else df
 
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -243,17 +249,25 @@ def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
-    max_bucket: int = 1024,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming): ALL pairs within ``max_hamming`` bits —
-    exact recall via pigeonhole blocking, never an all-pairs join.
+    """(doc_a, doc_b, hamming): pairs within ``max_hamming`` bits via
+    pigeonhole blocking, never an all-pairs join.
 
     The signature splits into ``max_hamming + 1`` bit-blocks; two
     signatures within the distance MUST agree exactly on at least one
     block, so candidates = pairs sharing a (block, block-bits) bucket —
     an equi-key, one shuffle, with the same collect/cap/double-explode
     bucket guard as MinHash-LSH. Exact ``bit_count(xor)`` verifies each
-    candidate; blocking guarantees no pair is missed."""
+    candidate.
+
+    Recall: the BLOCKING is lossless, but the ``max_bucket`` guard
+    drops buckets larger than the cap (hot buckets are boilerplate
+    signatures, not near-dup signal) — a pair whose every agreeing
+    block lands in an over-cap bucket is not emitted, the same caveat
+    as MAX_LSH_BUCKET. Pass ``max_bucket=None`` for exact mode: every
+    in-distance pair is then guaranteed, at quadratic cost inside any
+    hot bucket."""
     nblocks = max_hamming + 1
     if bits % nblocks:
         raise ValueError(f"bits={bits} must divide into {nblocks} blocks")
@@ -274,10 +288,13 @@ def simhash_pairs(
     keyed = sh.select("doc_id", "simhash", keys).select(
         "doc_id", "simhash", "k.blk", "k.key"
     )
+    size_ok = F.size("ms") >= 2
+    if max_bucket is not None:
+        size_ok = size_ok & (F.size("ms") <= max_bucket)
     buckets = (
         keyed.groupBy("blk", "key")
         .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ms"))
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+        .filter(size_ok)
     )
     return (
         buckets.select(F.explode("ms").alias("a"), "ms")

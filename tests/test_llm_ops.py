@@ -48,9 +48,11 @@ def test_simhash_locality(spark):
 
 
 def test_simhash_pairs_exact_recall(spark):
-    """Pigeonhole blocking is exact: the pair query must return EVERY
-    pair within the hamming threshold (verified brute-force from the
-    signatures), with the correct distance."""
+    """Pigeonhole blocking with max_bucket=None is exact: the pair
+    query must return EVERY pair within the hamming threshold (verified
+    brute-force from the signatures), with the correct distance. The
+    default capped mode may only drop pairs, never invent or misscore
+    them."""
     docs = load_table(spark, SF_DIR, "documents")
     sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     ids = sorted(sh)
@@ -60,11 +62,17 @@ def test_simhash_pairs_exact_recall(spark):
         for b in ids[i + 1:]
         if bin(sh[a] ^ sh[b]).count("1") <= 3
     }
-    got = {
+    exact = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(docs, max_hamming=3, max_bucket=None).collect()
+    }
+    assert exact == expected
+    capped = {
         (r.doc_a, r.doc_b): r.hamming
         for r in simhash_pairs(docs, max_hamming=3).collect()
     }
-    assert got == expected
+    assert set(capped) <= set(exact)
+    assert all(exact[p] == h for p, h in capped.items())
 
 
 def test_topk_self_excluded_and_ranked(spark):
