@@ -467,3 +467,68 @@ def cosine_pairs_ivf(
         .select("vec_a", "vec_b", round_agg(cos).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster formation (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(doc_id, cluster_id): connected components over an undirected
+    near-dup pair graph; cluster_id = the smallest doc_id in the
+    component — the canonical keeper every member dedups onto. This is
+    the step that turns pairwise near-dup output into keeper sets.
+
+    Pregel-style min-label propagation: each iteration every node takes
+    the min of its own label and its neighbors' labels (one equi-join
+    shuffle on doc_id per iteration); convergence when no label
+    changed. Iterations are bounded by component DIAMETER, and real
+    near-dup graphs are diameter-small (clusters are cliques-ish);
+    max_iter is a runaway guard, not a truncation — non-convergence
+    raises rather than returning wrong clusters. At extreme scale the
+    same loop drops in large-star/small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce"), which square away long paths
+    in O(log n) rounds; the driver-side loop itself is control flow
+    only — every data operation is a distributed join/agg."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        nxt = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = nxt
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")

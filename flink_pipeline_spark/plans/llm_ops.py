@@ -23,6 +23,7 @@ from ..functions.text import (
 )
 from ..operators.llm import (
     MAX_LSH_BUCKET,
+    connected_components,
     cosine_pairs,
     cosine_pairs_ivf,
     doc_shingles,
@@ -652,3 +653,44 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("doc_id").agg(
         F.expr(f"CAST(sum((pos + 1) * {th}) % {P31} AS BIGINT)").alias("fingerprint")
     )
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT src AS id FROM edges
+    ), reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src
+    )
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation — the step after pair detection that
+    every dedup pipeline actually ships: connected components over the
+    verified MinHash near-dup graph, cluster_id = min doc_id in the
+    component (the canonical keeper; everything else in the cluster is
+    dropped downstream). Spark side is Pregel-style min-label
+    propagation (operators/llm.py connected_components); the DuckDB
+    oracle computes the exact transitive closure with a recursive CTE,
+    so the iterative distributed algorithm is hash-gated against a
+    declarative ground truth."""
+    d = load_table(spark, sf_dir, "documents")
+    sets = doc_shingles(d).persist()
+    pairs = (
+        verified_near_dups(
+            d, lsh_candidate_pairs(d, sets=sets), threshold=0.8, sets=sets
+        )
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    return connected_components(pairs)

@@ -315,3 +315,202 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens",
         round_agg(F.col("tokens") / F.col("total")).alias("token_share"),
     )
+
+
+@register(
+    "q_decontaminate_ratio",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source,
+               unnest({shingles_sql('duckdb', 'text', 3)}) AS sh
+        FROM documents
+    ), bench AS (
+        SELECT DISTINCT sh FROM sh WHERE source = 'src0'
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+           {round_sql('sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE'
+                      ' / count(*)')} AS hit_ratio,
+           sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) * 10 >= count(*)
+               AS flagged
+    FROM sh s LEFT JOIN bench b USING (sh)
+    WHERE s.source <> 'src0'
+    GROUP BY s.doc_id
+    """,
+)
+def q_decontaminate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination: per corpus doc, the FRACTION of its
+    3-word shingles that appear in the benchmark set, plus a >= 10%%
+    flag — the thresholded policy real pipelines use (a single shared
+    shingle is noise; a tenth of the doc is leakage). Complements
+    q_decontaminate's any-hit report.
+
+    Scale: identical shape to q_decontaminate's probe — the benchmark
+    shingle set broadcasts, the corpus side is one explode -> broadcast
+    left join -> per-doc aggregate with map-side partials; the flag is
+    integer arithmetic (n_hit * 10 >= n_shingles), no float threshold
+    to drift between engines."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(shingles_sql("spark", "text", 3))).alias("sh"),
+    )
+    bench = (
+        sh.filter(F.col("source") == "src0")
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    n_hit = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    return (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            n_hit.alias("n_hit"),
+            round_agg(n_hit.cast("double") / F.count("*")).alias("hit_ratio"),
+            (n_hit * 10 >= F.count("*")).alias("flagged"),
+        )
+    )
+
+
+# Resampling gate precision: rates are fixed-point basis points
+# (1/10000), compared against hash56(doc_id) % 10000 — an INTEGER
+# compare, so the keep/drop decision cannot drift between engines.
+MIX_BP = 10_000
+
+
+@register(
+    "q_mixture_resample",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS tok
+        FROM documents
+    ), mix AS (
+        SELECT source, sum(tok) AS cell_tokens FROM t GROUP BY source
+    ), tot AS (
+        SELECT sum(cell_tokens) AS total, count(*) AS n_cells FROM mix
+    ), rates AS (
+        SELECT source,
+               CAST(floor(least(1.0,
+                   (total::DOUBLE / n_cells) / cell_tokens::DOUBLE)
+                   * {MIX_BP} + 0.5) AS BIGINT) AS bp
+        FROM mix CROSS JOIN tot
+    )
+    SELECT t.source, bp,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(tok) AS BIGINT) AS tokens_kept
+    FROM t JOIN rates r USING (source)
+    WHERE {_HASH_DOC} % {MIX_BP} < bp
+    GROUP BY t.source, bp
+    """,
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture re-weighting: down-sample each source to
+    an equal-token target share (total/n_sources). The per-source keep
+    rate is fixed-point basis points; a doc is kept iff
+    hash56(doc_id) %% 10000 < rate_bp — the same doc survives on any
+    engine, any run, any cluster, which is what makes a re-run of the
+    pipeline reproduce the same training set.
+
+    Scale: the mix table is #sources rows (broadcast); the corpus pass
+    is a pure map (hash + integer compare) then one aggregate — no
+    extra shuffle beyond the final per-source rollup, and the persisted
+    mix agg feeds both the denominator and the rate join."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("tok")
+    )
+    mix = t.groupBy("source").agg(F.sum("tok").alias("cell_tokens")).persist()
+    tot = mix.agg(
+        F.sum("cell_tokens").alias("total"), F.count("*").alias("n_cells")
+    )
+    rates = mix.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.col("total").cast("double") / F.col("n_cells"))
+                / F.col("cell_tokens").cast("double"),
+            )
+            * MIX_BP
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("bp"),
+    )
+    kept = t.join(F.broadcast(rates), "source").filter(
+        hash56(F.col("doc_id")) % MIX_BP < F.col("bp")
+    )
+    return kept.groupBy("source", "bp").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("tok").alias("tokens_kept"),
+    )
+
+
+# PII patterns: one regex dialect subset that Java (Spark) and RE2
+# (DuckDB) interpret identically — character classes, bounded repeats,
+# no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+
+
+def _pii_oracle() -> str:
+    from ..sources.fixtures import fixture_values_sql
+
+    return f"""
+    SELECT rec_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_IPV4}', '<IP>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phone
+    FROM {fixture_values_sql('pii_lines')}
+    """
+
+
+@register("q_pii_redact", oracle=_pii_oracle())
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every training corpus runs
+    before tokenization: redact emails, IPv4 addresses, and NANP phone
+    numbers (in that order — email domains contain dots, so emails go
+    first) and count each category from the ORIGINAL text for the
+    audit report. Runs on the planted-PII fixture (the parquet corpus
+    is clean word soup).
+
+    Scale: a pure per-row map — regexp_replace/extract_all are
+    codegen'd JVM expressions, no shuffle at all; at 100 TB this is
+    scan -> project -> write, the cheapest possible shape."""
+    from ..sources.fixtures import fixture_df
+
+    t = fixture_df(spark, "pii_lines")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return t.select(
+        "rec_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ip"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phone"),
+    )

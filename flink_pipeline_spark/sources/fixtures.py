@@ -124,8 +124,22 @@ READ_PAIRS = [
     ("DNA16-0084-R0001", "r091", "", "", "", ""),
 ]
 
+# Planted-PII lines for the redaction operator (north-star training
+# layer; the parquet documents are clean word soup, so redaction needs
+# its own fixture with known email/phone/IPv4 placements).
+PII_LINES_COLS = ("rec_id", "text")
+PII_LINES = [
+    (1, "contact jane.doe@example.com or bob_smith+spam@mail.example.org today"),
+    (2, "call 555-867-5309 after 5pm, backup line 415-555-0199"),
+    (3, "server at 192.168.1.77 proxied via 10.0.0.1 and 8.8.8.8"),
+    (4, "mixed: root@box.example.net from 172.16.254.3 dials 650-555-1234"),
+    (5, "clean line with no personal identifiers at all"),
+    (6, "edge: not-an-email@ and 12-34-5678 and 999.999 stay untouched"),
+]
+
 _SCHEMAS = {
     "read_files": (READ_FILES_COLS, READ_FILES, "filename STRING"),
+    "pii_lines": (PII_LINES_COLS, PII_LINES, "rec_id INT, text STRING"),
     "file_listing": (FILE_LISTING_COLS, FILE_LISTING, "name STRING, kind STRING, size BIGINT"),
     "log_lines": (LOG_LINES_COLS, LOG_LINES, "lineno INT, line STRING"),
     "attempts": (

@@ -151,3 +151,28 @@ def test_decode_pcm16_matches_numpy(spark):
         assert r.energy == int((v * v).sum())
         mean = float(int(v.sum())) / v.size
         assert r.mean_ampl == math.floor(mean * 10_000 + 0.5) / 10_000
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation must converge on a path graph (worst-case
+    diameter for its size) and keep disjoint components separate."""
+    from flink_pipeline_spark.operators.llm import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4 forces multiple iterations),
+    # triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from flink_pipeline_spark.operators.llm import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a BIGINT, doc_b BIGINT")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
