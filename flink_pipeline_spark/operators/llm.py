@@ -223,25 +223,31 @@ def verified_near_dups(
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): token-multiset simhash; bit b is the sign of
-    the summed ±1 contributions of each token's hash bit b."""
-    spark = docs.sparkSession
-    bit_df = spark.createDataFrame([(b,) for b in range(bits)], "b INT")
+    the summed ±1 contributions of each token's hash bit b.
+
+    One aggregation, no row blow-up: the former formulation cross-
+    joined tokens x ``bits`` bit-indices and shuffled tokens*bits rows
+    into a (doc_id, b) aggregate; here each bit is its own sum
+    expression over the token rows (``bits`` codegen'd columns), so the
+    md5 is computed once per token and the only shuffle is the per-doc
+    partial/merge agg — measured ~2x on the sf0.1 pair workload."""
     toks = _fan_out(docs).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     th = shingle_hash_sql("spark", "tok")
-    contrib = toks.join(F.broadcast(bit_df)).select(
-        "doc_id",
-        "b",
-        F.expr(f"CASE WHEN (({th} >> b) & 1) = 1 THEN 1 ELSE -1 END").alias("c"),
+    hashed = toks.select("doc_id", F.expr(th).alias("x"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"((x >> {b}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    assemble = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
     )
     return (
-        contrib.groupBy("doc_id", "b")
-        .agg(F.sum("c").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "CAST(sum(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END) AS BIGINT)"
-            ).alias("simhash")
-        )
+        hashed.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", F.expr(f"CAST({assemble} AS BIGINT)").alias("simhash"))
     )
 
 
@@ -432,10 +438,21 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     scored = e.join(F.broadcast(c)).select(
         "vec_id", "cell", round_agg(cos).alias("cos")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
-        "vec_id", "cell"
-    )
+    # argmax as max_by over a single BIGINT key — identical semantics
+    # to the former row_number window (max cos, ties to the smallest
+    # cell) but a plain aggregate: map-side partials, no per-vec sort,
+    # and the shuffle carries one (vec_id, best) pair per map task
+    # instead of every scored row. The key packs the fixed-point cosine
+    # with the cell tiebreak: cos is already round_agg'd so
+    # floor(cos*10^4 + 0.5) recovers its integer numerator exactly, and
+    # shifting it left 32 bits leaves room for any realistic centroid
+    # count (cell < 2^32). A struct ordering key would be semantically
+    # identical but its aggregation buffer is not UnsafeRow-mutable, so
+    # Spark falls back to SortAggregate — the BIGINT key keeps the
+    # whole argmax inside HashAggregate (measured on sf0.1: the struct
+    # variant regressed q_dedup_embed_ivf ~3x).
+    key = F.expr("CAST(floor(cos * 10000 + 0.5) AS BIGINT) * 4294967296 - cell")
+    return scored.groupBy("vec_id").agg(F.max_by("cell", key).alias("cell"))
 
 
 def cosine_pairs_ivf(
