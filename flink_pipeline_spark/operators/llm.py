@@ -486,6 +486,67 @@ def cosine_pairs_ivf(
     )
 
 
+def topk_neighbors_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos): IVF-probed top-k cosine —
+    the ANN search that the ivf_assign quantizer exists for. Each query
+    ranks the centroids, probes only its ``nprobe`` best cells, and
+    scores just those cells' members; recall vs brute-force
+    topk_neighbors is bounded by the quantizer (a true neighbor
+    assigned to an unprobed cell is missed — the documented ANN trade,
+    tunable via nprobe).
+
+    Scale: per-query compare work drops from O(corpus) to
+    O(sum of probed cell sizes). The corpus never shuffles — the
+    (query, probed-cell) table is queries x nprobe rows and BROADCASTS
+    onto the assigned corpus scan; the only wide op is the per-query
+    top-k window, whose input is already cell-pruned. Probe ranking is
+    on the round_agg'd cosine (round-before-rank) so the probed cell
+    set replays identically in the DuckDB oracle."""
+    assigned = ivf_assign(emb, centroids)
+    q = with_norm(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        F.col("norm").alias("nq"),
+    )
+    c = with_norm(centroids).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("ec"),
+        F.col("norm").alias("nc"),
+    )
+    qcos = F.expr(DOT_SQL.format(a="eq", b="ec")) / (F.col("nq") * F.col("nc"))
+    pw = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("cell"))
+    probes = (
+        q.join(F.broadcast(c))
+        .select("query_id", "cell", "eq", "nq", round_agg(qcos).alias("qcos"))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cell", "eq", "nq")
+    )
+    e = with_norm(emb).join(assigned, "vec_id")
+    cos = F.expr(DOT_SQL.format(a="embedding", b="eq")) / (F.col("norm") * F.col("nq"))
+    scored = (
+        e.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            round_agg(cos).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup cluster formation (connected components)
 # ---------------------------------------------------------------------------
@@ -519,16 +580,21 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .persist()
     )
+    cached = labels  # the persisted frame backing the current labels
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_label"))
         )
-        nxt = (
+        # carry the old label through the propagation join so the
+        # convergence check is a filter on the already-persisted frame,
+        # not a second labels-vs-labels join+shuffle per iteration
+        step = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("old_label"),
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
@@ -537,14 +603,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .persist()
         )
         changed = (
-            nxt.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
+            step.filter(F.col("cluster_id") != F.col("old_label")).limit(1).count()
         )
-        labels.unpersist()
-        labels = nxt
+        cached.unpersist()
+        cached = step
+        labels = step.select("doc_id", "cluster_id")
         if changed == 0:
             edges.unpersist()
             return labels

@@ -33,6 +33,7 @@ from ..operators.llm import (
     simhash,
     simhash_pairs,
     topk_neighbors,
+    topk_neighbors_ivf,
     verified_near_dups,
 )
 from ..operators.topk import rank_after_topk
@@ -394,6 +395,64 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = ivf_assign(emb, emb.filter(F.col("vec_id") < 8))
     return assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
+
+
+@register(
+    "q_sim_ivf_topk",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.vec_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
+                                      * 10000 + 0.5) / 10000 DESC,
+                                c.vec_id) AS rn
+            FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+        ) t WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY floor({_COS_DUCK.format(a='q.embedding', b='c.embedding')}
+                                      * 10000 + 0.5) / 10000 DESC,
+                                c.vec_id) AS rn
+            FROM embeddings q JOIN embeddings c ON c.vec_id < 8
+            WHERE q.vec_id < 5
+        ) t WHERE rn <= 2
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM (
+        SELECT p.query_id, m.vec_id AS neighbor_id,
+               floor({_COS_DUCK.format(a='q.embedding', b='m.embedding')} * 10000 + 0.5)
+                 / 10000 AS cos,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY floor({_COS_DUCK.format(a='q.embedding', b='m.embedding')}
+                                  * 10000 + 0.5) / 10000 DESC, m.vec_id) AS rank
+        FROM probes p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN assigned a ON a.cell = p.cell
+        JOIN embeddings m ON m.vec_id = a.vec_id
+        WHERE m.vec_id <> p.query_id
+    ) t WHERE rank <= 3
+    """,
+)
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed top-3 neighbors for query vectors (vec_id<5): rank
+    the 8 centroids per query, probe the best 2 cells, score only
+    their members. The ANN search path q_sim_ivf's quantizer exists
+    for — per-query work is O(probed cells), not O(corpus), and the
+    oracle replays the identical assignment + probe choice so the
+    check stays exact despite the approximation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_neighbors_ivf(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("vec_id") < 8),
+        k=3,
+        nprobe=2,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -12,6 +12,7 @@ from flink_pipeline_spark.operators.llm import (
     simhash,
     simhash_pairs,
     topk_neighbors,
+    topk_neighbors_ivf,
     verified_near_dups,
 )
 from flink_pipeline_spark.operators.multimodal import (
@@ -87,6 +88,31 @@ def test_topk_self_excluded_and_ranked(spark):
         assert [r[0] for r in rows] == list(range(1, 6))
         cs = [r[1] for r in rows]
         assert cs == sorted(cs, reverse=True), f"cos not monotone for {q}"
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """With nprobe = #centroids every cell is probed, so the IVF search
+    must return exactly the brute-force top-k; with nprobe=1 results
+    are a subset drawn only from each query's best cell."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cents = emb.filter(F.col("vec_id") < 8)
+    brute = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in topk_neighbors(emb, queries, k=3).collect()
+    }
+    full = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in topk_neighbors_ivf(emb, queries, cents, k=3, nprobe=8).collect()
+    }
+    assert full == brute
+    narrow = topk_neighbors_ivf(emb, queries, cents, k=3, nprobe=1).collect()
+    assert narrow  # planted fixture always has same-cell neighbors
+    for r in narrow:
+        assert r.neighbor_id != r.query_id
+        # anything the narrow probe found at rank r scores <= the
+        # brute-force neighbor at that rank (ANN can only lose recall)
+        assert r.cos <= brute[(r.query_id, r.rank)][1]
 
 
 def test_multimodal_schema_and_fake_decode(spark):
