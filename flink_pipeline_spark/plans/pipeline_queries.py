@@ -14,6 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load_table
 from ..functions.portable import round_agg, hash56_sql_duckdb, round_sql
 from ..pipeline import P31, SAM_SCHEMA, fake_align
 from ..sources.fixtures import fixture_df, fixture_values_sql
@@ -109,3 +110,78 @@ def q_grouped_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas path is hash-checked."""
     pairs = fixture_df(spark, "read_pairs")
     return pairs.groupBy("sample").applyInPandas(fake_align, schema=SAM_SCHEMA)
+
+
+def bucketed_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Write orders and lineitem as bucketed+sorted tables on their
+    join key and return the bucket-aware readbacks. Bucketing is the
+    100 TB layout decision this engine standardizes on for repeated
+    fact-to-fact joins: both sides hash-clustered into the same bucket
+    count at WRITE time, so every later join/agg on the key reuses the
+    on-disk clustering instead of re-shuffling the corpus per query.
+    sortBy pre-sorts each bucket file, so the remaining per-bucket
+    sort merges sorted runs instead of sorting raw data. Table names
+    carry a uuid: each invocation gets fresh external tables under
+    /tmp (the in-memory catalog entry is session-scoped; the driver's
+    bare session works the same way)."""
+    tag = uuid.uuid4().hex[:8]
+    out = _tmpdir(f"bucketed_{tag}")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ot, lt = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    (
+        o.write.bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(out, "orders"))
+        .mode("errorifexists")
+        .saveAsTable(ot)
+    )
+    (
+        l.write.bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(out, "lineitem"))
+        .mode("errorifexists")
+        .saveAsTable(lt)
+    )
+    return spark.table(ot), spark.table(lt)
+
+
+@register(
+    "q_bucketed_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {round_sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-to-fact join over bucketed storage: orders and
+    lineitem are written bucketBy(8, orderkey) + sortBy, then joined
+    with a merge hint — the exchange is eliminated on BOTH sides
+    (tests/test_plans.py asserts no Exchange under the SortMergeJoin)
+    because the on-disk bucketing already satisfies the join's
+    distribution requirement. A Sort node remains (a bucket may span
+    several files, one per writer task, so Spark must merge them) but
+    it sorts already-sorted runs per bucket, not a shuffled corpus.
+    The only shuffle in the whole query is the final tiny per-priority
+    rollup. The merge hint keeps
+    the demonstration honest at sf0.01 (AQE would otherwise broadcast
+    the small side and skip the bucketed path entirely)."""
+    bo, bl = bucketed_tables(spark, sf_dir)
+    j = bo.hint("merge").join(
+        bl.hint("merge"), bo.o_orderkey == bl.l_orderkey
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        round_agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        ),
+    )

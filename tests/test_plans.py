@@ -132,3 +132,32 @@ def test_dedup_exact_shuffles_digest_not_text(spark):
     assert exchanges, plan
     for keys in exchanges:
         assert "text" not in keys, keys
+
+
+def test_bucketed_join_no_exchange_under_smj(spark):
+    """The bucketed join's SortMergeJoin must consume the bucketed
+    scans DIRECTLY — no Exchange on either side (the on-disk bucketing
+    satisfies the distribution requirement). Only the final rollup may
+    shuffle."""
+    from flink_pipeline_spark.plans.pipeline_queries import bucketed_tables
+
+    bo, bl = bucketed_tables(spark, SF_DIR)
+    plan = (
+        bo.hint("merge")
+        .join(bl.hint("merge"), bo.o_orderkey == bl.l_orderkey)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_ivf_topk_probe_table_broadcasts(spark):
+    """The IVF search must broadcast the (query, probed-cell) table
+    onto the corpus — the corpus side never exchanges for the probe
+    join. (The per-query top-k window legitimately shuffles the
+    already-cell-pruned candidates.)"""
+    plan = _plan(spark, "q_sim_ivf_topk")
+    assert "BroadcastHashJoin" in plan, plan
