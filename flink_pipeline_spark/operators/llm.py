@@ -547,6 +547,76 @@ def topk_neighbors_ivf(
     )
 
 
+def knn_classify(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """(query_id, predicted_label, actual_label, n_votes): k-NN
+    majority-vote label prediction — the embedding-classifier pattern
+    LLM pipelines use for quality filtering (label a small seed set,
+    predict over the corpus, keep the docs classified as high-quality).
+    Ties break to the smallest label.
+
+    Scale: neighbors come from topk_neighbors (query side broadcasts,
+    corpus never shuffles); the vote table is queries x k rows, and the
+    per-query argmax is the same packed-BIGINT max_by trick as
+    ivf_assign — vote count in the high bits, label tiebreak in the
+    low — so the whole vote stays inside HashAggregate."""
+    nn = topk_neighbors(emb, queries, k=k)
+    lbl = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nbr_label")
+    )
+    votes = (
+        nn.join(lbl, "neighbor_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    key = F.expr("n_votes * 4294967296 - nbr_label")
+    pred = votes.groupBy("query_id").agg(
+        F.max_by("nbr_label", key).alias("predicted_label"),
+        F.max(key).alias("max_key"),
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("actual_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        F.col("predicted_label").cast("long").alias("predicted_label"),
+        F.col("actual_label").cast("long").alias("actual_label"),
+        # decode the winning vote count back out of the packed key
+        ((F.col("max_key") + F.col("predicted_label")) / F.lit(4294967296))
+        .cast("long")
+        .alias("n_votes"),
+    )
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """(label, n_vectors, centroid): per-label mean vector — class
+    centroids for nearest-class-mean classification or as a seeded IVF
+    quantizer init. Elementwise array aggregation expressed
+    relationally: posexplode to (label, pos, x) rows, avg per
+    (label, pos) with map-side partials, then reassemble each centroid
+    in position order via sorted collect (array_sort on (pos, m)
+    structs — no window, no UDF). Each mean is round_agg'd so the
+    centroid replays bit-identically in the DuckDB oracle.
+
+    Scale: the exploded frame is rows x dim — linear, and the
+    (label, pos) grouping key is tiny (labels x dim cells), so the
+    merge side of the agg is trivially small; the reassembly touches
+    labels x dim rows, not the corpus."""
+    e = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cent = e.groupBy("label", "pos").agg(
+        round_agg(F.avg(F.col("x").cast("double"))).alias("m")
+    )
+    counts = emb.groupBy("label").agg(F.count("*").alias("n_vectors"))
+    arrs = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+    return (
+        counts.join(arrs, "label")
+        .select(F.col("label").cast("long").alias("label"), "n_vectors", "centroid")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup cluster formation (connected components)
 # ---------------------------------------------------------------------------

@@ -32,6 +32,8 @@ from ..operators.llm import (
     minhash_signatures,  # noqa: F401 (re-exported for tests)
     simhash,
     simhash_pairs,
+    knn_classify,
+    label_centroids,
     topk_neighbors,
     topk_neighbors_ivf,
     verified_near_dups,
@@ -453,6 +455,78 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         nprobe=2,
     )
+
+
+@register(
+    "q_knn_classify",
+    oracle=f"""
+    WITH nn AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY floor({_COS_DUCK.format(a='q.embedding', b='e.embedding')}
+                                      * 10000 + 0.5) / 10000 DESC, e.vec_id) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < 50
+        ) t WHERE rank <= 5
+    ), votes AS (
+        SELECT query_id, l.label AS nbr_label, count(*) AS n_votes
+        FROM nn JOIN embeddings l ON l.vec_id = nn.neighbor_id
+        GROUP BY query_id, l.label
+    ), pred AS (
+        SELECT query_id, nbr_label, n_votes FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY n_votes DESC, nbr_label) AS rn
+            FROM votes
+        ) t WHERE rn = 1
+    )
+    SELECT p.query_id,
+           CAST(p.nbr_label AS BIGINT) AS predicted_label,
+           CAST(q.label AS BIGINT) AS actual_label,
+           CAST(p.n_votes AS BIGINT) AS n_votes
+    FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction (k=5, queries = vec_id<50): majority vote
+    of each query's top-5 cosine neighbors' labels, ties to the
+    smallest label — the embedding-classifier quality-filter pattern.
+    The oracle replays the vote with a window; the Spark side keeps the
+    argmax in HashAggregate via the packed-key max_by."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_classify(emb, emb.filter(F.col("vec_id") < 50), k=5)
+
+
+@register(
+    "q_label_centroids",
+    oracle="""
+    WITH e AS (
+        SELECT label,
+               unnest(range(len(embedding))) AS pos,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        FROM embeddings
+    ), cent AS (
+        SELECT label, pos, floor(avg(x) * 10000 + 0.5) / 10000 AS m
+        FROM e GROUP BY label, pos
+    ), counts AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM embeddings GROUP BY label
+    )
+    SELECT CAST(label AS BIGINT) AS label, n_vectors, centroid
+    FROM counts JOIN (
+        SELECT label, list(m ORDER BY pos) AS centroid
+        FROM cent GROUP BY label
+    ) a USING (label)
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding: elementwise array average done
+    relationally (posexplode -> (label, pos) avg -> ordered reassembly
+    by array_sort of (pos, m) structs). Class centroids for
+    nearest-class-mean filtering or IVF quantizer seeding; each mean is
+    round_agg'd so the array hash-matches the DuckDB replay."""
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from flink_pipeline_spark.catalog import load_table
 from flink_pipeline_spark.operators.llm import (
+    knn_classify,
+    label_centroids,
     lsh_candidate_pairs,
     simhash,
     simhash_pairs,
@@ -202,3 +204,22 @@ def test_connected_components_nonconvergence_raises(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=1)
+
+
+def test_knn_classify_vote_bounds_and_centroid_shape(spark):
+    """Votes are bounded by k, predictions come from the label domain,
+    and centroids have the embedding's dimensionality with one row per
+    label."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    out = knn_classify(emb, emb.filter(F.col("vec_id") < 10), k=5).collect()
+    assert len(out) == 10
+    for r in out:
+        assert 1 <= r.n_votes <= 5
+        assert r.predicted_label in labels
+    cents = label_centroids(emb).collect()
+    assert {r.label for r in cents} == labels
+    dim = len(emb.select("embedding").first().embedding)
+    for r in cents:
+        assert len(r.centroid) == dim
+        assert r.n_vectors > 0
