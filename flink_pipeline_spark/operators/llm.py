@@ -311,8 +311,12 @@ def simhash_pairs(
             F.col("b.doc_id").alias("doc_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
-        .distinct()
+        # verify BEFORE dedup: a bucket-mate pair agrees on one 4-bit
+        # block but is usually far in the other bits, so filtering on
+        # the (codegen'd) xor popcount first keeps the distinct's
+        # shuffle to true pairs only, not every bucket candidate
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

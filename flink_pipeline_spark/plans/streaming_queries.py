@@ -16,6 +16,7 @@ from ..functions.portable import round_agg, round_sql
 from ..sources.fixtures import fixture_df, fixture_values_sql
 from ..streaming.state import track_jobs
 from ..streaming.windows import (
+    enriched_counts,
     session_counts,
     sliding_counts,
     stream_dedup,
@@ -98,6 +99,29 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on (user_id, event_type) (ST11); on a stream this is
     watermark-bounded dropDuplicates state."""
     return stream_dedup(load_table(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+@register(
+    "q_stream_enrich",
+    oracle=f"""
+    SELECT c_mktsegment AS segment, event_type,
+           count(*) AS n,
+           {round_sql('sum(value)')} AS total_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: events joined to the static
+    customer dimension (segment per user), rolled up per
+    (segment, event_type). On a stream, every micro-batch hash-joins
+    against the broadcast dim snapshot — the unbounded side never
+    shuffles for the join; tests/test_streaming.py asserts
+    stream == batch."""
+    return enriched_counts(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )
 
 
 @register(

@@ -98,6 +98,30 @@ def session_counts(
     )
 
 
+def enriched_counts(df: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment: join each event to a STATIC
+    dimension snapshot (customer market segment keyed by user_id) and
+    roll up per (segment, event_type). The streaming dimension-join
+    pattern: Structured Streaming hash-joins every micro-batch against
+    the broadcast dim — the unbounded side never shuffles for the join,
+    and only the final rollup keeps state. Works identically on a batch
+    frame, which is what the oracle checks; stream==batch is asserted
+    in tests/test_streaming.py."""
+    d = dim.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        df.select("user_id", "event_type", "value")
+        .join(F.broadcast(d), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            round_agg(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
 def stream_dedup(
     df: DataFrame,
     keys: list[str],

@@ -22,6 +22,7 @@ from flink_pipeline_spark.streaming.lifecycle import (
 )
 from flink_pipeline_spark.streaming.state import track_jobs, track_jobs_stream
 from flink_pipeline_spark.streaming.windows import (
+    enriched_counts,
     session_counts,
     sliding_counts,
     stream_dedup,
@@ -72,6 +73,17 @@ def _rows(df):
 def test_stream_equals_batch_windows(spark, events_stream_dir, transform, mode):
     batch = transform(load_table(spark, SF_DIR, "events"))
     name = _run_to_memory(transform(_read_stream(spark, events_stream_dir)), mode)
+    assert _rows(spark.table(name)) == _rows(batch)
+
+
+def test_stream_enrich_equals_batch(spark, events_stream_dir):
+    """Stream-static broadcast join: each micro-batch enriched against
+    the static customer dim must aggregate to the batch result."""
+    dim = load_table(spark, SF_DIR, "customer")
+    batch = enriched_counts(load_table(spark, SF_DIR, "events"), dim)
+    name = _run_to_memory(
+        enriched_counts(_read_stream(spark, events_stream_dir), dim), "complete"
+    )
     assert _rows(spark.table(name)) == _rows(batch)
 
 
