@@ -67,6 +67,11 @@ HEADLINE = [
     # correctness workload (33k pairs), IVF the sub-quadratic ANN path
     "q_dedup_simhash_pairs",
     "q_dedup_embed_ivf",
+    # ANN search + classifier over embeddings, and the stream-static
+    # dimension join — the round-3 additions a data pipeline runs hot
+    "q_sim_ivf_topk",
+    "q_knn_classify",
+    "q_stream_enrich",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"

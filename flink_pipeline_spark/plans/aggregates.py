@@ -186,6 +186,29 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {round_sql('sum(l_quantity)')} AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets — the non-hierarchical aggregation
+    pattern ROLLUP/CUBE cannot express: detail cells plus subtotals by
+    the SECOND key only ((flag, status) and (status)). One scan, one
+    expand, partial aggregation before the shuffle like any groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(round_agg(F.sum("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
+
+
 # HLL++ default relative standard deviation is 0.05; the gate allows
 # 3 sigma, so a correct sketch fails with probability ~0.3% per cell.
 APPROX_DISTINCT_RTOL = 0.15

@@ -86,6 +86,54 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# percentile_approx default accuracy 10000 bounds rank error at 1e-4;
+# on the ~uniform fixture that is a tiny value error, so a 2% value
+# tolerance is a real-but-generous gate (mirrors APPROX_DISTINCT_RTOL).
+APPROX_PCTL_RTOL = 0.02
+
+
+@register(
+    "q_approx_percentile",
+    oracle=f"""
+    SELECT l_returnflag,
+           {round_sql('quantile_cont(l_extendedprice, 0.5)')} AS exact_p50,
+           {round_sql('quantile_cont(l_extendedprice, 0.9)')} AS exact_p90,
+           TRUE AS p50_ok,
+           TRUE AS p90_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (GK sketch via percentile_approx) — the
+    100 TB path for quantiles: bounded sketch memory per group instead
+    of sorting every value. Like q_approx_distinct, the sketch output
+    is engine-specific, so the query emits the exact interpolated
+    percentiles plus booleans asserting the sketch landed within
+    APPROX_PCTL_RTOL of exact; the oracle expects the booleans TRUE —
+    a driver gate on the sketch's accuracy, not just its shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_approx(l_extendedprice, 0.5)").alias("a50"),
+        F.expr("percentile_approx(l_extendedprice, 0.9)").alias("a90"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("e90"),
+    )
+
+    def ok(approx, exact):
+        return F.abs(F.col(approx) - F.col(exact)) <= F.lit(
+            APPROX_PCTL_RTOL
+        ) * F.abs(F.col(exact))
+
+    return agg.select(
+        "l_returnflag",
+        round_agg(F.col("e50")).alias("exact_p50"),
+        round_agg(F.col("e90")).alias("exact_p90"),
+        ok("a50", "e50").alias("p50_ok"),
+        ok("a90", "e90").alias("p90_ok"),
+    )
+
+
 @register(
     "q_text_edit_distance",
     oracle="""

@@ -58,6 +58,37 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_dist",
+    oracle=f"""
+    SELECT c_custkey, c_nationkey,
+           ntile(4) OVER w AS quartile,
+           {round_sql('percent_rank() OVER w')} AS pct_rank,
+           {round_sql('cume_dist() OVER w')} AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY floor(c_acctbal / 1000) DESC, c_custkey)
+    """,
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window trio (ntile / percent_rank / cume_dist) —
+    quartile bucketing and relative standing per nation. All three are
+    position-sensitive, so the window orders by a UNIQUE key
+    (bucket desc, custkey) and the fractional outputs are round_agg'd:
+    deterministic on any engine, any partitioning."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.floor(F.col("c_acctbal") / 1000).desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        round_agg(F.percent_rank().over(w)).alias("pct_rank"),
+        round_agg(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+@register(
     "q_window_running",
     oracle=f"""
     SELECT o_custkey, o_orderkey,
