@@ -1,103 +1,157 @@
-"""Property-based cross-engine tests for the portable-expression
-conventions (functions/portable.py) that every oracle check rests on.
-
-Strategy: hypothesis generates adversarial values (doubles near
-rounding boundaries, strings with unicode/quotes/whitespace,
-timestamps), a SINGLE Spark job evaluates the Spark-side expression
-over all of them, DuckDB evaluates the oracle-side text over the same
-values, and the results must agree exactly. If any of these properties
-break, hash gates across the whole registry break with them — this
-pins the convention, not one query.
-"""
+"""Property-based cross-engine guarantees for the portable primitives
+(functions/portable.py): whatever data flows through, Spark and DuckDB
+must produce bit-identical values — these are the axioms the whole
+oracle-parity scheme rests on."""
 
 from __future__ import annotations
 
 import duckdb
+import pandas as pd
 import pytest
-from hypothesis import given, settings, strategies as st
-from pyspark.sql import functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from flink_pipeline_spark.functions.portable import (
-    ROUND_SCALE,
-    hash56,
     hash56_sql_duckdb,
-    round_agg,
+    hash56_sql_spark,
     round_sql,
 )
 
-# a few batched example sets per property: hypothesis drives the
-# VALUES, one Spark job per example keeps runtime sane
-N_EXAMPLES = 3
-
-
-def _spark_eval_doubles(spark, vals, col_fn):
-    df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
-    return [r.y for r in df.select(col_fn(F.col("x")).alias("y")).collect()]
-
-
-def _spark_eval_strings(spark, vals, col_fn):
-    df = spark.createDataFrame([(v,) for v in vals], "x STRING")
-    return [r.y for r in df.select(col_fn(F.col("x")).alias("y")).collect()]
-
-
-# doubles across magnitudes, including exact .5-boundary multiples of
-# 10^-scale where naive round() implementations disagree
-_doubles = st.one_of(
-    st.floats(
-        min_value=-1e9,
-        max_value=1e9,
-        allow_nan=False,
-        allow_infinity=False,
-    ),
-    st.integers(min_value=-10**6, max_value=10**6).map(
-        lambda n: n / 10**ROUND_SCALE + 5 / 10 ** (ROUND_SCALE + 1)
-    ),
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
-_strings = st.text(
-    alphabet=st.characters(
-        blacklist_categories=("Cs",),  # no lone surrogates
-        max_codepoint=0x2FFF,
-    ),
-    max_size=40,
+finite_doubles = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
 )
 
 
-@settings(max_examples=N_EXAMPLES, deadline=None)
-@given(st.lists(_doubles, min_size=1, max_size=300))
-def test_round_agg_matches_duckdb(spark, vals):
-    got_spark = _spark_eval_doubles(spark, vals, round_agg)
+def _spark_vals(spark, pdf, expr_sql, col="v"):
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("prop_t")
+    return [r.out for r in spark.sql(f"SELECT {expr_sql} AS out FROM prop_t").collect()]
+
+
+def _duck_vals(pdf, expr_sql):
     con = duckdb.connect()
-    got_duck = [
-        con.execute(f"SELECT {round_sql('?::DOUBLE')}", [v]).fetchone()[0]
-        for v in vals
-    ]
-    assert got_spark == got_duck
+    con.register("prop_t", pdf)
+    return [r[0] for r in con.execute(f"SELECT {expr_sql} AS out FROM prop_t").fetchall()]
 
 
-@settings(max_examples=N_EXAMPLES, deadline=None)
-@given(st.lists(_strings, min_size=1, max_size=300))
-def test_hash56_matches_duckdb(spark, vals):
-    got_spark = _spark_eval_strings(spark, vals, hash56)
-    con = duckdb.connect()
-    got_duck = [
-        con.execute(f"SELECT {hash56_sql_duckdb('?')}", [v]).fetchone()[0]
-        for v in vals
-    ]
-    assert got_spark == got_duck
-    # and the range contract: 56 bits, non-negative, inside i64
-    assert all(0 <= h < 2**56 for h in got_spark)
+@SETTINGS
+@given(st.lists(finite_doubles, min_size=1, max_size=50))
+def test_portable_round_bit_identical(spark, xs):
+    pdf = pd.DataFrame({"v": pd.Series(xs, dtype="float64")})
+    s = _spark_vals(spark, pdf, round_sql("v"))
+    d = _duck_vals(pdf, round_sql("v"))
+    assert s == d
 
 
-def test_round_agg_is_half_up_at_boundary(spark):
-    """The convention is floor(x*10^s + 0.5)/10^s — exact .00005-style
-    boundaries round UP (toward +inf), including for negatives, on both
-    engines; this is the documented tie behavior, pinned."""
+@SETTINGS
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_hash56_bit_identical(spark, texts):
+    pdf = pd.DataFrame({"v": pd.Series(texts, dtype="object")})
+    s = _spark_vals(spark, pdf, hash56_sql_spark("v"))
+    d = _duck_vals(pdf, hash56_sql_duckdb("v"))
+    assert s == d
+    assert all(0 <= h < 2**56 for h in s)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=4_000_000_000),  # epoch seconds to y2096
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(st.integers(min_value=0, max_value=999_999), min_size=1, max_size=30),
+)
+def test_epoch_seconds_bit_identical(spark, secs, micros):
+    n = min(len(secs), len(micros))
+    ts = pd.Series(
+        [
+            pd.Timestamp(s, unit="s") + pd.Timedelta(microseconds=u)
+            for s, u in zip(secs[:n], micros[:n])
+        ]
+    ).astype("datetime64[us]")
+    pdf = pd.DataFrame({"v": ts})
+    s = _spark_vals(spark, pdf, "CAST(unix_timestamp(v) AS BIGINT)")
+    d = _duck_vals(pdf, "CAST(floor(epoch(v)) AS BIGINT)")
+    assert s == d
+
+
+def test_affine_minhash_no_overflow(spark):
+    """The MinHash affine transform must stay inside int64 for every
+    reachable x (x < 2^31, a < 2^20) — checked at the boundary."""
+    from flink_pipeline_spark.functions.text import MINHASH_PARAMS, P31
+
+    x_max = P31 - 1
+    for a, b in MINHASH_PARAMS:
+        assert a * x_max + b < 2**63
+        assert a < 2**20 and b < P31
+
+
+# round-3 additions: the Column-API twins of the SQL-text generators,
+# plus boundary ties pinned explicitly (exact .5 multiples of 10^-4
+# are where engine round() implementations disagree).
+
+boundary_doubles = st.one_of(
+    finite_doubles,
+    st.integers(min_value=-10**6, max_value=10**6).map(lambda n: n / 10**4 + 5e-5),
+)
+
+
+@SETTINGS
+@given(st.lists(boundary_doubles, min_size=1, max_size=50))
+def test_round_agg_column_matches_duckdb(spark, xs):
+    from pyspark.sql import functions as F
+
+    from flink_pipeline_spark.functions.portable import round_agg
+
+    pdf = pd.DataFrame({"v": pd.Series(xs, dtype="float64")})
+    sdf = spark.createDataFrame(pdf)
+    s = [r.out for r in sdf.select(round_agg(F.col("v")).alias("out")).collect()]
+    d = _duck_vals(pdf, round_sql("v"))
+    assert s == d
+
+
+def test_round_ties_go_up_both_engines(spark):
+    """floor(x*10^4 + 0.5)/10^4 rounds exact ties toward +inf —
+    including for negatives — on both engines; pinned so a future
+    'fix' to banker's rounding cannot slip in silently."""
     vals = [0.00005, 0.12345, -0.00005, 1.99995, -1.99995]
-    got = _spark_eval_doubles(spark, vals, round_agg)
-    con = duckdb.connect()
-    duck = [
-        con.execute(f"SELECT {round_sql('?::DOUBLE')}", [v]).fetchone()[0]
-        for v in vals
-    ]
-    assert got == duck
+    pdf = pd.DataFrame({"v": pd.Series(vals, dtype="float64")})
+    s = _spark_vals(spark, pdf, round_sql("v"))
+    d = _duck_vals(pdf, round_sql("v"))
+    assert s == d
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_hash56_column_matches_duckdb(spark, texts):
+    from flink_pipeline_spark.functions.portable import hash56
+
+    pdf = pd.DataFrame({"v": pd.Series(texts, dtype="object")})
+    sdf = spark.createDataFrame(pdf)
+    s = [r.out for r in sdf.select(hash56("v").alias("out")).collect()]
+    d = _duck_vals(pdf, hash56_sql_duckdb("v"))
+    assert s == d
