@@ -467,7 +467,11 @@ def cosine_pairs_ivf(
     drops from O(n^2) to O(sum cell_i^2); recall is bounded by the
     quantizer (pairs split across cells are missed — the documented
     ANN trade, tunable via centroid count / multi-probe)."""
-    assigned = ivf_assign(emb, centroids)
+    # persist the assignment: it is 2 longs per vector (exactly what a
+    # production pipeline checkpoints), and BOTH branches of the
+    # self-join consume it — uncached, the whole quantizer subtree
+    # (centroid broadcast + score + argmax agg) executes twice
+    assigned = ivf_assign(emb, centroids).persist()
     e = with_norm(emb).join(assigned, "vec_id")
     a = e.select(
         "cell",
