@@ -187,6 +187,31 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_unpivot",
+    oracle=f"""
+    WITH wide AS (
+        SELECT o_orderstatus,
+               CAST(count(*) AS DOUBLE) AS cnt,
+               {round_sql('sum(o_totalprice)')} AS total
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT * FROM (UNPIVOT wide ON cnt, total INTO NAME metric VALUE val)
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of q_pivot: a wide per-status
+    metrics row becomes (status, metric, val) long form, the shape
+    metric stores and ML feature tables want. Spark's native unpivot is
+    a zero-shuffle Expand over the already-aggregated frame."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("cnt"),
+        round_agg(F.sum("o_totalprice")).alias("total"),
+    )
+    return wide.unpivot(["o_orderstatus"], ["cnt", "total"], "metric", "val")
+
+
+@register(
     "q_grouping_sets",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,

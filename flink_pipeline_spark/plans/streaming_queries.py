@@ -10,6 +10,7 @@ stream == batch on every one of these).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.portable import round_agg, round_sql
@@ -121,6 +122,60 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched_counts(
         load_table(spark, sf_dir, "events"),
         load_table(spark, sf_dir, "customer"),
+    )
+
+
+@register(
+    "q_gap_fill",
+    oracle=f"""
+    WITH agg AS (
+        SELECT event_type,
+               CAST(floor({_EVENTS_TS} / 600) * 600 AS BIGINT) AS ws,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), b AS (
+        SELECT event_type, min(ws) AS mn, max(ws) AS mx FROM agg GROUP BY 1
+    ), grid AS (
+        SELECT event_type, unnest(generate_series(mn, mx, 600)) AS ws FROM b
+    )
+    SELECT g.event_type, g.ws, coalesce(a.n, 0) AS n
+    FROM grid g LEFT JOIN agg a
+      ON a.event_type = g.event_type AND a.ws = g.ws
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: densify the per-type 10-minute count
+    series so empty windows appear as explicit zero rows (the shape
+    downstream forecasting/alerting expects — a missing row and a
+    zero-count window are different facts). The window grid comes from
+    sequence(min, max) per key — generated, never stored; the fill is
+    one left join against the sparse aggregate. Fixture has real gaps
+    (~1.6k of ~4.3k slots present per type), so the fill is exercised,
+    not vacuous.
+
+    Scale: the grid is keys x slots rows (tiny next to the events
+    corpus); the only corpus-sized ops are the first aggregate's
+    partial/merge. The grid side of the fill join is AQE-broadcastable."""
+    e = load_table(spark, sf_dir, "events")
+    agg = (
+        e.select(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 600) * 600)
+            .cast("long")
+            .alias("ws"),
+        )
+        .groupBy("event_type", "ws")
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("ws").alias("mn"), F.max("ws").alias("mx")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.lit(600))).alias("ws"),
+    )
+    return grid.join(agg, ["event_type", "ws"], "left").select(
+        "event_type", "ws", F.coalesce("n", F.lit(0)).alias("n")
     )
 
 
