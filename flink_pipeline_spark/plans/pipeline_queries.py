@@ -1,5 +1,5 @@
 """Pipeline-façade queries (SURVEY.md SNK1/SNK2/U1): partitioned demux
-write, append-CSV roundtrip, and the per-sample grouped transform —
+write, append-CSV and ORC roundtrips, and the per-sample grouped transform —
 side-effecting operators made oracle-checkable by returning their
 read-back results.
 """
@@ -184,4 +184,34 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
             "revenue"
         ),
+    )
+
+
+@register(
+    "q_orc_roundtrip",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           {round_sql('sum(value)')} AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-sink format breadth beyond parquet (the SNK family,
+    SURVEY.md §2.1): write the events fact to ORC (Spark's second
+    native columnar format — predicate pushdown, column pruning and
+    vectorized read all apply), read it back, aggregate. The oracle
+    computes the same aggregate from the parquet fixture, so the gate
+    proves the ORC write+read is value-lossless (timestamps, doubles,
+    strings survive the format roundtrip).
+
+    Scale: format conversion is a map-only rewrite (no shuffle); the
+    read-back aggregate has the same partial/merge plan as any scan."""
+    out = _tmpdir("events_orc")
+    e = load_table(spark, sf_dir, "events")
+    e.write.mode("errorifexists").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        round_agg(F.sum("value")).alias("total_value"),
     )

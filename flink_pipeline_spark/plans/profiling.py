@@ -1,0 +1,435 @@
+"""Corpus profiling and statistical-quality queries.
+
+The data-quality layer a training pipeline runs before (and after)
+every transformation: column profiles, distribution histograms,
+correlation / dispersion stats, z-score outlier screens, funnel
+analysis over the event stream, share-of-total reports, and TF-IDF
+term weighting. The reference has no analog (its "profiling" is the
+empty-chunk prune, workflow.py:360-373); these rows extend SURVEY.md
+§2.11's training-data layer (L5/L6).
+
+Every double that leaves a query is portably rounded (see
+functions/portable.py) so the driver's value hash matches DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import round_agg, round_sql
+from .registry import register
+
+
+@register(
+    "q_column_profile",
+    oracle="""
+    WITH w AS (
+        SELECT count(*) AS n_rows,
+               count(*) - count(o_totalprice) AS nul_price,
+               count(DISTINCT o_totalprice)   AS dis_price,
+               CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+               CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+               count(*) - count(o_custkey) AS nul_cust,
+               count(DISTINCT o_custkey)   AS dis_cust,
+               CAST(min(o_custkey) AS DOUBLE) AS min_cust,
+               CAST(max(o_custkey) AS DOUBLE) AS max_cust,
+               count(*) - count(o_orderkey) AS nul_okey,
+               count(DISTINCT o_orderkey)   AS dis_okey,
+               CAST(min(o_orderkey) AS DOUBLE) AS min_okey,
+               CAST(max(o_orderkey) AS DOUBLE) AS max_okey
+        FROM orders
+    )
+    SELECT 'o_totalprice' AS column_name, n_rows,
+           nul_price AS n_nulls, dis_price AS n_distinct,
+           min_price AS min_v, max_price AS max_v FROM w
+    UNION ALL
+    SELECT 'o_custkey', n_rows, nul_cust, dis_cust, min_cust, max_cust
+    FROM w
+    UNION ALL
+    SELECT 'o_orderkey', n_rows, nul_okey, dis_okey, min_okey,
+           max_okey
+    FROM w
+    """,
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (null count, exact distinct, min/max) for three
+    numeric orders columns, long-form — the per-column stats table a
+    pipeline asserts against before training (schema drift, null
+    regressions, key-cardinality checks).
+
+    Scale: ONE scan — all per-column aggregates run in a single
+    groupBy().agg() (the multi-countDistinct is one Expand over the
+    scan, not three scans); the wide 1-row result is melted to
+    long-form rows driver-side of the plan, zero extra shuffle.
+    min/max/distinct are exact selections — no rounding needed."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_totalprice", "o_custkey", "o_orderkey"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"nul_{c}"),
+            F.countDistinct(c).alias(f"dis_{c}"),
+            F.min(c).cast("double").alias(f"min_{c}"),
+            F.max(c).cast("double").alias(f"max_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"nul_{c}").cast("long").alias("n_nulls"),
+                F.col(f"dis_{c}").cast("long").alias("n_distinct"),
+                F.col(f"min_{c}").alias("min_v"),
+                F.col(f"max_{c}").alias("max_v"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select("n_rows", F.explode(per_col).alias("p")).select(
+        F.col("p.column_name").alias("column_name"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "p.n_nulls",
+        "p.n_distinct",
+        "p.min_v",
+        "p.max_v",
+    )
+
+
+@register(
+    "q_corr_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           {round_sql('corr(l_quantity, l_extendedprice)')} AS corr_qty_price,
+           {round_sql('covar_samp(l_quantity, l_extendedprice)')} AS covar_qty_price,
+           {round_sql('stddev_samp(l_extendedprice)')} AS sd_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate dispersion stats per return flag: Pearson correlation,
+    sample covariance and stddev of quantity vs extended price — the
+    screening stats a feature-engineering pass computes per segment.
+
+    Scale: built-in JVM aggregates with partial/merge (each is a few
+    moments carried per group through the map-side combine); one
+    shuffle of #groups x moments. Outputs rounded portably — the
+    moment accumulation order differs across engines/partitions but
+    the error lands ~1e-9 relative, far inside the 1e-4 round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        round_agg(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        round_agg(F.covar_samp("l_quantity", "l_extendedprice")).alias(
+            "covar_qty_price"
+        ),
+        round_agg(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 50000.0) * 50000.0 AS DOUBLE)
+               AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of order totals (width 50k): the
+    distribution snapshot behind drift monitors and range checks.
+
+    Scale: bucket id is pure IEEE double arithmetic (identical across
+    engines — no rounding convention needed) computed map-side, then
+    one tiny #buckets-row aggregate with partial combine."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(50000.0))
+    return o.groupBy(
+        bucket.cast("long").alias("bucket"),
+        (bucket * F.lit(50000.0)).cast("double").alias("bucket_lo"),
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_ratio_share",
+    oracle=f"""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               {round_sql('sum(o.o_totalprice)')} AS revenue
+        FROM region r
+        JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation, revenue,
+           {round_sql('revenue / sum(revenue) OVER (PARTITION BY region)')}
+               AS region_share
+    FROM rev
+    """,
+)
+def q_ratio_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's order
+    revenue — the percent-of-total window shape every BI rollup uses.
+
+    Scale: dimensions broadcast, the orders fact shuffles once into
+    the per-nation aggregate (25 rows), and the share window runs over
+    that TINY aggregate partitioned by region — the window never sees
+    fact rows. Shares are computed from the already-rounded revenue so
+    both engines divide identical numerators."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    dim = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select(
+            "n_nationkey", F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+    )
+    rev = (
+        o.join(c.select("c_custkey", "c_nationkey"), o.o_custkey == c.c_custkey)
+        .join(dim, F.col("c_nationkey") == dim.n_nationkey)
+        .groupBy("region", "nation")
+        .agg(round_agg(F.sum("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        round_agg(F.col("revenue") / F.sum("revenue").over(w)).alias("region_share"),
+    )
+
+
+@register(
+    "q_zscore_outliers",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_samp(value) AS sd
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (
+               WHERE abs((e.value - s.mu) / s.sd) > 2.0) AS BIGINT)
+               AS n_outliers,
+           {round_sql('max(abs((e.value - s.mu) / s.sd))')} AS max_abs_z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier screen: per event type, how many values sit
+    more than 2 sigma from the type mean, and the worst offender — the
+    numeric analog of the text quality filter.
+
+    Scale: two passes by design — a tiny per-type moments aggregate,
+    broadcast back onto the stream for the per-row score. The
+    alternative (a window partitioned by event_type) would funnel the
+    whole corpus through #types partitions; the broadcast join keeps
+    the scoring pass embarrassingly parallel. Raw mu/sd flow UNROUNDED
+    into the per-row z so the >2.0 cutoff compares the same doubles in
+    both engines; only the reported max is rounded."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(z > 2.0, 1)).alias("n_outliers"),
+            round_agg(F.max(z)).alias("max_abs_z"),
+        )
+    )
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ), s2 AS (
+        SELECT user_id, event_type, ts, t1,
+               min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2
+        FROM s1
+    ), s3 AS (
+        SELECT user_id, t1, t2,
+               min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts
+                   END) OVER (PARTITION BY user_id) AS t3
+        FROM s2
+    )
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END)
+               AS BIGINT) AS n_view,
+           CAST(count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END)
+               AS BIGINT) AS n_click_after,
+           CAST(count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END)
+               AS BIGINT) AS n_purchase_after
+    FROM s3
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel view -> click -> purchase: a user
+    counts at each stage only if the stage event happened strictly
+    AFTER their previous stage's first event (min-after-min, not mere
+    presence) — the canonical product-analytics query.
+
+    Scale: all three stage timestamps come from windows over ONE
+    partitioning (user_id, high cardinality) — Catalyst plans a single
+    exchange with three Window operators stacked on it, so the corpus
+    shuffles once. The final stage counts are a 4-way conditional
+    distinct over user ids."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    staged = (
+        e.select("user_id", "event_type", "ts")
+        .withColumn("t1", F.min(F.when(et == "view", ts)).over(w))
+        .withColumn(
+            "t2", F.min(F.when((et == "click") & (ts > F.col("t1")), ts)).over(w)
+        )
+        .withColumn(
+            "t3", F.min(F.when((et == "purchase") & (ts > F.col("t2")), ts)).over(w)
+        )
+    )
+    u = F.col("user_id")
+    return staged.agg(
+        F.countDistinct(u).alias("n_users"),
+        F.countDistinct(F.when(F.col("t1").isNotNull(), u)).alias("n_view"),
+        F.countDistinct(F.when(F.col("t2").isNotNull(), u)).alias("n_click_after"),
+        F.countDistinct(F.when(F.col("t3").isNotNull(), u)).alias(
+            "n_purchase_after"
+        ),
+    )
+
+
+@register(
+    "q_text_tfidf",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents) t
+        GROUP BY doc_id, tok
+    ), df AS (
+        SELECT tok, count(*) AS df FROM tf GROUP BY tok
+    ), n AS (
+        SELECT count(*)::DOUBLE AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf,
+               {round_sql('tf.tf * ln(n.n_docs / df.df)')} AS tfidf
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, tfidf, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, tok) AS rk
+        FROM scored
+    ) r WHERE rk <= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 most distinctive terms per document — the
+    classic term-weighting primitive behind keyword extraction and
+    sparse retrieval.
+
+    Scale: term frequencies aggregate with map-side combine; document
+    frequency is a second aggregate OF THE TF TABLE — tf is persisted
+    so the df branch reuses it instead of re-scanning and re-shingling
+    the corpus (without the persist, Catalyst plans the tf subtree
+    twice); the tf-df join is an equi hash join on the term; the
+    corpus-size denominator is a broadcast 1-row cross join;
+    the final top-3 window partitions by doc_id (high cardinality —
+    no funnel). Ranking happens on the PORTABLY ROUNDED score with a
+    token tiebreak so the rank-3 cutoff is engine-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            round_agg(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "tfidf", "rk")
+    )
+
+
+@register(
+    "q_winsorized_stats",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           {round_sql('b.p05')} AS p05,
+           {round_sql('b.p95')} AS p95,
+           {round_sql('avg(e.value)')} AS raw_mean,
+           {round_sql("avg(CASE WHEN e.value < b.p05 THEN b.p05 "
+                      "WHEN e.value > b.p95 THEN b.p95 ELSE e.value END)")}
+               AS winsorized_mean
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.p05, b.p95
+    """,
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) mean per event type: values outside the
+    [p05, p95] band are clamped to the band edge before averaging —
+    the robust-statistics primitive that keeps a handful of wild
+    outliers from dragging a quality metric.
+
+    Scale: same two-pass shape as the z-score screen — a tiny
+    per-type percentile aggregate (exact interpolation; both engines
+    compute linear-interpolated quantiles over sorted values),
+    broadcast back onto the stream for the clamp + re-aggregate. The
+    clip compares UNROUNDED band edges so both engines clamp the same
+    rows; every reported double is portably rounded."""
+    e = load_table(spark, sf_dir, "events")
+    bands = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    v, lo, hi = F.col("value"), F.col("p05"), F.col("p95")
+    clipped = F.when(v < lo, lo).when(v > hi, hi).otherwise(v)
+    return (
+        e.join(F.broadcast(bands), "event_type")
+        .groupBy("event_type")
+        .agg(
+            round_agg(F.first("p05")).alias("p05"),
+            round_agg(F.first("p95")).alias("p95"),
+            round_agg(F.avg("value")).alias("raw_mean"),
+            round_agg(F.avg(clipped)).alias("winsorized_mean"),
+        )
+    )

@@ -86,6 +86,7 @@ def _load_all() -> None:
         joins,
         llm_ops,
         pipeline_queries,
+        profiling,
         relational,
         sampling,
         scans,

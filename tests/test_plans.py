@@ -161,3 +161,32 @@ def test_ivf_topk_probe_table_broadcasts(spark):
     already-cell-pruned candidates.)"""
     plan = _plan(spark, "q_sim_ivf_topk")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_funnel_single_exchange_three_windows(spark):
+    """All three funnel-stage windows must stack on ONE user_id
+    exchange — the corpus shuffles once, not once per stage."""
+    plan = _plan(spark, "q_event_funnel")
+    stage_exchanges = re.findall(r"Exchange hashpartitioning\(user_id[^,]*,", plan)
+    assert plan.count("Window") == 3, plan
+    assert len(stage_exchanges) == 1, plan
+
+
+def test_tfidf_persists_tf_and_partitions_topk(spark):
+    """The df branch must reuse the persisted tf table (no second
+    corpus scan), and the top-3 window must partition by doc_id with
+    Spark's rank-limit pushdown (WindowGroupLimit), never a global
+    window."""
+    plan = _plan(spark, "q_text_tfidf")
+    # tf join side + df derivation both read the persisted tf table
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_zscore_stats_broadcast_back(spark):
+    """The tiny per-type moments table is broadcast onto the event
+    stream; a window-over-event_type here would funnel the corpus
+    through #types partitions."""
+    plan = _plan(spark, "q_zscore_outliers")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
