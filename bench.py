@@ -72,6 +72,12 @@ HEADLINE = [
     "q_sim_ivf_topk",
     "q_knn_classify",
     "q_stream_enrich",
+    # profiling layer (round 3): TF-IDF is the corpus-heaviest text op
+    # (explode + two aggs + join + per-doc top-k), the funnel and
+    # sessionizer exercise the stacked-window-one-exchange shape
+    "q_text_tfidf",
+    "q_event_funnel",
+    "q_sessionize",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"

@@ -216,6 +216,65 @@ def verified_near_dups(
     )
 
 
+# Rare-shingle inverted-index cap for containment blocking: a shingle
+# appearing in more than this many documents is boilerplate vocabulary
+# and generates quadratic candidates without carrying containment
+# signal. Mirrored in the DuckDB oracle. Recall caveat (same family as
+# MAX_LSH_BUCKET): a contained pair ALL of whose shared shingles are
+# over-cap is not emitted.
+MAX_SHINGLE_DF = 8
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.9,
+    sets: DataFrame | None = None,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """(doc_a, doc_b, containment): pairs where the smaller document's
+    shingle set is >= ``threshold`` contained in the larger's —
+    |A ∩ B| / min(|A|, |B|). Catches a document EMBEDDED in a bigger
+    one (quotes, concatenated crawls, boilerplate wrapping), which
+    Jaccard-family dedup structurally misses: the union denominator
+    dilutes the score, and length-bin blocking never pairs documents
+    of very different sizes in the first place.
+
+    Blocking is a rare-shingle inverted index: candidates share at
+    least one shingle whose document frequency is within
+    [2, max_df] — the same collect/cap/double-explode guard as
+    MinHash-LSH, so bucket size is observed BEFORE any pair exists.
+    At 100 TB the df cap is what keeps the index join sub-quadratic:
+    common shingles (the quadratic mass) never form buckets, and a
+    genuinely contained pair shares MANY shingles, so it only needs
+    one of them to be rare."""
+    if sets is None:
+        sets = doc_shingles(docs, n).persist()
+    sh = sets.select("doc_id", F.explode("s").alias("g"))
+    buckets = (
+        sh.groupBy("g")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
+    )
+    cand = (
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    cont = F.expr(
+        "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / least(size(sa), size(sb))"
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", round_agg(cont).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -23,7 +23,9 @@ from ..functions.text import (
 )
 from ..operators.llm import (
     MAX_LSH_BUCKET,
+    MAX_SHINGLE_DF,
     connected_components,
+    containment_pairs,
     cosine_pairs,
     cosine_pairs_ivf,
     doc_shingles,
@@ -827,3 +829,43 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     return connected_components(pairs)
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id, {shingles_sql('duckdb', 'text', 3)} AS s FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(s) AS g FROM sets
+    ), rare AS (
+        -- rare-shingle inverted index, df capped at MAX_SHINGLE_DF
+        -- (mirrors operators/llm.py): common shingles are boilerplate
+        -- vocabulary, not containment signal
+        SELECT g FROM sh GROUP BY g
+        HAVING count(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        JOIN rare r ON a.g = r.g
+    ), scored AS (
+        SELECT doc_a, doc_b,
+               floor((len(list_intersect(sa.s, sb.s))::DOUBLE
+                      / least(len(sa.s), len(sb.s))) * 10000 + 0.5) / 10000
+                 AS containment
+        FROM cand
+        JOIN sets sa ON sa.doc_id = cand.doc_a
+        JOIN sets sb ON sb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b, containment FROM scored WHERE containment >= 0.9
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — |A∩B| / min(|A|,|B|) >= 0.9 over
+    rare-shingle-blocked candidates. The family member Jaccard misses:
+    a small document embedded in a larger one scores low on
+    union-normalized similarity and is never even paired by length-bin
+    blocking. See operators/llm.py containment_pairs for the 100 TB
+    blocking design (df-capped inverted index)."""
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(d, threshold=0.9)

@@ -9,7 +9,7 @@ stream == batch on every one of these).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -260,4 +260,67 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         round_agg(F.col("total")).alias("total"),
         "n",
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH es AS (
+        SELECT user_id, event_id, {_EVENTS_TS} AS es FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, es,
+               CASE WHEN lag(es) OVER w IS NULL
+                         OR es - lag(es) OVER w > 86400
+                    THEN 1 ELSE 0 END AS new_s
+        FROM es
+        WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    ), labeled AS (
+        SELECT user_id, es,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(es) AS start_s, max(es) AS end_s,
+           max(es) - min(es) AS duration_s
+    FROM labeled GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: LABEL each user's events with a session id
+    (gap rule: a strictly-greater-than-1-day silence opens a new
+    session) and emit per-session stats. The labeling counterpart of
+    `session_window` (q_stream_session) — that one aggregates into
+    sessions, this one assigns ids events can carry downstream; the
+    lag -> flag -> running-sum chain is the canonical formulation.
+
+    Scale: the gap flag and the cumulative session counter are two
+    ordered windows over the SAME user_id partitioning — one exchange,
+    stacked Window operators (same shape as q_event_funnel, which is
+    plan-shape-tested); then a per-(user, session) aggregate. All time
+    arithmetic happens on floor'd epoch seconds so both engines
+    difference identical integers."""
+    e = load_table(spark, sf_dir, "events")
+    es = e.select(
+        "user_id", "event_id", F.unix_timestamp("ts").cast("long").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    prev = F.lag("es").over(w)
+    flagged = es.withColumn(
+        "new_s",
+        F.when(prev.isNull() | (F.col("es") - prev > 86400), 1).otherwise(0),
+    )
+    labeled = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return labeled.groupBy(
+        "user_id", F.col("session_id").cast("long").alias("session_id")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("es").alias("start_s"),
+        F.max("es").alias("end_s"),
+        (F.max("es") - F.min("es")).alias("duration_s"),
     )

@@ -190,3 +190,12 @@ def test_zscore_stats_broadcast_back(spark):
     plan = _plan(spark, "q_zscore_outliers")
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_containment_no_cartesian(spark):
+    """Containment candidates come from df-capped rare-shingle buckets
+    (collect/cap/double-explode) — never a cartesian or nested-loop
+    pair join."""
+    plan = _plan(spark, "q_dedup_containment")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
