@@ -223,3 +223,40 @@ def test_knn_classify_vote_bounds_and_centroid_shape(spark):
     for r in cents:
         assert len(r.centroid) == dim
         assert r.n_vectors > 0
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A small doc fully embedded in a big one must score containment
+    1.0 while its Jaccard stays far below any dedup threshold — the
+    case this operator family member exists for."""
+    from flink_pipeline_spark.operators.llm import containment_pairs
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, big), (2, small), (3, "totally unrelated words here now")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = containment_pairs(docs, threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+    assert rows[0].containment == 1.0
+    # the same pair fails union-normalized Jaccard at any sane cutoff
+    from flink_pipeline_spark.operators.llm import doc_shingles
+
+    sets = {r.doc_id: set(r.s) for r in doc_shingles(docs).collect()}
+    jacc = len(sets[1] & sets[2]) / len(sets[1] | sets[2])
+    assert jacc < 0.1
+
+
+def test_containment_df_cap_prunes_hot_shingles(spark):
+    """With max_df below the number of sharers, a shingle shared by
+    every doc generates no bucket — the rare-shingle cap is the
+    sub-quadratic guarantee."""
+    from flink_pipeline_spark.operators.llm import containment_pairs
+
+    common = " ".join(f"c{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(1, 6)], "doc_id BIGINT, text STRING"
+    )
+    assert containment_pairs(docs, max_df=4).count() == 0
+    assert containment_pairs(docs, max_df=5).count() == 10
