@@ -263,3 +263,45 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("asof_purchase_val"),
     )
     return enriched.filter(F.col("event_type") == "click").drop("event_type")
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    WITH cu AS (
+        SELECT c_nationkey AS nk, count(*) AS n_cust
+        FROM customer GROUP BY 1
+    ), su AS (
+        SELECT s_nationkey AS nk, count(*) AS n_supp
+        FROM supplier GROUP BY 1
+    )
+    SELECT coalesce(cu.nk, su.nk) AS nationkey,
+           coalesce(cu.n_cust, 0) AS n_cust,
+           coalesce(su.n_supp, 0) AS n_supp
+    FROM cu FULL OUTER JOIN su ON cu.nk = su.nk
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation: per-nation customer counts against
+    per-nation supplier counts, keeping nations present on either side
+    only (the supplier dimension covers a subset of nations at every
+    SF, so both null sides are exercised). Completes the join-type
+    matrix (inner/left/semi/anti/range/as-of/full).
+
+    Scale: both inputs are pre-aggregated to #nations rows BEFORE the
+    full outer — the reconciliation pattern that keeps a full-outer
+    join (which can never broadcast its nullable sides away) off the
+    fact tables entirely."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cu = c.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count("*").alias("n_cust")
+    )
+    su = s.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count("*").alias("n_supp")
+    )
+    return cu.join(su, cu.nk_c == su.nk_s, "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
