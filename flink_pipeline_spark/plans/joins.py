@@ -270,10 +270,10 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cu AS (
         SELECT c_nationkey AS nk, count(*) AS n_cust
-        FROM customer GROUP BY 1
+        FROM customer WHERE c_nationkey >= 5 GROUP BY 1
     ), su AS (
         SELECT s_nationkey AS nk, count(*) AS n_supp
-        FROM supplier GROUP BY 1
+        FROM supplier WHERE s_nationkey < 10 GROUP BY 1
     )
     SELECT coalesce(cu.nk, su.nk) AS nationkey,
            coalesce(cu.n_cust, 0) AS n_cust,
@@ -284,16 +284,18 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-outer reconciliation: per-nation customer counts against
     per-nation supplier counts, keeping nations present on either side
-    only (the supplier dimension covers a subset of nations at every
-    SF, so both null sides are exercised). Completes the join-type
-    matrix (inner/left/semi/anti/range/as-of/full).
+    only. The two sides are deliberately key-disjoint at the edges
+    (customers from nation >= 5, suppliers from nation < 10 — the
+    fixture populates every nation on both dims at sf >= 0.01), so
+    both null sides are genuinely exercised at every SF. Completes the
+    join-type matrix (inner/left/semi/anti/range/as-of/full).
 
     Scale: both inputs are pre-aggregated to #nations rows BEFORE the
     full outer — the reconciliation pattern that keeps a full-outer
     join (which can never broadcast its nullable sides away) off the
     fact tables entirely."""
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") >= 5)
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 10)
     cu = c.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
         F.count("*").alias("n_cust")
     )

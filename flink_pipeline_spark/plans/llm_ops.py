@@ -869,3 +869,80 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking design (df-capped inverted index)."""
     d = load_table(spark, sf_dir, "documents")
     return containment_pairs(d, threshold=0.9)
+
+
+@register(
+    "q_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT src AS id FROM edges
+    ), reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src
+    ), clust AS (
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    ), drops AS (
+        SELECT doc_id FROM clust WHERE doc_id <> cluster_id
+    )
+    SELECT d.source,
+           CAST(count(*) FILTER (WHERE dr.doc_id IS NULL) AS BIGINT)
+               AS n_kept,
+           CAST(count(*) FILTER (WHERE dr.doc_id IS NOT NULL) AS BIGINT)
+               AS n_dropped,
+           CAST(sum(CASE WHEN dr.doc_id IS NULL
+                    THEN len(string_split(d.text, ' ')) ELSE 0 END)
+               AS BIGINT) AS tokens_kept
+    FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+    GROUP BY d.source
+    """,
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup APPLIED — the query a pipeline actually ships after pair
+    detection and clustering: keep one representative (the min-doc_id
+    keeper) per near-dup cluster, drop the rest, and report the
+    per-source kept/dropped/token accounting. Composes the whole L2
+    family end-to-end: shingles -> MinHash-LSH candidates -> exact
+    verify -> connected components -> keeper anti-set -> corpus
+    classification, all hash-gated against the recursive-CTE ground
+    truth.
+
+    Scale: the drop set is (cluster members - keepers) — vastly
+    smaller than the corpus (only near-dup members). It attaches to
+    the corpus by a single left equi-join on doc_id that AQE will
+    broadcast when small; the accounting aggregate is partial/merged.
+    Nothing in the final pass carries shingle or signature state."""
+    d = load_table(spark, sf_dir, "documents")
+    sets = doc_shingles(d).persist()
+    pairs = (
+        verified_near_dups(
+            d, lsh_candidate_pairs(d, sets=sets), threshold=0.8, sets=sets
+        )
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    drops = (
+        connected_components(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.lit(1).alias("dropped"))
+    )
+    return (
+        d.join(drops, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.when(F.col("dropped").isNull(), 1)).alias("n_kept"),
+            F.count(F.when(F.col("dropped").isNotNull(), 1)).alias("n_dropped"),
+            F.sum(
+                F.when(
+                    F.col("dropped").isNull(), F.size(F.split("text", " "))
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
