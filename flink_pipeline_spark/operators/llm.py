@@ -169,8 +169,22 @@ def lsh_candidate_pairs(
     pair exists — the skew guard the module header describes. Memory per
     group is O(max_bucket), pair output O(max_bucket^2) worst case."""
     sigs = lsh_band_signatures(docs, n, sets=sets)
+    return capped_bucket_pairs(sigs, ["band", "sig"], max_bucket)
+
+
+def capped_bucket_pairs(
+    keyed: DataFrame, key_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """(doc_a, doc_b): distinct unordered doc_id pairs sharing a bucket
+    of size in [2, max_bucket] — THE candidate-generation skew guard
+    shared by every blocked dedup family member (LSH band buckets,
+    rare-shingle inverted index). One shuffle (groupBy key_cols), then
+    pairs by double-exploding each bucket's collected id array, so
+    bucket size is observed and capped BEFORE any pair exists. Memory
+    per group is O(max_bucket), pair output O(max_bucket^2) worst
+    case."""
     buckets = (
-        sigs.groupBy("band", "sig")
+        keyed.groupBy(*key_cols)
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
@@ -199,20 +213,33 @@ def verified_near_dups(
     # explicit unpersist (the caller may not have executed yet).
     if sets is None:
         sets = doc_shingles(docs, n).persist()
+    jacc = "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"
+    return scored_pairs(candidates, sets, jacc, "jacc", threshold)
+
+
+def scored_pairs(
+    candidates: DataFrame,
+    sets: DataFrame,
+    score_sql: str,
+    score_name: str,
+    threshold: float,
+) -> DataFrame:
+    """Attach both shingle sets to each candidate pair (two doc_id
+    equi-joins against the persisted (doc_id, s) frame, exposed as
+    ``sa``/``sb``), evaluate ``score_sql`` over them, round portably,
+    keep pairs scoring >= threshold. The shared verify scaffold for
+    Jaccard / containment / any future set metric."""
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    jacc = F.expr(
-        "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"
-    )
     return (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            round_agg(jacc).alias("jacc"),
+            round_agg(F.expr(score_sql)).alias(score_name),
         )
-        .filter(F.col("jacc") >= threshold)
+        .filter(F.col(score_name) >= threshold)
     )
 
 
@@ -250,29 +277,9 @@ def containment_pairs(
     one of them to be rare."""
     if sets is None:
         sets = doc_shingles(docs, n).persist()
-    sh = sets.select("doc_id", F.explode("s").alias("g"))
-    buckets = (
-        sh.groupBy("g")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
-    )
-    cand = (
-        buckets.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
-    )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    cont = F.expr(
-        "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / least(size(sa), size(sb))"
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", round_agg(cont).alias("containment"))
-        .filter(F.col("containment") >= threshold)
-    )
+    cand = capped_bucket_pairs(exploded_from_sets(sets), ["shingle"], max_df)
+    cont = "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / least(size(sa), size(sb))"
+    return scored_pairs(cand, sets, cont, "containment", threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -202,7 +202,14 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt) — the inverse of q_pivot: a wide per-status
     metrics row becomes (status, metric, val) long form, the shape
     metric stores and ML feature tables want. Spark's native unpivot is
-    a zero-shuffle Expand over the already-aggregated frame."""
+    a zero-shuffle Expand over the already-aggregated frame.
+
+    Parity invariant: every unpivoted metric here is NON-NULL by
+    construction (count >= 1, sum over non-null totalprice). That
+    matters because the engines diverge on NULL cells: Spark's unpivot
+    KEEPS a (status, metric, NULL) row while DuckDB's UNPIVOT drops it
+    by default — adding a nullable metric to the ON list without
+    revisiting both sides would desynchronize row counts."""
     o = load_table(spark, sf_dir, "orders")
     wide = o.groupBy("o_orderstatus").agg(
         F.count("*").cast("double").alias("cnt"),

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import round_agg, round_sql
+from ..functions.portable import epoch_s_sql_duckdb, round_agg, round_sql
 from .registry import register
 
 
@@ -218,10 +218,11 @@ def q_ratio_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(count(*) FILTER (
-               WHERE abs((e.value - s.mu) / s.sd) > 2.0) AS BIGINT)
-               AS n_outliers,
-           {round_sql('max(abs((e.value - s.mu) / s.sd))')} AS max_abs_z
-    FROM events e JOIN stats s ON e.event_type = s.event_type
+               WHERE {round_sql('abs((e.value - s.mu) / s.sd)')} > 2.0)
+               AS BIGINT) AS n_outliers,
+           max({round_sql('abs((e.value - s.mu) / s.sd)')}) AS max_abs_z
+    FROM events e JOIN stats s
+      ON e.event_type = s.event_type AND s.sd <> 0
     GROUP BY e.event_type
     """,
 )
@@ -234,41 +235,50 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back onto the stream for the per-row score. The
     alternative (a window partitioned by event_type) would funnel the
     whole corpus through #types partitions; the broadcast join keeps
-    the scoring pass embarrassingly parallel. Raw mu/sd flow UNROUNDED
-    into the per-row z so the >2.0 cutoff compares the same doubles in
-    both engines; only the reported max is rounded."""
+    the scoring pass embarrassingly parallel.
+
+    Parity care: (a) the per-row z is PORTABLY ROUNDED before the
+    >2.0 cutoff — mu/sd differ between engines (and between Spark
+    runs) in final ulps, and n_outliers is an integer no later
+    rounding could absorb; (b) constant-valued groups (sd = 0) are
+    excluded in the join condition in BOTH engines — under ANSI Spark
+    the division would throw DIVIDE_BY_ZERO, under DuckDB it yields
+    NULL, so neither semantic may reach the score."""
     e = load_table(spark, sf_dir, "events")
     stats = e.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
-    )
-    z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+    ).filter(F.col("sd") != 0)
+    z = round_agg(F.abs((F.col("value") - F.col("mu")) / F.col("sd")))
     return (
         e.join(F.broadcast(stats), "event_type")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
             F.count(F.when(z > 2.0, 1)).alias("n_outliers"),
-            round_agg(F.max(z)).alias("max_abs_z"),
+            F.max(z).alias("max_abs_z"),
         )
     )
 
 
 @register(
     "q_event_funnel",
-    oracle="""
-    WITH s1 AS (
-        SELECT user_id, event_type, ts,
-               min(CASE WHEN event_type = 'view' THEN ts END)
-                   OVER (PARTITION BY user_id) AS t1
+    oracle=f"""
+    WITH s0 AS (
+        SELECT user_id, event_type, {epoch_s_sql_duckdb('ts')} AS es
         FROM events
+    ), s1 AS (
+        SELECT user_id, event_type, es,
+               min(CASE WHEN event_type = 'view' THEN es END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM s0
     ), s2 AS (
-        SELECT user_id, event_type, ts, t1,
-               min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        SELECT user_id, event_type, es, t1,
+               min(CASE WHEN event_type = 'click' AND es > t1 THEN es END)
                    OVER (PARTITION BY user_id) AS t2
         FROM s1
     ), s3 AS (
         SELECT user_id, t1, t2,
-               min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts
+               min(CASE WHEN event_type = 'purchase' AND es > t2 THEN es
                    END) OVER (PARTITION BY user_id) AS t3
         FROM s2
     )
@@ -292,18 +302,28 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (user_id, high cardinality) — Catalyst plans a single
     exchange with three Window operators stacked on it, so the corpus
     shuffles once. The final stage counts are a 4-way conditional
-    distinct over user ids."""
+    distinct over user ids.
+
+    Parity care: stage comparisons run on FLOOR'D EPOCH SECONDS (the
+    repo's event-time convention — FIXTURES.md): events.ts is
+    ns-precision parquet that Spark truncates to us on read, so raw
+    cross-engine timestamp comparison is a latent hash break."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
-    ts, et = F.col("ts"), F.col("event_type")
+    et = F.col("event_type")
+    es = F.col("es")
     staged = (
-        e.select("user_id", "event_type", "ts")
-        .withColumn("t1", F.min(F.when(et == "view", ts)).over(w))
+        e.select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").cast("long").alias("es"),
+        )
+        .withColumn("t1", F.min(F.when(et == "view", es)).over(w))
         .withColumn(
-            "t2", F.min(F.when((et == "click") & (ts > F.col("t1")), ts)).over(w)
+            "t2", F.min(F.when((et == "click") & (es > F.col("t1")), es)).over(w)
         )
         .withColumn(
-            "t3", F.min(F.when((et == "purchase") & (ts > F.col("t2")), ts)).over(w)
+            "t3", F.min(F.when((et == "purchase") & (es > F.col("t2")), es)).over(w)
         )
     )
     u = F.col("user_id")
