@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.portable import round_agg
+from ..functions.portable import hash56_sql_spark, round_agg
 from ..functions.text import (
     MINHASH_PARAMS,
     MINHASH_ROWS,
@@ -173,16 +173,25 @@ def lsh_candidate_pairs(
 
 
 def capped_bucket_pairs(
-    keyed: DataFrame, key_cols: list[str], max_bucket: int
+    keyed: DataFrame, key_cols: list[str], max_bucket: int, min_shared: int = 1
 ) -> DataFrame:
-    """(doc_a, doc_b): distinct unordered doc_id pairs sharing a bucket
-    of size in [2, max_bucket] — THE candidate-generation skew guard
-    shared by every blocked dedup family member (LSH band buckets,
-    rare-shingle inverted index). One shuffle (groupBy key_cols), then
-    pairs by double-exploding each bucket's collected id array, so
-    bucket size is observed and capped BEFORE any pair exists. Memory
-    per group is O(max_bucket), pair output O(max_bucket^2) worst
-    case."""
+    """(doc_a, doc_b): distinct unordered doc_id pairs sharing at least
+    ``min_shared`` buckets of size in [2, max_bucket] — THE candidate-
+    generation skew guard shared by every blocked dedup family member
+    (LSH band buckets, rare-shingle inverted index). One shuffle
+    (groupBy key_cols), then pairs by double-exploding each bucket's
+    collected id array, so bucket size is observed and capped BEFORE
+    any pair exists. Memory per group is O(max_bucket), pair output
+    O(max_bucket^2) worst case.
+
+    ``min_shared``: the dedup of repeated pairs is an aggregate over
+    (doc_a, doc_b) counting how many buckets co-list the pair, so
+    requiring >= 2 co-occurrences costs nothing extra — and for
+    high-overlap metrics (containment) it is the cheap pre-filter that
+    keeps the array-attach verify join off the long tail of
+    single-shingle coincidences (measured 48x-corpus: 9.1M candidates
+    -> the verify join shuffles ~4 KB of shingle arrays per candidate,
+    which is the whole cost; see scripts/scale_probe.py)."""
     buckets = (
         keyed.groupBy(*key_cols)
         .agg(F.collect_list("doc_id").alias("ids"))
@@ -192,7 +201,10 @@ def capped_bucket_pairs(
         buckets.select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_shared"))
+        .filter(F.col("_shared") >= min_shared)
+        .select("doc_a", "doc_b")
     )
 
 
@@ -273,11 +285,16 @@ def containment_pairs(
     MinHash-LSH, so bucket size is observed BEFORE any pair exists.
     At 100 TB the df cap is what keeps the index join sub-quadratic:
     common shingles (the quadratic mass) never form buckets, and a
-    genuinely contained pair shares MANY shingles, so it only needs
-    one of them to be rare."""
+    genuinely contained pair shares MANY shingles, so requiring >= 2
+    of them to be rare (min_shared=2, mirrored in the oracle) loses
+    essentially nothing while cutting the verify join's candidate
+    volume by orders of magnitude — the arrays-attach join is the
+    measured cost center at scale (scripts/scale_probe.py)."""
     if sets is None:
         sets = doc_shingles(docs, n).persist()
-    cand = capped_bucket_pairs(exploded_from_sets(sets), ["shingle"], max_df)
+    cand = capped_bucket_pairs(
+        exploded_from_sets(sets), ["shingle"], max_df, min_shared=2
+    )
     cont = "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / least(size(sa), size(sb))"
     return scored_pairs(cand, sets, cont, "containment", threshold)
 
@@ -296,10 +313,17 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     into a (doc_id, b) aggregate; here each bit is its own sum
     expression over the token rows (``bits`` codegen'd columns), so the
     md5 is computed once per token and the only shuffle is the per-doc
-    partial/merge agg — measured ~2x on the sf0.1 pair workload."""
+    partial/merge agg — measured ~2x on the sf0.1 pair workload.
+
+    The token hash is the RAW 56-bit hash56 (not the P31-reduced
+    shingle hash MinHash needs for affine-overflow safety): bit
+    sampling wants every available bit, and 56 usable bits is what
+    lets simhash_pairs widen its signature for corpus-scale block
+    selectivity."""
     toks = _fan_out(docs).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    th = shingle_hash_sql("spark", "tok")
-    hashed = toks.select("doc_id", F.expr(th).alias("x"))
+    hashed = toks.select(
+        "doc_id", F.expr(hash56_sql_spark("tok")).alias("x")
+    )
     bit_sums = [
         F.sum(
             F.when(F.expr(f"((x >> {b}) & 1) = 1"), 1).otherwise(-1)
@@ -339,7 +363,18 @@ def simhash_pairs(
     block lands in an over-cap bucket is not emitted, the same caveat
     as MAX_LSH_BUCKET. Pass ``max_bucket=None`` for exact mode: every
     in-distance pair is then guaranteed, at quadratic cost inside any
-    hot bucket."""
+    hot bucket.
+
+    SCALE CEILING (measured, scripts/scale_probe.py): block-key
+    cardinality is 2^(bits/(max_hamming+1)) — with the default 16-bit
+    signature that is 16 values per block, so bucket population grows
+    linearly with the corpus and the cap starts DROPPING real pairs
+    once any block's corpus/16 share exceeds it (the 8x probe emits
+    FEWER pairs than the 4x probe). The 16-bit default is calibrated
+    to the driver fixture; at real corpus scale pass a wider
+    signature (e.g. bits=56, still one portable hash56 per token:
+    4 blocks x 14 bits = 16384 keys/block) so bucket occupancy stays
+    sub-linear in the corpus."""
     nblocks = max_hamming + 1
     if bits % nblocks:
         raise ValueError(f"bits={bits} must divide into {nblocks} blocks")

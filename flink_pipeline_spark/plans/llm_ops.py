@@ -156,7 +156,7 @@ _SIMHASH_CTE = f"""toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ), contrib AS (
         SELECT doc_id, b,
-               CASE WHEN (({shingle_hash_sql('duckdb', 'tok')} >> b) & 1) = 1
+               CASE WHEN (({hash56_sql_duckdb('tok')} >> b) & 1) = 1
                     THEN 1 ELSE -1 END AS c
         FROM toks CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),
                                      (10),(11),(12),(13),(14),(15)) bits(b)
@@ -845,9 +845,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT g FROM sh GROUP BY g
         HAVING count(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
     ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        -- count-then-verify: >= 2 shared rare shingles (min_shared=2,
+        -- mirrors operators/llm.py) before any array work
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
         JOIN rare r ON a.g = r.g
+        GROUP BY 1, 2 HAVING count(*) >= 2
     ), scored AS (
         SELECT doc_a, doc_b,
                floor((len(list_intersect(sa.s, sb.s))::DOUBLE

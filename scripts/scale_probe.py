@@ -1,0 +1,175 @@
+"""Scaling probe for the text-dedup family: measure wall time at
+1x/2x/4x/8x the sf0.1 documents corpus and report the per-query
+scaling exponent (log-log slope).
+
+The 100 TB design claims in operators/llm.py are plan-shape claims
+(capped buckets, equi-joins, no cartesian); this probe adds MEASURED
+evidence that total work grows ~linearly in corpus size on the
+operators where it should.
+
+Corpus construction: m copies of sf0.1 documents with every token
+prefixed by a per-copy tag (c<k>_) and doc_id offset per copy. The tag
+makes copy vocabularies DISJOINT, so each copy carries exactly the
+original's near-dup structure and no cross-copy pairs exist — pair
+density per document stays constant as m grows, which is what makes
+the wall-time-vs-m slope interpretable (naive replication would
+multiply the dup-graph density by m and square the pair work).
+
+Run:  python scripts/scale_probe.py [--repeats 3] [--out SCALING.md]
+Writes one JSON line per (query, m) to stdout and a markdown summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+QUERIES = [
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash_pairs",
+    "q_dedup_containment",
+    "q_text_tfidf",
+]
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/scale_probe"
+
+
+def build_corpus(spark: SparkSession, m: int) -> str:
+    out = os.path.join(WORK, f"m{m}")
+    marker = os.path.join(out, "_SUCCESS_PROBE")
+    if os.path.exists(marker):
+        return out
+    d = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    copies = []
+    for k in range(m):
+        tag = f"c{k}_"
+        copies.append(
+            d.select(
+                (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split("text", " "), lambda t: F.concat(F.lit(tag), t)
+                    ),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    allc = copies[0]
+    for c in copies[1:]:
+        allc = allc.unionByName(c)
+    allc.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    open(marker, "w").close()
+    return out
+
+
+def main() -> None:
+    global QUERIES
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--multipliers",
+        default="1,2,4,8",
+        help="comma-separated corpus multipliers (small ones are "
+        "overhead-dominated; use e.g. 4,16,48 for timing slopes)",
+    )
+    ap.add_argument(
+        "--queries",
+        default=",".join(QUERIES),
+        help="comma-separated registered query names to probe",
+    )
+    args = ap.parse_args()
+    multipliers = [int(x) for x in args.multipliers.split(",")]
+    QUERIES = args.queries.split(",")
+
+    def fresh_session() -> SparkSession:
+        return (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+            )
+            .config(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            )
+            .config("spark.driver.memory", "16g")
+            .appName("scale_probe")
+            .getOrCreate()
+        )
+
+    from flink_pipeline_spark.plans import query_fns
+
+    fns = query_fns()
+    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    rows: dict[str, dict[int, int]] = {q: {} for q in QUERIES}
+    for m in multipliers:
+        # ONE JVM per multiplier: a long-lived session accumulates heap
+        # state that poisoned earlier runs (q_dedup_minhash@48x read
+        # 115 s in a session that had run 14 prior heavy queries vs
+        # 18 s fresh). Restart to measure the operator, not the heap.
+        spark = fresh_session()
+        sf_dir = build_corpus(spark, m)
+        for q in QUERIES:
+            best = math.inf
+            n = -1
+            for _ in range(args.repeats):
+                spark.catalog.clearCache()
+                t0 = time.monotonic()
+                n = fns[q](spark, sf_dir).count()
+                best = min(best, time.monotonic() - t0)
+            results[q][m] = round(best, 3)
+            rows[q][m] = n
+            print(json.dumps({"query": q, "m": m, "best_sec": results[q][m], "rows": n}), flush=True)
+        spark.stop()
+
+    lines = [
+        "# Dedup-family scaling probe (corpus multiplier vs wall time)",
+        "",
+        f"Base corpus: {BASE} documents x {multipliers} with per-copy disjoint",
+        "vocabularies (constant pair density — see scripts/scale_probe.py).",
+        f"Best of {args.repeats} repeats, cache cleared between runs, local mode.",
+        "",
+        "| query | " + " | ".join(f"{m}x sec" for m in multipliers)
+        + " | rows@lo | rows@hi | scaling exponent (last octave) |",
+        "|---|" + "---|" * (len(multipliers) + 3),
+    ]
+    lo, hi = multipliers[0], multipliers[-1]
+    prev = multipliers[-2]
+    for q in QUERIES:
+        r = results[q]
+        expo = (
+            math.log(r[hi] / r[prev]) / math.log(hi / prev)
+            if r[prev] > 0
+            else float("nan")
+        )
+        cells = " | ".join(str(r[m]) for m in multipliers)
+        lines.append(
+            f"| {q} | {cells} | {rows[q][lo]} | {rows[q][hi]} | {expo:.2f} |"
+        )
+    lines += [
+        "",
+        "Slope ~1.0 = linear scaling (doubling the corpus doubles the time);",
+        "the dedup family's capped-bucket blocking is what keeps the pair",
+        "stage off the ~2.0 quadratic slope naive all-pairs would show.",
+    ]
+    md = "\n".join(lines) + "\n"
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
