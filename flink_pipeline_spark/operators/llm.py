@@ -696,33 +696,51 @@ def knn_classify(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-def label_centroids(emb: DataFrame) -> DataFrame:
-    """(label, n_vectors, centroid): per-label mean vector — class
-    centroids for nearest-class-mean classification or as a seeded IVF
-    quantizer init. Elementwise array aggregation expressed
+def label_centroids_long(emb: DataFrame) -> DataFrame:
+    """(label, pos, m, n_vectors): per-label mean embedding in LONG
+    format — one row per (label, dimension), m = round_agg'd mean of
+    that dimension. Elementwise array aggregation expressed
     relationally: posexplode to (label, pos, x) rows, avg per
-    (label, pos) with map-side partials, then reassemble each centroid
-    in position order via sorted collect (array_sort on (pos, m)
-    structs — no window, no UDF). Each mean is round_agg'd so the
-    centroid replays bit-identically in the DuckDB oracle.
+    (label, pos) with map-side partials. The long shape is the portable
+    result surface: every cell is a scalar, so the driver's
+    canonicalizer (which cannot hash raw array cells) and the DuckDB
+    oracle replay it directly.
 
     Scale: the exploded frame is rows x dim — linear, and the
     (label, pos) grouping key is tiny (labels x dim cells), so the
-    merge side of the agg is trivially small; the reassembly touches
-    labels x dim rows, not the corpus."""
+    merge side of the agg is trivially small; the n_vectors join
+    touches labels rows and broadcasts."""
     e = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
     cent = e.groupBy("label", "pos").agg(
         round_agg(F.avg(F.col("x").cast("double"))).alias("m")
     )
     counts = emb.groupBy("label").agg(F.count("*").alias("n_vectors"))
-    arrs = cent.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("centroid")
+    return cent.join(counts, "label").select(
+        F.col("label").cast("long").alias("label"),
+        F.col("pos").cast("long").alias("pos"),
+        "m",
+        "n_vectors",
     )
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """(label, n_vectors, centroid): per-label mean VECTOR — the array
+    API for nearest-class-mean classification or seeded IVF quantizer
+    init. Built on label_centroids_long, reassembling each centroid in
+    position order via sorted collect (array_sort on (pos, m) structs —
+    no window, no UDF). The reassembly touches labels x dim rows, not
+    the corpus. NOTE: the centroid column is ArrayType — fine for
+    in-engine composition, but result surfaces that must replay through
+    the driver/oracle hash gate should use the long format instead."""
     return (
-        counts.join(arrs, "label")
-        .select(F.col("label").cast("long").alias("label"), "n_vectors", "centroid")
+        label_centroids_long(emb)
+        .groupBy("label", "n_vectors")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+        .select("label", "n_vectors", "centroid")
     )
 
 

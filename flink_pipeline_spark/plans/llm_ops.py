@@ -35,7 +35,8 @@ from ..operators.llm import (
     simhash,
     simhash_pairs,
     knn_classify,
-    label_centroids,
+    label_centroids,  # noqa: F401 (array API, exercised in tests)
+    label_centroids_long,
     topk_neighbors,
     topk_neighbors_ivf,
     verified_near_dups,
@@ -515,20 +516,22 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM embeddings GROUP BY label
     )
-    SELECT CAST(label AS BIGINT) AS label, n_vectors, centroid
-    FROM counts JOIN (
-        SELECT label, list(m ORDER BY pos) AS centroid
-        FROM cent GROUP BY label
-    ) a USING (label)
+    SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+           m, n_vectors
+    FROM cent JOIN counts USING (label)
     """,
 )
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding: elementwise array average done
-    relationally (posexplode -> (label, pos) avg -> ordered reassembly
-    by array_sort of (pos, m) structs). Class centroids for
-    nearest-class-mean filtering or IVF quantizer seeding; each mean is
-    round_agg'd so the array hash-matches the DuckDB replay."""
-    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+    relationally (posexplode -> (label, pos) avg), emitted in LONG
+    format — one scalar row per (label, dimension) — because the
+    driver's result canonicalizer cannot hash raw array cells (the
+    r3/r4 `unhashable type: 'list'` failure). The array-shaped API
+    (operators/llm.py label_centroids) composes in-engine; this is the
+    portable surface. Class centroids for nearest-class-mean filtering
+    or IVF quantizer seeding; each mean is round_agg'd so it
+    hash-matches the DuckDB replay."""
+    return label_centroids_long(load_table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

@@ -13,6 +13,15 @@ import datetime
 from collections import Counter
 
 
+class RawCollectionCell(TypeError):
+    """A result cell is a raw array/map — the driver's canonicalizer
+    pandas-sorts result columns and dies on unhashable cells
+    (``TypeError: unhashable type: 'list'``), so local parity REJECTS
+    them instead of quietly tuple-izing (which is how a driver-only
+    failure survived rounds 3-4). Emit ``F.array_join`` strings (the
+    q_group_collect convention) or long-format scalar rows instead."""
+
+
 def _canon(v):
     """Canonicalize a cell for cross-engine comparison."""
     if v is None:
@@ -25,10 +34,14 @@ def _canon(v):
         return ("f", v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return ("ts", str(v))
-    if isinstance(v, (list, tuple)):
-        return ("list", tuple(_canon(x) for x in v))
-    if isinstance(v, dict):
-        return ("map", tuple(sorted((k, _canon(x)) for k, x in v.items())))
+    if isinstance(v, (list, dict, set)):
+        raise RawCollectionCell(
+            f"raw {type(v).__name__} cell {v!r}: the driver canonicalizer "
+            "cannot hash array/map cells — use array_join (q_group_collect "
+            "convention) or long-format scalar rows"
+        )
+    if isinstance(v, tuple):  # struct (Spark Row / duckdb tuple): hashable
+        return ("struct", tuple(_canon(x) for x in v))
     if isinstance(v, (bytes, bytearray)):
         return ("bytes", bytes(v))
     return str(v)

@@ -12,10 +12,14 @@ from flink_pipeline_spark.plans import evidence, registry
 def test_ledger_matches_registry():
     registry._load_all()
     ledger = evidence.load_ledger()
-    # every registered query with a driver row has a ledger entry
+    # every registered query with a driver row from a SYNCED round has a
+    # ledger entry; rows from a round the start-of-round sync hasn't seen
+    # yet are tolerated (the suite must stay green between a new
+    # CORRECTNESS file landing and `python -m ...plans.evidence` running)
+    synced = set(ledger["synced_rounds"])
     latest = evidence.correctness_rows()
     for name in registry.QUERIES:
-        if name in latest:
+        if name in latest and latest[name] in synced:
             assert name in ledger["queries"], f"{name} checked but not in ledger"
 
 

@@ -13,20 +13,18 @@ from .parity import assert_parity
 
 ALL = sorted(query_fns())
 WITH_ORACLE = sorted(oracle_sqls())
-ROWS_ONLY = sorted(set(ALL) - set(WITH_ORACLE))
+
+
+def test_every_query_has_an_oracle():
+    # rows-only queries no longer exist; if one reappears it needs a
+    # deliberate decision, not a silent weaker gate
+    assert sorted(set(ALL) - set(WITH_ORACLE)) == []
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(spark, oracle, name):
     df = query_fns()[name](spark, SF_DIR)
     assert_parity(df, oracle, oracle_sqls(SF_DIR)[name], name=name)
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only(spark, name):
-    df = query_fns()[name](spark, SF_DIR)
-    assert df.columns, f"{name}: no columns"
-    assert df.count() >= 0
 
 
 def test_entry_smoke(spark):
