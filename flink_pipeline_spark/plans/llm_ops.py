@@ -211,6 +211,63 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+# 56-bit replay of the same token-multiset SimHash: identical pipeline,
+# bit fan-out generated by range() instead of a VALUES list, block keys
+# 14 bits wide (4 blocks for max_hamming=3).
+_SIMHASH_WIDE_BITS = 56
+_SIMHASH_WIDE_CTE = f"""toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), contrib AS (
+        SELECT doc_id, b,
+               CASE WHEN (({hash56_sql_duckdb('tok')} >> b) & 1) = 1
+                    THEN 1 ELSE -1 END AS c
+        FROM toks CROSS JOIN (SELECT unnest(range({_SIMHASH_WIDE_BITS})) AS b) bits
+    ), bitsum AS (
+        SELECT doc_id, b, sum(c) AS s FROM contrib GROUP BY doc_id, b
+    ), sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM bitsum GROUP BY doc_id
+    )"""
+
+
+@register(
+    "q_dedup_simhash_pairs_wide",
+    oracle=f"""
+    WITH {_SIMHASH_WIDE_CTE}, keys AS (
+        SELECT doc_id, simhash, b AS blk, (simhash >> (b * 14)) & 16383 AS key
+        FROM sh CROSS JOIN (VALUES (0),(1),(2),(3)) blocks(b)
+    ), bucket AS (
+        SELECT blk, key FROM keys GROUP BY blk, key
+        HAVING count(*) BETWEEN 2 AND 1024
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM keys a JOIN keys b
+          ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+        JOIN bucket k ON a.blk = k.blk AND a.key = k.key
+    )
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+    """,
+)
+def q_dedup_simhash_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pair detection at the CORPUS-SCALE signature width: 56
+    bits (the full portable hash56), 4 pigeonhole blocks x 14 bits =
+    16384 keys per block. The 16-bit default's 16-key blocks fill
+    linearly with the corpus and its bucket cap starts dropping real
+    pairs (SCALING.md measured zero pairs at 48x); at 14-bit keys bucket
+    occupancy stays sub-linear, so THIS is the configuration a 100 TB
+    run uses — now oracle-gated instead of evidence-free. Same plan
+    shape as q_dedup_simhash_pairs: equi-join on (block, block-bits),
+    capped buckets, exact bit_count(xor) verify."""
+    return simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=3,
+        bits=_SIMHASH_WIDE_BITS,
+    )
+
+
 @register(
     "q_dedup_ngram_jaccard",
     oracle=f"""

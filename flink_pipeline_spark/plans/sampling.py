@@ -147,27 +147,38 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup check on 40-char prefixes over blocked
     pairs (same lang, nearby ids). Levenshtein is O(len^2) per pair —
-    the prefix cap and blocking are what keep it feasible; at corpus
-    scale this runs only on LSH candidates, never all pairs."""
+    the prefix cap and blocking keep it feasible; at corpus scale this
+    runs only on LSH candidates, never all pairs.
+
+    Candidate generation is a pure EQUI-join on (lang, id-band):
+    doc_id is binned at the band width (5) and the probe side
+    replicates each row to bin-1/bin, which losslessly covers every
+    0 < doc_b - doc_a <= 5 pair (doc_b's bin is doc_a's bin or the
+    next one) — the same binning as q_dedup_ngram_jaccard. Join-key
+    cardinality is #langs x #bins, not #langs: the lang-only equi key
+    degenerates to a per-language near-cartesian sort-merge at scale."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.substring("text", 1, 40).alias("prefix")
     )
     a = d.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
+        "lang",
         F.col("prefix").alias("pa"),
+        F.floor(F.col("doc_id") / 5).alias("blk"),
     )
     b = d.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
+        "lang",
         F.col("prefix").alias("pb"),
+        F.explode(
+            F.array(F.floor(F.col("doc_id") / 5) - 1, F.floor(F.col("doc_id") / 5))
+        ).alias("blk"),
     )
     return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("doc_b") - F.col("doc_a") <= 5),
+        a.join(b, ["lang", "blk"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("doc_b") - F.col("doc_a") <= 5)
         )
         .select("doc_a", "doc_b", F.levenshtein("pa", "pb").alias("dist"))
         .filter(F.col("dist") <= 20)
