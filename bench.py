@@ -67,6 +67,13 @@ HEADLINE = [
     # correctness workload (33k pairs), IVF the sub-quadratic ANN path
     "q_dedup_simhash_pairs",
     "q_dedup_embed_ivf",
+    # round 5: the corpus-scale 56-bit simhash configuration, and the
+    # shipped dedup pipeline end-to-end — pairs -> connected-component
+    # clusters -> keeper apply is the actual 100 TB dedup workload
+    "q_dedup_simhash_pairs_wide",
+    "q_dedup_containment",
+    "q_dedup_clusters",
+    "q_dedup_apply",
     # ANN search + classifier over embeddings, and the stream-static
     # dimension join — the round-3 additions a data pipeline runs hot
     "q_sim_ivf_topk",
@@ -186,11 +193,14 @@ def main() -> None:
                 "value_min": round(sum(best.values()), 3),
                 "protocol": f"warmup+median_of_{repeats}",
                 "notes": (
-                    "r2 q_window_rank/q_join_inner regression root-caused: "
-                    "shuffle_partitions=8 under-parallelized post-shuffle "
-                    "stages at sf0.1 on local[32]; default now one "
-                    "partition per core (32): q_window_rank 0.39->0.34, "
-                    "q_join_inner 0.77->0.47 (median of 3, warm)"
+                    "noise calibration (r3 vs r4, byte-identical code): "
+                    "single-run per-query deltas swing -29%..+22%, so "
+                    "treat +/-25% as this sandbox's noise band — only "
+                    "median-of-5-vs-median-of-5 deltas larger than that "
+                    "are real. r5 adds the end-to-end dedup chain "
+                    "(containment/clusters/apply) and the 56-bit simhash "
+                    "config to the headline set; earlier finding stands: "
+                    "shuffle_partitions = one per core at sf0.1"
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
