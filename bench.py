@@ -74,6 +74,7 @@ HEADLINE = [
     "q_dedup_containment",
     "q_dedup_clusters",
     "q_dedup_apply",
+    "q_dedup_substring",
     # ANN search + classifier over embeddings, and the stream-static
     # dimension join — the round-3 additions a data pipeline runs hot
     "q_sim_ivf_topk",

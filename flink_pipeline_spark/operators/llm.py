@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.portable import hash56_sql_spark, round_agg
+from ..functions.portable import hash56, hash56_sql_spark, round_agg
 from ..functions.text import (
     MINHASH_PARAMS,
     MINHASH_ROWS,
@@ -809,3 +809,98 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             edges.unpersist()
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (span removal)
+# ---------------------------------------------------------------------------
+
+
+def substring_dedup_stats(
+    docs: DataFrame, n: int = 10, min_docs: int = 2
+) -> DataFrame:
+    """(doc_id, n_tokens, n_dropped, kept_hash): exact-substring dedup —
+    the span-removal step of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (the ExactSubstr pass), approximated
+    at n-token granularity: every n-token span whose n-gram occurs in
+    >= ``min_docs`` distinct documents is removed from EVERY document
+    carrying it (doc-level dedup keeps one copy; boilerplate removal
+    keeps zero). Output is the per-doc kept/dropped token accounting
+    plus an md5-prefix fingerprint of the kept text, all scalar cells.
+
+    Plan: positional n-grams (posexplode fused into the projection —
+    see exploded_shingles for the re-evaluation blowup this avoids) ->
+    8-byte hash56 gram keys -> distinct-doc frequency agg -> equi-join
+    back to mark duplicated starts -> bounded x``n`` position explode
+    -> left join onto the token table -> per-doc reassembly in the
+    aggregate (sorted collect of (pos, tok), the q_group_collect
+    convention).
+
+    Scale: every stage is linear in corpus tokens. The gram shuffle
+    carries (hash56, doc_id) — 16 bytes per token, never gram text.
+    The span explode is bounded at n x duplicated-starts. Skew: a
+    boilerplate n-gram shared by millions of docs makes one hot gram
+    key in the join-back; its output is still one row per occurrence
+    (linear), and AQE skew-join splits the straggler partition. The
+    per-doc sorted collect is bounded by document length — the same
+    bound any per-doc reassembly carries."""
+    toks = _fan_out(docs).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    grams = _fan_out(docs).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(shingles_sql("spark", "text", n, distinct=False))
+        ).alias("start", "gram"),
+    )
+    # persisted: the (doc_id, start, h) skeleton feeds BOTH the gram-
+    # frequency agg and the join-back — one shingling of the corpus
+    # total (24 bytes/token of cache), the q_dedup_minhash pattern
+    hg = grams.select(
+        "doc_id", "start", hash56(F.col("gram")).alias("h")
+    ).persist()
+    dup = (
+        hg.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("h")
+    )
+    dropped = (
+        hg.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        toks.join(dropped, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count("hit").alias("n_dropped"),
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.when(
+                                        F.col("hit").isNull(),
+                                        F.struct("pos", "tok"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["tok"],
+                        ),
+                    )
+                ),
+                1,
+                8,
+            ).alias("kept_hash"),
+        )
+    )

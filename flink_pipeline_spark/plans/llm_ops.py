@@ -34,6 +34,7 @@ from ..operators.llm import (
     minhash_signatures,  # noqa: F401 (re-exported for tests)
     simhash,
     simhash_pairs,
+    substring_dedup_stats,
     knn_classify,
     label_centroids,  # noqa: F401 (array API, exercised in tests)
     label_centroids_long,
@@ -1008,4 +1009,51 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("tokens_kept"),
         )
+    )
+
+@register(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest(range(1, len(g) + 1)) AS start, unnest(g) AS gram
+        FROM (SELECT doc_id,
+                     {shingles_sql('duckdb', 'text', 10, distinct=False)} AS g
+              FROM documents) t
+    ), hg AS (
+        SELECT doc_id, start, {hash56_sql_duckdb('gram')} AS h FROM grams
+    ), dup AS (
+        SELECT h FROM hg GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), dropped AS (
+        SELECT DISTINCT doc_id, pos FROM (
+            SELECT doc_id, unnest(range(start, start + 10)) AS pos
+            FROM hg JOIN dup USING (h)
+        ) s
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(dr.pos) AS BIGINT) AS n_dropped,
+           substr(md5(coalesce(string_agg(t.tok, ' ' ORDER BY t.pos)
+                      FILTER (WHERE dr.pos IS NULL), '')), 1, 8) AS kept_hash
+    FROM toks t
+    LEFT JOIN dropped dr ON t.doc_id = dr.doc_id AND t.pos = dr.pos
+    GROUP BY t.doc_id
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (ExactSubstr span removal, Lee et al.):
+    every 10-token span whose 10-gram occurs in >= 2 distinct documents
+    is removed from EVERY document carrying it — the boilerplate-
+    removal pass doc-level dedup cannot express (doc dedup keeps one
+    copy of a duplicated span; this keeps zero). Emits per-doc
+    kept/dropped token accounting plus an md5-prefix fingerprint of
+    the kept text, so the full reconstructed output is hash-gated
+    without array cells. See operators/llm.py substring_dedup_stats
+    for the linear-in-tokens plan and skew notes."""
+    return substring_dedup_stats(
+        load_table(spark, sf_dir, "documents"), n=10, min_docs=2
     )

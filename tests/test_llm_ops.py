@@ -271,3 +271,46 @@ def test_containment_df_cap_prunes_hot_shingles(spark):
     )
     assert containment_pairs(docs, max_df=4).count() == 0
     assert containment_pairs(docs, max_df=5).count() == 10
+
+
+def test_substring_dedup_removes_shared_span_everywhere(spark):
+    """ExactSubstr semantics: a 10-token span shared by two docs is
+    removed from BOTH (zero copies kept), unshared text survives, and
+    an untouched doc reports zero drops with the hash of its own text."""
+    from flink_pipeline_spark.operators.llm import substring_dedup_stats
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"{shared} delta epsilon"),
+            (3, "entirely unrelated text here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in substring_dedup_stats(docs, n=10).collect()}
+    assert out[1].n_tokens == 13 and out[1].n_dropped == 10
+    assert out[2].n_tokens == 12 and out[2].n_dropped == 10
+    assert out[3].n_tokens == 4 and out[3].n_dropped == 0
+    import hashlib
+
+    md5_8 = lambda s: hashlib.md5(s.encode()).hexdigest()[:8]  # noqa: E731
+    assert out[1].kept_hash == md5_8("alpha beta gamma")
+    assert out[2].kept_hash == md5_8("delta epsilon")
+    assert out[3].kept_hash == md5_8("entirely unrelated text here")
+
+
+def test_substring_dedup_overlapping_spans_drop_union(spark):
+    """Two docs sharing an 11-token run: both 10-gram starts are
+    duplicated, and the dropped positions are the UNION of the two
+    overlapping spans (11 tokens), not 20."""
+    from flink_pipeline_spark.operators.llm import substring_dedup_stats
+
+    run = " ".join(f"r{i}" for i in range(11))
+    docs = spark.createDataFrame(
+        [(1, f"{run} tail"), (2, f"head {run}")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in substring_dedup_stats(docs, n=10).collect()}
+    assert out[1].n_dropped == 11 and out[1].n_tokens == 12
+    assert out[2].n_dropped == 11 and out[2].n_tokens == 12
