@@ -828,34 +828,42 @@ def substring_dedup_stats(
     keeps zero). Output is the per-doc kept/dropped token accounting
     plus an md5-prefix fingerprint of the kept text, all scalar cells.
 
-    Plan: positional n-grams (posexplode fused into the projection —
+    Plan: ONE corpus scan into a persisted (doc_id, toks) token-array
+    frame -> positional n-grams (posexplode fused into the projection —
     see exploded_shingles for the re-evaluation blowup this avoids) ->
     8-byte hash56 gram keys -> distinct-doc frequency agg -> equi-join
-    back to mark duplicated starts -> bounded x``n`` position explode
-    -> left join onto the token table -> per-doc reassembly in the
-    aggregate (sorted collect of (pos, tok), the q_group_collect
-    convention).
+    back + per-doc collect of duplicated starts (small: only dup-gram
+    positions) -> the removal itself is a single VECTORIZED projection,
+    `filter(toks, (t, i) -> no dup span covers i)` — no token-level
+    join, no token-level shuffle, no per-doc sorted collect of the
+    whole corpus (the first formulation did all three and cost ~3x).
 
-    Scale: every stage is linear in corpus tokens. The gram shuffle
-    carries (hash56, doc_id) — 16 bytes per token, never gram text.
-    The span explode is bounded at n x duplicated-starts. Skew: a
-    boilerplate n-gram shared by millions of docs makes one hot gram
-    key in the join-back; its output is still one row per occurrence
-    (linear), and AQE skew-join splits the straggler partition. The
-    per-doc sorted collect is bounded by document length — the same
-    bound any per-doc reassembly carries."""
-    toks = _fan_out(docs).select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    grams = _fan_out(docs).select(
+    Scale: the gram shuffle carries (hash56, doc_id, start) — ~20
+    bytes per token, never gram text. The starts table is one row per
+    DUPLICATED gram occurrence (a small fraction of tokens), collected
+    to one array per affected doc; its join onto the corpus is an
+    equi-join AQE broadcasts when small. Skew: a boilerplate n-gram
+    shared by millions of docs makes one hot gram key in the
+    join-back; output is still one row per occurrence (linear), and
+    AQE skew-join splits the straggler. The coverage test is
+    O(tokens x dup-starts-in-doc) inside codegen — bounded by doc
+    length squared only for pathological all-duplicate docs."""
+    base = _fan_out(docs).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).persist()
+    grams = base.select(
         "doc_id",
         F.posexplode(
-            F.expr(shingles_sql("spark", "text", n, distinct=False))
+            F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN "
+                f"transform(sequence(0, size(toks) - {n}), "
+                f"i -> concat_ws(' ', slice(toks, i + 1, {n}))) "
+                f"ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
         ).alias("start", "gram"),
     )
-    # persisted: the (doc_id, start, h) skeleton feeds BOTH the gram-
-    # frequency agg and the join-back — one shingling of the corpus
-    # total (24 bytes/token of cache), the q_dedup_minhash pattern
+    # persisted: feeds BOTH the frequency agg and the join-back, so the
+    # gram text is built+hashed once per token (~20 B/token of cache)
     hg = grams.select(
         "doc_id", "start", hash56(F.col("gram")).alias("h")
     ).persist()
@@ -865,42 +873,19 @@ def substring_dedup_stats(
         .filter(F.col("df") >= min_docs)
         .select("h")
     )
-    dropped = (
+    starts = (
         hg.join(dup, "h")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias(
-                "pos"
-            ),
-        )
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    return (
-        toks.join(dropped, ["doc_id", "pos"], "left")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.count("hit").alias("n_dropped"),
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(
-                                    F.when(
-                                        F.col("hit").isNull(),
-                                        F.struct("pos", "tok"),
-                                    )
-                                )
-                            ),
-                            lambda s: s["tok"],
-                        ),
-                    )
-                ),
-                1,
-                8,
-            ).alias("kept_hash"),
-        )
+        .agg(F.collect_list("start").alias("starts"))
+    )
+    kept = (
+        f"filter(toks, (t, i) -> NOT exists("
+        f"coalesce(starts, CAST(array() AS ARRAY<INT>)), "
+        f"s -> i >= s AND i < s + {n}))"
+    )
+    return base.join(starts, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(F.expr(kept))).cast("long").alias("n_dropped"),
+        F.substring(F.md5(F.concat_ws(" ", F.expr(kept))), 1, 8).alias("kept_hash"),
     )
