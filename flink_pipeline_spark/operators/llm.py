@@ -811,6 +811,75 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
 
+def incremental_dedup(
+    docs: DataFrame,
+    new_sql: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """(doc_id, action) for every NEW-batch document: ``drop_exact`` if
+    its text digest matches any CORPUS (non-batch) document,
+    ``drop_near`` if exact shingle-Jaccard vs some corpus document
+    reaches ``threshold`` (via the band-bucket probe), else ``keep`` —
+    the continuous-ingestion dedup pattern, where each crawl batch
+    probes the standing corpus instead of self-joining the world.
+    ``new_sql`` is a SQL predicate over ``doc_id`` selecting the batch.
+    (Batch-internal duplicates are the batch's own self-dedup pass —
+    q_dedup_exact / q_dedup_minhash — not this operator's concern.)
+
+    Scale: the asymmetric shape is the point. The corpus side is
+    reduced to its (band, sig) bucket index — collected id arrays,
+    capped at ``max_bucket`` exactly like capped_bucket_pairs (a hot
+    bucket is boilerplate, not signal) — which is the artifact a
+    production pipeline persists between runs; the probe is an
+    equi-join of BATCH signatures against that index, so per-ingest
+    cost is O(batch x bands), never O(corpus^2), and the corpus never
+    reshuffles for the probe. Digest match is a broadcast-able
+    left-semi on the 32-byte md5. Verification attaches shingle sets
+    only to (batch, corpus-candidate) pairs."""
+    is_new = F.expr(new_sql)
+    dig = docs.select("doc_id", F.md5("text").alias("dg"), is_new.alias("is_new"))
+    drop_exact = (
+        dig.filter("is_new")
+        .join(dig.filter(~F.col("is_new")).select("dg"), "dg", "left_semi")
+        .select("doc_id")
+    )
+    sets = doc_shingles(docs, n).persist()
+    sigs = lsh_band_signatures(docs, n, sets=sets)
+    old_buckets = (
+        sigs.filter(~is_new)
+        .groupBy("band", "sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") <= max_bucket)
+    )
+    cand = (
+        sigs.filter(is_new)
+        .join(old_buckets, ["band", "sig"])
+        .select(F.col("doc_id").alias("doc_a"), F.explode("ids").alias("doc_b"))
+        .distinct()
+    )
+    jacc = "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"
+    near = (
+        scored_pairs(cand, sets, jacc, "jacc", threshold)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.filter(is_new)
+        .select("doc_id")
+        .join(drop_exact.withColumn("ex", F.lit(1)), "doc_id", "left")
+        .join(near.withColumn("nr", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("ex").isNotNull(), F.lit("drop_exact"))
+            .when(F.col("nr").isNotNull(), F.lit("drop_near"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact-substring dedup (span removal)
 # ---------------------------------------------------------------------------

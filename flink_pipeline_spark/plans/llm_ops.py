@@ -32,6 +32,7 @@ from ..operators.llm import (
     ivf_assign,
     lsh_candidate_pairs,
     minhash_signatures,  # noqa: F401 (re-exported for tests)
+    incremental_dedup,
     simhash,
     simhash_pairs,
     substring_dedup_stats,
@@ -1056,4 +1057,65 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the linear-in-tokens plan and skew notes."""
     return substring_dedup_stats(
         load_table(spark, sf_dir, "documents"), n=10, min_docs=2
+    )
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id, {shingles_sql('duckdb', 'text', 3)} AS s FROM documents
+    ), hx AS (
+        SELECT doc_id, {shingle_hash_sql('duckdb', 'shingle')} AS x
+        FROM (SELECT doc_id, unnest(s) AS shingle FROM sets) t
+    ), mh AS (
+        SELECT doc_id, hp.i, min((hp.a * x + hp.b) % {P31}) AS mh
+        FROM hx CROSS JOIN {minhash_params_values_sql()}
+        GROUP BY doc_id, hp.i
+    ), sig AS (
+        SELECT doc_id, i // 3 AS band,
+               string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
+        FROM mh GROUP BY doc_id, i // 3
+    ), dig AS (
+        SELECT doc_id, md5(text) AS dg FROM documents
+    ), drop_exact AS (
+        SELECT DISTINCT a.doc_id
+        FROM dig a JOIN dig b ON a.dg = b.dg
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ), oldb AS (
+        SELECT band, sig FROM sig WHERE doc_id % 10 <> 0
+        GROUP BY band, sig HAVING count(*) <= {MAX_LSH_BUCKET}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a
+        JOIN oldb k ON a.band = k.band AND a.sig = k.sig
+        JOIN sig b ON b.band = k.band AND b.sig = k.sig
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ), near AS (
+        SELECT DISTINCT doc_a AS doc_id
+        FROM cand
+        JOIN sets sa ON sa.doc_id = cand.doc_a
+        JOIN sets sb ON sb.doc_id = cand.doc_b
+        WHERE floor((len(list_intersect(sa.s, sb.s))::DOUBLE
+                     / len(list_distinct(list_concat(sa.s, sb.s)))) * 10000 + 0.5)
+                / 10000 >= 0.8
+    )
+    SELECT nb.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'drop_exact'
+                WHEN nr.doc_id IS NOT NULL THEN 'drop_near'
+                ELSE 'keep' END AS action
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) nb
+    LEFT JOIN drop_exact e ON e.doc_id = nb.doc_id
+    LEFT JOIN near nr ON nr.doc_id = nb.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the continuous-ingestion
+    pattern: the batch (doc_id %% 10 = 0, a deterministic ~10% slice)
+    probes the standing corpus's digest table and capped (band, sig)
+    LSH bucket index; each batch doc is tagged drop_exact / drop_near /
+    keep. Per-ingest cost is O(batch x bands) against a persisted
+    index — the corpus never reshuffles. See operators/llm.py
+    incremental_dedup."""
+    return incremental_dedup(
+        load_table(spark, sf_dir, "documents"), "doc_id % 10 = 0"
     )

@@ -314,3 +314,28 @@ def test_substring_dedup_overlapping_spans_drop_union(spark):
     out = {r.doc_id: r for r in substring_dedup_stats(docs, n=10).collect()}
     assert out[1].n_dropped == 11 and out[1].n_tokens == 12
     assert out[2].n_dropped == 11 and out[2].n_tokens == 12
+
+
+def test_incremental_dedup_actions(spark):
+    """Batch docs (doc_id % 10 = 0) vs corpus: exact copy -> drop_exact,
+    near copy -> drop_near, unique -> keep; corpus-internal and
+    batch-internal duplicates are untouched."""
+    from flink_pipeline_spark.operators.llm import incremental_dedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                      # corpus original
+            (2, "other corpus text " * 5),  # corpus noise
+            (10, base),                     # batch: exact copy of 1
+            (20, near),                     # batch: near copy of 1
+            (30, "completely unique batch doc " * 3),  # batch: keep
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: r.action
+        for r in incremental_dedup(docs, "doc_id % 10 = 0").collect()
+    }
+    assert out == {10: "drop_exact", 20: "drop_near", 30: "keep"}
