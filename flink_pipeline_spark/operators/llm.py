@@ -846,7 +846,10 @@ def incremental_dedup(
         .select("doc_id")
     )
     sets = doc_shingles(docs, n).persist()
-    sigs = lsh_band_signatures(docs, n, sets=sets)
+    # persisted: consumed by BOTH the corpus-index build (~is_new) and
+    # the batch probe (is_new) — without it the minhash agg over the
+    # whole corpus runs twice. One narrow row per doc (band, sig).
+    sigs = lsh_band_signatures(docs, n, sets=sets).persist()
     old_buckets = (
         sigs.filter(~is_new)
         .groupBy("band", "sig")
