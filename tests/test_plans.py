@@ -205,3 +205,21 @@ def test_containment_no_cartesian(spark):
     plan = _plan(spark, "q_dedup_containment")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_text_chunks_zero_exchange(spark):
+    """Chunking is a pure narrow map: one scan, one generate, NO
+    exchange — a shuffle here would mean the chunk explode got
+    separated from its projection."""
+    plan = _plan(spark, "q_text_chunks")
+    assert "Exchange" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_incremental_dedup_corpus_index_shape(spark):
+    """The batch probe must join the corpus's collected bucket index
+    (collect_list agg), and the digest match must stay a left-semi —
+    the asymmetric shapes that keep per-ingest cost O(batch)."""
+    plan = _plan(spark, "q_dedup_incremental")
+    assert "collect_list" in plan, plan
+    assert "LeftSemi" in plan, plan
