@@ -657,6 +657,68 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_after_topk(counts, 20, "n", "tok")
 
 
+VOCAB_K = 10  # top-K vocabulary size (fixture-calibrated so OOV is nonzero)
+
+
+@register(
+    "q_text_vocab",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), counts AS (
+        SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ), vocab AS (
+        SELECT tok FROM counts ORDER BY n DESC, tok LIMIT {VOCAB_K}
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+           {round_sql("sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE"
+                      " / count(*)")} AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY source
+    """,
+)
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + coverage — the tokenizer-prep step: the
+    top-{VOCAB_K} tokens by corpus frequency (ties broken by token, so
+    the vocab is deterministic) become the vocabulary, then per-source
+    out-of-vocabulary rates are computed by joining the vocab back onto
+    the token stream.
+
+    Scale: token counts are one partial/merge agg (the only shuffle of
+    token text); the vocab itself is top-K via distributed
+    TakeOrderedAndProject and is BROADCAST back onto the exploded
+    corpus for the coverage pass — the corpus never shuffles by token
+    for the join, and the final rollup is per-source partial aggs. A
+    real 250k-entry vocab is a few MB — still broadcast territory."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_tokens"),
+            oov.cast("long").alias("oov_tokens"),
+            round_agg(oov.cast("double") / F.count("*")).alias("oov_rate"),
+        )
+    )
+
+
 # Sliding-window chunking parameters: width tokens per chunk, stride
 # tokens between chunk starts (width > stride -> overlapping context
 # windows, the RAG / long-doc-to-context-window prep layout).
