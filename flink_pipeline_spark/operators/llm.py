@@ -950,14 +950,22 @@ def substring_dedup_stats(
         .groupBy("doc_id")
         .agg(F.collect_list("start").alias("starts"))
     )
+    # materialize the span-coverage filter ONCE: Spark's subexpression
+    # elimination cannot dedupe lambda expressions, so deriving both
+    # n_dropped and kept_hash from F.expr(kept) directly would run the
+    # O(tokens x dup-starts) scan twice per document
     kept = (
         f"filter(toks, (t, i) -> NOT exists("
         f"coalesce(starts, CAST(array() AS ARRAY<INT>)), "
         f"s -> i >= s AND i < s + {n}))"
     )
-    return base.join(starts, "doc_id", "left").select(
-        "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
-        (F.size("toks") - F.size(F.expr(kept))).cast("long").alias("n_dropped"),
-        F.substring(F.md5(F.concat_ws(" ", F.expr(kept))), 1, 8).alias("kept_hash"),
+    return (
+        base.join(starts, "doc_id", "left")
+        .select("doc_id", "toks", F.expr(kept).alias("kept"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.size("kept")).cast("long").alias("n_dropped"),
+            F.substring(F.md5(F.concat_ws(" ", "kept")), 1, 8).alias("kept_hash"),
+        )
     )

@@ -55,18 +55,35 @@ def fingerprint(fn, oracle: str | None) -> str:
     return h.hexdigest()[:20]
 
 
+def _row_passed(row: dict) -> bool:
+    """A driver row counts as evidence only if it PASSED: no error and
+    no explicit False on any recorded match flag (rows-only checks
+    leave hash/schema as None). An errored or mismatched row must NOT
+    bless a fingerprint — it would push a known-failing query to the
+    back of the weakest-evidence-first window (the r3/r4
+    q_label_centroids error was exactly such a row)."""
+    if not isinstance(row, dict):
+        return False
+    if row.get("err") is not None:
+        return False
+    return all(
+        row.get(k) is not False for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
 def correctness_rows() -> dict[str, int]:
-    """query name -> most recent round with a driver CORRECTNESS row."""
+    """query name -> most recent round with a PASSING driver row."""
     latest: dict[str, int] = {}
     for p in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", p.name)
         rnd = int(m.group(1)) if m else 0
         try:
-            names = json.loads(p.read_text()).keys()
+            rows = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
-        for name in names:
-            latest[name] = max(latest.get(name, 0), rnd)
+        for name, row in rows.items():
+            if _row_passed(row):
+                latest[name] = max(latest.get(name, 0), rnd)
     return latest
 
 

@@ -37,7 +37,6 @@ from ..operators.llm import (
     simhash_pairs,
     substring_dedup_stats,
     knn_classify,
-    label_centroids,  # noqa: F401 (array API, exercised in tests)
     label_centroids_long,
     topk_neighbors,
     topk_neighbors_ivf,
@@ -684,8 +683,8 @@ VOCAB_K = 10  # top-K vocabulary size (fixture-calibrated so OOV is nonzero)
 )
 def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary build + coverage — the tokenizer-prep step: the
-    top-{VOCAB_K} tokens by corpus frequency (ties broken by token, so
-    the vocab is deterministic) become the vocabulary, then per-source
+    top-VOCAB_K(=10) tokens by corpus frequency (ties broken by token,
+    so the vocab is deterministic) become the vocabulary, then per-source
     out-of-vocabulary rates are computed by joining the vocab back onto
     the token stream.
 
@@ -726,6 +725,19 @@ CHUNK_WIDTH = 32
 CHUNK_STRIDE = 16
 
 
+def chunk_list_sql(width: int = CHUNK_WIDTH, stride: int = CHUNK_STRIDE) -> str:
+    """Spark SQL expression: the list of sliding-window chunks of the
+    space-tokenized ``text`` column (start positions 0, stride, ...,
+    last start that still reaches new tokens; final chunk truncates).
+    Shared by q_text_chunks and its boundary tests so the tested
+    expression IS the registered one."""
+    return (
+        f"transform(sequence(0, CASE WHEN size(split(text, ' ')) <= {width} THEN 0 "
+        f"ELSE CAST(ceil((size(split(text, ' ')) - {width}) / {stride}.0) AS INT) END), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i * {stride} + 1, {width})))"
+    )
+
+
 @register(
     "q_text_chunks",
     oracle=f"""
@@ -756,7 +768,7 @@ CHUNK_STRIDE = 16
 )
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking — split each document into
-    {CHUNK_WIDTH}-token chunks with a {CHUNK_STRIDE}-token stride
+    CHUNK_WIDTH(=32)-token chunks at a CHUNK_STRIDE(=16)-token stride
     (overlapping context windows): the RAG-index / long-document prep
     step, the inverse of q_pack_sequences' concat-and-chunk. Start
     positions are 0, stride, 2*stride, ... through the last start that
@@ -772,14 +784,8 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     map over the corpus, and the explain shows a single scan with no
     Exchange."""
     d = load_table(spark, sf_dir, "documents")
-    w, s = CHUNK_WIDTH, CHUNK_STRIDE
-    chunk_list = (
-        f"transform(sequence(0, CASE WHEN size(split(text, ' ')) <= {w} THEN 0 "
-        f"ELSE CAST(ceil((size(split(text, ' ')) - {w}) / {s}.0) AS INT) END), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i * {s} + 1, {w})))"
-    )
     return d.select(
-        "doc_id", F.posexplode(F.expr(chunk_list)).alias("chunk_id", "chunk")
+        "doc_id", F.posexplode(F.expr(chunk_list_sql())).alias("chunk_id", "chunk")
     ).select(
         "doc_id",
         F.col("chunk_id").cast("long").alias("chunk_id"),

@@ -40,7 +40,13 @@ def _canon(v):
             "cannot hash array/map cells — use array_join (q_group_collect "
             "convention) or long-format scalar rows"
         )
-    if isinstance(v, tuple):  # struct (Spark Row / duckdb tuple): hashable
+    # Spark struct cells arrive as Row (a tuple subclass) — hashable, so
+    # the driver's pandas canonicalizer accepts them. DuckDB struct
+    # cells arrive as dict and hit the rejection above — which mirrors
+    # the driver, whose canonicalizer dies on dicts the same way. The
+    # asymmetry is the engines', not ours: a struct-emitting query can
+    # never pass the cross-engine gate, so emit scalar columns instead.
+    if isinstance(v, tuple):
         return ("struct", tuple(_canon(x) for x in v))
     if isinstance(v, (bytes, bytearray)):
         return ("bytes", bytes(v))

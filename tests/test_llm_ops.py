@@ -346,10 +346,14 @@ def test_text_chunks_boundaries(spark):
     over spills a second (truncated) chunk starting at the stride; a
     doc far under width is a single short chunk; width+stride tokens
     give two full-width overlapping chunks."""
-    from flink_pipeline_spark.plans.llm_ops import CHUNK_STRIDE, CHUNK_WIDTH, q_text_chunks  # noqa: F401
-    import flink_pipeline_spark.plans.llm_ops as L
+    from pyspark.sql import functions as F
 
-    w, s = L.CHUNK_WIDTH, L.CHUNK_STRIDE
+    from flink_pipeline_spark.plans.llm_ops import (
+        CHUNK_STRIDE as s,
+        CHUNK_WIDTH as w,
+        chunk_list_sql,
+    )
+
     docs = spark.createDataFrame(
         [
             (1, " ".join(f"t{i}" for i in range(w))),        # exactly width
@@ -359,16 +363,11 @@ def test_text_chunks_boundaries(spark):
         ],
         "doc_id LONG, text STRING",
     )
-    docs.createOrReplaceTempView("___chunk_docs")
-    # reuse the registered plan body against an in-memory frame
-    from pyspark.sql import functions as F
-    chunk_list = (
-        f"transform(sequence(0, CASE WHEN size(split(text, ' ')) <= {w} THEN 0 "
-        f"ELSE CAST(ceil((size(split(text, ' ')) - {w}) / {s}.0) AS INT) END), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i * {s} + 1, {w})))"
-    )
+    # the PRODUCTION chunk expression, against hand-built boundary docs
     out = (
-        docs.select("doc_id", F.posexplode(F.expr(chunk_list)).alias("cid", "chunk"))
+        docs.select(
+            "doc_id", F.posexplode(F.expr(chunk_list_sql())).alias("cid", "chunk")
+        )
         .select("doc_id", "cid", F.size(F.split("chunk", " ")).alias("n"))
         .collect()
     )
