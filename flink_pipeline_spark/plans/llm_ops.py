@@ -592,6 +592,45 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids_long(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "q_embed_dim_stats",
+    oracle=f"""
+    WITH e AS (
+        SELECT unnest(range(len(embedding))) AS pos,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        FROM embeddings
+    )
+    SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n,
+           {round_sql('avg(x)')} AS mean_v,
+           {round_sql('stddev_pop(x)')} AS std_v,
+           {round_sql('min(x)')} AS min_v,
+           {round_sql('max(x)')} AS max_v
+    FROM e GROUP BY pos
+    """,
+)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean/std/min/max over the
+    corpus) — the embedding-QA profile that catches dead dimensions
+    (std ~ 0), clipped values, and normalization drift before any
+    similarity work runs. Long format, one row per dimension.
+
+    Scale: posexplode is rows x dim (linear) and the grouping key is
+    just the dimension index, so the merge side is ``dim`` cells — the
+    same shape as label_centroids without the label axis."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("pos", "xf")).select(
+        "pos", F.col("xf").cast("double").alias("x")
+    )
+    return e.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        round_agg(F.avg("x")).alias("mean_v"),
+        round_agg(F.stddev_pop("x")).alias("std_v"),
+        round_agg(F.min("x")).alias("min_v"),
+        round_agg(F.max("x")).alias("max_v"),
+    ).select(F.col("pos").cast("long").alias("pos"), "n", "mean_v", "std_v", "min_v", "max_v")
+
+
 # ---------------------------------------------------------------------------
 # L4: multimodal columns
 # ---------------------------------------------------------------------------

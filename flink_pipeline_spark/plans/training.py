@@ -521,3 +521,47 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_phone"),
     )
+
+
+N_SHARDS = 32  # training-output shard count (deterministic hash layout)
+
+
+@register(
+    "q_train_shards",
+    oracle=f"""
+    SELECT {_HASH_DOC} % {N_SHARDS} AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout: shard = hash56(doc_id) %
+    N_SHARDS(=32) — the writer-side assignment that spreads the corpus
+    evenly and REPRODUCIBLY across output shards (same doc -> same
+    shard on any rerun or cluster size, unlike round-robin or
+    partition-id layouts). Emits per-shard doc/token totals and the
+    doc_id range — the balance report a shard writer checks before
+    committing a layout. In production the same expression feeds
+    ``df.repartition(N, shard).write`` (or partitionBy(shard)); the
+    hash layout is what makes incremental re-writes and resumable jobs
+    deterministic. One partial/merge agg — the only shuffle is
+    N_SHARDS x stats rows."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            (hash56(F.col("doc_id")) % N_SHARDS).alias("shard"),
+            "doc_id",
+            F.size(F.split("text", " ")).alias("tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
