@@ -177,3 +177,75 @@ def decode_pcm16(files: DataFrame) -> DataFrame:
             )
 
     return files.select("file", "content").mapInPandas(dec, schema=PCM16_SCHEMA)
+
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+FRAMES_SCHEMA = "doc_id BIGINT, frame_idx BIGINT, frame_len BIGINT, frame_hash STRING"
+
+
+def sample_frames(
+    mm: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Frame sampling over binary payloads: treat each payload as a
+    sequence of fixed-size frames (``frame_bytes``, the last frame may
+    be short) and keep every ``stride``-th frame — the
+    every-kth-video-frame extraction pattern. One input row fans out to
+    ~frames/stride output rows; the row explosion happens INSIDE the
+    pandas iterator, so Arrow batch shape in and out differ (the
+    mapInPandas contract a real video sampler needs). Emits per-frame
+    index, length and an md5-prefix fingerprint — scalar cells, so the
+    whole sampled set is oracle-replayable.
+
+    Scale: pure partition-parallel map, no shuffle; output size is
+    input/stride. A real codec drops in by replacing the frame slicing
+    with decoder calls — the plumbing (schema, batching, fan-out) is
+    what this operator pins down."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_len": [], "frame_hash": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                nframes = (len(b) + frame_bytes - 1) // frame_bytes
+                for k in range(0, nframes, stride):
+                    fr = b[k * frame_bytes : (k + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["frame_len"].append(len(fr))
+                    out["frame_hash"].append(hashlib.md5(fr).hexdigest()[:8])
+            yield pd.DataFrame(out)
+
+    return mm.select("doc_id", "payload").mapInPandas(sample, schema=FRAMES_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id BIGINT, orig_len BIGINT, out_len BIGINT, out_hash STRING"
+
+
+def resize_payload(mm: DataFrame, factor: int = 2) -> DataFrame:
+    """Payload resize (downsample by ``factor``): keeps every
+    ``factor``-th byte — the stand-in for an image/audio resample, with
+    the binary-in / summary-out mapInPandas plumbing a real resizer
+    uses. Emits original/output lengths and the md5-prefix of the
+    resized payload so the transformation is hash-gated end-to-end."""
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                out = b[::factor]
+                rows.append(
+                    (doc_id, len(b), len(out), hashlib.md5(out).hexdigest()[:8])
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "orig_len", "out_len", "out_hash"]
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(rz, schema=RESIZE_SCHEMA)

@@ -42,6 +42,7 @@ from ..operators.llm import (
     topk_neighbors_ivf,
     verified_near_dups,
 )
+from ..operators.multimodal import resize_payload, sample_frames, to_multimodal
 from ..operators.topk import rank_after_topk
 from .registry import register
 
@@ -662,6 +663,61 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("small")
         .alias("size_class"),
     )
+
+
+@register(
+    "q_multimodal_frames",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(len(text) / 64.0) AS INT), 4))
+                   AS frame_idx
+        FROM documents
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(len(substr(text, frame_idx * 64 + 1, 64)) AS BIGINT)
+               AS frame_len,
+           substr(md5(substr(text, frame_idx * 64 + 1, 64)), 1, 8)
+               AS frame_hash
+    FROM f
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (L4): payloads sliced into 64-byte frames, every
+    4th kept — the every-kth-video-frame extraction, run through the
+    real mapInPandas fan-out plumbing (one input row -> many output
+    rows inside the Arrow iterator). Payloads are UTF-8 text bytes, so
+    the DuckDB oracle replays the exact frame slicing and hashes with
+    substr arithmetic; a real codec drops into sample_frames without
+    touching the plan."""
+    mm = to_multimodal(load_table(spark, sf_dir, "documents"))
+    return sample_frames(mm)
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, len(text) AS orig_len,
+               array_to_string(list_transform(
+                   range(1, len(text) + 1, 2), i -> substr(text, i, 1)), '')
+                   AS ds
+        FROM documents
+    )
+    SELECT doc_id, CAST(orig_len AS BIGINT) AS orig_len,
+           CAST(len(ds) AS BIGINT) AS out_len,
+           substr(md5(ds), 1, 8) AS out_hash
+    FROM r
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload resize (L4): byte-stride downsample by 2 through the
+    binary-in mapInPandas path, hash-gating the resized payload itself
+    (the oracle rebuilds every 2nd byte via substr and matches the
+    md5) — the resample plumbing an image/audio resizer uses, with the
+    codec swappable inside resize_payload."""
+    mm = to_multimodal(load_table(spark, sf_dir, "documents"))
+    return resize_payload(mm, factor=2)
 
 
 # ---------------------------------------------------------------------------
