@@ -665,19 +665,38 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The frame/resize ORACLES slice characters (this DuckDB build has no
+# blob substring/md5), while the OPERATORS slice bytes. The registered
+# queries therefore ASCII-sanitize the payload text by construction
+# (any char outside printable ASCII becomes '?'), making char == byte
+# for EVERY input — not just the ASCII fixtures. The operators stay
+# byte-general for real codecs.
+_ASCII_SANITIZE = r"[^\x20-\x7E]"
+
+
+def _sanitized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.withColumn("text", F.regexp_replace("text", _ASCII_SANITIZE, "?"))
+
+
+_SANITIZE_SQL = "regexp_replace(text, '[^\\x20-\\x7E]', '?', 'g')"
+
+
 @register(
     "q_multimodal_frames",
-    oracle="""
-    WITH f AS (
-        SELECT doc_id, text,
-               unnest(range(0, CAST(ceil(len(text) / 64.0) AS INT), 4))
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, {_SANITIZE_SQL} AS t FROM documents
+    ), f AS (
+        SELECT doc_id, t,
+               unnest(range(0, CAST(ceil(len(t) / 64.0) AS INT), 4))
                    AS frame_idx
-        FROM documents
+        FROM s
     )
     SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-           CAST(len(substr(text, frame_idx * 64 + 1, 64)) AS BIGINT)
+           CAST(len(substr(t, frame_idx * 64 + 1, 64)) AS BIGINT)
                AS frame_len,
-           substr(md5(substr(text, frame_idx * 64 + 1, 64)), 1, 8)
+           substr(md5(substr(t, frame_idx * 64 + 1, 64)), 1, 8)
                AS frame_hash
     FROM f
     """,
@@ -686,23 +705,25 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (L4): payloads sliced into 64-byte frames, every
     4th kept — the every-kth-video-frame extraction, run through the
     real mapInPandas fan-out plumbing (one input row -> many output
-    rows inside the Arrow iterator). Payloads are UTF-8 text bytes, so
-    the DuckDB oracle replays the exact frame slicing and hashes with
-    substr arithmetic; a real codec drops into sample_frames without
-    touching the plan."""
-    mm = to_multimodal(load_table(spark, sf_dir, "documents"))
-    return sample_frames(mm)
+    rows inside the Arrow iterator). The payload is ASCII-sanitized
+    text bytes (char == byte by construction, see _ASCII_SANITIZE), so
+    the DuckDB oracle replays the exact byte slicing with substr
+    arithmetic on any input; a real codec drops into sample_frames
+    without touching the plan."""
+    return sample_frames(to_multimodal(_sanitized_docs(spark, sf_dir)))
 
 
 @register(
     "q_multimodal_resize",
-    oracle="""
-    WITH r AS (
-        SELECT doc_id, len(text) AS orig_len,
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, {_SANITIZE_SQL} AS t FROM documents
+    ), r AS (
+        SELECT doc_id, len(t) AS orig_len,
                array_to_string(list_transform(
-                   range(1, len(text) + 1, 2), i -> substr(text, i, 1)), '')
+                   range(1, len(t) + 1, 2), i -> substr(t, i, 1)), '')
                    AS ds
-        FROM documents
+        FROM s
     )
     SELECT doc_id, CAST(orig_len AS BIGINT) AS orig_len,
            CAST(len(ds) AS BIGINT) AS out_len,
@@ -713,11 +734,11 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload resize (L4): byte-stride downsample by 2 through the
     binary-in mapInPandas path, hash-gating the resized payload itself
-    (the oracle rebuilds every 2nd byte via substr and matches the
-    md5) — the resample plumbing an image/audio resizer uses, with the
-    codec swappable inside resize_payload."""
-    mm = to_multimodal(load_table(spark, sf_dir, "documents"))
-    return resize_payload(mm, factor=2)
+    (the oracle rebuilds every 2nd byte via substr on ASCII-sanitized
+    text, char == byte by construction) — the resample plumbing an
+    image/audio resizer uses, with the codec swappable inside
+    resize_payload."""
+    return resize_payload(to_multimodal(_sanitized_docs(spark, sf_dir)), factor=2)
 
 
 # ---------------------------------------------------------------------------

@@ -378,3 +378,42 @@ def test_text_chunks_boundaries(spark):
     assert by_doc[2] == [w, w + 1 - s]      # second chunk truncated
     assert by_doc[3] == [2]
     assert by_doc[4] == [w, w]              # stride start still fills width
+
+
+def test_multimodal_frames_non_ascii_parity(spark):
+    """The latent byte-vs-char break the ASCII sanitization closes:
+    with multi-byte characters in the text, the sanitized Spark
+    operator output must still match both a hashlib ground truth AND
+    the DuckDB oracle replay on the same rows."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from flink_pipeline_spark.operators.multimodal import sample_frames, to_multimodal
+    from flink_pipeline_spark.plans import registry
+
+    registry._load_all()
+    raw = "café " + "x" * 70 + " \U0001f389 end"  # é and emoji
+    docs = spark.createDataFrame(
+        [(1, raw)], "doc_id LONG, text STRING"
+    ).withColumn("text", F.regexp_replace("text", r"[^\x20-\x7E]", "?"))
+    got = {
+        (r.doc_id, r.frame_idx): (r.frame_len, r.frame_hash)
+        for r in sample_frames(to_multimodal(docs)).collect()
+    }
+    sanitized = "".join(c if " " <= c <= "~" else "?" for c in raw).encode()
+    expected = {}
+    nframes = (len(sanitized) + 63) // 64
+    for k in range(0, nframes, 4):
+        fr = sanitized[k * 64 : (k + 1) * 64]
+        expected[(1, k)] = (len(fr), hashlib.md5(fr).hexdigest()[:8])
+    assert got == expected
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": [1], "text": [raw]}))
+    oracle_rows = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(registry.ORACLES["q_multimodal_frames"]).fetchall()
+    }
+    assert oracle_rows == expected
