@@ -46,7 +46,7 @@ WORK = "/tmp/scale_probe"
 
 def build_corpus(spark: SparkSession, m: int) -> str:
     out = os.path.join(WORK, f"m{m}")
-    marker = os.path.join(out, "_SUCCESS_PROBE")
+    marker = os.path.join(out, "_SUCCESS_PROBE_V2")  # v2: + events replica
     if os.path.exists(marker):
         return out
     d = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
@@ -71,6 +71,27 @@ def build_corpus(spark: SparkSession, m: int) -> str:
     for c in copies[1:]:
         allc = allc.unionByName(c)
     allc.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    # events replica for the window/session family: user_ids offset per
+    # copy (disjoint users -> per-copy session/funnel structure exactly
+    # preserved, counts scale linearly); timestamps unchanged. Written
+    # by Spark as TIMESTAMP(US) — load_table's nanos fix is conditional
+    # on the legacy LongType read, so the replica round-trips cleanly.
+    ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    ecopies = [
+        ev.select(
+            (F.col("event_id") + F.lit(k * 100_000_000)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(k * 10_000_000)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(m)
+    ]
+    alle = ecopies[0]
+    for c in ecopies[1:]:
+        alle = alle.unionByName(c)
+    alle.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
     open(marker, "w").close()
     return out
 
