@@ -66,9 +66,13 @@ def _row_passed(row: dict) -> bool:
         return False
     if row.get("err") is not None:
         return False
-    return all(
-        row.get(k) is not False for k in ("rows_match", "schema_match", "hash_match")
-    )
+    flags = [row.get(k) for k in ("rows_match", "schema_match", "hash_match")]
+    # Require at least one affirmative True: a malformed/empty row (all
+    # flags absent) must not bless evidence and push the query to the
+    # back of the weakest-evidence-first window.
+    if not any(f is True for f in flags):
+        return False
+    return all(f is not False for f in flags)
 
 
 def correctness_rows() -> dict[str, int]:
