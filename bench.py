@@ -64,13 +64,15 @@ HEADLINE = [
     "q_decontaminate",
     "q_pack_sequences",
     # scale-path dedup (round 3): simhash pairing is the largest
-    # correctness workload (33k pairs), IVF the sub-quadratic ANN path
+    # correctness workload, IVF the sub-quadratic ANN path. Round 6:
+    # the unsuffixed pairs name is now the 56-bit corpus-scale config
+    # (r5's q_dedup_simhash_pairs_wide); the former 16-bit holder of
+    # the name is benched as _calib for series continuity
     "q_dedup_simhash_pairs",
     "q_dedup_embed_ivf",
-    # round 5: the corpus-scale 56-bit simhash configuration, and the
-    # shipped dedup pipeline end-to-end — pairs -> connected-component
-    # clusters -> keeper apply is the actual 100 TB dedup workload
-    "q_dedup_simhash_pairs_wide",
+    # the shipped dedup pipeline end-to-end — pairs -> connected-
+    # component clusters -> keeper apply is the actual 100 TB workload
+    "q_dedup_simhash_pairs_calib",
     "q_dedup_containment",
     "q_dedup_clusters",
     "q_dedup_apply",

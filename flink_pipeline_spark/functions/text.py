@@ -24,7 +24,15 @@ MINHASH_PARAMS = [
 MINHASH_BANDS = 4
 MINHASH_ROWS = 3  # per band; k = bands * rows
 
-SIMHASH_BITS = 16
+# Default SimHash signature width: 56 bits (the full portable hash56).
+# Block-key cardinality for pigeonhole pairing at max_hamming=3 is
+# 2^(bits/4) — 16384 keys/block at 56 bits, which keeps bucket
+# occupancy sub-linear as the corpus grows. The 16-bit CALIB width is
+# fixture-calibration only: its 16-key blocks fill linearly with the
+# corpus and the bucket cap then drops real pairs (SCALING.md measured
+# zero pairs at 48x) — never use it at corpus scale.
+SIMHASH_BITS = 56
+SIMHASH_BITS_CALIB = 16
 
 
 def shingle_hash_sql(engine: str, shingle_expr: str) -> str:

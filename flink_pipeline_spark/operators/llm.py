@@ -366,15 +366,14 @@ def simhash_pairs(
     hot bucket.
 
     SCALE CEILING (measured, scripts/scale_probe.py): block-key
-    cardinality is 2^(bits/(max_hamming+1)) — with the default 16-bit
-    signature that is 16 values per block, so bucket population grows
-    linearly with the corpus and the cap starts DROPPING real pairs
-    once any block's corpus/16 share exceeds it (the 8x probe emits
-    FEWER pairs than the 4x probe). The 16-bit default is calibrated
-    to the driver fixture; at real corpus scale pass a wider
-    signature (e.g. bits=56, still one portable hash56 per token:
-    4 blocks x 14 bits = 16384 keys/block) so bucket occupancy stays
-    sub-linear in the corpus."""
+    cardinality is 2^(bits/(max_hamming+1)). The default 56-bit
+    signature (one portable hash56 per token, 4 blocks x 14 bits =
+    16384 keys/block) keeps bucket occupancy sub-linear in the corpus
+    — the probe shows flat wall time and constant per-copy pair
+    density at 48x. The narrow bits=SIMHASH_BITS_CALIB (16) width is
+    fixture-calibration ONLY: its 16-key blocks fill linearly with
+    the corpus and the cap then drops real pairs (the 8x probe emits
+    FEWER pairs than the 4x probe; zero at 48x)."""
     nblocks = max_hamming + 1
     if bits % nblocks:
         raise ValueError(f"bits={bits} must divide into {nblocks} blocks")
@@ -560,35 +559,68 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     return scored.groupBy("vec_id").agg(F.max_by("cell", key).alias("cell"))
 
 
+# Per-cell membership cap for cosine_pairs_ivf: a cell larger than this
+# is sub-split before the within-cell self-join. Without it the join is
+# O(cell^2) on whatever the quantizer produces — a degenerate centroid
+# set or a dense embedding region at 100 TB puts one huge cell's square
+# into a single join key (straggler/OOM), the exact failure mode
+# MAX_LSH_BUCKET guards against on the LSH path. Unlike that cap we
+# sub-split rather than drop: dense regions are where the duplicates
+# ARE, so oversized cells keep their intra-sub-cell pairs and only lose
+# the sub-cell-straddling ones (documented recall trade, deterministic,
+# mirrored in the DuckDB oracle).
+MAX_IVF_CELL = 4096
+
+
 def cosine_pairs_ivf(
-    emb: DataFrame, centroids: DataFrame, threshold: float
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    max_cell: int = MAX_IVF_CELL,
 ) -> DataFrame:
     """(vec_a, vec_b, cos): near-dup pairs generated WITHIN IVF cells
     only — the sub-quadratic scale path for embedding dedup. Pair work
-    drops from O(n^2) to O(sum cell_i^2); recall is bounded by the
-    quantizer (pairs split across cells are missed — the documented
-    ANN trade, tunable via centroid count / multi-probe)."""
-    # persist the assignment: it is 2 longs per vector (exactly what a
+    drops from O(n^2) to O(sum min(cell_i, max_cell)^2 * ceil(cell_i /
+    max_cell)); recall is bounded by the quantizer (pairs split across
+    cells are missed — the documented ANN trade, tunable via centroid
+    count / multi-probe) and, for cells above ``max_cell``, by the
+    deterministic sub-split (pairs straddling sub-cells are missed).
+
+    The sub-split is a row_number over (cell ORDER BY vec_id) bucketed
+    at ``max_cell`` — a per-cell linearithmic sort of 2-long rows (no
+    embeddings attached), which bounds the subsequent self-join's
+    per-key fan-out at max_cell^2 regardless of quantizer quality."""
+    # persist the assignment: it is 3 longs per vector (exactly what a
     # production pipeline checkpoints), and BOTH branches of the
     # self-join consume it — uncached, the whole quantizer subtree
     # (centroid broadcast + score + argmax agg) executes twice
-    assigned = ivf_assign(emb, centroids).persist()
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    assigned = (
+        ivf_assign(emb, centroids)
+        .withColumn(
+            "sub",
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(max_cell)).cast("bigint"),
+        )
+        .persist()
+    )
     e = with_norm(emb).join(assigned, "vec_id")
     a = e.select(
         "cell",
+        "sub",
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.col("norm").alias("na"),
     )
     b = e.select(
         "cell",
+        "sub",
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
         F.col("norm").alias("nb"),
     )
     cos = F.expr(DOT_SQL.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, "cell")
+        a.join(b, ["cell", "sub"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", round_agg(cos).alias("cos"))
         .filter(F.col("cos") >= threshold)

@@ -17,6 +17,8 @@ from ..catalog import load_table
 from ..functions.portable import round_agg, hash56_sql_duckdb, round_sql
 from ..functions.text import (
     P31,
+    SIMHASH_BITS,
+    SIMHASH_BITS_CALIB,
     minhash_params_values_sql,
     shingle_hash_sql,
     shingles_sql,
@@ -152,17 +154,17 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_dedup_minhash(spark, sf_dir)
 
 
-# Shared DuckDB replay of the 16-bit token-multiset SimHash (ends in
-# CTE ``sh(doc_id, simhash)``), used by both the signature query and
-# the pair-detection query.
-_SIMHASH_CTE = f"""toks AS (
+def _simhash_cte(bits: int) -> str:
+    """DuckDB replay of the token-multiset SimHash at ``bits`` width
+    (ends in CTE ``sh(doc_id, simhash)``), shared by the signature and
+    pair-detection oracles."""
+    return f"""toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ), contrib AS (
         SELECT doc_id, b,
                CASE WHEN (({hash56_sql_duckdb('tok')} >> b) & 1) = 1
                     THEN 1 ELSE -1 END AS c
-        FROM toks CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),
-                                     (10),(11),(12),(13),(14),(15)) bits(b)
+        FROM toks CROSS JOIN (SELECT unnest(range({bits})) AS b) bits
     ), bitsum AS (
         SELECT doc_id, b, sum(c) AS s FROM contrib GROUP BY doc_id, b
     ), sh AS (
@@ -171,102 +173,78 @@ _SIMHASH_CTE = f"""toks AS (
                     AS BIGINT) AS simhash
         FROM bitsum GROUP BY doc_id
     )"""
+
+
+def _simhash_pairs_oracle(bits: int) -> str:
+    """Pigeonhole pair-detection oracle at ``bits`` width: 4 blocks of
+    bits/4 bits each (max_hamming=3), capped buckets, exact
+    bit_count(xor) verify — replays simhash_pairs bit-for-bit."""
+    width = bits // 4
+    mask = (1 << width) - 1
+    return f"""
+    WITH {_simhash_cte(bits)}, keys AS (
+        SELECT doc_id, simhash, b AS blk, (simhash >> (b * {width})) & {mask} AS key
+        FROM sh CROSS JOIN (VALUES (0),(1),(2),(3)) blocks(b)
+    ), bucket AS (
+        SELECT blk, key FROM keys GROUP BY blk, key
+        HAVING count(*) BETWEEN 2 AND 1024
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM keys a JOIN keys b
+          ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+        JOIN bucket k ON a.blk = k.blk AND a.key = k.key
+    )
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+    """
 
 
 @register(
     "q_dedup_simhash",
     oracle=f"""
-    WITH {_SIMHASH_CTE}
+    WITH {_simhash_cte(SIMHASH_BITS)}
     SELECT doc_id, simhash FROM sh
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit token-multiset SimHash per doc — the signature surface;
+    """Token-multiset SimHash per doc at the default 56-bit width (the
+    full portable hash56) — the signature surface;
     q_dedup_simhash_pairs is the pair-detection deliverable."""
     return simhash(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "q_dedup_simhash_pairs",
-    oracle=f"""
-    WITH {_SIMHASH_CTE}, keys AS (
-        SELECT doc_id, simhash, b AS blk, (simhash >> (b * 4)) & 15 AS key
-        FROM sh CROSS JOIN (VALUES (0),(1),(2),(3)) blocks(b)
-    ), bucket AS (
-        SELECT blk, key FROM keys GROUP BY blk, key
-        HAVING count(*) BETWEEN 2 AND 1024
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(xor(a.simhash, b.simhash)) AS hamming
-        FROM keys a JOIN keys b
-          ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
-        JOIN bucket k ON a.blk = k.blk AND a.key = k.key
-    )
-    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
-    """,
-)
+@register("q_dedup_simhash_pairs", oracle=_simhash_pairs_oracle(SIMHASH_BITS))
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIR detection (the L2 deliverable): pigeonhole
-    blocking on 4-bit signature blocks makes the candidate join equi
+    blocking on 14-bit signature blocks makes the candidate join equi
     (any pair within hamming 3 shares >= 1 exact block), then exact
-    bit_count(xor) verification — all-pairs never materializes."""
+    bit_count(xor) verification — all-pairs never materializes.
+
+    The unsuffixed name IS the corpus-scale configuration: 56 bits,
+    4 blocks x 14 bits = 16384 keys/block, so bucket occupancy stays
+    sub-linear as the corpus grows (SCALING.md: flat wall, constant
+    per-copy pair density at 48x). The 16-bit width that held this
+    name through r5 silently lost recall with corpus growth (zero
+    pairs at 48x) and is now the explicitly-named
+    q_dedup_simhash_pairs_calib."""
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
-# 56-bit replay of the same token-multiset SimHash: identical pipeline,
-# bit fan-out generated by range() instead of a VALUES list, block keys
-# 14 bits wide (4 blocks for max_hamming=3).
-_SIMHASH_WIDE_BITS = 56
-_SIMHASH_WIDE_CTE = f"""toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ), contrib AS (
-        SELECT doc_id, b,
-               CASE WHEN (({hash56_sql_duckdb('tok')} >> b) & 1) = 1
-                    THEN 1 ELSE -1 END AS c
-        FROM toks CROSS JOIN (SELECT unnest(range({_SIMHASH_WIDE_BITS})) AS b) bits
-    ), bitsum AS (
-        SELECT doc_id, b, sum(c) AS s FROM contrib GROUP BY doc_id, b
-    ), sh AS (
-        SELECT doc_id,
-               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-                    AS BIGINT) AS simhash
-        FROM bitsum GROUP BY doc_id
-    )"""
-
-
 @register(
-    "q_dedup_simhash_pairs_wide",
-    oracle=f"""
-    WITH {_SIMHASH_WIDE_CTE}, keys AS (
-        SELECT doc_id, simhash, b AS blk, (simhash >> (b * 14)) & 16383 AS key
-        FROM sh CROSS JOIN (VALUES (0),(1),(2),(3)) blocks(b)
-    ), bucket AS (
-        SELECT blk, key FROM keys GROUP BY blk, key
-        HAVING count(*) BETWEEN 2 AND 1024
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(xor(a.simhash, b.simhash)) AS hamming
-        FROM keys a JOIN keys b
-          ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
-        JOIN bucket k ON a.blk = k.blk AND a.key = k.key
-    )
-    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
-    """,
+    "q_dedup_simhash_pairs_calib",
+    oracle=_simhash_pairs_oracle(SIMHASH_BITS_CALIB),
 )
-def q_dedup_simhash_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash pair detection at the CORPUS-SCALE signature width: 56
-    bits (the full portable hash56), 4 pigeonhole blocks x 14 bits =
-    16384 keys per block. The 16-bit default's 16-key blocks fill
-    linearly with the corpus and its bucket cap starts dropping real
-    pairs (SCALING.md measured zero pairs at 48x); at 14-bit keys bucket
-    occupancy stays sub-linear, so THIS is the configuration a 100 TB
-    run uses — now oracle-gated instead of evidence-free. Same plan
-    shape as q_dedup_simhash_pairs: equi-join on (block, block-bits),
-    capped buckets, exact bit_count(xor) verify."""
+def q_dedup_simhash_pairs_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXTURE-CALIBRATION SimHash pairing at 16 bits (4-bit blocks,
+    16 keys/block) — small-corpus threshold calibration only. Block
+    keys fill linearly with the corpus, so the bucket cap starts
+    dropping real pairs as it grows (SCALING.md: fewer pairs at 8x
+    than 4x, zero at 48x). Never the scale config — that is the
+    unsuffixed q_dedup_simhash_pairs (56-bit)."""
     return simhash_pairs(
         load_table(spark, sf_dir, "documents"),
         max_hamming=3,
-        bits=_SIMHASH_WIDE_BITS,
+        bits=SIMHASH_BITS_CALIB,
     )
 
 
@@ -384,27 +362,38 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 c.vec_id) AS rn
             FROM embeddings e JOIN embeddings c ON c.vec_id < 8
         ) t WHERE rn = 1
+    ), subbed AS (
+        SELECT vec_id, cell,
+               CAST(floor((row_number() OVER (PARTITION BY cell ORDER BY vec_id)
+                           - 1) / 32) AS BIGINT) AS sub
+        FROM assigned
     ), members AS (
-        SELECT em.vec_id, em.embedding, a.cell
-        FROM embeddings em JOIN assigned a ON a.vec_id = em.vec_id
+        SELECT em.vec_id, em.embedding, a.cell, a.sub
+        FROM embeddings em JOIN subbed a ON a.vec_id = em.vec_id
     )
     SELECT vec_a, vec_b, cos FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                floor({_COS_DUCK.format(a='a.embedding', b='b.embedding')} * 10000 + 0.5)
                  / 10000 AS cos
         FROM members a JOIN members b
-          ON a.cell = b.cell AND a.vec_id < b.vec_id
+          ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
     ) t WHERE cos >= 0.4
     """,
 )
 def q_dedup_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-blocked embedding near-dup pairs — the sub-quadratic scale
     path: IVF-assign every vector (centroids = vec_id<8), generate
-    pairs only within a cell (equi-join on cell). Recall vs the exact
-    q_dedup_embed_cosine is bounded by the quantizer; the oracle
-    replays the identical assignment, so the check is still exact."""
+    pairs only within a cell (equi-join on cell, sub-split at
+    max_cell=32 so the cap is exercised at fixture scale — the sf0.01
+    cells hold ~62 vectors, so every cell splits and the oracle must
+    replay the split exactly). Recall vs the exact q_dedup_embed_cosine
+    is bounded by the quantizer AND the cell cap; the oracle replays
+    the identical assignment + sub-split, so the check is still
+    exact. Production default is MAX_IVF_CELL (operators/llm.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_ivf(emb, emb.filter(F.col("vec_id") < 8), threshold=0.4)
+    return cosine_pairs_ivf(
+        emb, emb.filter(F.col("vec_id") < 8), threshold=0.4, max_cell=32
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -41,10 +41,14 @@ def test_simhash_locality(spark):
     """Locality, stated as what simhash actually promises: verified
     near-dup pairs land FAR closer in hamming space than random pairs
     (individual pairs can land a few bits out — the per-pair distance
-    is probabilistic), and the 16-bit signature stays in range."""
+    is probabilistic), and the default-width signature stays in range.
+    Thresholds scale with the signature width (distances grow
+    proportionally with bits)."""
+    from flink_pipeline_spark.functions.text import SIMHASH_BITS
+
     docs = load_table(spark, SF_DIR, "documents")
     sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
-    assert all(0 <= v < 2**16 for v in sh.values())
+    assert all(0 <= v < 2**SIMHASH_BITS for v in sh.values())
     near = verified_near_dups(docs, lsh_candidate_pairs(docs), threshold=0.9).collect()
     assert near
 
@@ -57,7 +61,7 @@ def test_simhash_locality(spark):
     median_near = near_h[len(near_h) // 2]
     mean_near = sum(near_h) / len(near_h)
     mean_rand = sum(rand_h) / len(rand_h)
-    assert median_near <= 4, near_h
+    assert median_near <= SIMHASH_BITS // 4, near_h
     assert mean_near < mean_rand / 2, (mean_near, mean_rand)
 
 
@@ -126,6 +130,30 @@ def test_ivf_topk_full_probe_equals_brute_force(spark):
         # anything the narrow probe found at rank r scores <= the
         # brute-force neighbor at that rank (ANN can only lose recall)
         assert r.cos <= brute[(r.query_id, r.rank)][1]
+
+
+def test_ivf_pairs_cell_cap_bounds_degenerate_quantizer(spark):
+    """A single-centroid quantizer puts the whole corpus in one cell —
+    the degenerate case the max_cell guard exists for. With the cap off
+    (max_cell >= n) the single cell is all-pairs; with it on, every
+    vector's pair fan-out is bounded by max_cell-1 and emitted pairs
+    are a subset of the uncapped set (sub-split only removes)."""
+    from flink_pipeline_spark.operators.llm import cosine_pairs_ivf
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 100)
+    one_centroid = emb.filter(F.col("vec_id") < 1)
+    uncapped = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_pairs_ivf(emb, one_centroid, 0.1, max_cell=1000).collect()
+    }
+    capped_rows = cosine_pairs_ivf(emb, one_centroid, 0.1, max_cell=16).collect()
+    capped = {(r.vec_a, r.vec_b) for r in capped_rows}
+    assert capped and capped < uncapped  # cap active: strictly fewer pairs
+    fanout: dict[int, int] = {}
+    for a, b in capped:
+        fanout[a] = fanout.get(a, 0) + 1
+        fanout[b] = fanout.get(b, 0) + 1
+    assert max(fanout.values()) <= 15  # max_cell-1: no key exceeds its sub-cell
 
 
 def test_multimodal_schema_and_fake_decode(spark):
