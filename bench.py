@@ -182,31 +182,52 @@ def main() -> None:
     _run_pipeline_experiment(spark, repeats, csv_path)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver records only a bounded TAIL of stdout (BENCH_r05's
+    # "parsed": null was this line outgrowing it), so stdout gets the
+    # COMPACT contract line — medians only — and everything else
+    # (min-of-N, notes, raw samples) goes to the bench_full.json
+    # sidecar next to this script.
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        # min-of-N alongside the median: this VM's CPU delivery
+        # swings 2-5x, so the min is the plan's capability and
+        # the median the expected wall time; round-1 reported
+        # best-of-2, comparable to queries_min.
+        "queries_min": best,
+        "value_min": round(sum(best.values()), 3),
+        "protocol": f"warmup+median_of_{repeats}",
+        "notes": (
+            "noise calibration (r3 vs r4, byte-identical code): "
+            "single-run per-query deltas swing -29%..+22%, so "
+            "treat +/-25% as this sandbox's noise band — only "
+            "median-of-5-vs-median-of-5 deltas larger than that "
+            "are real. r6: q_dedup_simhash_pairs now names the 56-bit "
+            "config (r5's _wide series) and the former 16-bit holder "
+            "is benched as _calib; q_dedup_embed_ivf runs with the "
+            "max_cell=32 sub-split active. Earlier finding stands: "
+            "shuffle_partitions = one per core at sf0.1"
+        ),
+        "samples": {n: [round(x, 3) for x in v] for n, v in samples.items()},
+        "sf": sf_val,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=1)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": full["value"],
                 "unit": "sec",
                 "queries": timings,
-                # min-of-N alongside the median: this VM's CPU delivery
-                # swings 2-5x, so the min is the plan's capability and
-                # the median the expected wall time; round-1 reported
-                # best-of-2, comparable to queries_min.
-                "queries_min": best,
-                "value_min": round(sum(best.values()), 3),
-                "protocol": f"warmup+median_of_{repeats}",
-                "notes": (
-                    "noise calibration (r3 vs r4, byte-identical code): "
-                    "single-run per-query deltas swing -29%..+22%, so "
-                    "treat +/-25% as this sandbox's noise band — only "
-                    "median-of-5-vs-median-of-5 deltas larger than that "
-                    "are real. r5 adds the end-to-end dedup chain "
-                    "(containment/clusters/apply) and the 56-bit simhash "
-                    "config to the headline set; earlier finding stands: "
-                    "shuffle_partitions = one per core at sf0.1"
-                ),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "protocol": full["protocol"],
+                "sf": sf_val,
             }
         )
     )

@@ -781,23 +781,124 @@ def label_centroids(emb: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def _twophase_star_rounds(
+    edges: DataFrame, max_rounds: int, stats: dict
+) -> DataFrame:
+    """Alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") until the edge set
+    is a star forest: every edge (src, dst) then points a non-root
+    node at its component's MINIMUM node. Converges in O(log n) rounds
+    regardless of component diameter — the extreme-scale form the
+    min-label loop cannot provide on path-shaped graphs.
+
+    ``edges`` must be canonical (src > dst), deduplicated. Each round
+    is a fixed number of distributed joins/aggs; the only driver-side
+    action is one star-forest violation count per round.
+
+    Each round's output is checkpointed to TRUNCATE LINEAGE — without
+    it the logical plan nests the previous round's whole tree and
+    Catalyst re-analysis grows exponentially (measured: driver OOM on
+    a 1,000-link chain from plan-tree strings alone). localCheckpoint
+    keeps blocks on executors, which matches the fail-fast contract
+    here (non-convergence raises); a long-running production job on
+    preemptible hardware would use reliable checkpoint(dir) at the
+    same call site."""
+    e = edges.localCheckpoint(eager=True)
+    for r in range(1, max_rounds + 1):
+        # large-star: every node u connects its LARGER neighbors to
+        # m(u) = min(Gamma(u) + {u}); needs the symmetric view
+        s = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = (
+            s.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m"))
+        )
+        large = (
+            s.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star: every node u connects its smaller-or-self
+        # neighborhood to its minimum; canonical edges already point
+        # small, so the neighborhood is u's dst set
+        lmins = large.groupBy("src").agg(F.min("dst").alias("m"))
+        j = large.join(lmins, "src")
+        small = (
+            j.select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            .union(j.select(F.col("src").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("src"), F.least("a", "b").alias("dst")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged iff a star forest: no node has two distinct roots,
+        # and no root is itself a leaf (no chains). EXACT check — a
+        # single union-count action per round, not a checksum.
+        multi = (
+            small.groupBy("src")
+            .agg(F.countDistinct("dst").alias("k"))
+            .filter(F.col("k") > 1)
+            .select(F.lit(1).alias("viol"))
+        )
+        chains = (
+            small.select("dst")
+            .join(
+                small.select(F.col("src").alias("dst")).distinct(), "dst", "left_semi"
+            )
+            .select(F.lit(1).alias("viol"))
+        )
+        not_star = multi.union(chains).limit(1).count()
+        e = small
+        if not_star == 0:
+            stats["twophase_rounds"] = r
+            return e
+    raise RuntimeError(
+        f"two-phase connected components did not converge in {max_rounds} rounds"
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    switch_after: int = 4,
+    check_every: int = 2,
+    _stats: dict | None = None,
+) -> DataFrame:
     """(doc_id, cluster_id): connected components over an undirected
     near-dup pair graph; cluster_id = the smallest doc_id in the
     component — the canonical keeper every member dedups onto. This is
     the step that turns pairwise near-dup output into keeper sets.
 
-    Pregel-style min-label propagation: each iteration every node takes
-    the min of its own label and its neighbors' labels (one equi-join
-    shuffle on doc_id per iteration); convergence when no label
-    changed. Iterations are bounded by component DIAMETER, and real
-    near-dup graphs are diameter-small (clusters are cliques-ish);
-    max_iter is a runaway guard, not a truncation — non-convergence
-    raises rather than returning wrong clusters. At extreme scale the
-    same loop drops in large-star/small-star rounds (Kiveris et al.,
-    "Connected Components in MapReduce"), which square away long paths
-    in O(log n) rounds; the driver-side loop itself is control flow
-    only — every data operation is a distributed join/agg."""
+    Hybrid two-phase execution:
+
+    1. Pregel-style min-label propagation for up to ``switch_after``
+       iterations (one equi-join shuffle each). Real near-dup graphs
+       are diameter-small (clusters are cliques-ish), so this phase
+       alone usually converges. Convergence is checked every
+       ``check_every`` iterations — intermediate iterations stay lazy
+       (lineage depth <= check_every), halving driver-side actions vs
+       the check-per-iteration form.
+    2. If phase 1 hasn't converged, the surviving graph is CONTRACTED
+       through the current labels (endpoints mapped to their label,
+       self-loops dropped — cliques already merged collapse to
+       supernodes) and handed to alternating large-star/small-star
+       rounds (Kiveris et al.), which finish in O(log n) rounds
+       regardless of diameter — the 100 TB guard for crawl-mirror
+       chains (A~B~C~...) whose diameter equals their length, where
+       min-label alone would need one shuffle per link.
+
+    Labels only ever decrease toward the component minimum, and the
+    minimum node's label is itself in both phases, so the hybrid
+    yields exactly min-of-component. Non-convergence raises rather
+    than returning wrong clusters; the driver-side loop is control
+    flow only — every data operation is a distributed join/agg.
+    ``_stats`` (optional dict) receives ``phase1_iters`` /
+    ``twophase_rounds`` for probes and tests."""
+    stats = _stats if _stats is not None else {}
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -810,7 +911,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .persist()
     )
     cached = labels  # the persisted frame backing the current labels
-    for _ in range(max_iter):
+    for it in range(1, min(switch_after, max_iter) + 1):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -819,28 +920,61 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # carry the old label through the propagation join so the
         # convergence check is a filter on the already-persisted frame,
         # not a second labels-vs-labels join+shuffle per iteration
-        step = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.col("cluster_id").alias("old_label"),
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .persist()
+        step = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.col("cluster_id").alias("old_label"),
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
+            ).alias("cluster_id"),
         )
-        changed = (
-            step.filter(F.col("cluster_id") != F.col("old_label")).limit(1).count()
-        )
-        cached.unpersist()
-        cached = step
         labels = step.select("doc_id", "cluster_id")
-        if changed == 0:
-            edges.unpersist()
-            return labels
-    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+        if it % check_every == 0 or it == min(switch_after, max_iter):
+            step = step.persist()
+            changed = (
+                step.filter(F.col("cluster_id") != F.col("old_label"))
+                .limit(1)
+                .count()
+            )
+            cached.unpersist()
+            cached = step
+            labels = step.select("doc_id", "cluster_id")
+            if changed == 0:
+                edges.unpersist()
+                stats["phase1_iters"] = it
+                return labels
+    stats["phase1_iters"] = min(switch_after, max_iter)
+    # phase 2: two-phase star rounds on the label-contracted graph
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("lbl_a")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("lbl_b")
+    )
+    contracted = (
+        pairs.select("doc_a", "doc_b")
+        .join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("lbl_a") != F.col("lbl_b"))
+        .select(
+            F.greatest("lbl_a", "lbl_b").alias("src"),
+            F.least("lbl_a", "lbl_b").alias("dst"),
+        )
+        .distinct()
+    )
+    stars = _twophase_star_rounds(contracted, max_rounds=max_iter, stats=stats)
+    roots = stars.select(
+        F.col("src").alias("cluster_id"), F.col("dst").alias("root")
+    )
+    final = (
+        labels.join(roots, "cluster_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("root"), F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+    edges.unpersist()
+    return final
 
 
 def incremental_dedup(
@@ -877,6 +1011,10 @@ def incremental_dedup(
         .join(dig.filter(~F.col("is_new")).select("dg"), "dg", "left_semi")
         .select("doc_id")
     )
+    # persisted lazily (the caller may not have executed yet, so no
+    # explicit unpersist) — like verified_near_dups, these rely on LRU
+    # eviction; a long-lived session re-invoking this adds two
+    # evictable cached frames per call
     sets = doc_shingles(docs, n).persist()
     # persisted: consumed by BOTH the corpus-index build (~is_new) and
     # the batch probe (is_new) — without it the minhash agg over the
@@ -921,16 +1059,18 @@ def incremental_dedup(
 
 
 def substring_dedup_stats(
-    docs: DataFrame, n: int = 10, min_docs: int = 2
+    docs: DataFrame, n: int = 10, min_count: int = 2
 ) -> DataFrame:
     """(doc_id, n_tokens, n_dropped, kept_hash): exact-substring dedup —
     the span-removal step of Lee et al., "Deduplicating Training Data
     Makes Language Models Better" (the ExactSubstr pass), approximated
-    at n-token granularity: every n-token span whose n-gram occurs in
-    >= ``min_docs`` distinct documents is removed from EVERY document
-    carrying it (doc-level dedup keeps one copy; boilerplate removal
-    keeps zero). Output is the per-doc kept/dropped token accounting
-    plus an md5-prefix fingerprint of the kept text, all scalar cells.
+    at n-token granularity: every n-token span whose n-gram occurs
+    >= ``min_count`` times in the CORPUS — including repeats WITHIN a
+    single document, per the paper's any->=2-occurrences rule — is
+    removed from every occurrence site (doc-level dedup keeps one
+    copy; boilerplate removal keeps zero). Output is the per-doc
+    kept/dropped token accounting plus an md5-prefix fingerprint of
+    the kept text, all scalar cells.
 
     Plan: ONE corpus scan into a persisted (doc_id, toks) token-array
     frame -> positional n-grams (posexplode fused into the projection —
@@ -952,6 +1092,10 @@ def substring_dedup_stats(
     AQE skew-join splits the straggler. The coverage test is
     O(tokens x dup-starts-in-doc) inside codegen — bounded by doc
     length squared only for pathological all-duplicate docs."""
+    # base/hg persist lazily with no explicit unpersist (the returned
+    # frame hasn't executed yet) — LRU-evictable, same convention as
+    # verified_near_dups; repeated calls in one session add two
+    # evictable cached frames each
     base = _fan_out(docs).select(
         "doc_id", F.split("text", " ").alias("toks")
     ).persist()
@@ -973,8 +1117,8 @@ def substring_dedup_stats(
     ).persist()
     dup = (
         hg.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= min_docs)
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_count)
         .select("h")
     )
     starts = (

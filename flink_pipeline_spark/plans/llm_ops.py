@@ -593,7 +593,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(pos AS BIGINT) AS pos,
            CAST(count(*) AS BIGINT) AS n,
            {round_sql('avg(x)')} AS mean_v,
-           {round_sql('stddev_pop(x)')} AS std_v,
+           {round_sql('stddev_pop(x)', scale=3)} AS std_v,
            {round_sql('min(x)')} AS min_v,
            {round_sql('max(x)')} AS max_v
     FROM e GROUP BY pos
@@ -615,7 +615,12 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("pos").agg(
         F.count("*").alias("n"),
         round_agg(F.avg("x")).alias("mean_v"),
-        round_agg(F.stddev_pop("x")).alias("std_v"),
+        # variance-derived stats gate at a coarser scale than plain
+        # means: Spark and DuckDB use different moment/summation
+        # algorithms, so the 4th decimal can sit within ~1e-12 of a
+        # floor-round boundary and flip nondeterministically; scale 3
+        # leaves three orders of margin
+        round_agg(F.stddev_pop("x"), scale=3).alias("std_v"),
         round_agg(F.min("x")).alias("min_v"),
         round_agg(F.max("x")).alias("max_v"),
     ).select(F.col("pos").cast("long").alias("pos"), "n", "mean_v", "std_v", "min_v", "max_v")
@@ -1270,7 +1275,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), hg AS (
         SELECT doc_id, start, {hash56_sql_duckdb('gram')} AS h FROM grams
     ), dup AS (
-        SELECT h FROM hg GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        SELECT h FROM hg GROUP BY h HAVING count(*) >= 2
     ), dropped AS (
         SELECT DISTINCT doc_id, pos FROM (
             SELECT doc_id, unnest(range(start, start + 10)) AS pos
@@ -1289,16 +1294,17 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (ExactSubstr span removal, Lee et al.):
-    every 10-token span whose 10-gram occurs in >= 2 distinct documents
-    is removed from EVERY document carrying it — the boilerplate-
-    removal pass doc-level dedup cannot express (doc dedup keeps one
-    copy of a duplicated span; this keeps zero). Emits per-doc
-    kept/dropped token accounting plus an md5-prefix fingerprint of
-    the kept text, so the full reconstructed output is hash-gated
-    without array cells. See operators/llm.py substring_dedup_stats
-    for the linear-in-tokens plan and skew notes."""
+    every 10-token span whose 10-gram occurs >= 2 times in the corpus
+    — across documents OR repeated within one, per the paper's rule —
+    is removed from every occurrence site; the boilerplate-removal
+    pass doc-level dedup cannot express (doc dedup keeps one copy of
+    a duplicated span; this keeps zero). Emits per-doc kept/dropped
+    token accounting plus an md5-prefix fingerprint of the kept text,
+    so the full reconstructed output is hash-gated without array
+    cells. See operators/llm.py substring_dedup_stats for the
+    linear-in-tokens plan and skew notes."""
     return substring_dedup_stats(
-        load_table(spark, sf_dir, "documents"), n=10, min_docs=2
+        load_table(spark, sf_dir, "documents"), n=10, min_count=2
     )
 
 @register(

@@ -128,12 +128,26 @@ def stream_dedup(
     ts_col: str = "ts",
     watermark: str | None = None,
 ) -> DataFrame:
-    """Exact dedup on ``keys``, streaming-compatible (ST11). On a stream
-    the watermark bounds the dedup state (otherwise it accretes one
-    entry per distinct key forever — untenable at 100 TB); on a batch
-    frame it is a plain distinct, which is what the oracle checks."""
+    """Exact dedup on ``keys``, streaming-compatible (ST11). On a batch
+    frame it is a plain distinct, which is what the oracle checks.
+
+    On a stream WITH a watermark this is ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+): a key's dedup state is EVICTED once the watermark
+    passes its event time + delay, so state size is bounded by the keys
+    arriving within one watermark window — not one entry per distinct
+    key forever, which is untenable at 100 TB (plain ``dropDuplicates``
+    accretes exactly that). The trade, stated: a duplicate arriving
+    more than ``watermark`` after its first occurrence is re-emitted
+    (at-least-once keys downstream); tests/test_streaming.py proves
+    both the in-window suppression and the eviction-then-re-emission.
+    Without a watermark the unbounded ``dropDuplicates`` form is kept
+    for fixture-scale testing only."""
     if df.isStreaming:
         if watermark:
-            df = _floored_ts(df, ts_col).withWatermark(ts_col, watermark)
+            return (
+                _floored_ts(df, ts_col)
+                .withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(keys)
+            )
         return df.dropDuplicates(keys)
     return df.select(*keys).distinct()

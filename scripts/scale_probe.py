@@ -46,7 +46,7 @@ WORK = "/tmp/scale_probe"
 
 def build_corpus(spark: SparkSession, m: int) -> str:
     out = os.path.join(WORK, f"m{m}")
-    marker = os.path.join(out, "_SUCCESS_PROBE_V2")  # v2: + events replica
+    marker = os.path.join(out, "_SUCCESS_PROBE_V3")  # v3: + orders replica
     if os.path.exists(marker):
         return out
     d = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
@@ -92,6 +92,20 @@ def build_corpus(spark: SparkSession, m: int) -> str:
     for c in ecopies[1:]:
         alle = alle.unionByName(c)
     alle.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    # orders replica for the profiling family: order/cust keys offset
+    # per copy so exact countDistinct grows linearly with the corpus
+    # (the hard part of q_column_profile); other columns unchanged.
+    od = spark.read.parquet(os.path.join(BASE, "orders.parquet"))
+    ocopies = [
+        od.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(k * 1_000_000_000)
+        ).withColumn("o_custkey", F.col("o_custkey") + F.lit(k * 100_000_000))
+        for k in range(m)
+    ]
+    allo = ocopies[0]
+    for c in ocopies[1:]:
+        allo = allo.unionByName(c)
+    allo.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
     open(marker, "w").close()
     return out
 
@@ -182,6 +196,70 @@ def probe_ivf_skew(multipliers: list[int], repeats: int) -> str:
     return "\n".join(lines) + "\n"
 
 
+def probe_cc_chain(sizes: list[int]) -> str:
+    """Path-graph probe for connected_components: a chain A-B-C-... has
+    diameter = length, the one shape corpus replication can never
+    produce (replication preserves per-copy clique-ish clusters).
+    Pure min-label propagation needs one shuffle per link; the hybrid
+    must hand off to large-star/small-star and finish in O(log n)
+    rounds with exact min-of-component labels."""
+    from flink_pipeline_spark.operators.llm import connected_components
+
+    lines = [
+        "",
+        "## Connected-components chain probe (path graph, diameter = n)",
+        "",
+        "| n links | wall sec | phase1 iters | star rounds | labels ok |",
+        "|---|---|---|---|---|",
+    ]
+    for n in sizes:
+        spark = None
+        try:
+            spark = (
+                SparkSession.builder.master(
+                    f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+                )
+                .config(
+                    "spark.sql.shuffle.partitions",
+                    os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                )
+                .config("spark.driver.memory", "16g")
+                .appName("scale_probe_cc")
+                .getOrCreate()
+            )
+            pairs = spark.range(n).select(
+                F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+            )
+            stats: dict = {}
+            t0 = time.monotonic()
+            out = connected_components(pairs, _stats=stats)
+            bad = out.filter(F.col("cluster_id") != 0).count()
+            total = out.count()
+            wall = time.monotonic() - t0
+            ok = bad == 0 and total == n + 1
+            lines.append(
+                f"| {n} | {wall:.1f} | {stats.get('phase1_iters')} "
+                f"| {stats.get('twophase_rounds')} | {ok} |"
+            )
+            print(
+                json.dumps(
+                    {"probe": "cc_chain", "n": n, "wall_sec": round(wall, 2),
+                     "phase1_iters": stats.get("phase1_iters"),
+                     "star_rounds": stats.get("twophase_rounds"), "ok": ok}
+                ),
+                flush=True,
+            )
+        finally:
+            if spark is not None:
+                spark.stop()
+    lines += [
+        "",
+        "Star rounds should grow ~log2(n); wall time is rounds x fixed",
+        "job overhead at these sizes (the data itself is tiny).",
+    ]
+    return "\n".join(lines) + "\n"
+
+
 def main() -> None:
     global QUERIES
     ap = argparse.ArgumentParser()
@@ -192,6 +270,12 @@ def main() -> None:
         action="store_true",
         help="run the degenerate-quantizer IVF cell-cap probe instead "
         "of the registered-query sweep",
+    )
+    ap.add_argument(
+        "--cc-chain",
+        action="store_true",
+        help="run the path-graph connected-components probe (sizes "
+        "from --multipliers, e.g. --multipliers 1000,10000,100000)",
     )
     ap.add_argument(
         "--multipliers",
@@ -210,6 +294,14 @@ def main() -> None:
 
     if args.ivf_skew:
         md = probe_ivf_skew(multipliers, args.repeats)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(md)
+        print(md)
+        return
+
+    if args.cc_chain:
+        md = probe_cc_chain(multipliers)
         if args.out:
             with open(args.out, "a") as f:
                 f.write(md)

@@ -221,8 +221,8 @@ def test_decode_pcm16_matches_numpy(spark):
 
 
 def test_connected_components_chain_and_islands(spark):
-    """Min-label propagation must converge on a path graph (worst-case
-    diameter for its size) and keep disjoint components separate."""
+    """The hybrid CC must converge on a path graph (worst-case diameter
+    for its size) and keep disjoint components separate."""
     from flink_pipeline_spark.operators.llm import connected_components
 
     # chain 1-2-3-4-5 (diameter 4 forces multiple iterations),
@@ -235,10 +235,37 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
-def test_connected_components_nonconvergence_raises(spark):
+def test_connected_components_long_chain_logarithmic(spark):
+    """A 1,000-link path graph — the crawl-mirror-chain shape whose
+    diameter equals its length, where pure min-label propagation would
+    need ~1,000 shuffles. The hybrid must hand off to the large-star/
+    small-star phase and converge in O(log n) star rounds, yielding
+    exact min-of-component labels."""
     from flink_pipeline_spark.operators.llm import connected_components
 
-    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a BIGINT, doc_b BIGINT")
+    n = 1001  # nodes 0..1000 in one path component
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a BIGINT, doc_b BIGINT"
+    ).repartition(8)
+    stats: dict = {}
+    got = connected_components(pairs, _stats=stats)
+    assert got.filter(F.col("cluster_id") != 0).count() == 0
+    assert got.count() == n
+    assert stats["phase1_iters"] == 4  # hit the switch, didn't converge
+    # 2 * log2(1000) ~ 20 is the paper bound; in practice far fewer
+    assert 1 <= stats["twophase_rounds"] <= 12, stats
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """max_iter bounds BOTH phases: with one min-label iteration and a
+    single star round allowed, a 6-chain (still a 5-link path after
+    contraction) cannot finish, and the guard must raise rather than
+    return wrong clusters."""
+    from flink_pipeline_spark.operators.llm import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "doc_a BIGINT, doc_b BIGINT"
+    )
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="did not converge"):
@@ -342,6 +369,25 @@ def test_substring_dedup_overlapping_spans_drop_union(spark):
     out = {r.doc_id: r for r in substring_dedup_stats(docs, n=10).collect()}
     assert out[1].n_dropped == 11 and out[1].n_tokens == 12
     assert out[2].n_dropped == 11 and out[2].n_tokens == 12
+
+
+def test_substring_dedup_intra_doc_repeat(spark):
+    """Lee et al. remove ANY substring with >= 2 corpus occurrences —
+    including a span repeated twice WITHIN one document (r6 fix: the
+    frequency key is total occurrences, not distinct docs)."""
+    import hashlib
+
+    from flink_pipeline_spark.operators.llm import substring_dedup_stats
+
+    span = " ".join(f"x{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, f"{span} mid {span}"), (2, "unrelated filler words only")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in substring_dedup_stats(docs, n=10).collect()}
+    assert out[1].n_tokens == 21 and out[1].n_dropped == 20
+    assert out[1].kept_hash == hashlib.md5(b"mid").hexdigest()[:8]
+    assert out[2].n_dropped == 0
 
 
 def test_incremental_dedup_actions(spark):

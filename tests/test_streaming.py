@@ -88,11 +88,68 @@ def test_stream_enrich_equals_batch(spark, events_stream_dir):
 
 
 def test_stream_dedup_equals_batch(spark, events_stream_dir):
+    """dropDuplicatesWithinWatermark drops rows older than the
+    watermark, and the 4 fixture files arrive in random time order —
+    so the delay must cover the fixture's whole 30-day span for
+    stream==batch to be the right assertion. (Bounded-state eviction
+    semantics under a short delay are proven separately below.)"""
     keys = ["user_id", "event_type"]
     batch = stream_dedup(load_table(spark, SF_DIR, "events"), keys)
-    sdf = stream_dedup(_read_stream(spark, events_stream_dir), keys, watermark="1 hour")
+    sdf = stream_dedup(_read_stream(spark, events_stream_dir), keys, watermark="40 days")
     name = _run_to_memory(sdf.select(*keys), "append")
     assert _rows(spark.table(name).distinct()) == _rows(batch)
+
+
+def test_dedup_within_watermark_suppresses_and_evicts(spark, tmp_path):
+    """ST11's bounded-state contract, both directions: a duplicate
+    arriving WITHIN the watermark window is suppressed, and once the
+    watermark passes a key's expiry its state is evicted — the same
+    key then re-emits (the documented at-least-once trade that keeps
+    state bounded instead of one entry per distinct key forever)."""
+    import datetime as _dt
+
+    d = str(tmp_path / "in")
+    t0 = _dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "k STRING, ts TIMESTAMP").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    # batch 1: first occurrence + an in-window duplicate 10 min later
+    write_batch([("K1", t0), ("K1", t0 + _dt.timedelta(minutes=10))])
+    src = (
+        spark.readStream.schema("k STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_dedup(src, ["k"], watermark="1 hour")
+        .select("k", "ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: unrelated key 3 h later advances the watermark to
+        # t0+2h, past K1's t0(+10min)+1h expiry -> K1 state evicted
+        write_batch([("ADV", t0 + _dt.timedelta(hours=3))])
+        q.processAllAvailable()
+        # batch 3: K1 again, above the watermark -> re-emitted
+        write_batch([("K1", t0 + _dt.timedelta(hours=3))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = sorted((r.k, r.ts) for r in spark.table(name).collect())
+    assert got == [
+        ("ADV", t0 + _dt.timedelta(hours=3)),
+        ("K1", t0),  # the t0+10min in-window duplicate was suppressed
+        ("K1", t0 + _dt.timedelta(hours=3)),  # evicted state -> re-emit
+    ]
 
 
 def test_tumbling_append_with_watermark(spark, tmp_path):
