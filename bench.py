@@ -70,6 +70,7 @@ HEADLINE = [
     # the name is benched as _calib for series continuity
     "q_dedup_simhash_pairs",
     "q_dedup_embed_ivf",
+    "q_dedup_embed_ivf_multiprobe",
     # the shipped dedup pipeline end-to-end — pairs -> connected-
     # component clusters -> keeper apply is the actual 100 TB workload
     "q_dedup_simhash_pairs_calib",

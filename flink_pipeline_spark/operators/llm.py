@@ -559,6 +559,36 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     return scored.groupBy("vec_id").agg(F.max_by("cell", key).alias("cell"))
 
 
+def ivf_assign_multi(
+    emb: DataFrame, centroids: DataFrame, nprobe: int
+) -> DataFrame:
+    """(vec_id, cell): each vector assigned to its ``nprobe`` best
+    cells — the multi-probe quantizer for pair generation. A pair
+    straddling one cell boundary still shares a cell as long as the
+    boundary cell is within either vector's top-nprobe, recovering the
+    recall the single-assignment quantizer loses at the documented
+    ~nprobe^2 increase in within-cell compare work. Ranking is on the
+    portably rounded cosine (round-before-rank) with the cell id as
+    tiebreak, so the assignment replays exactly in the DuckDB oracle.
+    nprobe=1 callers should use ivf_assign (plain HashAggregate argmax
+    — no window)."""
+    e = with_norm(emb)
+    c = with_norm(centroids).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("ec"),
+        F.col("norm").alias("nc"),
+    )
+    cos = F.expr(DOT_SQL.format(a="embedding", b="ec")) / (F.col("norm") * F.col("nc"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell"))
+    return (
+        e.join(F.broadcast(c))
+        .select("vec_id", "cell", round_agg(cos).alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("vec_id", "cell")
+    )
+
+
 # Per-cell membership cap for cosine_pairs_ivf: a cell larger than this
 # is sub-split before the within-cell self-join. Without it the join is
 # O(cell^2) on whatever the quantizer produces — a degenerate centroid
@@ -577,14 +607,22 @@ def cosine_pairs_ivf(
     centroids: DataFrame,
     threshold: float,
     max_cell: int = MAX_IVF_CELL,
+    nprobe: int = 1,
 ) -> DataFrame:
     """(vec_a, vec_b, cos): near-dup pairs generated WITHIN IVF cells
     only — the sub-quadratic scale path for embedding dedup. Pair work
     drops from O(n^2) to O(sum min(cell_i, max_cell)^2 * ceil(cell_i /
     max_cell)); recall is bounded by the quantizer (pairs split across
-    cells are missed — the documented ANN trade, tunable via centroid
-    count / multi-probe) and, for cells above ``max_cell``, by the
-    deterministic sub-split (pairs straddling sub-cells are missed).
+    cells are missed — the ANN trade) and, for cells above
+    ``max_cell``, by the deterministic sub-split (pairs straddling
+    sub-cells are missed).
+
+    ``nprobe > 1`` assigns each vector to its nprobe best cells
+    (ivf_assign_multi): a pair split across one cell boundary is
+    recovered whenever the two top-nprobe sets intersect, at ~nprobe^2
+    the compare work; pairs found via two shared cells dedup through
+    the final distinct (identical rounded cos both times, so distinct
+    is exact).
 
     The sub-split is a row_number over (cell ORDER BY vec_id) bucketed
     at ``max_cell`` — a per-cell linearithmic sort of 2-long rows (no
@@ -594,15 +632,16 @@ def cosine_pairs_ivf(
     # production pipeline checkpoints), and BOTH branches of the
     # self-join consume it — uncached, the whole quantizer subtree
     # (centroid broadcast + score + argmax agg) executes twice
-    w = Window.partitionBy("cell").orderBy("vec_id")
-    assigned = (
+    base = (
         ivf_assign(emb, centroids)
-        .withColumn(
-            "sub",
-            ((F.row_number().over(w) - F.lit(1)) / F.lit(max_cell)).cast("bigint"),
-        )
-        .persist()
+        if nprobe <= 1
+        else ivf_assign_multi(emb, centroids, nprobe)
     )
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    assigned = base.withColumn(
+        "sub",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(max_cell)).cast("bigint"),
+    ).persist()
     e = with_norm(emb).join(assigned, "vec_id")
     a = e.select(
         "cell",
@@ -619,12 +658,17 @@ def cosine_pairs_ivf(
         F.col("norm").alias("nb"),
     )
     cos = F.expr(DOT_SQL.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
-    return (
+    out = (
         a.join(b, ["cell", "sub"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", round_agg(cos).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+    # multi-probe can surface the same pair via two shared cells; the
+    # rounded cos is identical both times, so distinct is an exact
+    # dedup. Skipped on the nprobe=1 path (no duplicates possible —
+    # saves the extra shuffle).
+    return out.distinct() if nprobe > 1 else out
 
 
 def topk_neighbors_ivf(

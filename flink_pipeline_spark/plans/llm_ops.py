@@ -396,6 +396,58 @@ def q_dedup_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_embed_ivf_multiprobe",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.vec_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
+                                      * 10000 + 0.5) / 10000 DESC,
+                                c.vec_id) AS rn
+            FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+        ) t WHERE rn <= 2
+    ), subbed AS (
+        SELECT vec_id, cell,
+               CAST(floor((row_number() OVER (PARTITION BY cell ORDER BY vec_id)
+                           - 1) / 64) AS BIGINT) AS sub
+        FROM assigned
+    ), members AS (
+        SELECT em.vec_id, em.embedding, a.cell, a.sub
+        FROM embeddings em JOIN subbed a ON a.vec_id = em.vec_id
+    )
+    SELECT DISTINCT vec_a, vec_b, cos FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               floor({_COS_DUCK.format(a='a.embedding', b='b.embedding')} * 10000 + 0.5)
+                 / 10000 AS cos
+        FROM members a JOIN members b
+          ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+    ) t WHERE cos >= 0.4
+    """,
+)
+def q_dedup_embed_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF pair generation (nprobe=2): each vector joins
+    its TWO best cells, so a near-dup pair split across one cell
+    boundary is still emitted whenever the top-2 sets intersect —
+    recovering the recall the single-assignment q_dedup_embed_ivf
+    loses at cell borders, for ~nprobe^2 the within-cell compare work
+    (same asymptotic class; the nprobe machinery topk_neighbors_ivf
+    already uses, applied to the pair path). Pairs reachable through
+    both shared cells dedup exactly via DISTINCT on the portably
+    rounded cosine. Sub-split cap at max_cell=64 (memberships double
+    under nprobe=2, so the cap still bites at fixture scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_ivf(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        threshold=0.4,
+        max_cell=64,
+        nprobe=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # L3: similarity search
 # ---------------------------------------------------------------------------

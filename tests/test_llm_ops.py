@@ -156,6 +156,29 @@ def test_ivf_pairs_cell_cap_bounds_degenerate_quantizer(spark):
     assert max(fanout.values()) <= 15  # max_cell-1: no key exceeds its sub-cell
 
 
+def test_ivf_pairs_multiprobe_recovers_boundary_pairs(spark):
+    """nprobe=2 pair generation is a recall superset of the single
+    assignment at the same cap (every top-1 cell is within the top-2
+    set), emits no duplicate rows (the DISTINCT is exact on the
+    rounded cosine), and stays a subset of exact all-pairs."""
+    from flink_pipeline_spark.operators.llm import cosine_pairs, cosine_pairs_ivf
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 200)
+    cents = emb.filter(F.col("vec_id") < 8)
+    single = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_pairs_ivf(emb, cents, 0.3, max_cell=10_000).collect()
+    }
+    multi_rows = cosine_pairs_ivf(
+        emb, cents, 0.3, max_cell=10_000, nprobe=2
+    ).collect()
+    multi = {(r.vec_a, r.vec_b) for r in multi_rows}
+    assert len(multi_rows) == len(multi)  # no duplicate pair rows
+    assert single <= multi
+    exact = {(r.vec_a, r.vec_b) for r in cosine_pairs(emb, 0.3).collect()}
+    assert multi <= exact
+
+
 def test_multimodal_schema_and_fake_decode(spark):
     docs = load_table(spark, SF_DIR, "documents").limit(50)
     mm = to_multimodal(docs)

@@ -223,3 +223,56 @@ def test_incremental_dedup_corpus_index_shape(spark):
     plan = _plan(spark, "q_dedup_incremental")
     assert "collect_list" in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+# Queries whose physical plan legitimately contains a
+# BroadcastNestedLoopJoin: every entry is a SMALL broadcast side driving
+# a non-equi or unconditioned join — never two large inputs.
+#   - centroid/query-side ANN broadcasts (8-row centroids / k-row query
+#     sets; the corpus side never shuffles): ivf family, topk, knn
+#   - 1-row denominator broadcasts (corpus totals joined onto every
+#     row): mixture/source-mix/tfidf
+#   - non-equi range/interval semantics with the small side broadcast:
+#     range join, anti-join cleanup
+_ALLOWED_BNLJ = {
+    "q_anti_join_cleanup",
+    "q_dedup_embed_ivf",
+    "q_dedup_embed_ivf_multiprobe",
+    "q_join_range",
+    "q_knn_classify",
+    "q_mixture_resample",
+    "q_sim_ivf",
+    "q_sim_ivf_topk",
+    "q_sim_topk",
+    "q_source_mix",
+    "q_text_tfidf",
+}
+# Row-at-a-time Python execution allowed ONLY for the UDTF coverage
+# demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
+# Everything else must stay JVM-side or Arrow-batched (MapInPandas /
+# ArrowEvalPython).
+_ALLOWED_ROW_PYTHON = {"q_udtf_explode"}
+
+
+def test_registry_wide_no_cartesian_no_row_python(spark):
+    """Registry-wide scale-discipline sweep: NO registered query may
+    plan a CartesianProduct, a row-at-a-time Python eval (outside the
+    UDTF demo), or an unvetted BroadcastNestedLoopJoin. This is the
+    .explain audit as a regression gate — a future edit that silently
+    degrades a join to a cartesian or drops to row-Python fails here,
+    with the offending plan printed."""
+    fns = query_fns()
+    offenders: dict[str, list[str]] = {
+        "CartesianProduct": [],
+        "BatchEvalPython": [],
+        "BroadcastNestedLoopJoin": [],
+    }
+    for name in sorted(fns):
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan:
+            offenders["CartesianProduct"].append(name)
+        if "BatchEvalPython" in plan and name not in _ALLOWED_ROW_PYTHON:
+            offenders["BatchEvalPython"].append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in _ALLOWED_BNLJ:
+            offenders["BroadcastNestedLoopJoin"].append(name)
+    assert not any(offenders.values()), offenders
