@@ -1052,6 +1052,71 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quality_gate",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' ')) AS dr,
+               list_max(list_transform(string_split(text, ' '),
+                                       x -> length(x))) AS max_tok
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN n_tokens < 15 THEN 'drop'
+                WHEN max_tok > 7 THEN 'drop'
+                WHEN dr < 0.35 THEN 'drop'
+                ELSE 'keep' END AS verdict,
+           CASE WHEN n_tokens < 15 THEN 'too_short'
+                WHEN max_tok > 7 THEN 'long_token'
+                WHEN dr < 0.35 THEN 'repetitive'
+                ELSE 'ok' END AS reason
+    FROM m
+    """,
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style composite document filter (Raffel et al., C4 cleaning
+    rules, adapted to the fixture's space-tokenized vocabulary): an
+    ORDERED rule chain — too_short (n_tokens < 15), long_token (any
+    token over 7 chars; C4's oversized-word rule), repetitive
+    (distinct-token ratio < 0.35; the repeated-content analog) — first
+    match wins, emitting (verdict, reason) per document. This is the
+    keep/drop gate a training-data pipeline runs AFTER dedup and
+    BEFORE sampling; reasons make the drop mass auditable per rule.
+
+    Scale: a single narrow projection — all metrics come from one
+    split() of the already-scanned text, the rule chain is one
+    codegen'd CASE, zero shuffles, no UDF. Thresholds are calibrated
+    so every branch fires on the fixture (n_tokens 10-99, ratio
+    0.28-1.0, max token 5-8)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("dr"),
+        F.array_max(F.transform(toks, lambda t: F.length(t))).alias("max_tok"),
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < 15, F.lit("drop"))
+        .when(F.col("max_tok") > 7, F.lit("drop"))
+        .when(F.col("dr") < 0.35, F.lit("drop"))
+        .otherwise(F.lit("keep"))
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 15, F.lit("too_short"))
+        .when(F.col("max_tok") > 7, F.lit("long_token"))
+        .when(F.col("dr") < 0.35, F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+    )
+    return m.select(
+        "doc_id", "lang", verdict.alias("verdict"), reason.alias("reason")
+    )
+
+
+@register(
     "q_text_quality",
     oracle=f"""
     WITH m AS (

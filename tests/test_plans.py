@@ -276,3 +276,12 @@ def test_registry_wide_no_cartesian_no_row_python(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in _ALLOWED_BNLJ:
             offenders["BroadcastNestedLoopJoin"].append(name)
     assert not any(offenders.values()), offenders
+
+
+def test_quality_gate_zero_shuffle(spark):
+    """The C4-style gate is one narrow projection: a single scan, no
+    exchange — a shuffle would mean the metrics or the rule chain got
+    separated from the scan."""
+    plan = _plan(spark, "q_quality_gate")
+    assert "Exchange" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
