@@ -40,18 +40,54 @@ _REPO_ROOT = Path(__file__).resolve().parents[2]
 LEDGER_PATH = Path(__file__).resolve().parent / "verified_fingerprints.json"
 
 
-def fingerprint(fn, oracle: str | None) -> str:
-    """Hash of the query's full registered surface: the function source
-    (inspect includes the decorator call, hence the oracle literal) plus
-    the resolved oracle string as a belt-and-braces second input."""
+FP_VERSION = 2  # v2 adds one-level operator-dependency sources
+
+
+def _own_source(fn) -> str:
     try:
-        src = inspect.getsource(fn)
+        return inspect.getsource(fn)
     except (OSError, TypeError):  # dynamically defined fn: always "changed"
-        src = repr(fn)
+        return repr(fn)
+
+
+def _dep_sources(fn) -> list[str]:
+    """Sources of the package functions the query body calls directly
+    (resolved via co_names against the function's globals). One level
+    deep: catches the r6 blind spot where an OPERATOR rewrite (e.g.
+    connected_components) changes a query's behavior without touching
+    its registered source or oracle, leaving green evidence stale and
+    undetected. Not transitive — operator-internal helper churn is
+    assumed to surface through the operator's own source."""
+    try:
+        names = sorted(set(fn.__code__.co_names))
+    except AttributeError:
+        return []
+    out = []
+    for n in names:
+        g = getattr(fn, "__globals__", {}).get(n)
+        if callable(g) and getattr(g, "__module__", "").startswith(
+            "flink_pipeline_spark"
+        ):
+            out.append(_own_source(g))
+    return out
+
+
+def fingerprint(fn, oracle: str | None, version: int = FP_VERSION) -> str:
+    """Hash of the query's full registered surface: the function source
+    (inspect includes the decorator call, hence the oracle literal),
+    the resolved oracle string, and — from v2 — the sources of the
+    package operators the body calls. Ledger entries record the
+    version they were written with, so pre-v2 rows keep comparing
+    under v1 (grandfathered) instead of all flooding to 'stale' when
+    the algorithm itself changes."""
     h = hashlib.sha256()
-    h.update(src.encode())
+    h.update(_own_source(fn).encode())
     h.update(b"\x00")
     h.update((oracle or "").encode())
+    if version >= 2:
+        for src in _dep_sources(fn):
+            h.update(b"\x00")
+            h.update(src.encode())
     return h.hexdigest()[:20]
 
 
@@ -108,7 +144,7 @@ def verification_order(queries: dict, oracles: dict) -> list[str]:
             return 0
         rec = ledger.get(name)
         if rec is None or rec.get("fp") != fingerprint(
-            queries[name], oracles.get(name)
+            queries[name], oracles.get(name), version=rec.get("v", 1)
         ):
             return 1
         return 2
@@ -131,6 +167,7 @@ def sync(queries: dict, oracles: dict) -> list[str]:
             ledger["queries"][name] = {
                 "fp": fingerprint(queries[name], oracles.get(name)),
                 "round": rnd,
+                "v": FP_VERSION,
             }
             written.append(name)
     ledger["synced_rounds"] = sorted(synced | set(new_rounds))

@@ -34,8 +34,14 @@ def test_order_classes():
         if name not in latest:
             return 0
         rec = ledger.get(name)
+        # mirror verification_order: compare under the fingerprint
+        # version the entry was RECORDED with (pre-v2 rows are
+        # grandfathered under v1 so an algorithm change doesn't flood
+        # every query to 'stale')
         if rec is None or rec["fp"] != evidence.fingerprint(
-            registry.QUERIES[name], registry.ORACLES.get(name)
+            registry.QUERIES[name],
+            registry.ORACLES.get(name),
+            version=rec.get("v", 1),
         ):
             return 1
         return 2
@@ -62,6 +68,22 @@ def test_fingerprint_tracks_source_change():
     )
     assert evidence.fingerprint(fn_a, "SELECT 1") == evidence.fingerprint(
         fn_a, "SELECT 1"
+    )
+
+
+def test_fingerprint_v2_includes_operator_deps():
+    """v2 closes the r6 blind spot: an operator rewrite (e.g.
+    connected_components) must change the fingerprint of queries that
+    call it, even when the registered source and oracle are
+    untouched."""
+    registry._load_all()
+    fn = registry.QUERIES["q_dedup_clusters"]
+    deps = evidence._dep_sources(fn)
+    assert any("def connected_components" in s for s in deps), [
+        s.splitlines()[0] for s in deps
+    ]
+    assert evidence.fingerprint(fn, None, version=1) != evidence.fingerprint(
+        fn, None, version=2
     )
 
 
