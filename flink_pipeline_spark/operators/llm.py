@@ -571,7 +571,16 @@ def ivf_assign_multi(
     portably rounded cosine (round-before-rank) with the cell id as
     tiebreak, so the assignment replays exactly in the DuckDB oracle.
     nprobe=1 callers should use ivf_assign (plain HashAggregate argmax
-    — no window)."""
+    — no window).
+
+    SCALE CEILING, stated: the top-nprobe window shuffles all n x k
+    scored (vec, cell) rows on vec_id — unlike ivf_assign's argmax,
+    which map-side-combines to one row per vector before the shuffle.
+    Fine for k in the hundreds-to-low-thousands; for corpus-scale k,
+    route hierarchically first (argmax-assign to a coarse super-cell
+    level, then multi-assign only among that super-cell's children —
+    the standard two-level IVF), composing this function with a
+    pruned centroid set."""
     e = with_norm(emb)
     c = with_norm(centroids).select(
         F.col("vec_id").alias("cell"),

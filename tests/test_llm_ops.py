@@ -279,6 +279,45 @@ def test_connected_components_long_chain_logarithmic(spark):
     assert 1 <= stats["twophase_rounds"] <= 12, stats
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Seeded random graphs, phase 2 forced (switch_after=1): the
+    hybrid's labels must equal a plain union-find's min-of-component
+    on every graph — mixed cliques, chains, stars and singleton-free
+    noise edges."""
+    import random
+
+    from flink_pipeline_spark.operators.llm import connected_components
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 120
+        edges = {
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(150)
+        }
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        expect = {v: find(v) for v in touched}
+        pairs = spark.createDataFrame(
+            sorted(edges), "doc_a BIGINT, doc_b BIGINT"
+        )
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(pairs, switch_after=1).collect()
+        }
+        assert got == expect, f"seed {seed}"
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """max_iter bounds BOTH phases: with one min-label iteration and a
     single star round allowed, a 6-chain (still a 5-link path after
