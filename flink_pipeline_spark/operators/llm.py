@@ -997,17 +997,22 @@ def connected_components(
                 stats["phase1_iters"] = it
                 return labels
     stats["phase1_iters"] = min(switch_after, max_iter)
-    # phase 2: two-phase star rounds on the label-contracted graph
-    la = labels.select(
-        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("lbl_a")
+    # phase 2: two-phase star rounds on the label-contracted graph.
+    # Contract from the PERSISTED edges frame (one orientation of it),
+    # not the raw `pairs` lineage — pairs is typically the output of
+    # the whole LSH candidate+verify pipeline, and rebuilding it here
+    # would re-execute that DAG a second time just to list edges that
+    # are already cached.
+    ls = labels.select(
+        F.col("doc_id").alias("src"), F.col("cluster_id").alias("lbl_a")
     )
-    lb = labels.select(
-        F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("lbl_b")
+    ld = labels.select(
+        F.col("doc_id").alias("dst"), F.col("cluster_id").alias("lbl_b")
     )
     contracted = (
-        pairs.select("doc_a", "doc_b")
-        .join(la, "doc_a")
-        .join(lb, "doc_b")
+        edges.filter(F.col("src") > F.col("dst"))
+        .join(ls, "src")
+        .join(ld, "dst")
         .filter(F.col("lbl_a") != F.col("lbl_b"))
         .select(
             F.greatest("lbl_a", "lbl_b").alias("src"),
@@ -1128,7 +1133,7 @@ def substring_dedup_stats(
     Plan: ONE corpus scan into a persisted (doc_id, toks) token-array
     frame -> positional n-grams (posexplode fused into the projection —
     see exploded_shingles for the re-evaluation blowup this avoids) ->
-    8-byte hash56 gram keys -> distinct-doc frequency agg -> equi-join
+    8-byte hash56 gram keys -> occurrence-count frequency agg -> equi-join
     back + per-doc collect of duplicated starts (small: only dup-gram
     positions) -> the removal itself is a single VECTORIZED projection,
     `filter(toks, (t, i) -> no dup span covers i)` — no token-level

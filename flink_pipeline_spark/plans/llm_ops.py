@@ -1064,15 +1064,16 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, lang,
-           CASE WHEN n_tokens < 15 THEN 'drop'
-                WHEN max_tok > 7 THEN 'drop'
-                WHEN dr < 0.35 THEN 'drop'
-                ELSE 'keep' END AS verdict,
-           CASE WHEN n_tokens < 15 THEN 'too_short'
-                WHEN max_tok > 7 THEN 'long_token'
-                WHEN dr < 0.35 THEN 'repetitive'
-                ELSE 'ok' END AS reason
-    FROM m
+           CASE WHEN reason = 'ok' THEN 'keep' ELSE 'drop' END AS verdict,
+           reason
+    FROM (
+        SELECT doc_id, lang,
+               CASE WHEN n_tokens < 15 THEN 'too_short'
+                    WHEN max_tok > 7 THEN 'long_token'
+                    WHEN dr < 0.35 THEN 'repetitive'
+                    ELSE 'ok' END AS reason
+        FROM m
+    ) r
     """,
 )
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1099,20 +1100,21 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("dr"),
         F.array_max(F.transform(toks, lambda t: F.length(t))).alias("max_tok"),
     )
-    verdict = (
-        F.when(F.col("n_tokens") < 15, F.lit("drop"))
-        .when(F.col("max_tok") > 7, F.lit("drop"))
-        .when(F.col("dr") < 0.35, F.lit("drop"))
-        .otherwise(F.lit("keep"))
-    )
+    # single source of truth: the rule chain produces REASON, and
+    # verdict derives from it — a threshold edit can never
+    # desynchronize the two columns (in either engine; the oracle
+    # nests the same way)
     reason = (
         F.when(F.col("n_tokens") < 15, F.lit("too_short"))
         .when(F.col("max_tok") > 7, F.lit("long_token"))
         .when(F.col("dr") < 0.35, F.lit("repetitive"))
         .otherwise(F.lit("ok"))
     )
-    return m.select(
-        "doc_id", "lang", verdict.alias("verdict"), reason.alias("reason")
+    verdict = F.when(F.col("reason") == "ok", F.lit("keep")).otherwise(
+        F.lit("drop")
+    )
+    return m.select("doc_id", "lang", reason.alias("reason")).select(
+        "doc_id", "lang", verdict.alias("verdict"), "reason"
     )
 
 
