@@ -79,6 +79,7 @@ HEADLINE = [
     "q_dedup_apply",
     "q_dedup_substring",
     "q_dedup_incremental",
+    "q_dedup_embed_apply",
     # ANN search + classifier over embeddings, and the stream-static
     # dimension join — the round-3 additions a data pipeline runs hot
     "q_sim_ivf_topk",

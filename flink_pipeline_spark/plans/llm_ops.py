@@ -396,9 +396,11 @@ def q_dedup_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_embed_ivf_multiprobe",
-    oracle=f"""
+# Shared DuckDB replay of the nprobe=2 / max_cell=64 IVF pair
+# generator (CTE chain ending in the final SELECT): used verbatim by
+# q_dedup_embed_ivf_multiprobe and as the pair source of the
+# embed-side end-to-end q_dedup_embed_apply.
+_IVF_MULTIPROBE_PAIRS_SQL = f"""
     WITH assigned AS (
         SELECT vec_id, cell FROM (
             SELECT e.vec_id, c.vec_id AS cell,
@@ -425,8 +427,10 @@ def q_dedup_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM members a JOIN members b
           ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
     ) t WHERE cos >= 0.4
-    """,
-)
+    """
+
+
+@register("q_dedup_embed_ivf_multiprobe", oracle=_IVF_MULTIPROBE_PAIRS_SQL)
 def q_dedup_embed_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF pair generation (nprobe=2): each vector joins
     its TWO best cells, so a near-dup pair split across one cell
@@ -445,6 +449,72 @@ def q_dedup_embed_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.4,
         max_cell=64,
         nprobe=2,
+    )
+
+
+@register(
+    "q_dedup_embed_apply",
+    oracle=f"""
+    WITH RECURSIVE prs AS ({_IVF_MULTIPROBE_PAIRS_SQL}
+    ), edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM prs
+        UNION ALL
+        SELECT vec_b, vec_a FROM prs
+    ), nodes AS (
+        SELECT DISTINCT src AS id FROM edges
+    ), reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src
+    ), cl AS (
+        SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+    ), dropped AS (
+        SELECT vec_id FROM cl WHERE cluster_id <> vec_id
+    )
+    SELECT e.label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+    FROM embeddings e LEFT JOIN dropped d ON d.vec_id = e.vec_id
+    GROUP BY e.label
+    """,
+)
+def q_dedup_embed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side dedup shipped END-TO-END — the semantic twin of
+    the text-side q_dedup_apply: multi-probe capped IVF pair
+    generation (nprobe=2, max_cell=64) -> connected components over
+    the pair graph (hybrid min-label + star rounds) -> keeper = the
+    minimum vec_id per cluster, every other member dropped -> per-label
+    kept/dropped accounting. The composition a production embedding
+    dedup actually runs; the oracle replays the identical pair set and
+    computes the exact transitive closure with a recursive CTE, so the
+    whole chain is hash-gated declaratively."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = (
+        cosine_pairs_ivf(
+            emb,
+            emb.filter(F.col("vec_id") < 8),
+            threshold=0.4,
+            max_cell=64,
+            nprobe=2,
+        )
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .persist()
+    )
+    cc = connected_components(pairs)
+    dropped = (
+        cc.filter(F.col("cluster_id") != F.col("doc_id"))
+        .select(F.col("doc_id").alias("vec_id"))
+        .withColumn("dr", F.lit(1))
+    )
+    return (
+        emb.join(dropped, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count("dr").alias("n_dropped"),
+            (F.count("*") - F.count("dr")).cast("long").alias("n_kept"),
+        )
     )
 
 
