@@ -83,6 +83,10 @@ HEADLINE = [
     # ANN search + classifier over embeddings, and the stream-static
     # dimension join — the round-3 additions a data pipeline runs hot
     "q_sim_ivf_topk",
+    # PQ/ADC compressed search — the 100 TB keep-it-hot path (round 6)
+    "q_sim_pq_topk",
+    # token-budget data selection — two-phase bin-offset plan (round 6)
+    "q_token_budget_select",
     "q_knn_classify",
     "q_stream_enrich",
     # profiling layer (round 3): TF-IDF is the corpus-heaviest text op

@@ -1208,3 +1208,119 @@ def substring_dedup_stats(
             F.substring(F.md5(F.concat_ws(" ", "kept")), 1, 8).alias("kept_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization (PQ) compressed ANN
+# ---------------------------------------------------------------------------
+
+# Squared L2 distance via the three-dot-product identity |a|^2 - 2a.b
+# + |b|^2 (each dot is DOT_SQL's sequential fold, so the float
+# evaluation order is fixed and the DuckDB oracle reproduces it
+# bit-for-bit), then quantized to integer ten-thousandths: BIGINT
+# partial distances make the cross-subspace SUM exactly associative —
+# no float-summation-order hazard anywhere in the ADC pipeline.
+SQDIST_Q_SQL = (
+    "CAST(floor(("
+    + DOT_SQL.format(a="{a}", b="{a}")
+    + " - 2 * " + DOT_SQL.format(a="{a}", b="{b}")
+    + " + " + DOT_SQL.format(a="{b}", b="{b}")
+    + ") * 10000 + 0.5) AS BIGINT)"
+)
+
+
+def _subvectors(emb: DataFrame, m: int, d_sub: int, id_col: str, vec_col: str) -> DataFrame:
+    """(id, sub, sv): split each vector into ``m`` contiguous
+    ``d_sub``-dim subvectors — a narrow per-row fan-out (no shuffle)."""
+    subs = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub")
+    return emb.select(F.col(id_col), F.col(vec_col), subs).select(
+        id_col,
+        "sub",
+        F.expr(f"slice({vec_col}, sub * {d_sub} + 1, {d_sub})").alias("sv"),
+    )
+
+
+def pq_codes(
+    emb: DataFrame, codebook: DataFrame, m: int = 8, d_sub: int = 8
+) -> DataFrame:
+    """(vec_id, sub, code): product-quantization codes (Jegou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+    Each vector's ``m`` subvectors are independently assigned to the
+    nearest codebook centroid (squared L2, deterministic code-id
+    tie-break), so a d-float vector compresses to ``m`` small ints —
+    the representation that lets 100 TB of raw embeddings fit hot in
+    ~1/32 the bytes while distances stay approximable.
+
+    ``codebook`` must be (sub, code, cv) with <= a few hundred rows per
+    subspace — it broadcasts; the corpus never shuffles for coding.
+    Assignment is argmin-by-struct: min(struct(dist_q, code)) inside a
+    hash aggregate, no window over the corpus."""
+    sv = _subvectors(emb, m, d_sub, "vec_id", "embedding")
+    dist = SQDIST_Q_SQL.format(a="sv", b="cv")
+    scored = sv.join(F.broadcast(codebook), "sub").select(
+        "vec_id", "sub", "code", F.expr(dist).alias("dist_q")
+    )
+    return (
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dist_q", "code")).alias("best"))
+        .select("vec_id", "sub", F.col("best.code").alias("code"))
+    )
+
+
+def pq_codebook_from(emb: DataFrame, n_codes: int, m: int = 8, d_sub: int = 8) -> DataFrame:
+    """(sub, code, cv): a deterministic codebook — the subvectors of the
+    ``n_codes`` lowest vec_ids, one centroid set per subspace (the same
+    seeding convention as ivf_assign's vec_id<8 centroids; a k-means
+    refinement would drop in here without changing any consumer)."""
+    seeds = emb.filter(F.col("vec_id") < n_codes)
+    return _subvectors(seeds, m, d_sub, "vec_id", "embedding").select(
+        "sub", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cv")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    d_sub: int = 8,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, adist_q): asymmetric-distance (ADC)
+    top-k over PQ codes. The query keeps its exact subvectors; each
+    corpus vector is represented only by its ``m`` codes, and the
+    approximate distance is the sum of per-subspace lookup-table
+    entries: d(q, x) ~ sum_s LUT[q, s, code(x, s)].
+
+    Scale shape: the LUT is |queries| x m x |codes| rows — it and the
+    query side broadcast; the corpus-side codes table (the only big
+    frame) flows through ONE hash join on (sub, code) and ONE hash
+    aggregate keyed (query_id, neighbor_id). Partial distances are
+    BIGINT ten-thousandths, so the agg is an exact integer sum with
+    map-side combine. The final per-query rank window only ever sees
+    |queries| partitions of corpus size — queries are few by contract
+    (same contract as topk_neighbors)."""
+    codes = pq_codes(emb, codebook, m, d_sub)
+    qsv = _subvectors(
+        queries.select(F.col("vec_id").alias("query_id"), "embedding"),
+        m,
+        d_sub,
+        "query_id",
+        "embedding",
+    )
+    dist = SQDIST_Q_SQL.format(a="sv", b="cv")
+    lut = qsv.join(F.broadcast(codebook), "sub").select(
+        "query_id", "sub", "code", F.expr(dist).alias("pdist_q")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdist_q").alias("adist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist_q", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist_q")
+    )

@@ -40,6 +40,8 @@ from ..operators.llm import (
     substring_dedup_stats,
     knn_classify,
     label_centroids_long,
+    pq_codebook_from,
+    pq_topk,
     topk_neighbors,
     topk_neighbors_ivf,
     verified_near_dups,
@@ -628,6 +630,79 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         nprobe=2,
     )
+
+
+# Integer-quantized squared L2 (DuckDB side of operators/llm.SQDIST_Q_SQL):
+# the three-dot identity keeps the float evaluation order identical to
+# Spark's sequential aggregate fold, and the BIGINT ten-thousandths
+# quantization makes every downstream sum exactly associative.
+_DOT_DUCK = (
+    "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x AS DOUBLE)))"
+)
+_DISTQ_DUCK = (
+    "CAST(floor(("
+    + _DOT_DUCK.format(a="{a}", b="{a}")
+    + " - 2 * " + _DOT_DUCK.format(a="{a}", b="{b}")
+    + " + " + _DOT_DUCK.format(a="{b}", b="{b}")
+    + ") * 10000 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "q_sim_pq_topk",
+    oracle=f"""
+    WITH sv AS (
+        SELECT e.vec_id, t.sub,
+               list_slice(e.embedding, t.sub * 8 + 1, t.sub * 8 + 8) AS sv
+        FROM embeddings e CROSS JOIN range(0, 8) t(sub)
+    ), cb AS (
+        SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv
+        FROM sv WHERE vec_id < 16
+    ), codes AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT v.vec_id, v.sub, c.code,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id, v.sub
+                       ORDER BY {_DISTQ_DUCK.format(a='v.sv', b='c.cv')}, c.code
+                   ) AS rn
+            FROM sv v JOIN cb c ON c.sub = v.sub
+        ) t WHERE rn = 1
+    ), lut AS (
+        SELECT q.vec_id AS query_id, q.sub, c.code,
+               {_DISTQ_DUCK.format(a='q.sv', b='c.cv')} AS pdist_q
+        FROM sv q JOIN cb c ON c.sub = q.sub
+        WHERE q.vec_id < 4
+    ), scored AS (
+        SELECT l.query_id, x.vec_id AS neighbor_id,
+               CAST(sum(l.pdist_q) AS BIGINT) AS adist_q
+        FROM codes x JOIN lut l ON l.sub = x.sub AND l.code = x.code
+        WHERE x.vec_id <> l.query_id
+        GROUP BY l.query_id, x.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, adist_q FROM (
+        SELECT query_id, neighbor_id, adist_q,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY adist_q, neighbor_id
+               ) AS rank
+        FROM scored
+    ) t WHERE rank <= 3
+    """,
+)
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-3 (Jegou et al., TPAMI 2011): the
+    corpus is represented only by 8 one-byte-sized subspace codes
+    (codebook = subvectors of vec_id<16), queries (vec_id<4) keep
+    exact subvectors, and approximate distance is a sum of broadcast
+    lookup-table entries. The compression path that keeps 100 TB of
+    embeddings hot: 64 floats -> 8 codes per vector, corpus flows
+    through one (sub, code) hash join + one exact-integer hash agg,
+    and the oracle replays codebook assignment and ADC bit-for-bit
+    (BIGINT ten-thousandths partial distances — no float-sum-order
+    hazard)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook_from(emb, n_codes=16)
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 4), cb, k=3)
 
 
 @register(

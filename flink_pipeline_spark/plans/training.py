@@ -565,3 +565,243 @@ def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection
+# ---------------------------------------------------------------------------
+
+# Token budget for q_token_budget_select: roughly half the sf0.01
+# corpus (~25k tokens), so both the fully-kept and the boundary-bin
+# code paths run at fixture scale.
+TOKEN_BUDGET = 12_000
+
+# The q_text_quality composite score, shared verbatim so the selection
+# surface and the scoring surface can never drift apart.
+_QUALITY_SQL = (
+    "0.4 * least(n_tokens / 50.0, 1.0)"
+    " + 0.3 * (n_distinct::DOUBLE / n_tokens)"
+    " + 0.3 * least(n_letter_chars::DOUBLE / n_tokens / 6.0, 1.0)"
+)
+
+
+@register(
+    "q_token_budget_select",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               length(replace(text, ' ', '')) AS n_letter_chars
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               {round_sql(_QUALITY_SQL)} AS score
+        FROM m
+    ), o AS (
+        SELECT doc_id, n_tokens, score,
+               sum(n_tokens) OVER (
+                   ORDER BY score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, score FROM o WHERE cum <= {TOKEN_BUDGET}
+    """,
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped corpus selection: keep the best documents by the
+    q_text_quality composite score until the running token total
+    reaches TOKEN_BUDGET — the data-selection step of a fixed-compute
+    pretraining run ("we can afford N tokens; take the highest-quality
+    N"). Semantics = the single global window the oracle states: order
+    by (score DESC, doc_id), keep every prefix row whose cumulative
+    token count fits.
+
+    Scale shape — the global window is exactly what a 100 TB plan must
+    NOT run (one WindowExec task holding the corpus), so the Spark
+    side is the standard two-phase equivalent: (1) docs bucket into
+    101 score bins (bin = floor(score*100), monotone in the sort key);
+    a ~101-row per-bin token-total table computes each bin's
+    cumulative-above offset on the driver-sized frame and broadcasts
+    back. Bins whose offset+total fit the budget are kept whole with
+    NO per-row ordering; bins past the budget drop whole. (2) Only the
+    single straddling bin — ~1/100 of the corpus, shrinkable with
+    finer bins — pays a per-bin window to find its cut row. Same rows
+    as the naive window, no global sort anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_letter = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    score = round_agg(
+        0.4 * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + 0.3 * (n_distinct.cast("double") / n_tokens)
+        + 0.3 * F.least(n_letter.cast("double") / n_tokens / F.lit(6.0), F.lit(1.0))
+    )
+    # persisted: the full-keep branch, the straddle branch, and the bin
+    # totals all read this narrow (id, tokens, score, bin) frame — one
+    # tokenizing corpus scan instead of three (LRU-evictable, same
+    # convention as verified_near_dups)
+    scored = (
+        d.select(
+            "doc_id",
+            n_tokens.cast("long").alias("n_tokens"),
+            score.alias("score"),
+        )
+        .withColumn("bin", F.floor(F.col("score") * 100).cast("int"))
+        .persist()
+    )
+
+    bins = scored.groupBy("bin").agg(F.sum("n_tokens").alias("tot"))
+    # ~101 rows: the bin-level running total is driver-sized by
+    # construction, so a window over it is not a scale hazard
+    wb = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, -1)
+    bins = bins.withColumn(
+        "cum_above", F.coalesce(F.sum("tot").over(wb), F.lit(0))
+    )
+    j = scored.join(F.broadcast(bins), "bin")
+    full_keep = j.filter(F.col("cum_above") + F.col("tot") <= TOKEN_BUDGET)
+    straddle = j.filter(
+        (F.col("cum_above") < TOKEN_BUDGET)
+        & (F.col("cum_above") + F.col("tot") > TOKEN_BUDGET)
+    )
+    win = (
+        Window.partitionBy("bin")
+        .orderBy(F.desc("score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary_keep = straddle.withColumn(
+        "cum_in", F.sum("n_tokens").over(win)
+    ).filter(F.col("cum_above") + F.col("cum_in") <= TOKEN_BUDGET)
+    cols = ["doc_id", "n_tokens", "score"]
+    return full_keep.select(*cols).unionByName(boundary_keep.select(*cols))
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batch layout (inference/training batch assembly)
+# ---------------------------------------------------------------------------
+
+BUCKET_WIDTH = 16   # token-length bucket width
+BATCH_SIZE = 8      # sequences per batch
+BATCH_SHARDS = 4    # parallel numbering shards per bucket
+
+
+@register(
+    "q_length_buckets",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(floor((len(string_split(text, ' ')) - 1)
+                          / {BUCKET_WIDTH}) AS INT) AS bucket,
+               CAST({hash56_sql_duckdb('doc_id')} % {BATCH_SHARDS} AS INT) AS shard
+        FROM documents
+    ), numbered AS (
+        SELECT bucket, shard, n_tokens,
+               CAST(floor((row_number() OVER (
+                   PARTITION BY bucket, shard ORDER BY doc_id
+               ) - 1) / {BATCH_SIZE}) AS INT) AS batch
+        FROM m
+    )
+    SELECT bucket, shard, batch,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(max(n_tokens) AS BIGINT) AS max_len,
+           CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_tokens,
+           {round_sql('(count(*) * max(n_tokens) - sum(n_tokens))::DOUBLE'
+                      ' / (count(*) * max(n_tokens))')} AS pad_frac
+    FROM numbered
+    GROUP BY bucket, shard, batch
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly: group sequences of similar token
+    length (width-16 buckets) into fixed-size batches and report each
+    batch's padding waste — the layout step that decides real GPU
+    throughput, since a batch pads every sequence to its max length.
+
+    Scale shape: batch numbering needs an order, and a per-bucket
+    row_number is still one task per bucket at corpus scale — so docs
+    first split into BATCH_SHARDS deterministic hash56 shards per
+    bucket and are numbered within (bucket, shard): the sort
+    parallelism is buckets x shards and scales with a config knob, not
+    data. Same trick as q_train_shards / q_pack_sequences' sub-shard
+    windows; the oracle replays the identical sharding so batch ids
+    match exactly. Output is the per-batch padding audit (batch count
+    x pad fraction), the number a batching config review reads."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    m = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.floor((n_tokens - 1) / BUCKET_WIDTH).cast("int").alias("bucket"),
+        (hash56(F.col("doc_id")) % BATCH_SHARDS).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("doc_id")
+    numbered = m.withColumn(
+        "batch",
+        F.floor((F.row_number().over(w) - 1) / BATCH_SIZE).cast("int"),
+    )
+    pad = F.count("*") * F.max("n_tokens") - F.sum("n_tokens")
+    return numbered.groupBy("bucket", "shard", "batch").agg(
+        F.count("*").alias("n_seqs"),
+        F.max("n_tokens").cast("long").alias("max_len"),
+        pad.cast("long").alias("pad_tokens"),
+        round_agg(
+            pad.cast("double") / (F.count("*") * F.max("n_tokens"))
+        ).alias("pad_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication audit
+# ---------------------------------------------------------------------------
+
+HEAD_FP_TOKENS = 8  # document-head fingerprint width
+
+
+@register(
+    "q_source_overlap",
+    oracle=f"""
+    WITH fps AS (
+        SELECT DISTINCT
+               {hash56_sql_duckdb(
+                   "array_to_string(list_slice(string_split(text, ' '), 1, "
+                   + str(HEAD_FP_TOKENS) + "), ' ')"
+               )} AS fp,
+               source
+        FROM documents
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair duplication matrix: how many document-head
+    fingerprints (hash56 of the first 8 tokens) each pair of sources
+    shares — the audit a data card runs to find sources scraping the
+    same upstream (the per-pair counts say where cross-source dedup
+    will bite before anyone runs it).
+
+    Scale shape: distinct (fp, source) first — that dedup bounds the
+    self-join to at most |sources| rows per fingerprint, so the
+    per-key pair fan-out is <= C(|sources|, 2) (a few hundred)
+    REGARDLESS of how many documents share a head: cardinality-bounded
+    by the source dimension, the same reason no LSH-style bucket cap
+    is needed here. One distinct shuffle + one equi-join on fp + one
+    pair agg."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = hash56(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, HEAD_FP_TOKENS))
+    )
+    fps = d.select(fp.alias("fp"), "source").distinct()
+    a = fps.select(F.col("fp"), F.col("source").alias("src_a"))
+    b = fps.select(F.col("fp"), F.col("source").alias("src_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared_fps"))
+    )

@@ -553,3 +553,33 @@ def test_multimodal_frames_non_ascii_parity(spark):
         for r in con.execute(registry.ORACLES["q_multimodal_frames"]).fetchall()
     }
     assert oracle_rows == expected
+
+
+def test_pq_topk_semantics(spark):
+    """PQ/ADC invariants: codes are valid codebook ids, every query gets
+    exactly k ranked neighbors, and ADC distance of a vector to ITS OWN
+    exact reconstruction through the codebook is the sum of its per-
+    subspace quantization errors (checked for a codebook seed vector,
+    whose codes must be its own id with zero distance)."""
+    from flink_pipeline_spark.operators.llm import pq_codebook_from, pq_codes, pq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = pq_codebook_from(emb, n_codes=16)
+    codes = pq_codes(emb, cb).collect()
+    assert all(0 <= r.code < 16 for r in codes)
+    n_vecs = emb.count()
+    assert len(codes) == n_vecs * 8
+    # a codebook seed vector quantizes to itself in every subspace
+    seed_codes = {(r.sub, r.code) for r in codes if r.vec_id == 7}
+    assert seed_codes == {(s, 7) for s in range(8)}
+
+    out = pq_topk(emb, emb.filter(F.col("vec_id") < 4), cb, k=3).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == {0, 1, 2, 3}
+    for q, rs in per_q.items():
+        assert sorted(r.rank for r in rs) == [1, 2, 3]
+        assert all(r.neighbor_id != q for r in rs)
+        ordered = sorted(rs, key=lambda r: (r.adist_q, r.neighbor_id))
+        assert [r.rank for r in ordered] == [1, 2, 3]

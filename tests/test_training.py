@@ -92,3 +92,71 @@ def test_source_mix_shares_sum_to_one(spark):
     assert abs(sum(r.token_share for r in out) - 1.0) < 1e-3
     docs = load_table(spark, SF_DIR, "documents")
     assert sum(r.n_docs for r in out) == docs.count()
+
+
+def test_token_budget_select_is_greedy_prefix(spark):
+    # the selection must equal the naive quality-ordered greedy prefix
+    from flink_pipeline_spark.plans.training import (
+        TOKEN_BUDGET,
+        q_token_budget_select,
+    )
+    from flink_pipeline_spark.plans.llm_ops import q_text_quality
+
+    quality = {
+        r.doc_id: (r.quality, r.n_tokens)
+        for r in q_text_quality(spark, SF_DIR).collect()
+    }
+    order = sorted(quality, key=lambda d: (-quality[d][0], d))
+    cum, expect = 0, set()
+    for d in order:
+        cum += quality[d][1]
+        if cum > TOKEN_BUDGET:
+            break
+        expect.add(d)
+    got = {r.doc_id for r in q_token_budget_select(spark, SF_DIR).collect()}
+    assert got == expect
+    picked_tokens = sum(quality[d][1] for d in got)
+    assert picked_tokens <= TOKEN_BUDGET
+
+
+def test_length_buckets_batches_are_bounded_and_complete(spark):
+    from flink_pipeline_spark.plans.training import (
+        BATCH_SIZE,
+        BUCKET_WIDTH,
+        q_length_buckets,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    total = docs.count()
+    rows = q_length_buckets(spark, SF_DIR).collect()
+    assert sum(r.n_seqs for r in rows) == total
+    for r in rows:
+        assert 1 <= r.n_seqs <= BATCH_SIZE
+        # max_len stays inside its bucket's length range
+        assert r.bucket * BUCKET_WIDTH < r.max_len <= (r.bucket + 1) * BUCKET_WIDTH
+        assert r.pad_tokens >= 0
+        assert 0.0 <= r.pad_frac < 1.0
+
+
+def test_source_overlap_matches_bruteforce(spark):
+    from flink_pipeline_spark.plans.training import (
+        HEAD_FP_TOKENS,
+        q_source_overlap,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    by_fp: dict[str, set] = {}
+    for r in docs:
+        fp = " ".join(r.text.split(" ")[:HEAD_FP_TOKENS])
+        by_fp.setdefault(fp, set()).add(r.source)
+    expect: Counter = Counter()
+    for srcs in by_fp.values():
+        for a in srcs:
+            for b in srcs:
+                if a < b:
+                    expect[(a, b)] += 1
+    got = {
+        (r.src_a, r.src_b): r.shared_fps
+        for r in q_source_overlap(spark, SF_DIR).collect()
+    }
+    assert got == dict(expect)
