@@ -48,7 +48,7 @@ from ..operators.llm import (
 )
 from ..operators.multimodal import resize_payload, sample_frames, to_multimodal
 from ..operators.topk import rank_after_topk
-from .registry import register
+from .registry import ORACLES, register
 
 # ---------------------------------------------------------------------------
 # L1: exact dedup
@@ -744,6 +744,89 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax in HashAggregate via the packed-key max_by."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_classify(emb, emb.filter(F.col("vec_id") < 50), k=5)
+
+
+def _register_ann_recall() -> None:
+    """Registered via a closure so the oracle can COMPOSE the already-
+    registered exact / IVF / PQ search oracles as CTEs — one source of
+    truth per method; a change to any search query automatically flows
+    into the recall audit's oracle."""
+    exact_sql = ORACLES["q_sim_topk"]
+    ivf_sql = ORACLES["q_sim_ivf_topk"]
+    pq_sql = ORACLES["q_sim_pq_topk"]
+    method_row = """
+        SELECT '{m}' AS method,
+               CAST(count(DISTINCT r.query_id) AS BIGINT) AS n_queries,
+               CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits,
+               {recall} AS recall
+        FROM {m}_r r LEFT JOIN exact_r e
+          ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+    """
+    recall = round_sql(
+        "sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE"
+        " / (3 * count(DISTINCT r.query_id))"
+    )
+    oracle = (
+        f"WITH exact_r AS ({exact_sql}), ivf_r AS ({ivf_sql}),"
+        f" pq_r AS ({pq_sql})\n"
+        + method_row.format(m="ivf", recall=recall)
+        + "UNION ALL"
+        + method_row.format(m="pq", recall=recall)
+    )
+
+    @register("q_ann_recall", oracle=oracle)
+    def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ANN quality audit: recall@3 of the two approximate search
+        paths (IVF nprobe-probed, PQ/ADC) against the exact brute-force
+        top-3, per method — the measurement that decides whether an
+        index config is shippable BEFORE anyone trades recall for
+        throughput at 100 TB. Each method's result joins the exact
+        result on (query, neighbor); recall = hits / (k * queries).
+
+        Scale: the search frames are per-query top-k — tiny by
+        construction — so the audit is two broadcast joins and two
+        1-row aggregates; the corpus-sized work lives inside the
+        (already scale-shaped) search operators themselves. The exact
+        frame is persisted: both method audits probe it."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact = (
+            topk_neighbors(emb, emb.filter(F.col("vec_id") < 5), k=3)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+            .persist()
+        )
+        ivf = topk_neighbors_ivf(
+            emb,
+            emb.filter(F.col("vec_id") < 5),
+            emb.filter(F.col("vec_id") < 8),
+            k=3,
+            nprobe=2,
+        )
+        pq = pq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 4),
+            pq_codebook_from(emb, n_codes=16),
+            k=3,
+        )
+
+        def audit(m: DataFrame, name: str) -> DataFrame:
+            joined = m.join(
+                F.broadcast(exact), ["query_id", "neighbor_id"], "left"
+            )
+            hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            nq = F.countDistinct("query_id")
+            return joined.agg(
+                F.lit(name).alias("method"),
+                nq.cast("long").alias("n_queries"),
+                hits.cast("long").alias("hits"),
+                round_agg(hits.cast("double") / (3 * nq)).alias("recall"),
+            )
+
+        return audit(ivf, "ivf").unionByName(audit(pq, "pq"))
+
+
+_register_ann_recall()
 
 
 @register(

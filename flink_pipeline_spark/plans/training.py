@@ -805,3 +805,72 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("shared_fps"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weighting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mixture_temperature",
+    oracle=f"""
+    WITH mix AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ), w AS (
+        SELECT source, tokens,
+               CAST(floor(sqrt(tokens) * 10000 + 0.5) AS BIGINT) AS w_q
+        FROM mix
+    ), tot AS (
+        SELECT CAST(sum(tokens) AS BIGINT) AS t_tokens,
+               CAST(sum(w_q) AS BIGINT) AS t_w
+        FROM w
+    )
+    SELECT source, tokens,
+           {round_sql('tokens::DOUBLE / t_tokens')} AS raw_share,
+           {round_sql('w_q::DOUBLE / t_w')} AS temp_share,
+           {round_sql('(w_q::DOUBLE / t_w) / (tokens::DOUBLE / t_tokens)')}
+               AS boost
+    FROM w CROSS JOIN tot
+    """,
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (the alpha-sampling
+    of multilingual pretraining — XLM / mT5 style, alpha = 0.5): each
+    source's sampling share is proportional to tokens^alpha, which
+    upweights small sources relative to their raw token share; `boost`
+    is the resulting over/under-sampling factor a mixture config
+    applies. alpha = 0.5 is sqrt — IEEE-correctly-rounded in both
+    engines, and the weight is quantized to BIGINT ten-thousandths
+    BEFORE the denominator sum so the normalization is an exact
+    integer sum (no float-summation-order hazard; same convention as
+    the PQ partial distances).
+
+    Scale: one corpus agg to |sources| rows; the two denominators ride
+    a 1-row broadcast cross join (the house pattern — never a global
+    window)."""
+    d = load_table(spark, sf_dir, "documents")
+    mix = (
+        d.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens"))
+        .withColumn(
+            "w_q",
+            F.floor(F.sqrt(F.col("tokens")) * 10000 + F.lit(0.5)).cast("long"),
+        )
+        .persist()
+    )
+    tot = mix.agg(
+        F.sum("tokens").cast("long").alias("t_tokens"),
+        F.sum("w_q").cast("long").alias("t_w"),
+    )
+    raw_share = F.col("tokens").cast("double") / F.col("t_tokens")
+    temp_share = F.col("w_q").cast("double") / F.col("t_w")
+    return mix.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        round_agg(raw_share).alias("raw_share"),
+        round_agg(temp_share).alias("temp_share"),
+        round_agg(temp_share / raw_share).alias("boost"),
+    )

@@ -583,3 +583,16 @@ def test_pq_topk_semantics(spark):
         assert all(r.neighbor_id != q for r in rs)
         ordered = sorted(rs, key=lambda r: (r.adist_q, r.neighbor_id))
         assert [r.rank for r in ordered] == [1, 2, 3]
+
+
+def test_ann_recall_bounds_and_exact_selfcheck(spark):
+    from flink_pipeline_spark.plans import query_fns
+
+    q_ann_recall = query_fns()["q_ann_recall"]
+    rows = {r.method: r for r in q_ann_recall(spark, SF_DIR).collect()}
+    assert set(rows) == {"ivf", "pq"}
+    for r in rows.values():
+        assert 0.0 <= r.recall <= 1.0
+        assert r.hits <= 3 * r.n_queries
+    assert rows["ivf"].n_queries == 5
+    assert rows["pq"].n_queries == 4

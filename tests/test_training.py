@@ -160,3 +160,17 @@ def test_source_overlap_matches_bruteforce(spark):
         for r in q_source_overlap(spark, SF_DIR).collect()
     }
     assert got == dict(expect)
+
+
+def test_mixture_temperature_upweights_small_sources(spark):
+    from flink_pipeline_spark.plans.training import q_mixture_temperature
+
+    rows = q_mixture_temperature(spark, SF_DIR).collect()
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-3
+    by_tokens = sorted(rows, key=lambda r: r.tokens)
+    # alpha=0.5 flattens the mixture: smallest source boosted above 1,
+    # largest damped below 1, and boost decreases with size
+    assert by_tokens[0].boost > 1.0 > by_tokens[-1].boost
+    boosts = [r.boost for r in by_tokens]
+    assert boosts == sorted(boosts, reverse=True)
