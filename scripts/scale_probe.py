@@ -46,7 +46,7 @@ WORK = "/tmp/scale_probe"
 
 def build_corpus(spark: SparkSession, m: int) -> str:
     out = os.path.join(WORK, f"m{m}")
-    marker = os.path.join(out, "_SUCCESS_PROBE_V3")  # v3: + orders replica
+    marker = os.path.join(out, "_SUCCESS_PROBE_V4")  # v4: + embeddings replica
     if os.path.exists(marker):
         return out
     d = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
@@ -106,6 +106,19 @@ def build_corpus(spark: SparkSession, m: int) -> str:
     for c in ocopies[1:]:
         allo = allo.unionByName(c)
     allo.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    # embeddings replica for the PQ/ANN family: vec_id offset per copy,
+    # vectors unchanged — queries/codebook key off vec_id<K so they stay
+    # pinned to copy 0 and the corpus-side work (coding, ADC join, agg)
+    # is what grows with m.
+    em = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    mcopies = [
+        em.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10_000_000))
+        for k in range(m)
+    ]
+    allm = mcopies[0]
+    for c in mcopies[1:]:
+        allm = allm.unionByName(c)
+    allm.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
     open(marker, "w").close()
     return out
 
