@@ -1395,6 +1395,79 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_surprisal",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT CAST(sum(n) AS DOUBLE) AS t FROM tf
+    ), lp AS (
+        SELECT tok,
+               CAST(floor(ln(t / n) * 10000 + 0.5) AS BIGINT) AS lp_q
+        FROM tf CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lp_q) AS BIGINT) AS surprisal_q,
+           floor(sum(lp_q)::DOUBLE / count(*) + 0.5) / 10000 AS avg_surprisal
+    FROM toks JOIN lp USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring — the perplexity-proxy quality pass
+    (CCNet-style LM filtering with the LM reduced to corpus unigram
+    frequencies): per document, the summed and mean -log p(token)
+    under the corpus's own unigram distribution. Low mean surprisal =
+    common boilerplate-ish text; high = rare-token-heavy text — the
+    score a quality gate bins on before sampling.
+
+    Portability: per-token surprisal ln(T/tf) is quantized to BIGINT
+    ten-thousandths BEFORE the per-doc sum, so the aggregate is an
+    exact integer sum (the PQ/mixture convention); the mean divides
+    the integer sum once at the end. Scale shape: the unigram table is
+    vocab-sized (#distinct tokens, not corpus-sized); the corpus joins
+    it once on the token key — a plain equi-join AQE can broadcast
+    whenever the vocab fits, and a hash shuffle on the 8-byte-ish
+    token key when it does not. No windows, two aggs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).persist()
+    tf = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = tf.agg(F.sum("n").cast("double").alias("t"))
+    lp = tf.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(F.log(F.col("t") / F.col("n")) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("lp_q"),
+    )
+    return (
+        toks.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lp_q").cast("long").alias("surprisal_q"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "surprisal_q",
+            (
+                F.floor(
+                    F.col("surprisal_q").cast("double") / F.col("n_tokens")
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
+@register(
     "q_text_token_count",
     oracle="""
     SELECT doc_id,
@@ -1485,6 +1558,47 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     return connected_components(pairs)
+
+
+def _register_cluster_stats() -> None:
+    """Closure-registered so the oracle composes the already-registered
+    q_dedup_clusters oracle as a CTE (the q_ann_recall convention): the
+    census can never drift from the clustering it summarizes."""
+    oracle = f"""
+    WITH clusters AS ({ORACLES['q_dedup_clusters']}),
+    sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+        FROM clusters GROUP BY cluster_id
+    )
+    SELECT n_members,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_members - 1) AS BIGINT) AS n_redundant
+    FROM sizes GROUP BY n_members
+    """
+
+    @register("q_dedup_cluster_stats", oracle=oracle)
+    def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Duplicate-cluster census: the size distribution of the
+        near-dup clusters and, per size, how many documents dedup
+        will actually drop (n_redundant = members - 1 per cluster,
+        keeper stays). This is the impact report run BEFORE committing
+        a dedup config — total n_redundant is the corpus shrinkage.
+
+        Scale: two small aggs stacked on the CC output (cluster count
+        rows, then size-histogram rows); all the heavy lifting is
+        inside the already-probed pair + CC operators."""
+        sizes = (
+            q_dedup_clusters(spark, sf_dir)
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("n_members"))
+        )
+        return sizes.groupBy("n_members").agg(
+            F.count("*").alias("n_clusters"),
+            F.sum(F.col("n_members") - 1).cast("long").alias("n_redundant"),
+        )
+
+
+_register_cluster_stats()
 
 
 @register(

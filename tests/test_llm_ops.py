@@ -596,3 +596,45 @@ def test_ann_recall_bounds_and_exact_selfcheck(spark):
         assert r.hits <= 3 * r.n_queries
     assert rows["ivf"].n_queries == 5
     assert rows["pq"].n_queries == 4
+
+
+def test_text_surprisal_matches_bruteforce(spark):
+    import math
+    from collections import Counter
+
+    from flink_pipeline_spark.plans import query_fns
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    tf: Counter = Counter()
+    for r in docs:
+        tf.update(r.text.split(" "))
+    total = sum(tf.values())
+    lp_q = {t: math.floor(math.log(total / n) * 10000 + 0.5) for t, n in tf.items()}
+    got = {r.doc_id: r for r in query_fns()["q_text_surprisal"](spark, SF_DIR).collect()}
+    assert set(got) == {r.doc_id for r in docs}
+    for r in docs[:50]:
+        toks = r.text.split(" ")
+        s = sum(lp_q[t] for t in toks)
+        g = got[r.doc_id]
+        assert g.n_tokens == len(toks)
+        assert g.surprisal_q == s
+        assert g.avg_surprisal == math.floor(s / len(toks) + 0.5) / 10000
+
+
+def test_dedup_cluster_stats_consistent_with_clusters(spark):
+    from collections import Counter
+
+    from flink_pipeline_spark.plans import query_fns
+
+    fns = query_fns()
+    members = fns["q_dedup_clusters"](spark, SF_DIR).collect()
+    sizes = Counter()
+    for r in members:
+        sizes[r.cluster_id] += 1
+    hist = Counter(sizes.values())
+    got = {r.n_members: r for r in fns["q_dedup_cluster_stats"](spark, SF_DIR).collect()}
+    assert {k: v.n_clusters for k, v in got.items()} == dict(hist)
+    for n, r in got.items():
+        assert r.n_redundant == (n - 1) * r.n_clusters
+    # census covers every clustered doc
+    assert sum(n * r.n_clusters for n, r in got.items()) == len(members)
