@@ -69,3 +69,34 @@ def minhash_params_values_sql() -> str:
 def bits_values_sql(bits: int = SIMHASH_BITS) -> str:
     body = ", ".join(f"({b})" for b in range(bits))
     return f"(VALUES {body}) AS bits(b)"
+
+
+# ---------------------------------------------------------------------------
+# Composite quality score (single source of truth)
+# ---------------------------------------------------------------------------
+
+# The heuristic document-quality score used by BOTH the scoring surface
+# (q_text_quality) and the selection surface (q_token_budget_select):
+# length saturation + lexical diversity + token-length saturation.
+# DuckDB oracle text over columns named (n_tokens, n_distinct,
+# n_letter_chars); quality_score() is the Spark Column twin. Tune the
+# weights HERE so the two surfaces can never drift apart.
+QUALITY_SCORE_SQL = (
+    "0.4 * least(n_tokens / 50.0, 1.0)"
+    " + 0.3 * (n_distinct::DOUBLE / n_tokens)"
+    " + 0.3 * least(n_letter_chars::DOUBLE / n_tokens / 6.0, 1.0)"
+)
+
+
+def quality_score(n_tokens, n_distinct, n_letter_chars):
+    """Spark Column form of QUALITY_SCORE_SQL (same shape, same
+    left-associated double arithmetic — keep the two in lock-step)."""
+    from pyspark.sql import functions as F
+
+    dr = n_distinct.cast("double") / n_tokens
+    al = n_letter_chars.cast("double") / n_tokens
+    return (
+        0.4 * F.least(n_tokens / 50.0, F.lit(1.0))
+        + 0.3 * dr
+        + 0.3 * F.least(al / 6.0, F.lit(1.0))
+    )

@@ -1231,12 +1231,24 @@ SQDIST_Q_SQL = (
 
 def _subvectors(emb: DataFrame, m: int, d_sub: int, id_col: str, vec_col: str) -> DataFrame:
     """(id, sub, sv): split each vector into ``m`` contiguous
-    ``d_sub``-dim subvectors — a narrow per-row fan-out (no shuffle)."""
+    ``d_sub``-dim subvectors — a narrow per-row fan-out (no shuffle).
+
+    The slice start embeds a dimension guard: a vector whose length is
+    not exactly m * d_sub raises at scan time instead of silently
+    producing empty subvectors (which would quantize to garbage codes
+    that still LOOK well-formed downstream). Folding the guard into the
+    start expression — rather than a separate assert_true projection —
+    keeps column pruning from optimizing the check away."""
+    d = m * d_sub
+    start = (
+        f"CASE WHEN size({vec_col}) = {d} THEN sub * {d_sub} + 1 "
+        f"ELSE CAST(raise_error('pq: {vec_col} dim <> {d} (m={m} x d_sub={d_sub})') AS INT) END"
+    )
     subs = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub")
     return emb.select(F.col(id_col), F.col(vec_col), subs).select(
         id_col,
         "sub",
-        F.expr(f"slice({vec_col}, sub * {d_sub} + 1, {d_sub})").alias("sv"),
+        F.expr(f"slice({vec_col}, {start}, {d_sub})").alias("sv"),
     )
 
 

@@ -17,9 +17,11 @@ from ..catalog import load_table
 from ..functions.portable import round_agg, hash56_sql_duckdb, round_sql
 from ..functions.text import (
     P31,
+    QUALITY_SCORE_SQL,
     SIMHASH_BITS,
     SIMHASH_BITS_CALIB,
     minhash_params_values_sql,
+    quality_score,
     shingle_hash_sql,
     shingles_sql,
 )
@@ -320,13 +322,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS_DUCK = (
-    "(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+# DuckDB mirror of operators/llm.DOT_SQL — the CAST discipline keeps
+# the evaluation order bit-identical to Spark's sequential fold; both
+# the cosine and the squared-distance (PQ) families compose from it.
+_DOT_DUCK = (
+    "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
     " list_transform({b}, x -> CAST(x AS DOUBLE)))"
-    " / (sqrt(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
-    " list_transform({a}, x -> CAST(x AS DOUBLE))))"
-    " * sqrt(list_dot_product(list_transform({b}, x -> CAST(x AS DOUBLE)),"
-    " list_transform({b}, x -> CAST(x AS DOUBLE))))))"
+)
+_COS_DUCK = (
+    "(" + _DOT_DUCK.format(a="{a}", b="{b}")
+    + " / (sqrt(" + _DOT_DUCK.format(a="{a}", b="{a}")
+    + ") * sqrt(" + _DOT_DUCK.format(a="{b}", b="{b}") + ")))"
 )
 
 
@@ -636,10 +642,6 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the three-dot identity keeps the float evaluation order identical to
 # Spark's sequential aggregate fold, and the BIGINT ten-thousandths
 # quantization makes every downstream sum exactly associative.
-_DOT_DUCK = (
-    "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
-    " list_transform({b}, x -> CAST(x AS DOUBLE)))"
-)
 _DISTQ_DUCK = (
     "CAST(floor(("
     + _DOT_DUCK.format(a="{a}", b="{a}")
@@ -750,77 +752,86 @@ def _register_ann_recall() -> None:
     """Registered via a closure so the oracle can COMPOSE the already-
     registered exact / IVF / PQ search oracles as CTEs — one source of
     truth per method; a change to any search query automatically flows
-    into the recall audit's oracle."""
+    into the recall audit's oracle (and the Spark side calls the same
+    registered query functions, so both halves track edits)."""
     exact_sql = ORACLES["q_sim_topk"]
     ivf_sql = ORACLES["q_sim_ivf_topk"]
     pq_sql = ORACLES["q_sim_pq_topk"]
-    method_row = """
-        SELECT '{m}' AS method,
-               CAST(count(DISTINCT r.query_id) AS BIGINT) AS n_queries,
-               CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS hits,
-               {recall} AS recall
-        FROM {m}_r r LEFT JOIN exact_r e
+    # Both methods are audited over the SAME query set — the
+    # intersection (vec_id < 4, the PQ set) — so the two rows are
+    # comparable; nq and k come from the ground-truth frame (exact
+    # brute force always returns k rows per issued query), NEVER from
+    # the audited method's own output: a method that silently drops a
+    # query must lose recall, not gain it.
+    hits_cte = """
+    {m}_h AS (
+        SELECT CAST(coalesce(sum(
+                   CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+               ), 0) AS BIGINT) AS hits
+        FROM {m}_q r LEFT JOIN exact_q e
           ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
-    """
-    recall = round_sql(
-        "sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE"
-        " / (3 * count(DISTINCT r.query_id))"
+    )"""
+    row = (
+        "SELECT '{m}' AS method, d.nq AS n_queries, h.hits, "
+        + round_sql("h.hits::DOUBLE / (d.k * d.nq)")
+        + " AS recall FROM {m}_h h CROSS JOIN denom d"
     )
     oracle = (
-        f"WITH exact_r AS ({exact_sql}), ivf_r AS ({ivf_sql}),"
-        f" pq_r AS ({pq_sql})\n"
-        + method_row.format(m="ivf", recall=recall)
-        + "UNION ALL"
-        + method_row.format(m="pq", recall=recall)
+        f"WITH exact_r AS ({exact_sql}),\n"
+        " exact_q AS (SELECT * FROM exact_r WHERE query_id < 4),\n"
+        f" ivf_r AS ({ivf_sql}),\n"
+        " ivf_q AS (SELECT * FROM ivf_r WHERE query_id < 4),\n"
+        f" pq_q AS ({pq_sql}),\n"
+        " denom AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq,"
+        " CAST(max(rank) AS BIGINT) AS k FROM exact_q),\n"
+        + hits_cte.format(m="ivf") + ",\n"
+        + hits_cte.format(m="pq") + "\n"
+        + row.format(m="ivf")
+        + " UNION ALL "
+        + row.format(m="pq")
     )
 
     @register("q_ann_recall", oracle=oracle)
     def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """ANN quality audit: recall@3 of the two approximate search
+        """ANN quality audit: recall@k of the two approximate search
         paths (IVF nprobe-probed, PQ/ADC) against the exact brute-force
-        top-3, per method — the measurement that decides whether an
+        top-k, per method — the measurement that decides whether an
         index config is shippable BEFORE anyone trades recall for
-        throughput at 100 TB. Each method's result joins the exact
-        result on (query, neighbor); recall = hits / (k * queries).
+        throughput at 100 TB. Both methods are scored over the same
+        query set (the intersection of their registered query sets);
+        recall = hits / (k * issued queries) with the denominator taken
+        from the GROUND-TRUTH frame, so a method that returns nothing
+        for a query loses recall rather than gaining it.
 
         Scale: the search frames are per-query top-k — tiny by
-        construction — so the audit is two broadcast joins and two
+        construction — so the audit is two broadcast joins and three
         1-row aggregates; the corpus-sized work lives inside the
         (already scale-shaped) search operators themselves. The exact
-        frame is persisted: both method audits probe it."""
-        emb = load_table(spark, sf_dir, "embeddings")
-        exact = (
-            topk_neighbors(emb, emb.filter(F.col("vec_id") < 5), k=3)
-            .select("query_id", "neighbor_id")
-            .withColumn("hit", F.lit(1))
-            .persist()
+        frame is persisted: the denominator and both method audits
+        read it."""
+        exact = q_sim_topk(spark, sf_dir).filter(F.col("query_id") < 4).persist()
+        denom = exact.agg(
+            F.countDistinct("query_id").cast("long").alias("nq"),
+            F.max("rank").cast("long").alias("k"),
         )
-        ivf = topk_neighbors_ivf(
-            emb,
-            emb.filter(F.col("vec_id") < 5),
-            emb.filter(F.col("vec_id") < 8),
-            k=3,
-            nprobe=2,
+        exact_pairs = exact.select("query_id", "neighbor_id").withColumn(
+            "hit", F.lit(1)
         )
-        pq = pq_topk(
-            emb,
-            emb.filter(F.col("vec_id") < 4),
-            pq_codebook_from(emb, n_codes=16),
-            k=3,
-        )
+        ivf = q_sim_ivf_topk(spark, sf_dir).filter(F.col("query_id") < 4)
+        pq = q_sim_pq_topk(spark, sf_dir)
 
         def audit(m: DataFrame, name: str) -> DataFrame:
-            joined = m.join(
-                F.broadcast(exact), ["query_id", "neighbor_id"], "left"
-            )
-            hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-            nq = F.countDistinct("query_id")
-            return joined.agg(
+            hits = F.coalesce(F.sum("hit"), F.lit(0)).cast("long")
+            h = m.join(
+                F.broadcast(exact_pairs), ["query_id", "neighbor_id"], "left"
+            ).agg(hits.alias("hits"))
+            return h.crossJoin(F.broadcast(denom)).select(
                 F.lit(name).alias("method"),
-                nq.cast("long").alias("n_queries"),
-                hits.cast("long").alias("hits"),
-                round_agg(hits.cast("double") / (3 * nq)).alias("recall"),
+                F.col("nq").alias("n_queries"),
+                "hits",
+                round_agg(
+                    F.col("hits").cast("double") / (F.col("k") * F.col("nq"))
+                ).alias("recall"),
             )
 
         return audit(ivf, "ivf").unionByName(audit(pq, "pq"))
@@ -1359,17 +1370,16 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_tokens,
            {round_sql('n_distinct::DOUBLE / n_tokens')} AS distinct_ratio,
            {round_sql('n_letter_chars::DOUBLE / n_tokens')} AS avg_tok_len,
-           {round_sql('0.4 * least(n_tokens / 50.0, 1.0)'
-                      ' + 0.3 * (n_distinct::DOUBLE / n_tokens)'
-                      ' + 0.3 * least(n_letter_chars::DOUBLE / n_tokens / 6.0, 1.0)')}
-               AS quality
+           {round_sql(QUALITY_SCORE_SQL)} AS quality
     FROM m
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: length saturation + lexical diversity +
     token-length saturation (the punct/stopword-ratio family of filters;
-    this vocabulary has no punctuation to count)."""
+    this vocabulary has no punctuation to count). The score formula is
+    the shared functions/text.py QUALITY_SCORE_SQL / quality_score pair
+    — the same source of truth q_token_budget_select selects on."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     m = d.select(
@@ -1380,10 +1390,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dr = F.col("n_distinct").cast("double") / F.col("n_tokens")
     al = F.col("n_letter_chars").cast("double") / F.col("n_tokens")
-    quality = (
-        0.4 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
-        + 0.3 * dr
-        + 0.3 * F.least(al / 6.0, F.lit(1.0))
+    quality = quality_score(
+        F.col("n_tokens"), F.col("n_distinct"), F.col("n_letter_chars")
     )
     return m.select(
         "doc_id",

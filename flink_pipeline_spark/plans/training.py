@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.portable import hash56, hash56_sql_duckdb, round_agg, round_sql
-from ..functions.text import shingles_sql
+from ..functions.text import QUALITY_SCORE_SQL, quality_score, shingles_sql
 from .registry import register
 
 # Sequence-packing token budget (tokens per training sequence). Small
@@ -576,13 +576,9 @@ def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # code paths run at fixture scale.
 TOKEN_BUDGET = 12_000
 
-# The q_text_quality composite score, shared verbatim so the selection
-# surface and the scoring surface can never drift apart.
-_QUALITY_SQL = (
-    "0.4 * least(n_tokens / 50.0, 1.0)"
-    " + 0.3 * (n_distinct::DOUBLE / n_tokens)"
-    " + 0.3 * least(n_letter_chars::DOUBLE / n_tokens / 6.0, 1.0)"
-)
+# The composite score itself lives in functions/text.py
+# (QUALITY_SCORE_SQL / quality_score) — one source of truth shared with
+# q_text_quality, so selection and scoring can never drift apart.
 
 
 @register(
@@ -596,7 +592,7 @@ _QUALITY_SQL = (
         FROM documents
     ), scored AS (
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-               {round_sql(_QUALITY_SQL)} AS score
+               {round_sql(QUALITY_SCORE_SQL)} AS score
         FROM m
     ), o AS (
         SELECT doc_id, n_tokens, score,
@@ -634,11 +630,7 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     n_letter = F.length(F.regexp_replace(F.col("text"), " ", ""))
-    score = round_agg(
-        0.4 * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
-        + 0.3 * (n_distinct.cast("double") / n_tokens)
-        + 0.3 * F.least(n_letter.cast("double") / n_tokens / F.lit(6.0), F.lit(1.0))
-    )
+    score = round_agg(quality_score(n_tokens, n_distinct, n_letter))
     # persisted: the full-keep branch, the straddle branch, and the bin
     # totals all read this narrow (id, tokens, score, bin) frame — one
     # tokenizing corpus scan instead of three (LRU-evictable, same

@@ -594,8 +594,9 @@ def test_ann_recall_bounds_and_exact_selfcheck(spark):
     for r in rows.values():
         assert 0.0 <= r.recall <= 1.0
         assert r.hits <= 3 * r.n_queries
-    assert rows["ivf"].n_queries == 5
-    assert rows["pq"].n_queries == 4
+        # both methods audit the SAME issued-query set (the denominator
+        # comes from the ground-truth frame, not the method's output)
+        assert r.n_queries == 4
 
 
 def test_text_surprisal_matches_bruteforce(spark):
@@ -638,3 +639,15 @@ def test_dedup_cluster_stats_consistent_with_clusters(spark):
         assert r.n_redundant == (n - 1) * r.n_clusters
     # census covers every clustered doc
     assert sum(n * r.n_clusters for n, r in got.items()) == len(members)
+
+
+def test_pq_rejects_mismatched_dims(spark):
+    """The dim guard in _subvectors: a vector whose length is not
+    m * d_sub must raise, not silently quantize empty subvectors."""
+    from flink_pipeline_spark.operators.llm import pq_codebook_from, pq_codes
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = pq_codebook_from(emb, n_codes=16)
+    bad = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    with pytest.raises(Exception, match="dim"):
+        pq_codes(bad, cb).collect()
