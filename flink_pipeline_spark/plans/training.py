@@ -866,3 +866,120 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_agg(temp_share).alias("temp_share"),
         round_agg(temp_share / raw_share).alias("boost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dsir_weights",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), prop AS (
+        SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ), targ AS (
+        SELECT tok, count(*) AS n FROM toks WHERE source = 'src0' GROUP BY tok
+    ), consts AS (
+        SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM prop) AS t_prop,
+               (SELECT CAST(sum(n) AS DOUBLE) FROM targ) AS t_targ,
+               (SELECT CAST(count(*) AS DOUBLE) FROM prop) AS vocab
+    ), lw AS (
+        SELECT p.tok,
+               CAST(floor((ln((coalesce(tg.n, 0) + 1) / (c.t_targ + c.vocab))
+                           - ln(p.n / c.t_prop)) * 10000 + 0.5) AS BIGINT)
+                   AS lw_q
+        FROM prop p LEFT JOIN targ tg ON tg.tok = p.tok
+        CROSS JOIN consts c
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lw.lw_q) AS BIGINT) AS logweight_q,
+           floor(sum(lw.lw_q)::DOUBLE / count(*) + 0.5) / 10000
+               AS avg_logweight
+    FROM toks t JOIN lw ON lw.tok = t.tok
+    WHERE t.source <> 'src0'
+    GROUP BY t.doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023, with the
+    hashed-ngram feature space reduced to unigrams): per corpus
+    document, the summed log importance ratio log p_target(tok) -
+    log p_proposal(tok), where the target distribution is the 'src0'
+    slice (the benchmark-domain convention q_decontaminate set) with
+    add-1 smoothing over the corpus vocabulary, and the proposal is
+    the corpus itself. High avg_logweight = looks like the target
+    domain; the resampling step keeps documents with probability
+    proportional to the (exponentiated) weight.
+
+    Portability: per-token log ratios are quantized to BIGINT
+    ten-thousandths before the per-doc sum (the exact-integer
+    normalization convention). Scale shape: both unigram tables are
+    vocab-sized; the three scalar constants ride one broadcast cross
+    join; the corpus pays one token-key equi-join + one agg — probed
+    flat for the same shape in q_text_surprisal (SCALING.md r6b)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    ).persist()
+    prop = toks.groupBy("tok").agg(F.count("*").alias("n_prop"))
+    targ = (
+        toks.filter(F.col("source") == "src0")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_targ"))
+    )
+    consts = prop.agg(
+        F.sum("n_prop").cast("double").alias("t_prop"),
+        F.count("*").cast("double").alias("vocab"),
+    ).crossJoin(
+        F.broadcast(
+            toks.filter(F.col("source") == "src0")
+            .agg(F.count("*").cast("double").alias("t_targ"))
+        )
+    )
+    lw = (
+        prop.join(targ, "tok", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "tok",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("n_targ"), F.lit(0)) + 1)
+                        / (F.col("t_targ") + F.col("vocab"))
+                    )
+                    - F.log(F.col("n_prop") / F.col("t_prop"))
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lw_q"),
+        )
+    )
+    return (
+        toks.filter(F.col("source") != "src0")
+        .join(lw, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lw_q").cast("long").alias("logweight_q"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logweight_q",
+            (
+                F.floor(
+                    F.col("logweight_q").cast("double") / F.col("n_tokens")
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("avg_logweight"),
+        )
+    )

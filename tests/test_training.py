@@ -174,3 +174,43 @@ def test_mixture_temperature_upweights_small_sources(spark):
     assert by_tokens[0].boost > 1.0 > by_tokens[-1].boost
     boosts = [r.boost for r in by_tokens]
     assert boosts == sorted(boosts, reverse=True)
+
+
+def test_dsir_weights_match_bruteforce(spark):
+    import math
+
+    from flink_pipeline_spark.plans import query_fns
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    prop: Counter = Counter()
+    targ: Counter = Counter()
+    for r in docs:
+        ts = r.text.split(" ")
+        prop.update(ts)
+        if r.source == "src0":
+            targ.update(ts)
+    t_prop, t_targ, vocab = sum(prop.values()), sum(targ.values()), len(prop)
+    lw_q = {
+        t: math.floor(
+            (
+                math.log((targ.get(t, 0) + 1) / (t_targ + vocab))
+                - math.log(n / t_prop)
+            )
+            * 10000
+            + 0.5
+        )
+        for t, n in prop.items()
+    }
+    got = {
+        r.doc_id: r
+        for r in query_fns()["q_dsir_weights"](spark, SF_DIR).collect()
+    }
+    corpus_docs = [r for r in docs if r.source != "src0"]
+    assert set(got) == {r.doc_id for r in corpus_docs}
+    for r in corpus_docs[:50]:
+        ts = r.text.split(" ")
+        s = sum(lw_q[t] for t in ts)
+        g = got[r.doc_id]
+        assert g.n_tokens == len(ts)
+        assert g.logweight_q == s
+        assert g.avg_logweight == math.floor(s / len(ts) + 0.5) / 10000
