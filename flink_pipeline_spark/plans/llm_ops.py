@@ -26,6 +26,7 @@ from ..functions.text import (
     shingles_sql,
 )
 from ..operators.llm import (
+    DOT_SQL,
     MAX_LSH_BUCKET,
     MAX_SHINGLE_DF,
     connected_components,
@@ -1607,6 +1608,140 @@ def _register_cluster_stats() -> None:
 
 
 _register_cluster_stats()
+
+
+def _register_semantic_dedup() -> None:
+    """Closure-registered so the pair stage composes the registered
+    q_dedup_embed_ivf oracle verbatim (capped cells and all) — the
+    Spark side calls the same registered query, so both halves track
+    any edit to the pair generator."""
+    assign_cte = f"""
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.vec_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
+                                      * 10000 + 0.5) / 10000 DESC,
+                                c.vec_id) AS rn
+            FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+        ) t WHERE rn = 1
+    """
+    oracle = f"""
+    WITH RECURSIVE pairs AS ({ORACLES['q_dedup_embed_ivf']}
+    ), edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b, vec_a FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT src AS id FROM edges
+    ), reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src
+    ), groups AS (
+        SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS group_id
+        FROM reach GROUP BY id
+    ), assigned AS ({assign_cte}
+    ), cosc AS (
+        SELECT a.vec_id, a.cell,
+               floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
+                     * 10000 + 0.5) / 10000 AS cos_centroid
+        FROM assigned a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings c ON c.vec_id = a.cell
+    ), members AS (
+        SELECT g.vec_id, cc.cell, g.group_id, cc.cos_centroid
+        FROM groups g JOIN cosc cc ON cc.vec_id = g.vec_id
+    ), keepers AS (
+        SELECT group_id, vec_id AS keeper FROM (
+            SELECT group_id, vec_id,
+                   row_number() OVER (
+                       PARTITION BY group_id
+                       ORDER BY cos_centroid, vec_id) AS rn
+            FROM members
+        ) t WHERE rn = 1
+    )
+    SELECT m.vec_id, m.cell, m.group_id, m.cos_centroid,
+           CASE WHEN m.vec_id = k.keeper THEN 'keep' ELSE 'drop' END AS action
+    FROM members m JOIN keepers k USING (group_id)
+    UNION ALL
+    SELECT cc.vec_id, cc.cell, cc.vec_id AS group_id, cc.cos_centroid, 'keep'
+    FROM cosc cc LEFT JOIN groups g ON g.vec_id = cc.vec_id
+    WHERE g.vec_id IS NULL
+    """
+
+    @register("q_dedup_semantic", oracle=oracle)
+    def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning
+        at web-scale through semantic deduplication", 2023): cluster
+        embeddings (the IVF cells stand in for the paper's k-means),
+        form semantic-duplicate groups from within-cell cosine pairs
+        (via the registered capped pair generator), and within each
+        group keep the member with the LOWEST cosine to its cluster
+        centroid — the paper's diversity-preserving keeper rule (keep
+        the outlier, drop the redundant center mass). Output is the
+        per-vector verdict table: (vec_id, cell, group_id,
+        cos_centroid, keep/drop); singletons keep trivially.
+
+        Scale shape: pair generation and CC are the already-probed
+        capped-cell operators; centroid distances are one broadcast
+        join (centroid set is tiny by construction); the keeper argmin
+        is a min-of-struct hash aggregate per group — no windows over
+        corpus-sized partitions."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = emb.filter(F.col("vec_id") < 8)
+        pairs = q_dedup_embed_ivf(spark, sf_dir).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        groups = connected_components(pairs).select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("cluster_id").alias("group_id"),
+        )
+        cos_c = F.expr(DOT_SQL.format(a="embedding", b="cvec")) / (
+            F.expr(f"sqrt({DOT_SQL.format(a='embedding', b='embedding')})")
+            * F.expr(f"sqrt({DOT_SQL.format(a='cvec', b='cvec')})")
+        )
+        # persisted: the member branch and the singleton anti-join both
+        # read it (LRU-evictable, house convention)
+        cosc = (
+            ivf_assign(emb, cents)
+            .join(emb.select("vec_id", "embedding"), "vec_id")
+            .join(
+                F.broadcast(
+                    cents.select(
+                        F.col("vec_id").alias("cell"),
+                        F.col("embedding").alias("cvec"),
+                    )
+                ),
+                "cell",
+            )
+            .select("vec_id", "cell", round_agg(cos_c).alias("cos_centroid"))
+            .persist()
+        )
+        members = groups.join(cosc, "vec_id")
+        keepers = (
+            members.groupBy("group_id")
+            .agg(F.min(F.struct("cos_centroid", "vec_id")).alias("b"))
+            .select("group_id", F.col("b.vec_id").alias("keeper"))
+        )
+        action = F.when(
+            F.col("vec_id") == F.col("keeper"), F.lit("keep")
+        ).otherwise(F.lit("drop"))
+        cols = ["vec_id", "cell", "group_id", "cos_centroid", "action"]
+        verdict = members.join(keepers, "group_id").select(
+            "vec_id", "cell", "group_id", "cos_centroid", action.alias("action")
+        )
+        singles = cosc.join(groups, "vec_id", "left_anti").select(
+            "vec_id",
+            "cell",
+            F.col("vec_id").alias("group_id"),
+            "cos_centroid",
+            F.lit("keep").alias("action"),
+        )
+        return verdict.select(*cols).unionByName(singles.select(*cols))
+
+
+_register_semantic_dedup()
 
 
 @register(

@@ -651,3 +651,27 @@ def test_pq_rejects_mismatched_dims(spark):
     bad = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
     with pytest.raises(Exception, match="dim"):
         pq_codes(bad, cb).collect()
+
+
+def test_semantic_dedup_keeper_rule(spark):
+    """SemDeDup verdicts: every vector appears exactly once, every
+    group keeps exactly one member, and the keeper is the member with
+    the LOWEST centroid cosine (diversity-preserving rule)."""
+    from flink_pipeline_spark.plans import query_fns
+
+    rows = query_fns()["q_dedup_semantic"](spark, SF_DIR).collect()
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == n_vecs
+    assert len({r.vec_id for r in rows}) == n_vecs
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, []).append(r)
+    multi = 0
+    for g, ms in by_group.items():
+        keeps = [r for r in ms if r.action == "keep"]
+        assert len(keeps) == 1, f"group {g} keeps {len(keeps)}"
+        best = min(ms, key=lambda r: (r.cos_centroid, r.vec_id))
+        assert keeps[0].vec_id == best.vec_id
+        if len(ms) > 1:
+            multi += 1
+    assert multi >= 1  # the fixture plants embedding near-dups
