@@ -246,6 +246,13 @@ _ALLOWED_BNLJ = {
     "q_sim_topk",
     "q_source_mix",
     "q_text_tfidf",
+    # r6: 1-row broadcast denominator cross joins (the source-mix
+    # pattern) and compositions of the already-vetted searches
+    "q_ann_recall",          # composes q_sim_topk/q_sim_ivf_topk + 1-row denom
+    "q_dedup_semantic",      # composes q_dedup_embed_ivf's centroid broadcast
+    "q_dsir_weights",        # 1-row smoothing-constants broadcast
+    "q_mixture_temperature", # 1-row share-denominator broadcast
+    "q_text_surprisal",      # 1-row corpus-total broadcast
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
