@@ -80,6 +80,12 @@ HEADLINE = [
     "q_dedup_substring",
     "q_dedup_incremental",
     "q_dedup_embed_apply",
+    # round 6: semantic dedup (SemDeDup keeper rule over the capped IVF
+    # pair graph) and the unigram-LM surprisal scorer — the two new
+    # corpus-heavy ops; the audits/reports (recall, census, mixture,
+    # selection) ride the operators already benched here
+    "q_dedup_semantic",
+    "q_text_surprisal",
     # ANN search + classifier over embeddings, and the stream-static
     # dimension join — the round-3 additions a data pipeline runs hot
     "q_sim_ivf_topk",
