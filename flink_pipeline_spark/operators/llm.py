@@ -617,6 +617,7 @@ def cosine_pairs_ivf(
     threshold: float,
     max_cell: int = MAX_IVF_CELL,
     nprobe: int = 1,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, cos): near-dup pairs generated WITHIN IVF cells
     only — the sub-quadratic scale path for embedding dedup. Pair work
@@ -640,11 +641,19 @@ def cosine_pairs_ivf(
     # persist the assignment: it is 3 longs per vector (exactly what a
     # production pipeline checkpoints), and BOTH branches of the
     # self-join consume it — uncached, the whole quantizer subtree
-    # (centroid broadcast + score + argmax agg) executes twice
+    # (centroid broadcast + score + argmax agg) executes twice.
+    # ``assignment`` lets a caller that ALSO needs the raw (vec_id,
+    # cell) frame (e.g. semantic dedup's centroid distances) compute
+    # the quantization once and share it — it must be exactly
+    # ivf_assign(emb, centroids) / ivf_assign_multi(...) output.
     base = (
-        ivf_assign(emb, centroids)
-        if nprobe <= 1
-        else ivf_assign_multi(emb, centroids, nprobe)
+        assignment
+        if assignment is not None
+        else (
+            ivf_assign(emb, centroids)
+            if nprobe <= 1
+            else ivf_assign_multi(emb, centroids, nprobe)
+        )
     )
     w = Window.partitionBy("cell").orderBy("vec_id")
     assigned = base.withColumn(

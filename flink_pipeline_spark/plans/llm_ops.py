@@ -53,6 +53,16 @@ from ..operators.multimodal import resize_payload, sample_frames, to_multimodal
 from ..operators.topk import rank_after_topk
 from .registry import ORACLES, register
 
+# Fixture-calibrated shared knobs for the embedding family — hoisted so
+# the search queries, the pair generators, and the audits that compose
+# them (q_ann_recall, q_dedup_semantic) can never drift apart on the
+# centroid seed set, the pair threshold/cap, or the PQ query set.
+IVF_SEED_CENTROIDS = 8   # coarse-quantizer seeds: vec_id < 8
+EMBED_PAIR_TAU = 0.4     # embedding near-dup cosine threshold
+EMBED_PAIR_MAX_CELL = 32 # IVF cell cap for the pair self-join
+PQ_QUERY_MAX = 4         # PQ (and recall-audit) query set: vec_id < 4
+
+
 # ---------------------------------------------------------------------------
 # L1: exact dedup
 # ---------------------------------------------------------------------------
@@ -369,12 +379,12 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
                                       * 10000 + 0.5) / 10000 DESC,
                                 c.vec_id) AS rn
-            FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+            FROM embeddings e JOIN embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}
         ) t WHERE rn = 1
     ), subbed AS (
         SELECT vec_id, cell,
                CAST(floor((row_number() OVER (PARTITION BY cell ORDER BY vec_id)
-                           - 1) / 32) AS BIGINT) AS sub
+                           - 1) / {EMBED_PAIR_MAX_CELL}) AS BIGINT) AS sub
         FROM assigned
     ), members AS (
         SELECT em.vec_id, em.embedding, a.cell, a.sub
@@ -386,7 +396,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / 10000 AS cos
         FROM members a JOIN members b
           ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
-    ) t WHERE cos >= 0.4
+    ) t WHERE cos >= {EMBED_PAIR_TAU}
     """,
 )
 def q_dedup_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,7 +411,10 @@ def q_dedup_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact. Production default is MAX_IVF_CELL (operators/llm.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_ivf(
-        emb, emb.filter(F.col("vec_id") < 8), threshold=0.4, max_cell=32
+        emb,
+        emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+        threshold=EMBED_PAIR_TAU,
+        max_cell=EMBED_PAIR_MAX_CELL,
     )
 
 
@@ -418,7 +431,7 @@ _IVF_MULTIPROBE_PAIRS_SQL = f"""
                        ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
                                       * 10000 + 0.5) / 10000 DESC,
                                 c.vec_id) AS rn
-            FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+            FROM embeddings e JOIN embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}
         ) t WHERE rn <= 2
     ), subbed AS (
         SELECT vec_id, cell,
@@ -454,7 +467,7 @@ def q_dedup_embed_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_ivf(
         emb,
-        emb.filter(F.col("vec_id") < 8),
+        emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
         threshold=0.4,
         max_cell=64,
         nprobe=2,
@@ -502,7 +515,7 @@ def q_dedup_embed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         cosine_pairs_ivf(
             emb,
-            emb.filter(F.col("vec_id") < 8),
+            emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
             threshold=0.4,
             max_cell=64,
             nprobe=2,
@@ -565,7 +578,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
                                   * 10000 + 0.5) / 10000 DESC,
                             c.vec_id) AS rn
-        FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+        FROM embeddings e JOIN embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}
     )
     SELECT cell, count(*) AS n_members
     FROM assigned WHERE rn = 1 GROUP BY cell
@@ -577,7 +590,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes only its centroid's cell — corpus cross-join shrinks by the
     cell count."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = ivf_assign(emb, emb.filter(F.col("vec_id") < 8))
+    assigned = ivf_assign(emb, emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS))
     return assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
 
 
@@ -592,7 +605,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
                                       * 10000 + 0.5) / 10000 DESC,
                                 c.vec_id) AS rn
-            FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+            FROM embeddings e JOIN embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}
         ) t WHERE rn = 1
     ), probes AS (
         SELECT query_id, cell FROM (
@@ -602,7 +615,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY floor({_COS_DUCK.format(a='q.embedding', b='c.embedding')}
                                       * 10000 + 0.5) / 10000 DESC,
                                 c.vec_id) AS rn
-            FROM embeddings q JOIN embeddings c ON c.vec_id < 8
+            FROM embeddings q JOIN embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}
             WHERE q.vec_id < 5
         ) t WHERE rn <= 2
     )
@@ -633,7 +646,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_neighbors_ivf(
         emb,
         emb.filter(F.col("vec_id") < 5),
-        emb.filter(F.col("vec_id") < 8),
+        emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
         k=3,
         nprobe=2,
     )
@@ -675,7 +688,7 @@ _DISTQ_DUCK = (
         SELECT q.vec_id AS query_id, q.sub, c.code,
                {_DISTQ_DUCK.format(a='q.sv', b='c.cv')} AS pdist_q
         FROM sv q JOIN cb c ON c.sub = q.sub
-        WHERE q.vec_id < 4
+        WHERE q.vec_id < {PQ_QUERY_MAX}
     ), scored AS (
         SELECT l.query_id, x.vec_id AS neighbor_id,
                CAST(sum(l.pdist_q) AS BIGINT) AS adist_q
@@ -705,7 +718,9 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hazard)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cb = pq_codebook_from(emb, n_codes=16)
-    return pq_topk(emb, emb.filter(F.col("vec_id") < 4), cb, k=3)
+    return pq_topk(
+        emb, emb.filter(F.col("vec_id") < PQ_QUERY_MAX), cb, k=3
+    )
 
 
 @register(
@@ -779,9 +794,9 @@ def _register_ann_recall() -> None:
     )
     oracle = (
         f"WITH exact_r AS ({exact_sql}),\n"
-        " exact_q AS (SELECT * FROM exact_r WHERE query_id < 4),\n"
+        f" exact_q AS (SELECT * FROM exact_r WHERE query_id < {PQ_QUERY_MAX}),\n"
         f" ivf_r AS ({ivf_sql}),\n"
-        " ivf_q AS (SELECT * FROM ivf_r WHERE query_id < 4),\n"
+        f" ivf_q AS (SELECT * FROM ivf_r WHERE query_id < {PQ_QUERY_MAX}),\n"
         f" pq_q AS ({pq_sql}),\n"
         " denom AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq,"
         " CAST(max(rank) AS BIGINT) AS k FROM exact_q),\n"
@@ -810,7 +825,11 @@ def _register_ann_recall() -> None:
         (already scale-shaped) search operators themselves. The exact
         frame is persisted: the denominator and both method audits
         read it."""
-        exact = q_sim_topk(spark, sf_dir).filter(F.col("query_id") < 4).persist()
+        exact = (
+            q_sim_topk(spark, sf_dir)
+            .filter(F.col("query_id") < PQ_QUERY_MAX)
+            .persist()
+        )
         denom = exact.agg(
             F.countDistinct("query_id").cast("long").alias("nq"),
             F.max("rank").cast("long").alias("k"),
@@ -818,7 +837,9 @@ def _register_ann_recall() -> None:
         exact_pairs = exact.select("query_id", "neighbor_id").withColumn(
             "hit", F.lit(1)
         )
-        ivf = q_sim_ivf_topk(spark, sf_dir).filter(F.col("query_id") < 4)
+        ivf = q_sim_ivf_topk(spark, sf_dir).filter(
+            F.col("query_id") < PQ_QUERY_MAX
+        )
         pq = q_sim_pq_topk(spark, sf_dir)
 
         def audit(m: DataFrame, name: str) -> DataFrame:
@@ -1612,9 +1633,13 @@ _register_cluster_stats()
 
 def _register_semantic_dedup() -> None:
     """Closure-registered so the pair stage composes the registered
-    q_dedup_embed_ivf oracle verbatim (capped cells and all) — the
-    Spark side calls the same registered query, so both halves track
-    any edit to the pair generator."""
+    q_dedup_embed_ivf oracle verbatim (capped cells and all). The
+    Spark side builds the identical pair generator from the SHARED
+    constants (IVF_SEED_CENTROIDS / EMBED_PAIR_TAU /
+    EMBED_PAIR_MAX_CELL) rather than calling the registered query, so
+    it can compute the coarse quantization ONCE and reuse it for the
+    centroid-distance stage — an edit to any of those knobs flows into
+    pair generation, keeper metric, and oracle together."""
     assign_cte = f"""
         SELECT vec_id, cell FROM (
             SELECT e.vec_id, c.vec_id AS cell,
@@ -1623,7 +1648,7 @@ def _register_semantic_dedup() -> None:
                        ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
                                       * 10000 + 0.5) / 10000 DESC,
                                 c.vec_id) AS rn
-            FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+            FROM embeddings e JOIN embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}
         ) t WHERE rn = 1
     """
     oracle = f"""
@@ -1689,10 +1714,19 @@ def _register_semantic_dedup() -> None:
         is a min-of-struct hash aggregate per group — no windows over
         corpus-sized partitions."""
         emb = load_table(spark, sf_dir, "embeddings")
-        cents = emb.filter(F.col("vec_id") < 8)
-        pairs = q_dedup_embed_ivf(spark, sf_dir).select(
-            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-        )
+        cents = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+        # ONE coarse quantization, shared by pair generation and the
+        # centroid-distance stage (the shared-constants contract keeps
+        # this identical to the registered q_dedup_embed_ivf, which the
+        # oracle composes verbatim)
+        assigned = ivf_assign(emb, cents).persist()
+        pairs = cosine_pairs_ivf(
+            emb,
+            cents,
+            threshold=EMBED_PAIR_TAU,
+            max_cell=EMBED_PAIR_MAX_CELL,
+            assignment=assigned,
+        ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
         groups = connected_components(pairs).select(
             F.col("doc_id").alias("vec_id"),
             F.col("cluster_id").alias("group_id"),
@@ -1704,7 +1738,7 @@ def _register_semantic_dedup() -> None:
         # persisted: the member branch and the singleton anti-join both
         # read it (LRU-evictable, house convention)
         cosc = (
-            ivf_assign(emb, cents)
+            assigned
             .join(emb.select("vec_id", "embedding"), "vec_id")
             .join(
                 F.broadcast(

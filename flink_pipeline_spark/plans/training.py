@@ -933,14 +933,13 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("n_targ"))
     )
+    # t_targ folds the vocab-sized targ table, not a second pass over
+    # the exploded src0 tokens — same value, one corpus-slice agg less
     consts = prop.agg(
         F.sum("n_prop").cast("double").alias("t_prop"),
         F.count("*").cast("double").alias("vocab"),
     ).crossJoin(
-        F.broadcast(
-            toks.filter(F.col("source") == "src0")
-            .agg(F.count("*").cast("double").alias("t_targ"))
-        )
+        F.broadcast(targ.agg(F.sum("n_targ").cast("double").alias("t_targ")))
     )
     lw = (
         prop.join(targ, "tok", "left")
