@@ -72,7 +72,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_local_supplier_volume",
     oracle=f"""
-    SELECT n.n_name, {round_sql(f'sum({_REV})')} AS revenue, count(*) AS n_items
+    SELECT n.n_name, {round_sql(f'sum({_REV})', scale=2)} AS revenue, count(*) AS n_items
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -113,7 +113,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            round_agg(F.sum(F.expr(_REV))).alias("revenue"),
+            # per-nation money total: cents scale (see q_flagship note)
+            round_agg(F.sum(F.expr(_REV)), scale=2).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )

@@ -157,7 +157,7 @@ def bucketed_tables(
     oracle=f"""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           {round_sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+           {round_sql("sum(l_extendedprice * (1 - l_discount))", scale=2)} AS revenue
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -181,9 +181,11 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
-        round_agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-            "revenue"
-        ),
+        # money total at cents scale (see q_flagship note): the 4th
+        # decimal of a ~1e10 sum flips between engines at sf0.1
+        round_agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), scale=2
+        ).alias("revenue"),
     )
 
 

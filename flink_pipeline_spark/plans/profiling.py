@@ -160,7 +160,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH rev AS (
         SELECT r.r_name AS region, n.n_name AS nation,
-               {round_sql('sum(o.o_totalprice)')} AS revenue
+               {round_sql('sum(o.o_totalprice)', scale=2)} AS revenue
         FROM region r
         JOIN nation n   ON n.n_regionkey = r.r_regionkey
         JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -195,7 +195,9 @@ def q_ratio_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c.select("c_custkey", "c_nationkey"), o.o_custkey == c.c_custkey)
         .join(dim, F.col("c_nationkey") == dim.n_nationkey)
         .groupBy("region", "nation")
-        .agg(round_agg(F.sum("o_totalprice")).alias("revenue"))
+        # money total at cents scale (q_flagship note: a big double
+        # sum's 4th decimal is not cross-engine stable)
+        .agg(round_agg(F.sum("o_totalprice"), scale=2).alias("revenue"))
     )
     w = Window.partitionBy("region")
     return rev.select(

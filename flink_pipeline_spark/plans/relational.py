@@ -36,9 +36,9 @@ from .registry import register
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            {round_sql('sum(l_quantity)')} AS sum_qty,
-           {round_sql('sum(l_extendedprice)')} AS sum_base_price,
-           {round_sql('sum(l_extendedprice * (1 - l_discount))')} AS sum_disc_price,
-           {round_sql('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))')} AS sum_charge,
+           {round_sql('sum(l_extendedprice)', scale=2)} AS sum_base_price,
+           {round_sql('sum(l_extendedprice * (1 - l_discount))', scale=2)} AS sum_disc_price,
+           {round_sql('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))', scale=2)} AS sum_charge,
            {round_sql('avg(l_quantity)')} AS avg_qty,
            {round_sql('avg(l_extendedprice)')} AS avg_price,
            {round_sql('avg(l_discount)')} AS avg_disc,
@@ -57,9 +57,15 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             round_agg(F.sum("l_quantity")).alias("sum_qty"),
-            round_agg(F.sum("l_extendedprice")).alias("sum_base_price"),
-            round_agg(F.sum(disc_price)).alias("sum_disc_price"),
-            round_agg(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            # money TOTALS round at cents scale: a ~1e10 double sum's
+            # cross-engine summation-order error exceeds 1e-4 (measured
+            # — q_bucketed_join flipped its 4th decimal at sf0.1), so
+            # scale-4 is for unit-scale values, scale-2 for big totals
+            round_agg(F.sum("l_extendedprice"), scale=2).alias("sum_base_price"),
+            round_agg(F.sum(disc_price), scale=2).alias("sum_disc_price"),
+            round_agg(F.sum(disc_price * (1 + F.col("l_tax"))), scale=2).alias(
+                "sum_charge"
+            ),
             round_agg(F.avg("l_quantity")).alias("avg_qty"),
             round_agg(F.avg("l_extendedprice")).alias("avg_price"),
             round_agg(F.avg("l_discount")).alias("avg_disc"),
