@@ -173,7 +173,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
-           {round_sql('sum(o_totalprice)')} AS total
+           {round_sql('sum(o_totalprice)', scale=2)} AS total
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -181,8 +181,11 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full cross-dimensional subtotals (cube)."""
     o = load_table(spark, sf_dir, "orders")
+    # money totals (incl. the grand-total cell) at cents scale — see
+    # the q_flagship note: big double sums flip the 4th decimal
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), round_agg(F.sum("o_totalprice")).alias("total")
+        F.count("*").alias("n"),
+        round_agg(F.sum("o_totalprice"), scale=2).alias("total"),
     )
 
 
@@ -192,7 +195,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH wide AS (
         SELECT o_orderstatus,
                CAST(count(*) AS DOUBLE) AS cnt,
-               {round_sql('sum(o_totalprice)')} AS total
+               {round_sql('sum(o_totalprice)', scale=2)} AS total
         FROM orders GROUP BY o_orderstatus
     )
     SELECT * FROM (UNPIVOT wide ON cnt, total INTO NAME metric VALUE val)
@@ -213,7 +216,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     wide = o.groupBy("o_orderstatus").agg(
         F.count("*").cast("double").alias("cnt"),
-        round_agg(F.sum("o_totalprice")).alias("total"),
+        round_agg(F.sum("o_totalprice"), scale=2).alias("total"),
     )
     return wide.unpivot(["o_orderstatus"], ["cnt", "total"], "metric", "val")
 
