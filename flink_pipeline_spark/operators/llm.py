@@ -1345,3 +1345,56 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adist_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd refinement for the coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def kmeans_refine(
+    emb: DataFrame, centroids: DataFrame, iters: int = 2, mean_scale: int = 6
+) -> DataFrame:
+    """(cell, cvec): ``iters`` Lloyd iterations over a seeded coarse
+    quantizer — assign every vector to its max-cosine centroid, then
+    replace each centroid with its cell's per-dimension mean. The
+    refinement step the IVF/PQ codebook docstrings point at: better
+    centroids = tighter cells = better ANN recall at the same probe
+    budget.
+
+    Engine-portable by construction: the assignment argmax runs on the
+    portably ROUNDED cosine (ivf_assign), and each mean is floor-round
+    quantized at ``mean_scale`` decimals before it becomes the next
+    iteration's centroid — so the fixed point the oracle replays is
+    identical bit-for-bit and sub-ulp float-sum order can never fork
+    the trajectory across engines.
+
+    Scale shape per iteration: one broadcast-centroid assignment over
+    the corpus (never shuffles the vectors), one posexplode to
+    (cell, dim, x) rows — linear in n x d with map-side partial
+    means — and a cells x d reassembly aggregate. Cells that lose all
+    members drop out (standard Lloyd); production would persist each
+    iteration's assignment, exactly like cosine_pairs_ivf's
+    ``assignment`` reuse hook."""
+    cents = centroids.select("vec_id", "embedding")
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents)
+        longf = assigned.join(emb.select("vec_id", "embedding"), "vec_id").select(
+            "cell", F.posexplode("embedding").alias("pos", "x")
+        )
+        means = longf.groupBy("cell", "pos").agg(
+            round_agg(F.avg(F.col("x").cast("double")), scale=mean_scale).alias("v")
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("embedding")
+            )
+            .select(F.col("cell").alias("vec_id"), "embedding")
+        )
+    return cents.select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )

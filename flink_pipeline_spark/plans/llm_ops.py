@@ -43,6 +43,7 @@ from ..operators.llm import (
     substring_dedup_stats,
     knn_classify,
     label_centroids_long,
+    kmeans_refine,
     pq_codebook_from,
     pq_topk,
     topk_neighbors,
@@ -721,6 +722,98 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         emb, emb.filter(F.col("vec_id") < PQ_QUERY_MAX), cb, k=3
     )
+
+
+def _register_kmeans() -> None:
+    """Closure-registered: the oracle unrolls the same fixed number of
+    Lloyd iterations the Spark operator runs, from the shared
+    IVF_SEED_CENTROIDS seed set."""
+    # one Lloyd iteration's DuckDB text: assignment (rounded-cos argmax,
+    # smallest-cell tie) then per-(cell, dim) floor-quantized means
+    assign = """
+    a{i} AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY floor({cos} * 10000 + 0.5) / 10000 DESC,
+                                c.cell) AS rn
+            FROM embeddings e JOIN {c} c ON true
+        ) t WHERE rn = 1
+    )"""
+    means = """
+    m{i} AS (
+        SELECT a.cell, r.pos - 1 AS dim,
+               floor(avg(CAST(e.embedding[r.pos] AS DOUBLE)) * 1000000 + 0.5)
+                   / 1000000 AS v
+        FROM a{i} a JOIN embeddings e USING (vec_id)
+        CROSS JOIN range(1, 65) r(pos)
+        GROUP BY a.cell, r.pos
+    ), c{i} AS (
+        SELECT cell, list(v ORDER BY dim) AS cvec FROM m{i} GROUP BY cell
+    )"""
+    cosc = _COS_DUCK.format(a="e.embedding", b="c.cvec")
+    oracle = (
+        f"""
+    WITH c0 AS (
+        SELECT vec_id AS cell, embedding AS cvec
+        FROM embeddings WHERE vec_id < {IVF_SEED_CENTROIDS}
+    ),"""
+        + assign.format(i=1, c="c0", cos=cosc)
+        + ","
+        + means.format(i=1)
+        + ","
+        + assign.format(i=2, c="c1", cos=cosc)
+        + ","
+        + means.format(i=2)
+        + ","
+        + assign.format(i=3, c="c2", cos=cosc)
+        + f"""
+    SELECT m.cell, n.n_members, CAST(m.dim AS BIGINT) AS dim,
+           floor(m.v * 10000 + 0.5) / 10000 AS v
+    FROM m2 m JOIN (
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+        FROM a3 GROUP BY cell
+    ) n USING (cell)
+    """
+    )
+
+    @register("q_sim_kmeans", oracle=oracle)
+    def q_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Lloyd-refined coarse quantizer (2 iterations from the shared
+        vec_id<8 seed set): per surviving centroid, the refined
+        per-dimension mean (long format — scalar cells, the
+        label_centroids convention) and the cell's final membership
+        count. The codebook-improvement pass the IVF/PQ docstrings
+        point at; the oracle unrolls the identical two iterations, so
+        the whole iterative trajectory — assignment argmax, quantized
+        means, reassignment — is hash-gated.
+
+        Scale: see kmeans_refine (operators/llm.py) — per iteration,
+        one broadcast assignment + one linear posexplode mean; the
+        final membership count is one more assignment over the
+        refined (still tiny, broadcast) centroid set."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = kmeans_refine(
+            emb, emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS), iters=2
+        )
+        final = ivf_assign(
+            emb,
+            cents.select(
+                F.col("cell").alias("vec_id"), F.col("cvec").alias("embedding")
+            ),
+        )
+        counts = final.groupBy("cell").agg(F.count("*").alias("n_members"))
+        longf = cents.select("cell", F.posexplode("cvec").alias("dim", "v"))
+        return longf.join(counts, "cell").select(
+            "cell",
+            "n_members",
+            F.col("dim").cast("long").alias("dim"),
+            round_agg(F.col("v")).alias("v"),
+        )
+
+
+_register_kmeans()
 
 
 @register(

@@ -675,3 +675,52 @@ def test_semantic_dedup_keeper_rule(spark):
         if len(ms) > 1:
             multi += 1
     assert multi >= 1  # the fixture plants embedding near-dups
+
+
+def test_kmeans_refine_improves_quantization(spark):
+    """Lloyd sanity: every vector stays covered, dims are complete, and
+    two refinement iterations do not worsen the mean assignment cosine
+    vs the raw seed quantizer (Lloyd is monotone up to the portable
+    rounding of means)."""
+    from flink_pipeline_spark.operators.llm import (
+        ivf_assign,
+        kmeans_refine,
+        with_norm,
+        DOT_SQL,
+    )
+    from flink_pipeline_spark.plans import query_fns
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    rows = query_fns()["q_sim_kmeans"](spark, SF_DIR).collect()
+    per_cell = {}
+    for r in rows:
+        per_cell.setdefault(r.cell, set()).add(r.dim)
+        assert -1.0 <= r.v <= 1.0
+    assert all(dims == set(range(64)) for dims in per_cell.values())
+    members = {r.cell: r.n_members for r in rows}
+    assert sum(members.values()) == n
+
+    def mean_cos(cents):
+        e = with_norm(emb)
+        c = with_norm(cents, "embedding").select(
+            F.col("vec_id").alias("cell"),
+            F.col("embedding").alias("ec"),
+            F.col("norm").alias("nc"),
+        )
+        cos = F.expr(DOT_SQL.format(a="embedding", b="ec")) / (
+            F.col("norm") * F.col("nc")
+        )
+        assigned = ivf_assign(emb, cents)
+        return (
+            assigned.join(e, "vec_id")
+            .join(F.broadcast(c), "cell")
+            .agg(F.avg(cos))
+            .collect()[0][0]
+        )
+
+    seeds = emb.filter(F.col("vec_id") < 8)
+    refined = kmeans_refine(emb, seeds, iters=2).select(
+        F.col("cell").alias("vec_id"), F.col("cvec").alias("embedding")
+    )
+    assert mean_cos(refined) >= mean_cos(seeds) - 1e-6
