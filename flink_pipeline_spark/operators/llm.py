@@ -646,6 +646,15 @@ def cosine_pairs_ivf(
     # cell) frame (e.g. semantic dedup's centroid distances) compute
     # the quantization once and share it — it must be exactly
     # ivf_assign(emb, centroids) / ivf_assign_multi(...) output.
+    if assignment is not None and nprobe != 1:
+        # the dedup DISTINCT and the assignment arity are coupled to
+        # nprobe; a multi-probe assignment with nprobe=1 (or vice
+        # versa) would silently emit duplicate or over-deduped pairs —
+        # multi-probe callers let this function compute the assignment
+        raise ValueError(
+            "cosine_pairs_ivf: precomputed `assignment` is only "
+            "supported with nprobe=1 (pass the ivf_assign output)"
+        )
     base = (
         assignment
         if assignment is not None

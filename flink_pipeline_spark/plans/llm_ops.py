@@ -61,6 +61,10 @@ from .registry import ORACLES, register
 IVF_SEED_CENTROIDS = 8   # coarse-quantizer seeds: vec_id < 8
 EMBED_PAIR_TAU = 0.4     # embedding near-dup cosine threshold
 EMBED_PAIR_MAX_CELL = 32 # IVF cell cap for the pair self-join
+EMBED_PAIR_NPROBE = 2    # multi-probe pair generation: 2 best cells
+# nprobe=2 doubles cell memberships, so the multi-probe pair cap is 2x
+# the single-assignment cap — same per-key fan-out bound either way
+EMBED_MULTI_MAX_CELL = 2 * EMBED_PAIR_MAX_CELL
 PQ_QUERY_MAX = 4         # PQ (and recall-audit) query set: vec_id < 4
 
 
@@ -348,6 +352,35 @@ _COS_DUCK = (
 )
 
 
+def _assign_duck(src: str, cell: str, cvec: str, rn: str = "= 1") -> str:
+    """The ONE DuckDB text for the coarse-quantizer assignment (max
+    portably-rounded cosine, smallest-cell tie-break): every oracle
+    that assigns vectors to centroids builds its CTE body from this
+    template, so the rounding grain and tie-break convention cannot
+    fork between the search, pair, semantic-dedup, and k-means
+    oracles. ``src`` is the centroid join clause, ``cell``/``cvec``
+    the centroid id/vector expressions, ``rn`` the probe-depth
+    predicate (``"= 1"`` top-1, ``"<= n"`` multi-probe)."""
+    return f"""
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, {cell} AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY floor({_COS_DUCK.format(a='e.embedding', b=cvec)}
+                                      * 10000 + 0.5) / 10000 DESC,
+                                {cell}) AS rn
+            FROM embeddings e JOIN {src}
+        ) t WHERE rn {rn}"""
+
+
+# top-1 assignment against the shared seed set — the text 3 oracles
+# (pair generation, probed search, semantic dedup) embed verbatim
+_SEED_ASSIGN_DUCK = _assign_duck(
+    f"embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}", "c.vec_id", "c.embedding"
+)
+
+
+
 @register(
     "q_dedup_embed_cosine",
     oracle=f"""
@@ -373,15 +406,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_embed_ivf",
     oracle=f"""
     WITH assigned AS (
-        SELECT vec_id, cell FROM (
-            SELECT e.vec_id, c.vec_id AS cell,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
-                                      * 10000 + 0.5) / 10000 DESC,
-                                c.vec_id) AS rn
-            FROM embeddings e JOIN embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}
-        ) t WHERE rn = 1
+{_SEED_ASSIGN_DUCK}
     ), subbed AS (
         SELECT vec_id, cell,
                CAST(floor((row_number() OVER (PARTITION BY cell ORDER BY vec_id)
@@ -425,19 +450,12 @@ def q_dedup_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embed-side end-to-end q_dedup_embed_apply.
 _IVF_MULTIPROBE_PAIRS_SQL = f"""
     WITH assigned AS (
-        SELECT vec_id, cell FROM (
-            SELECT e.vec_id, c.vec_id AS cell,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
-                                      * 10000 + 0.5) / 10000 DESC,
-                                c.vec_id) AS rn
-            FROM embeddings e JOIN embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}
-        ) t WHERE rn <= 2
+{_assign_duck(f"embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}", "c.vec_id",
+                   "c.embedding", rn=f"<= {EMBED_PAIR_NPROBE}")}
     ), subbed AS (
         SELECT vec_id, cell,
                CAST(floor((row_number() OVER (PARTITION BY cell ORDER BY vec_id)
-                           - 1) / 64) AS BIGINT) AS sub
+                           - 1) / {EMBED_MULTI_MAX_CELL}) AS BIGINT) AS sub
         FROM assigned
     ), members AS (
         SELECT em.vec_id, em.embedding, a.cell, a.sub
@@ -449,7 +467,7 @@ _IVF_MULTIPROBE_PAIRS_SQL = f"""
                  / 10000 AS cos
         FROM members a JOIN members b
           ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
-    ) t WHERE cos >= 0.4
+    ) t WHERE cos >= {EMBED_PAIR_TAU}
     """
 
 
@@ -469,9 +487,9 @@ def q_dedup_embed_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_ivf(
         emb,
         emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
-        threshold=0.4,
-        max_cell=64,
-        nprobe=2,
+        threshold=EMBED_PAIR_TAU,
+        max_cell=EMBED_MULTI_MAX_CELL,
+        nprobe=EMBED_PAIR_NPROBE,
     )
 
 
@@ -517,9 +535,9 @@ def q_dedup_embed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_pairs_ivf(
             emb,
             emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
-            threshold=0.4,
-            max_cell=64,
-            nprobe=2,
+            threshold=EMBED_PAIR_TAU,
+            max_cell=EMBED_MULTI_MAX_CELL,
+            nprobe=EMBED_PAIR_NPROBE,
         )
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
         .persist()
@@ -572,17 +590,10 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sim_ivf",
     oracle=f"""
-    WITH assigned AS (
-        SELECT e.vec_id, c.vec_id AS cell,
-               row_number() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
-                                  * 10000 + 0.5) / 10000 DESC,
-                            c.vec_id) AS rn
-        FROM embeddings e JOIN embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}
+    WITH assigned AS ({_SEED_ASSIGN_DUCK}
     )
     SELECT cell, count(*) AS n_members
-    FROM assigned WHERE rn = 1 GROUP BY cell
+    FROM assigned GROUP BY cell
     """,
 )
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,15 +610,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sim_ivf_topk",
     oracle=f"""
     WITH assigned AS (
-        SELECT vec_id, cell FROM (
-            SELECT e.vec_id, c.vec_id AS cell,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
-                                      * 10000 + 0.5) / 10000 DESC,
-                                c.vec_id) AS rn
-            FROM embeddings e JOIN embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}
-        ) t WHERE rn = 1
+{_SEED_ASSIGN_DUCK}
     ), probes AS (
         SELECT query_id, cell FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS cell,
@@ -728,18 +731,10 @@ def _register_kmeans() -> None:
     """Closure-registered: the oracle unrolls the same fixed number of
     Lloyd iterations the Spark operator runs, from the shared
     IVF_SEED_CENTROIDS seed set."""
-    # one Lloyd iteration's DuckDB text: assignment (rounded-cos argmax,
-    # smallest-cell tie) then per-(cell, dim) floor-quantized means
+    # one Lloyd iteration's DuckDB text: assignment (the shared
+    # _assign_duck template) then per-(cell, dim) floor-quantized means
     assign = """
-    a{i} AS (
-        SELECT vec_id, cell FROM (
-            SELECT e.vec_id, c.cell,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY floor({cos} * 10000 + 0.5) / 10000 DESC,
-                                c.cell) AS rn
-            FROM embeddings e JOIN {c} c ON true
-        ) t WHERE rn = 1
+    a{i} AS ({body}
     )"""
     means = """
     m{i} AS (
@@ -752,22 +747,21 @@ def _register_kmeans() -> None:
     ), c{i} AS (
         SELECT cell, list(v ORDER BY dim) AS cvec FROM m{i} GROUP BY cell
     )"""
-    cosc = _COS_DUCK.format(a="e.embedding", b="c.cvec")
     oracle = (
         f"""
     WITH c0 AS (
         SELECT vec_id AS cell, embedding AS cvec
         FROM embeddings WHERE vec_id < {IVF_SEED_CENTROIDS}
     ),"""
-        + assign.format(i=1, c="c0", cos=cosc)
+        + assign.format(i=1, body=_assign_duck("c0 c ON true", "c.cell", "c.cvec"))
         + ","
         + means.format(i=1)
         + ","
-        + assign.format(i=2, c="c1", cos=cosc)
+        + assign.format(i=2, body=_assign_duck("c1 c ON true", "c.cell", "c.cvec"))
         + ","
         + means.format(i=2)
         + ","
-        + assign.format(i=3, c="c2", cos=cosc)
+        + assign.format(i=3, body=_assign_duck("c2 c ON true", "c.cell", "c.cvec"))
         + f"""
     SELECT m.cell, n.n_members, CAST(m.dim AS BIGINT) AS dim,
            floor(m.v * 10000 + 0.5) / 10000 AS v
@@ -794,9 +788,13 @@ def _register_kmeans() -> None:
         final membership count is one more assignment over the
         refined (still tiny, broadcast) centroid set."""
         emb = load_table(spark, sf_dir, "embeddings")
+        # persisted: the final-assignment branch and the long-format
+        # projection both consume it — uncached, the whole 2-iteration
+        # refinement lineage (two corpus assignments + two mean aggs)
+        # executes twice
         cents = kmeans_refine(
             emb, emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS), iters=2
-        )
+        ).persist()
         final = ivf_assign(
             emb,
             cents.select(
@@ -1734,15 +1732,7 @@ def _register_semantic_dedup() -> None:
     centroid-distance stage — an edit to any of those knobs flows into
     pair generation, keeper metric, and oracle together."""
     assign_cte = f"""
-        SELECT vec_id, cell FROM (
-            SELECT e.vec_id, c.vec_id AS cell,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
-                                      * 10000 + 0.5) / 10000 DESC,
-                                c.vec_id) AS rn
-            FROM embeddings e JOIN embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}
-        ) t WHERE rn = 1
+{_SEED_ASSIGN_DUCK}
     """
     oracle = f"""
     WITH RECURSIVE pairs AS ({ORACLES['q_dedup_embed_ivf']}

@@ -175,7 +175,7 @@ def q_filter_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_filter_range",
     oracle=f"""
-    SELECT {round_sql('sum(l_extendedprice * l_discount)')} AS revenue,
+    SELECT {round_sql('sum(l_extendedprice * l_discount)', scale=2)} AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -196,9 +196,10 @@ def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24)
         ).agg(
-            round_agg(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            # global money total: cents scale (q_flagship note)
+            round_agg(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), scale=2
+            ).alias("revenue"),
             F.count("*").alias("n"),
         )
     )

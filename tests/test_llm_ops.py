@@ -719,8 +719,14 @@ def test_kmeans_refine_improves_quantization(spark):
             .collect()[0][0]
         )
 
-    seeds = emb.filter(F.col("vec_id") < 8)
+    from flink_pipeline_spark.plans.llm_ops import IVF_SEED_CENTROIDS
+
+    seeds = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
     refined = kmeans_refine(emb, seeds, iters=2).select(
         F.col("cell").alias("vec_id"), F.col("cvec").alias("embedding")
     )
-    assert mean_cos(refined) >= mean_cos(seeds) - 1e-6
+    # loose tolerance: the arithmetic mean is not the exact cosine
+    # optimum for non-normalized vectors and the argmax runs on the
+    # 1e-4-rounded cosine, so strict monotonicity is not guaranteed —
+    # a refinement that is not clearly WORSE is the invariant
+    assert mean_cos(refined) >= mean_cos(seeds) - 1e-3
