@@ -86,6 +86,9 @@ HEADLINE = [
     # selection) ride the operators already benched here
     "q_dedup_semantic",
     "q_text_surprisal",
+    # quantizer training (2 Lloyd iterations) — the recurring index-
+    # build job of the ANN family
+    "q_sim_kmeans",
     # ANN search + classifier over embeddings, and the stream-static
     # dimension join — the round-3 additions a data pipeline runs hot
     "q_sim_ivf_topk",
