@@ -2088,3 +2088,108 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(
         load_table(spark, sf_dir, "documents"), "doc_id % 10 = 0"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+# BM25 free parameters (Robertson/Sparck Jones defaults) and the fixed
+# query-term set (mid-df fixture tokens so idf spreads the scores).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("key", "vector", "scan")
+
+
+@register(
+    "q_text_bm25",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen FROM toks GROUP BY doc_id
+    ), consts AS (
+        SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+               (SELECT avg(dlen) FROM dl) AS avgdl
+    ), tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks WHERE tok IN {BM25_TERMS!r}
+        GROUP BY doc_id, tok
+    ), df AS (
+        SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+    ), parts AS (
+        SELECT t.doc_id,
+               CAST(floor(
+                   ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                   * (t.tf * ({BM25_K1} + 1))
+                   / (t.tf + {BM25_K1} * (1 - {BM25_B}
+                        + {BM25_B} * l.dlen / c.avgdl))
+                   * 10000 + 0.5) AS BIGINT) AS s_q
+        FROM tf t
+        JOIN df d USING (tok)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN consts c
+    ), scored AS (
+        SELECT doc_id, CAST(sum(s_q) AS BIGINT) AS score_q
+        FROM parts GROUP BY doc_id
+    )
+    SELECT doc_id, score_q, rank FROM (
+        SELECT doc_id, score_q,
+               row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
+        FROM scored
+    ) t WHERE rank <= 10
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson et al., the Okapi weighting):
+    top-10 documents for a fixed bag-of-terms query, scored by
+    sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with the
+    standard k1=1.2, b=0.75. The lexical-retrieval twin of the
+    embedding search family — what a data engine runs for corpus
+    search, dedup-candidate seeding, and eval-set mining.
+
+    Portability: each per-(doc, term) partial score is quantized to
+    BIGINT ten-thousandths BEFORE the per-doc sum (the exact-integer
+    convention), and the ranking orders by the integer score with a
+    doc_id tie-break. Scale shape: only rows whose token is IN the
+    query-term set survive the explode (a codegen'd filter — the
+    corpus never shuffles full tokens), tf is |terms| x matching docs,
+    df and the (N, avgdl) constants are tiny broadcasts, and the final
+    top-10 is TakeOrderedAndProject via rank_after_topk — no global
+    window."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    consts = d.agg(F.count("*").cast("double").alias("n_docs")).crossJoin(
+        F.broadcast(dl.agg(F.avg("dlen").alias("avgdl")))
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dlen") / F.col("avgdl")
+    )
+    s_q = F.floor(
+        idf * (F.col("tf") * (BM25_K1 + 1)) / norm * 10000 + F.lit(0.5)
+    ).cast("long")
+    parts = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .select("doc_id", s_q.alias("s_q"))
+    )
+    scored = parts.groupBy("doc_id").agg(
+        F.sum("s_q").cast("long").alias("score_q")
+    )
+    return rank_after_topk(scored, 10, "score_q", "doc_id").select(
+        "doc_id", "score_q", "rank"
+    )

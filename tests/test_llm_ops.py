@@ -730,3 +730,35 @@ def test_kmeans_refine_improves_quantization(spark):
     # 1e-4-rounded cosine, so strict monotonicity is not guaranteed —
     # a refinement that is not clearly WORSE is the invariant
     assert mean_cos(refined) >= mean_cos(seeds) - 1e-3
+
+
+def test_bm25_matches_bruteforce(spark):
+    import math
+    from collections import Counter
+
+    from flink_pipeline_spark.plans import query_fns
+    from flink_pipeline_spark.plans.llm_ops import BM25_B, BM25_K1, BM25_TERMS
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    n_docs = float(len(docs))
+    dls = {r.doc_id: len(r.text.split(" ")) for r in docs}
+    avgdl = sum(dls.values()) / n_docs
+    tfs = {r.doc_id: Counter(t for t in r.text.split(" ") if t in BM25_TERMS)
+           for r in docs}
+    df = Counter()
+    for c in tfs.values():
+        df.update(c.keys())
+    scores = {}
+    for d in docs:
+        s = 0
+        for t, tf in tfs[d.doc_id].items():
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1)
+            norm = tf + BM25_K1 * (1 - BM25_B + BM25_B * dls[d.doc_id] / avgdl)
+            s += math.floor(idf * tf * (BM25_K1 + 1) / norm * 10000 + 0.5)
+        if s:
+            scores[d.doc_id] = s
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = sorted(
+        query_fns()["q_text_bm25"](spark, SF_DIR).collect(), key=lambda r: r.rank
+    )
+    assert [(r.doc_id, r.score_q) for r in got] == expect

@@ -254,6 +254,7 @@ _ALLOWED_BNLJ = {
     "q_mixture_temperature", # 1-row share-denominator broadcast
     "q_text_surprisal",      # 1-row corpus-total broadcast
     "q_sim_kmeans",          # per-iteration tiny-centroid broadcast assignments
+    "q_text_bm25",           # 1-row (N, avgdl) constants broadcast
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
