@@ -47,9 +47,44 @@ def round_agg(col: Column, scale: int = ROUND_SCALE) -> Column:
     HALF_UP) while DuckDB rounds the binary value, so the two disagree
     on ~1% of values in the 4th decimal. ``floor(x*10^s + 0.5)/10^s``
     is pure IEEE double arithmetic — bit-identical across engines.
+
+    Transcendental caveat: when the expression inside contains ln/log
+    (surprisal, BM25, DSIR), the INPUT to the round is only
+    ulp-reproducible, not bit-identical — JVM ``Math.log`` and DuckDB's
+    libm may differ in the last bit, which flips the floor iff
+    ``x*10^s`` lands within ~1 ulp of an integer. Probability per value
+    is ~1e-12; the convention accepts that residual risk (documented
+    here so a future flake is diagnosable) rather than coarsening every
+    log-derived gate. Pure +,-,*,/,sqrt pipelines are exempt: those ops
+    are IEEE correctly-rounded and deterministic in both engines.
     """
     f = 10**scale
     return F.floor(col * F.lit(f) + F.lit(0.5)) / F.lit(f)
+
+
+def money_sum(col: Column) -> Column:
+    """Exact money TOTAL: per-row floor-round to integer cents, exact
+    BIGINT sum, presented as dollars (sum_cents / 100.0).
+
+    Replaces ``round_agg(F.sum(x), scale=2)`` for large totals: a
+    double sum's order-dependent error grows ~sqrt(n), so at a big
+    enough SF the 2nd decimal flips between engines just as the 4th
+    did at sf0.1 (ADVICE r6). Integer cents removes the hazard class:
+    the per-row quantization is deterministic IEEE (mul + floor), the
+    BIGINT sum is exactly associative, and the final /100.0 is one
+    deterministic division. Sub-cent parts of derived prices (e.g.
+    price*(1-disc) has 4 decimals) round per row — fixed-point
+    accounting semantics, mirrored verbatim in every oracle via
+    ``money_sum_sql``. Headroom: ~8e11 rows x ~5e6 cents stays under
+    i64; beyond that promote the sum to DECIMAL(38,0) in both engines.
+    """
+    cents = F.floor(col * F.lit(100) + F.lit(0.5)).cast("long")
+    return F.sum(cents) / F.lit(100.0)
+
+
+def money_sum_sql(expr: str) -> str:
+    """DuckDB/Spark-SQL text twin of ``money_sum``."""
+    return f"sum(CAST(floor(({expr}) * 100 + 0.5) AS BIGINT)) / 100.0"
 
 
 def epoch_s(col: Column | str) -> Column:

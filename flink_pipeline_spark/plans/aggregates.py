@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import round_agg, round_sql
+from ..functions.portable import money_sum, money_sum_sql, round_agg, round_sql
 from ..operators.filename import parse_read_files, parsed_read_files_sql
 from ..sources.fixtures import fixture_df, fixture_values_sql
 from .registry import register
@@ -173,7 +173,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
-           {round_sql('sum(o_totalprice)', scale=2)} AS total
+           {money_sum_sql('o_totalprice')} AS total
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -181,11 +181,11 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full cross-dimensional subtotals (cube)."""
     o = load_table(spark, sf_dir, "orders")
-    # money totals (incl. the grand-total cell) at cents scale — see
-    # the q_flagship note: big double sums flip the 4th decimal
+    # money totals (incl. the grand-total cell) in exact integer
+    # cents — see the q_flagship / money_sum note
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
-        round_agg(F.sum("o_totalprice"), scale=2).alias("total"),
+        money_sum(F.col("o_totalprice")).alias("total"),
     )
 
 
@@ -195,7 +195,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH wide AS (
         SELECT o_orderstatus,
                CAST(count(*) AS DOUBLE) AS cnt,
-               {round_sql('sum(o_totalprice)', scale=2)} AS total
+               {money_sum_sql('o_totalprice')} AS total
         FROM orders GROUP BY o_orderstatus
     )
     SELECT * FROM (UNPIVOT wide ON cnt, total INTO NAME metric VALUE val)
@@ -216,7 +216,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     wide = o.groupBy("o_orderstatus").agg(
         F.count("*").cast("double").alias("cnt"),
-        round_agg(F.sum("o_totalprice"), scale=2).alias("total"),
+        money_sum(F.col("o_totalprice")).alias("total"),
     )
     return wide.unpivot(["o_orderstatus"], ["cnt", "total"], "metric", "val")
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import round_agg, round_sql
+from ..functions.portable import money_sum, money_sum_sql, round_agg, round_sql
 from ..operators.topk import rank_after_topk
 from .registry import register
 
@@ -72,7 +72,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_local_supplier_volume",
     oracle=f"""
-    SELECT n.n_name, {round_sql(f'sum({_REV})', scale=2)} AS revenue, count(*) AS n_items
+    SELECT n.n_name, {money_sum_sql(_REV)} AS revenue, count(*) AS n_items
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -114,7 +114,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             # per-nation money total: cents scale (see q_flagship note)
-            round_agg(F.sum(F.expr(_REV)), scale=2).alias("revenue"),
+            money_sum(F.expr(_REV)).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )

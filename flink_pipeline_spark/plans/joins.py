@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.portable import round_agg, round_sql
+from ..functions.portable import money_sum, money_sum_sql, round_agg, round_sql
 from ..operators.filename import parse_read_files, parsed_read_files_sql
 from ..sources.fixtures import fixture_df, fixture_values_sql
 from .registry import register
@@ -77,7 +77,7 @@ def q_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c.c_mktsegment,
            count(*) AS n_orders,
-           {round_sql('sum(o.o_totalprice)', scale=2)} AS total_price
+           {money_sum_sql('o.o_totalprice')} AS total_price
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
@@ -93,7 +93,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            round_agg(F.sum("o_totalprice"), scale=2).alias("total_price"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
         )
     )
 

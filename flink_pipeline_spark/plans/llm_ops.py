@@ -736,20 +736,31 @@ def _register_kmeans() -> None:
     assign = """
     a{i} AS ({body}
     )"""
+    # The dimension range derives from a CHECKED corpus-wide value
+    # (ADVICE r6: a hardcoded range(1, 65) would silently truncate the
+    # means if the fixture dimension changed, while the Spark side
+    # adapts via posexplode — this errors loudly instead, the oracle
+    # twin of _subvectors' raise_error guard)
     means = """
     m{i} AS (
         SELECT a.cell, r.pos - 1 AS dim,
                floor(avg(CAST(e.embedding[r.pos] AS DOUBLE)) * 1000000 + 0.5)
                    / 1000000 AS v
         FROM a{i} a JOIN embeddings e USING (vec_id)
-        CROSS JOIN range(1, 65) r(pos)
+        CROSS JOIN (SELECT unnest(range(1, (SELECT d FROM dim) + 1)) AS pos) r
         GROUP BY a.cell, r.pos
     ), c{i} AS (
         SELECT cell, list(v ORDER BY dim) AS cvec FROM m{i} GROUP BY cell
     )"""
     oracle = (
         f"""
-    WITH c0 AS (
+    WITH dim AS (
+        SELECT CASE WHEN min(len(embedding)) = max(len(embedding))
+                    THEN max(len(embedding))
+                    ELSE CAST(error('kmeans oracle: ragged embedding dims') AS INT)
+               END AS d
+        FROM embeddings
+    ), c0 AS (
         SELECT vec_id AS cell, embedding AS cvec
         FROM embeddings WHERE vec_id < {IVF_SEED_CENTROIDS}
     ),"""
@@ -986,6 +997,22 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids_long(load_table(spark, sf_dir, "embeddings"))
 
 
+# Mean/std derived from the EXACT integer moments (sum_q, sumsq_q of
+# ten-thousandths-quantized elements): every op below is IEEE
+# correctly-rounded (div, mul, sub, sqrt, floor) over identical
+# integer inputs, so the doubles are bit-identical across engines —
+# unlike engine-native stddev_pop, whose moment algorithm differs and
+# forced a coarser scale-3 gate through r6. Identical TEXT runs in
+# Spark SQL and DuckDB.
+_DIM_MEAN_SQL = "(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))"
+_DIM_VAR_SQL = (
+    f"greatest(CAST(sumsq_q AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - {_DIM_MEAN_SQL} * {_DIM_MEAN_SQL}, 0.0)"
+)
+_DIM_MEAN_EXPR = round_sql(f"{_DIM_MEAN_SQL} / 10000.0")
+_DIM_STD_EXPR = round_sql(f"sqrt({_DIM_VAR_SQL}) / 10000.0")
+
+
 @register(
     "q_embed_dim_stats",
     oracle=f"""
@@ -993,41 +1020,65 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT unnest(range(len(embedding))) AS pos,
                unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
         FROM embeddings
+    ), m AS (
+        SELECT CAST(pos AS BIGINT) AS pos,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q,
+               CAST(sum(CAST(floor(x * 10000 + 0.5) AS BIGINT)
+                        * CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sumsq_q,
+               {round_sql('min(x)')} AS min_v,
+               {round_sql('max(x)')} AS max_v
+        FROM e GROUP BY pos
     )
-    SELECT CAST(pos AS BIGINT) AS pos,
-           CAST(count(*) AS BIGINT) AS n,
-           {round_sql('avg(x)')} AS mean_v,
-           {round_sql('stddev_pop(x)', scale=3)} AS std_v,
-           {round_sql('min(x)')} AS min_v,
-           {round_sql('max(x)')} AS max_v
-    FROM e GROUP BY pos
+    SELECT pos, n, sum_q, sumsq_q,
+           {_DIM_MEAN_EXPR} AS mean_v,
+           {_DIM_STD_EXPR} AS std_v,
+           min_v, max_v
+    FROM m
     """,
 )
 def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-dimension embedding statistics (mean/std/min/max over the
-    corpus) — the embedding-QA profile that catches dead dimensions
+    """Per-dimension embedding statistics (count/mean/std/min/max over
+    the corpus) — the embedding-QA profile that catches dead dimensions
     (std ~ 0), clipped values, and normalization drift before any
     similarity work runs. Long format, one row per dimension.
 
+    Portability (hardened r7, ADVICE r6): elements quantize to BIGINT
+    ten-thousandths BEFORE aggregation, so the first and second moments
+    (sum_q, sumsq_q) are exact integer sums — no float-summation-order
+    or moment-algorithm hazard at ANY scale factor; mean/std derive
+    from those integers via deterministic IEEE double ops shared as one
+    SQL text with the oracle. The r6 formulation gated engine-native
+    stddev_pop at scale-3 and could still flip near a round boundary.
+
     Scale: posexplode is rows x dim (linear) and the grouping key is
     just the dimension index, so the merge side is ``dim`` cells — the
-    same shape as label_centroids without the label axis."""
+    same shape as label_centroids without the label axis. sumsq of
+    quantized unit-scale values (~1e8 per element) overflows i64 only
+    past ~9e10 elements per dimension; past that, widen the quantized
+    grain or promote to DECIMAL in both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(F.posexplode("embedding").alias("pos", "xf")).select(
         "pos", F.col("xf").cast("double").alias("x")
     )
-    return e.groupBy("pos").agg(
+    xq = F.floor(F.col("x") * 10000 + F.lit(0.5)).cast("long")
+    m = e.groupBy("pos").agg(
         F.count("*").alias("n"),
-        round_agg(F.avg("x")).alias("mean_v"),
-        # variance-derived stats gate at a coarser scale than plain
-        # means: Spark and DuckDB use different moment/summation
-        # algorithms, so the 4th decimal can sit within ~1e-12 of a
-        # floor-round boundary and flip nondeterministically; scale 3
-        # leaves three orders of margin
-        round_agg(F.stddev_pop("x"), scale=3).alias("std_v"),
+        F.sum(xq).cast("long").alias("sum_q"),
+        F.sum(xq * xq).cast("long").alias("sumsq_q"),
         round_agg(F.min("x")).alias("min_v"),
         round_agg(F.max("x")).alias("max_v"),
-    ).select(F.col("pos").cast("long").alias("pos"), "n", "mean_v", "std_v", "min_v", "max_v")
+    ).select(F.col("pos").cast("long").alias("pos"), "n", "sum_q", "sumsq_q", "min_v", "max_v")
+    return m.selectExpr(
+        "pos",
+        "n",
+        "sum_q",
+        "sumsq_q",
+        f"{_DIM_MEAN_EXPR} AS mean_v",
+        f"{_DIM_STD_EXPR} AS std_v",
+        "min_v",
+        "max_v",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import round_agg, hash56_sql_duckdb, round_sql
+from ..functions.portable import money_sum, money_sum_sql, round_agg, hash56_sql_duckdb, round_sql
 from ..pipeline import P31, SAM_SCHEMA, fake_align
 from ..sources.fixtures import fixture_df, fixture_values_sql
 from .registry import register
@@ -157,7 +157,7 @@ def bucketed_tables(
     oracle=f"""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           {round_sql("sum(l_extendedprice * (1 - l_discount))", scale=2)} AS revenue
+           {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -181,11 +181,11 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
-        # money total at cents scale (see q_flagship note): the 4th
-        # decimal of a ~1e10 sum flips between engines at sf0.1
-        round_agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), scale=2
-        ).alias("revenue"),
+        # money total in exact integer cents (money_sum): the 4th
+        # decimal of this ~1e10 double sum was the first measured flip
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
     )
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import epoch_s_sql_duckdb, round_agg, round_sql
+from ..functions.portable import epoch_s_sql_duckdb, money_sum, money_sum_sql, round_agg, round_sql
 from .registry import register
 
 
@@ -160,7 +160,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH rev AS (
         SELECT r.r_name AS region, n.n_name AS nation,
-               {round_sql('sum(o.o_totalprice)', scale=2)} AS revenue
+               {money_sum_sql('o.o_totalprice')} AS revenue
         FROM region r
         JOIN nation n   ON n.n_regionkey = r.r_regionkey
         JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -197,7 +197,7 @@ def q_ratio_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("region", "nation")
         # money total at cents scale (q_flagship note: a big double
         # sum's 4th decimal is not cross-engine stable)
-        .agg(round_agg(F.sum("o_totalprice"), scale=2).alias("revenue"))
+        .agg(money_sum(F.col("o_totalprice")).alias("revenue"))
     )
     w = Window.partitionBy("region")
     return rev.select(

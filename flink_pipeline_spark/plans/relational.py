@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import epoch_s, round_agg, round_sql
+from ..functions.portable import epoch_s, money_sum, money_sum_sql, round_agg, round_sql
 from ..sources.fixtures import fixture_df, fixture_values_sql
 from .registry import register
 
@@ -36,9 +36,9 @@ from .registry import register
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            {round_sql('sum(l_quantity)')} AS sum_qty,
-           {round_sql('sum(l_extendedprice)', scale=2)} AS sum_base_price,
-           {round_sql('sum(l_extendedprice * (1 - l_discount))', scale=2)} AS sum_disc_price,
-           {round_sql('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))', scale=2)} AS sum_charge,
+           {money_sum_sql('l_extendedprice')} AS sum_base_price,
+           {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {money_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
            {round_sql('avg(l_quantity)')} AS avg_qty,
            {round_sql('avg(l_extendedprice)')} AS avg_price,
            {round_sql('avg(l_discount)')} AS avg_disc,
@@ -57,15 +57,13 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             round_agg(F.sum("l_quantity")).alias("sum_qty"),
-            # money TOTALS round at cents scale: a ~1e10 double sum's
-            # cross-engine summation-order error exceeds 1e-4 (measured
-            # — q_bucketed_join flipped its 4th decimal at sf0.1), so
-            # scale-4 is for unit-scale values, scale-2 for big totals
-            round_agg(F.sum("l_extendedprice"), scale=2).alias("sum_base_price"),
-            round_agg(F.sum(disc_price), scale=2).alias("sum_disc_price"),
-            round_agg(F.sum(disc_price * (1 + F.col("l_tax"))), scale=2).alias(
-                "sum_charge"
-            ),
+            # money TOTALS sum in exact integer cents (money_sum):
+            # a double sum's order error grows ~sqrt(n) — scale-2
+            # rounding was measured flipping at sf0.1 and would re-break
+            # at higher SFs; integer cents removes the class entirely
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             round_agg(F.avg("l_quantity")).alias("avg_qty"),
             round_agg(F.avg("l_extendedprice")).alias("avg_price"),
             round_agg(F.avg("l_discount")).alias("avg_disc"),
@@ -175,7 +173,7 @@ def q_filter_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_filter_range",
     oracle=f"""
-    SELECT {round_sql('sum(l_extendedprice * l_discount)', scale=2)} AS revenue,
+    SELECT {money_sum_sql('l_extendedprice * l_discount')} AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -196,10 +194,10 @@ def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24)
         ).agg(
-            # global money total: cents scale (q_flagship note)
-            round_agg(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), scale=2
-            ).alias("revenue"),
+            # global money total: exact integer cents (q_flagship note)
+            money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
             F.count("*").alias("n"),
         )
     )

@@ -107,3 +107,30 @@ def test_sync_is_idempotent(tmp_path, monkeypatch):
     assert again == []  # already-synced rounds are not re-recorded
     d = json.loads((tmp_path / "ledger.json").read_text())
     assert set(d["synced_rounds"]) == set(evidence.correctness_rows().values())
+
+
+def test_row_passed_requires_affirmative_flag():
+    """A malformed driver row (no error, but no match flag at all) must
+    NOT count as passing evidence — it would push a never-actually-
+    verified query to the back of the weakest-first window (ADVICE r6)."""
+    assert not evidence._row_passed({})
+    assert not evidence._row_passed({"err": None})
+    assert not evidence._row_passed("not a dict")
+    assert not evidence._row_passed(
+        {"rows_match": None, "schema_match": None, "hash_match": None, "err": None}
+    )
+    # errored rows never bless, even with True flags recorded
+    assert not evidence._row_passed(
+        {"rows_match": True, "hash_match": True, "err": "boom"}
+    )
+    # a failing flag vetoes
+    assert not evidence._row_passed(
+        {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}
+    )
+    # full pass and rows-only pass both bless
+    assert evidence._row_passed(
+        {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    )
+    assert evidence._row_passed(
+        {"rows_match": True, "schema_match": None, "hash_match": None, "err": None}
+    )
