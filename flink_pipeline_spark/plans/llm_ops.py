@@ -34,6 +34,7 @@ from ..operators.llm import (
     cosine_pairs,
     cosine_pairs_ivf,
     doc_shingles,
+    exploded_shingles,
     ivf_assign,
     lsh_candidate_pairs,
     minhash_signatures,  # noqa: F401 (re-exported for tests)
@@ -66,6 +67,10 @@ EMBED_PAIR_NPROBE = 2    # multi-probe pair generation: 2 best cells
 # the single-assignment cap — same per-key fan-out bound either way
 EMBED_MULTI_MAX_CELL = 2 * EMBED_PAIR_MAX_CELL
 PQ_QUERY_MAX = 4         # PQ (and recall-audit) query set: vec_id < 4
+# Text-dedup recall audit (q_dedup_recall): exact-Jaccard ground-truth
+# threshold — the SAME tau the MinHash pipeline verifies at, so the
+# minhash row isolates LSH candidate-generation recall.
+TEXT_RECALL_TAU = 0.8
 
 
 # ---------------------------------------------------------------------------
@@ -266,6 +271,140 @@ def q_dedup_simhash_pairs_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3,
         bits=SIMHASH_BITS_CALIB,
     )
+
+
+def _register_dedup_recall() -> None:
+    """Text-dedup recall audit, closure-registered so the oracle
+    COMPOSES the already-registered pair oracles as CTEs (the
+    q_ann_recall convention): a threshold or width edit to any audited
+    method automatically flows into this audit, and the Spark side
+    calls the same registered query functions."""
+    truth_cte = f"""
+    sets AS (
+        SELECT doc_id, {shingles_sql('duckdb', 'text', 3)} AS s FROM documents
+    ), sz AS (
+        SELECT doc_id, len(s) AS n FROM sets
+    ), ex AS (
+        SELECT doc_id, unnest(s) AS sh FROM sets
+    ), co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT doc_a, doc_b
+        FROM co
+        JOIN sz sa ON sa.doc_id = co.doc_a
+        JOIN sz sb ON sb.doc_id = co.doc_b
+        WHERE floor((i::DOUBLE / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000
+              >= {TEXT_RECALL_TAU}
+    ), denom AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)"""
+    hits = """
+    {m}_h AS (
+        SELECT CAST(count(*) AS BIGINT) AS hits
+        FROM truth t JOIN {m}_r p
+          ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+    )"""
+    row = (
+        "SELECT '{m}' AS method, d.n_truth, h.hits, "
+        + round_sql("h.hits::DOUBLE / d.n_truth")
+        + " AS recall FROM {m}_h h CROSS JOIN denom d"
+    )
+    oracle = (
+        f"WITH minhash_r AS ({ORACLES['q_dedup_minhash']}),\n"
+        f" simhash_r AS ({ORACLES['q_dedup_simhash_pairs']}),\n"
+        f" simhash_calib_r AS ({ORACLES['q_dedup_simhash_pairs_calib']}),\n"
+        + truth_cte
+        + ","
+        + hits.format(m="minhash")
+        + ",\n"
+        + hits.format(m="simhash")
+        + ",\n"
+        + hits.format(m="simhash_calib")
+        + "\n"
+        + row.format(m="minhash")
+        + " UNION ALL "
+        + row.format(m="simhash")
+        + " UNION ALL "
+        + row.format(m="simhash_calib")
+    )
+
+    @register("q_dedup_recall", oracle=oracle)
+    def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Recall audit of the TEXT near-dup family (MinHash-LSH,
+        56-bit SimHash, 16-bit calib SimHash) against EXACT full-corpus
+        3-gram-Jaccard >= {tau} ground truth — the registry-visible
+        measurement of where approximate text dedup silently loses
+        pairs as the corpus grows (SCALING.md's 48x probe found 16-bit
+        SimHash collapsing to ZERO pairs; until r7 the registry could
+        not see that class of failure — r6 verdict's top item).
+
+        Ground truth is exact WITHOUT all-pairs: a pair's Jaccard is
+        fully determined by its shared-distinct-shingle count i and
+        the two set sizes (j = i / (na + nb - i)), so the inverted
+        shingle index (shingle equi-self-join -> per-pair count) plus
+        a size join computes exact Jaccard for every pair sharing >= 1
+        shingle — and a pair sharing none has j = 0 < tau. Cost is
+        sum(df^2) over shingle document frequencies: near-linear for
+        natural text (measured 1.1M co-pairs at sf0.1), quadratic only
+        in a degenerate all-same-shingle corpus — the irreducible
+        price of exactness, and the reason the audit exists instead of
+        trusting the approximations. SimHash (hamming-on-bits) is
+        audited against Jaccard truth deliberately: that mismatch IS
+        its deployment condition for shingle-overlap dedup.
+
+        Expected ordering: minhash ~ 1.0 (its pairs are exact-verified
+        at the same tau), simhash between, simhash_calib lowest at
+        scale (the documented recall cliff)."""
+        d = load_table(spark, sf_dir, "documents")
+        ex = exploded_shingles(d).persist()
+        sz = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a = ex.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh"))
+        b = ex.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh"))
+        co = (
+            a.join(b, "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("i"))
+        )
+        jacc = F.col("i").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("i")
+        )
+        truth = (
+            co.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+            .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+            .filter(round_agg(jacc) >= TEXT_RECALL_TAU)
+            .select("doc_a", "doc_b")
+            .persist()
+        )
+        denom = truth.agg(F.count("*").cast("long").alias("n_truth"))
+
+        def audit(m: DataFrame, name: str) -> DataFrame:
+            h = (
+                m.select("doc_a", "doc_b")
+                .join(F.broadcast(truth), ["doc_a", "doc_b"])
+                .agg(F.count("*").cast("long").alias("hits"))
+            )
+            return h.crossJoin(F.broadcast(denom)).select(
+                F.lit(name).alias("method"),
+                F.col("n_truth"),
+                "hits",
+                round_agg(
+                    F.col("hits").cast("double") / F.col("n_truth")
+                ).alias("recall"),
+            )
+
+        return (
+            audit(q_dedup_minhash(spark, sf_dir), "minhash")
+            .unionByName(audit(q_dedup_simhash_pairs(spark, sf_dir), "simhash"))
+            .unionByName(
+                audit(q_dedup_simhash_pairs_calib(spark, sf_dir), "simhash_calib")
+            )
+        )
+
+    q_dedup_recall.__doc__ = q_dedup_recall.__doc__.format(tau=TEXT_RECALL_TAU)
+
+
+_register_dedup_recall()
 
 
 @register(
