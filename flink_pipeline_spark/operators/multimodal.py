@@ -179,6 +179,80 @@ def decode_pcm16(files: DataFrame) -> DataFrame:
     return files.select("file", "content").mapInPandas(dec, schema=PCM16_SCHEMA)
 
 
+PPM_SCHEMA = (
+    "file STRING, width BIGINT, height BIGINT, n_pixels BIGINT, "
+    "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE, peak BIGINT, pixel_fp BIGINT"
+)
+
+_P31 = 2_147_483_647  # Mersenne prime 2^31-1 (the fingerprint modulus)
+
+
+def decode_ppm(files: DataFrame) -> DataFrame:
+    """Per-file binary-PPM (P6) image decode: (file, content: binary)
+    -> raster stats. A genuine image codec with no external libraries:
+    tokenize the ASCII header (magic, dimensions, maxval), reinterpret
+    the payload as a height x width x 3 uint8 RGB plane, and emit
+    per-channel means (floor-rounded ten-thousandths), the peak byte,
+    and an order-sensitive position-weighted pixel fingerprint
+    (sum((i+1) * byte_i) mod 2^31-1 — the q_text_fingerprint
+    convention) so the full decoded plane is gated, not just its
+    moments. Raises on a non-P6 magic or a pixel plane whose length
+    disagrees with the header — a truncated image must fail loudly,
+    not produce plausible stats.
+
+    Scale: identical plumbing to decode_pcm16 — one row per file from
+    the binaryFile scan, Arrow-batched mapInPandas, per-file outputs;
+    no shuffle at all until a downstream aggregate."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        import re
+
+        import numpy as np
+
+        hdr_re = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+        for pdf in batches:
+            rows = []
+            for file, content in zip(pdf["file"], pdf["content"]):
+                b = bytes(content)
+                m = hdr_re.match(b)
+                if m is None:
+                    raise ValueError(f"{file}: not a binary PPM (P6) header")
+                w, h, maxval = (int(g) for g in m.groups())
+                if maxval != 255:
+                    raise ValueError(f"{file}: only 8-bit PPM supported")
+                px = np.frombuffer(b, dtype=np.uint8, offset=m.end()).astype(
+                    np.int64
+                )
+                if px.size != w * h * 3:
+                    raise ValueError(
+                        f"{file}: pixel plane {px.size} != {w}x{h}x3"
+                    )
+                plane = px.reshape(h, w, 3)
+                means = [
+                    math.floor(float(plane[:, :, c].mean()) * 10_000 + 0.5)
+                    / 10_000
+                    for c in range(3)
+                ]
+                fp = int(
+                    ((np.arange(1, px.size + 1, dtype=np.int64) * px) % _P31)
+                    .sum()
+                    % _P31
+                )
+                rows.append(
+                    (file, w, h, w * h, *means, int(px.max()), fp)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "width", "height", "n_pixels",
+                    "mean_r", "mean_g", "mean_b", "peak", "pixel_fp",
+                ],
+            )
+
+    return files.select("file", "content").mapInPandas(dec, schema=PPM_SCHEMA)
+
+
 FRAME_BYTES = 64
 FRAME_STRIDE = 4
 FRAMES_SCHEMA = "doc_id BIGINT, frame_idx BIGINT, frame_len BIGINT, frame_hash STRING"

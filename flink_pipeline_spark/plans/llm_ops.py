@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.portable import round_agg, hash56_sql_duckdb, round_sql
+from ..functions.portable import round_agg, hash56_sql_duckdb, hash56_sql_spark, round_sql
 from ..functions.text import (
     P31,
     QUALITY_SCORE_SQL,
@@ -1759,6 +1759,267 @@ def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         toks.join(lp, "tok")
         .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lp_q").cast("long").alias("surprisal_q"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "surprisal_q",
+            (
+                F.floor(
+                    F.col("surprisal_q").cast("double") / F.col("n_tokens")
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
+# Linear quality classifier: hashed-feature dimension and the shared
+# weight/bias formula texts (identical IEEE op sequence both engines).
+QUALITY_HASH_DIM = 256
+_NBW_SQL = (
+    f"CAST(floor((ln((pos_b + 1) / (pos_t + {QUALITY_HASH_DIM}.0))"
+    f" - ln((neg_b + 1) / (neg_t + {QUALITY_HASH_DIM}.0))) * 10000 + 0.5)"
+    " AS BIGINT)"
+)
+_BIAS_SQL = "CAST(floor(ln(n_pos / n_neg) * 10000 + 0.5) AS BIGINT)"
+
+
+@register(
+    "q_quality_linear",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               {hash56_sql_duckdb('tok')} % {QUALITY_HASH_DIM} AS b
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents) t
+    ), cls AS (
+        SELECT b,
+               CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) AS pos_b,
+               CAST(count(*) FILTER (WHERE lang <> 'en') AS DOUBLE) AS neg_b
+        FROM toks GROUP BY b
+    ), consts AS (
+        SELECT CAST(sum(pos_b) AS DOUBLE) AS pos_t,
+               CAST(sum(neg_b) AS DOUBLE) AS neg_t
+        FROM cls
+    ), w AS (
+        SELECT b, {_NBW_SQL} AS w_q FROM cls CROSS JOIN consts
+    ), prior AS (
+        SELECT {_BIAS_SQL} AS bias_q FROM (
+            SELECT CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) AS n_pos,
+                   CAST(count(*) FILTER (WHERE lang <> 'en') AS DOUBLE) AS n_neg
+            FROM documents
+        ) c
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w.w_q) + p.bias_q AS BIGINT) AS score_q,
+           CASE WHEN sum(w.w_q) + p.bias_q > 0 THEN 'en' ELSE 'other' END
+               AS predicted,
+           CASE WHEN t.lang = 'en' THEN 'en' ELSE 'other' END AS actual
+    FROM toks t JOIN w USING (b) CROSS JOIN prior p
+    GROUP BY t.doc_id, t.lang, p.bias_q
+    """,
+)
+def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED linear quality/domain classifier — the fastText-style
+    inference shape production pipelines score with (Joulin et al.,
+    "Bag of Tricks for Efficient Text Classification"), expressed with
+    zero UDFs: tokens hash into {dim} feature buckets (hash56 % D, the
+    hashing trick), each bucket carries a weight from a deterministic
+    naive-Bayes log-odds fit (positive class = lang 'en', add-1
+    smoothing), and a document's score is the bias plus the sum of its
+    token-bucket weights — one broadcast join + one per-doc agg.
+    Output keeps the exact-integer score, the thresholded prediction,
+    and the actual binary label so accuracy is one agg away.
+
+    The heuristic q_text_quality/q_quality_gate remain the cold-start
+    filters; this is the trained-classifier upgrade the r6 verdict
+    asked for, with the training reduced to two deterministic
+    aggregations so the oracle replays fit AND inference bit-for-bit
+    (weights quantize to BIGINT ten-thousandths; the per-doc sum is
+    exact integer arithmetic).
+
+    Scale: the weight table is D={dim} rows — broadcast by
+    construction; the corpus pays one codegen'd hash+mod projection,
+    the broadcast join, and one agg. The fit is two corpus-linear aggs
+    (bucket x class counts). Nothing shuffles wider than D rows except
+    the final per-doc agg, which every scoring pass needs."""
+    d = load_table(spark, sf_dir, "documents")
+    dim = QUALITY_HASH_DIM
+    toks = (
+        d.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (F.expr(hash56_sql_spark("tok")) % dim).alias("b"),
+        )
+        .persist()
+    )
+    is_pos = F.col("lang") == "en"
+    cls = toks.groupBy("b").agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).cast("double").alias("pos_b"),
+        F.sum(F.when(~is_pos, 1).otherwise(0)).cast("double").alias("neg_b"),
+    )
+    consts = cls.agg(
+        F.sum("pos_b").cast("double").alias("pos_t"),
+        F.sum("neg_b").cast("double").alias("neg_t"),
+    )
+    w = cls.crossJoin(F.broadcast(consts)).select(
+        "b", F.expr(_NBW_SQL).alias("w_q")
+    )
+    prior = d.agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).cast("double").alias("n_pos"),
+        F.sum(F.when(~is_pos, 1).otherwise(0)).cast("double").alias("n_neg"),
+    ).select(F.expr(_BIAS_SQL).alias("bias_q"))
+    return (
+        toks.join(F.broadcast(w), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tokens"), F.sum("w_q").alias("sw"))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("sw") + F.col("bias_q")).cast("long").alias("score_q"),
+            F.when(F.col("sw") + F.col("bias_q") > 0, F.lit("en"))
+            .otherwise(F.lit("other"))
+            .alias("predicted"),
+            F.when(F.col("lang") == "en", F.lit("en"))
+            .otherwise(F.lit("other"))
+            .alias("actual"),
+        )
+    )
+
+
+q_quality_linear.__doc__ = q_quality_linear.__doc__.format(dim=QUALITY_HASH_DIM)
+
+
+# Interpolated-bigram LM: mixture weight on the conditional term.
+# Written as SQL-literal strings (not Python floats) so the formula
+# TEXT — and therefore the IEEE op sequence — is identical in Spark
+# and DuckDB.
+SURPRISAL_LAMBDA = "0.7"
+SURPRISAL_LAMBDA_C = "0.3"
+# -ln of the interpolated probability, quantized to BIGINT
+# ten-thousandths; same text evaluated by both engines over identical
+# double inputs (cnt2/cnt1/n2/t are exact counts cast to DOUBLE).
+_LP2_SQL = (
+    f"CAST(floor(-ln({SURPRISAL_LAMBDA} * (cnt2 / cnt1)"
+    f" + {SURPRISAL_LAMBDA_C} * (n2 / t)) * 10000 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "q_text_surprisal_2g",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents
+    ), bg AS (
+        SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ), tf AS (
+        SELECT tok, CAST(count(*) AS DOUBLE) AS n FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT CAST(sum(n) AS DOUBLE) AS t FROM tf
+    ), c2 AS (
+        SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cnt2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, CAST(sum(cnt2) AS DOUBLE) AS cnt1 FROM c2 GROUP BY w1
+    ), lp1 AS (
+        SELECT tok,
+               CAST(floor(ln(t / n) * 10000 + 0.5) AS BIGINT) AS lp_q
+        FROM tf CROSS JOIN tot
+    ), lp2 AS (
+        SELECT x.w1, x.w2, cnt2, cnt1, f.n AS n2, t,
+               {_LP2_SQL} AS lp_q
+        FROM c2 x
+        JOIN c1 USING (w1)
+        JOIN tf f ON f.tok = x.w2
+        CROSS JOIN tot
+    ), parts AS (
+        SELECT t.doc_id, lp1.lp_q FROM toks t JOIN lp1 USING (tok)
+        WHERE t.pos = 1
+        UNION ALL
+        SELECT bg.doc_id, lp2.lp_q FROM bg JOIN lp2 USING (w1, w2)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lp_q) AS BIGINT) AS surprisal_q,
+           floor(sum(lp_q)::DOUBLE / count(*) + 0.5) / 10000 AS avg_surprisal
+    FROM parts GROUP BY doc_id
+    """,
+)
+def q_text_surprisal_2g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-BIGRAM LM surprisal — the higher-order upgrade of
+    q_text_surprisal the CCNet-style filter actually uses: per token
+    after the first, -ln(lambda * p(w2|w1) + (1-lambda) * p1(w2)) with
+    lambda=0.7 (Jelinek-Mercer interpolation; the unigram back-off
+    term keeps unseen-in-context tokens finite), the document's first
+    token scored by the unigram LM alone. Low mean surprisal = the
+    corpus LM predicts the text well (boilerplate); high = surprising
+    text — the bin a perplexity quality gate cuts on.
+
+    Portability: per-token surprisal quantizes to BIGINT
+    ten-thousandths BEFORE the per-doc sum; the mixture formula is one
+    shared SQL text so both engines execute the identical IEEE op
+    sequence over identical exact counts (see round_agg's ln note for
+    the accepted ulp residual).
+
+    Scale shape: same flat token-join as the unigram pass (SCALING.md
+    r6b) with the vocab-sized unigram table replaced by the
+    bigram-TYPE table — bounded by distinct adjacent pairs, not the
+    corpus; the corpus pays one (w1, w2) equi-join + one agg. Bigram
+    construction is an in-array transform (zero joins, zero shuffles);
+    the oracle states it as a positional self-join — same pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("toks"))
+    # token stream with positions (pos is 0-based; the oracle's is
+    # 1-based — only used to pick the first token, so equivalent)
+    toks = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).persist()
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2").persist()
+    tf = toks.groupBy("tok").agg(F.count("*").cast("double").alias("n"))
+    tot = tf.agg(F.sum("n").cast("double").alias("t"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("cnt2"))
+    c1 = c2.groupBy("w1").agg(F.sum("cnt2").cast("double").alias("cnt1"))
+    lp1 = tf.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(F.log(F.col("t") / F.col("n")) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("lp_q"),
+    )
+    lp2 = (
+        c2.join(c1, "w1")
+        .join(tf.select(F.col("tok").alias("w2"), F.col("n").alias("n2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", F.expr(_LP2_SQL).alias("lp_q"))
+    )
+    parts = (
+        toks.filter(F.col("pos") == 0)
+        .join(lp1, "tok")
+        .select("doc_id", "lp_q")
+        .unionByName(bg.join(lp2, ["w1", "w2"]).select("doc_id", "lp_q"))
+    )
+    return (
+        parts.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
             F.sum("lp_q").cast("long").alias("surprisal_q"),

@@ -29,6 +29,12 @@ BLOB_DIR = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "blobs")
 )
 
+# Committed deterministic binary-PPM image fixtures (see
+# scripts/make_image_fixtures.py) — the image-modality payload source.
+IMG_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "images")
+)
+
 # Oracle SQL that must read the scale-factor parquet embeds the
 # {SF_DIR} placeholder; registry.oracle_sqls() resolves it per run
 # (driver default sf0.01, local mirror whatever SF it tests), keeping
@@ -187,3 +193,94 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("path", r"([^/]+)$", 1).alias("file"), "content"
     )
     return decode_pcm16(files)
+
+
+@register(
+    "q_multimodal_image",
+    oracle=f"""
+    WITH b AS (
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+               hex(content) AS h,
+               octet_length(content) AS n
+        FROM read_blob('{IMG_DIR}/*.ppm')
+    ), magic AS (
+        SELECT file, CASE WHEN h[1:4] = '5036' THEN 1
+                          ELSE CAST(error('not a P6 ppm: ' || file) AS INT)
+                     END AS ok
+        FROM b
+    ), bv AS (
+        SELECT file, j AS k,
+               (strpos('{_HEXDIGITS}', h[2*j-1:2*j-1]) - 1) * 16
+             + (strpos('{_HEXDIGITS}', h[2*j:2*j]) - 1) AS v
+        FROM (SELECT file, h, unnest(range(1, n + 1)) AS j FROM b) t
+    ), nl AS (
+        SELECT file, k, row_number() OVER (PARTITION BY file ORDER BY k) AS i
+        FROM bv WHERE v = 10
+    ), hdr AS (
+        SELECT file,
+               max(CASE WHEN i = 1 THEN k END) AS nl1,
+               max(CASE WHEN i = 2 THEN k END) AS nl2,
+               max(CASE WHEN i = 3 THEN k END) AS nl3
+        FROM nl WHERE i <= 3 GROUP BY file
+    ), dims AS (
+        SELECT bv.file,
+               CAST(string_split(string_agg(chr(CAST(v AS INT)), '' ORDER BY k), ' ')[1]
+                    AS BIGINT) AS width,
+               CAST(string_split(string_agg(chr(CAST(v AS INT)), '' ORDER BY k), ' ')[2]
+                    AS BIGINT) AS height
+        FROM bv JOIN hdr USING (file)
+        WHERE k > nl1 AND k < nl2
+        GROUP BY bv.file
+    ), px AS (
+        SELECT bv.file, k - nl3 AS pk, v
+        FROM bv JOIN hdr USING (file) WHERE k > nl3
+    ), stats AS (
+        SELECT file,
+               CAST(count(*) // 3 AS BIGINT) AS n_bytes3,
+               floor(avg(v) FILTER ((pk - 1) % 3 = 0) * 10000 + 0.5) / 10000
+                   AS mean_r,
+               floor(avg(v) FILTER ((pk - 1) % 3 = 1) * 10000 + 0.5) / 10000
+                   AS mean_g,
+               floor(avg(v) FILTER ((pk - 1) % 3 = 2) * 10000 + 0.5) / 10000
+                   AS mean_b,
+               CAST(max(v) AS BIGINT) AS peak,
+               CAST(sum(pk * v) % 2147483647 AS BIGINT) AS pixel_fp
+        FROM px GROUP BY file
+    )
+    SELECT d.file, d.width, d.height,
+           CASE WHEN s.n_bytes3 = d.width * d.height THEN s.n_bytes3
+                ELSE CAST(error('ppm pixel plane truncated: ' || d.file)
+                          AS BIGINT)
+           END AS n_pixels,
+           s.mean_r, s.mean_g, s.mean_b, s.peak, s.pixel_fp
+    FROM dims d
+    JOIN stats s USING (file)
+    JOIN magic m USING (file)
+    WHERE m.ok = 1
+    """,
+)
+def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE-modality decode end-to-end (SURVEY.md L4 — the second
+    modality; audio/PCM16 is q_multimodal_decode): binaryFile scan over
+    committed binary-PPM (P6) fixtures -> header tokenize + RGB plane
+    reinterpret in an Arrow-batched mapInPandas codec
+    (operators/multimodal.py decode_ppm) -> per-image dimensions,
+    per-channel means, peak, and an order-sensitive position-weighted
+    pixel fingerprint. The DuckDB oracle replays the ENTIRE parse —
+    magic check, newline-delimited header tokenization, channel
+    striding, fingerprint — from read_blob hex arithmetic, so the
+    codec is hash-gated end-to-end, including its loud-failure guards
+    (non-P6 magic and truncated pixel planes error in BOTH engines
+    instead of yielding plausible stats).
+
+    Scale: identical shape to the audio path — one row per file, codec
+    work partition-parallel over Arrow batches, no shuffle. A libjpeg/
+    libpng codec drops into the same mapInPandas slot; PPM keeps the
+    committed fixtures dependency-free and byte-replayable."""
+    from ..operators.multimodal import decode_ppm
+
+    df = spark.read.format("binaryFile").load(os.path.join(IMG_DIR, "*.ppm"))
+    files = df.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("file"), "content"
+    )
+    return decode_ppm(files)

@@ -762,3 +762,50 @@ def test_bm25_matches_bruteforce(spark):
         query_fns()["q_text_bm25"](spark, SF_DIR).collect(), key=lambda r: r.rank
     )
     assert [(r.doc_id, r.score_q) for r in got] == expect
+
+
+def test_decode_ppm_matches_formula(spark):
+    """The PPM codec's output must equal the direct per-coordinate
+    formula the fixture generator used (scripts/make_image_fixtures.py)
+    — an independent recomputation, not a snapshot."""
+    import math
+
+    from flink_pipeline_spark.operators.multimodal import decode_ppm
+    from pyspark.sql import functions as F
+
+    w, h = 8, 6
+    header = f"P6\n{w} {h}\n255\n".encode()
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px.extend(((x * 7 + y * 3) % 256, (x * 5 + y * 11) % 256, (x * 13 + y) % 256))
+    files = spark.createDataFrame([("a.ppm", bytes(header + px))], "file string, content binary")
+    row = decode_ppm(files).collect()[0]
+    assert (row.width, row.height, row.n_pixels) == (w, h, w * h)
+    chans = [list(px)[c::3] for c in range(3)]
+    for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
+        want = math.floor(sum(chans[c]) / len(chans[c]) * 10000 + 0.5) / 10000
+        assert getattr(row, name) == want
+    assert row.peak == max(px)
+    assert row.pixel_fp == sum((i + 1) * v for i, v in enumerate(px)) % 2147483647
+
+
+def test_decode_ppm_fails_loudly(spark):
+    """Non-P6 magic and truncated pixel planes must raise, not emit
+    plausible stats."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from flink_pipeline_spark.operators.multimodal import decode_ppm
+
+    bad_magic = spark.createDataFrame(
+        [("x.ppm", b"P5\n2 2\n255\n" + bytes(4))], "file string, content binary"
+    )
+    with pytest.raises(Exception, match="P6|PYTHON"):
+        decode_ppm(bad_magic).collect()
+
+    truncated = spark.createDataFrame(
+        [("y.ppm", b"P6\n2 2\n255\n" + bytes(7))], "file string, content binary"
+    )
+    with pytest.raises(Exception, match="pixel plane|PYTHON"):
+        decode_ppm(truncated).collect()
