@@ -1,0 +1,61 @@
+"""Session cache hygiene.
+
+The query library persists intermediate frames that the FINAL lazy
+plan consumes (shingle sets, scored corpora) — those cannot be
+released before the caller materializes the result, so they stay
+cached, LRU-evictable, until session end. Fine for one-shot driver /
+bench runs; in a long-lived 100 TB session repeated pipeline
+invocations would accrete evictable blocks and thrash the storage
+tier (r6 advice). Two tools close that hole:
+
+* ``release_caches(spark)`` — drop every cached DataFrame and any
+  stray persisted RDD in the session. Call between pipelines in a
+  long-lived session. Total by design: the library's caches are all
+  rebuildable one-scan intermediates, never irreplaceable state.
+* ``eager_checkpoint(df)`` — for operators whose cached inputs feed
+  only INTERMEDIATE results (incremental_dedup's signature index,
+  substring_dedup_stats' duplicated-span table): reliably checkpoint
+  the small derived frame NOW, so the corpus-sized caches can be
+  unpersisted before the operator returns — zero persisted residue,
+  verified by tests/test_llm_ops.py::test_cache_hygiene_*.
+
+Reliable checkpoint (not localCheckpoint) is deliberate: local
+checkpoint blocks live in the storage tier — exactly what hygiene is
+trying to empty — while reliable checkpoint writes to the checkpoint
+dir and leaves zero cached blocks. Checkpoint files are removed by
+the ContextCleaner when ``spark.cleaner.referenceTracking
+.cleanCheckpoints`` is set (session.py sets it); under a foreign
+session without it they persist until JVM exit — disk residue in
+/tmp, never memory residue.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def eager_checkpoint(df: DataFrame) -> DataFrame:
+    """Reliable-checkpoint ``df`` immediately and return the
+    checkpointed frame (sets a session-scoped checkpoint dir on first
+    use if the session has none — the driver's bare session doesn't)."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="fps_ckpt_"))
+    return df.checkpoint(eager=True)
+
+
+def release_caches(spark: SparkSession) -> int:
+    """Unpersist every cached DataFrame (Spark SQL cache manager) and
+    any remaining persisted RDD. Returns the number of persisted RDDs
+    that were still registered before the sweep."""
+    jsc = spark.sparkContext._jsc
+    rdds = jsc.getPersistentRDDs()
+    n = rdds.size()
+    spark.catalog.clearCache()
+    # py4j maps java.util.Map to a dict-like view
+    for rdd in list(jsc.getPersistentRDDs().values()):
+        rdd.unpersist()
+    return n

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import eager_checkpoint
 from ..functions.portable import hash56, hash56_sql_spark, round_agg
 from ..functions.text import (
     MINHASH_PARAMS,
@@ -221,8 +222,9 @@ def verified_near_dups(
     for the whole pipeline."""
     # persist: both join branches (sa, sb) consume the same shingle
     # arrays — cache one copy instead of recomputing the shingling per
-    # branch (~3x at sf0.1). One small row per doc; LRU-evictable, no
-    # explicit unpersist (the caller may not have executed yet).
+    # branch (~3x at sf0.1). One small row per doc; consumed by the
+    # final lazy plan so it cannot release before the caller
+    # materializes — long-lived sessions sweep with release_caches().
     if sets is None:
         sets = doc_shingles(docs, n).persist()
     jacc = "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"
@@ -1092,14 +1094,14 @@ def incremental_dedup(
         .join(dig.filter(~F.col("is_new")).select("dg"), "dg", "left_semi")
         .select("doc_id")
     )
-    # persisted lazily (the caller may not have executed yet, so no
-    # explicit unpersist) — like verified_near_dups, these rely on LRU
-    # eviction; a long-lived session re-invoking this adds two
-    # evictable cached frames per call
+    # cache hygiene (r7): sets/sigs feed only the INTERMEDIATE probe
+    # chain, so the small `near` id-set is reliably checkpointed NOW
+    # and both corpus-sized caches are unpersisted before returning —
+    # zero persisted residue per call, however long the session lives
+    # (the r6 formulation left both cached until LRU eviction). The
+    # persists still pay for themselves inside the eager phase: sets
+    # feeds signature build + pair verify, sigs feeds index + probe.
     sets = doc_shingles(docs, n).persist()
-    # persisted: consumed by BOTH the corpus-index build (~is_new) and
-    # the batch probe (is_new) — without it the minhash agg over the
-    # whole corpus runs twice. One narrow row per doc (band, sig).
     sigs = lsh_band_signatures(docs, n, sets=sets).persist()
     old_buckets = (
         sigs.filter(~is_new)
@@ -1114,11 +1116,13 @@ def incremental_dedup(
         .distinct()
     )
     jacc = "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"
-    near = (
+    near = eager_checkpoint(
         scored_pairs(cand, sets, jacc, "jacc", threshold)
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
     )
+    sigs.unpersist()
+    sets.unpersist()
     return (
         docs.filter(is_new)
         .select("doc_id")
@@ -1153,8 +1157,8 @@ def substring_dedup_stats(
     kept/dropped token accounting plus an md5-prefix fingerprint of
     the kept text, all scalar cells.
 
-    Plan: ONE corpus scan into a persisted (doc_id, toks) token-array
-    frame -> positional n-grams (posexplode fused into the projection —
+    Plan: corpus scan -> (doc_id, toks) token arrays
+    -> positional n-grams (posexplode fused into the projection —
     see exploded_shingles for the re-evaluation blowup this avoids) ->
     8-byte hash56 gram keys -> occurrence-count frequency agg -> equi-join
     back + per-doc collect of duplicated starts (small: only dup-gram
@@ -1173,13 +1177,15 @@ def substring_dedup_stats(
     AQE skew-join splits the straggler. The coverage test is
     O(tokens x dup-starts-in-doc) inside codegen — bounded by doc
     length squared only for pathological all-duplicate docs."""
-    # base/hg persist lazily with no explicit unpersist (the returned
-    # frame hasn't executed yet) — LRU-evictable, same convention as
-    # verified_near_dups; repeated calls in one session add two
-    # evictable cached frames each
+    # cache hygiene (r7): hg feeds only the INTERMEDIATE dup/starts
+    # chain — the small per-affected-doc starts table is reliably
+    # checkpointed below and hg unpersisted before returning, so the
+    # operator leaves zero persisted residue. base is NOT cached: the
+    # final join recomputes the split from source (one extra narrow
+    # scan) instead of pinning a corpus-sized token-array frame.
     base = _fan_out(docs).select(
         "doc_id", F.split("text", " ").alias("toks")
-    ).persist()
+    )
     grams = base.select(
         "doc_id",
         F.posexplode(
@@ -1202,11 +1208,12 @@ def substring_dedup_stats(
         .filter(F.col("occ") >= min_count)
         .select("h")
     )
-    starts = (
+    starts = eager_checkpoint(
         hg.join(dup, "h")
         .groupBy("doc_id")
         .agg(F.collect_list("start").alias("starts"))
     )
+    hg.unpersist()
     # materialize the span-coverage filter ONCE: Spark's subexpression
     # elimination cannot dedupe lambda expressions, so deriving both
     # n_dropped and kept_hash from F.expr(kept) directly would run the

@@ -633,8 +633,9 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = round_agg(quality_score(n_tokens, n_distinct, n_letter))
     # persisted: the full-keep branch, the straddle branch, and the bin
     # totals all read this narrow (id, tokens, score, bin) frame — one
-    # tokenizing corpus scan instead of three (LRU-evictable, same
-    # convention as verified_near_dups)
+    # tokenizing corpus scan instead of three. Consumed by the FINAL
+    # lazy plan, so it cannot release before the caller materializes;
+    # long-lived sessions sweep it with caching.release_caches()
     scored = (
         d.select(
             "doc_id",

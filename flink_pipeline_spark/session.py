@@ -81,6 +81,10 @@ def get_session(conf: EngineConf | None = None) -> SparkSession:
         # events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
         # default; read as long and convert in the catalog (ns -> us).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # GC-clean reliable-checkpoint files (caching.eager_checkpoint)
+        # once their frames are unreachable — a long-lived session must
+        # not accrete checkpoint dirs any more than cached blocks
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in conf.extra.items():
         builder = builder.config(k, v)

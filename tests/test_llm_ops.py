@@ -809,3 +809,44 @@ def test_decode_ppm_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="pixel plane|PYTHON"):
         decode_ppm(truncated).collect()
+
+
+def _persisted_ids(spark):
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {e.getKey() for e in m.entrySet().toArray()}
+
+
+def test_cache_hygiene_substring_dedup(spark):
+    """substring_dedup_stats must leave ZERO new persisted RDDs once
+    its result materializes (r6 advice: lazily-persisted intermediates
+    accrete in a long-lived session)."""
+    from flink_pipeline_spark.catalog import load_table
+    from flink_pipeline_spark.operators.llm import substring_dedup_stats
+
+    before = _persisted_ids(spark)
+    out = substring_dedup_stats(load_table(spark, SF_DIR, "documents"), n=10)
+    assert out.count() > 0
+    assert _persisted_ids(spark) - before == set()
+
+
+def test_cache_hygiene_incremental_dedup(spark):
+    from flink_pipeline_spark.catalog import load_table
+    from flink_pipeline_spark.operators.llm import incremental_dedup
+
+    before = _persisted_ids(spark)
+    out = incremental_dedup(load_table(spark, SF_DIR, "documents"), "doc_id % 10 = 0")
+    assert out.count() > 0
+    assert _persisted_ids(spark) - before == set()
+
+
+def test_release_caches_sweeps_lazy_persists(spark):
+    """Queries that legitimately keep lazily-consumed caches (e.g. the
+    minhash shingle sets) are released in one sweep by
+    release_caches() — the long-lived-session contract."""
+    from flink_pipeline_spark.caching import release_caches
+    from flink_pipeline_spark.plans.llm_ops import q_dedup_minhash
+
+    q_dedup_minhash(spark, SF_DIR).count()
+    assert len(_persisted_ids(spark)) > 0
+    release_caches(spark)
+    assert _persisted_ids(spark) == set()
