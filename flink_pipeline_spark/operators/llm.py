@@ -527,6 +527,34 @@ def topk_neighbors(emb: DataFrame, queries: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def topk_neighbors_l2(emb: DataFrame, queries: DataFrame, k: int = 3) -> DataFrame:
+    """(query_id, neighbor_id, rank, sqdist_q): brute-force top-k by
+    SQUARED L2 — the metric twin of topk_neighbors, for auditing the
+    PQ/ADC path on the ranking it actually optimizes (r6 advice: with
+    unnormalized fixture vectors, cosine ground truth conflates metric
+    mismatch with quantization loss). Distances are the same integer
+    ten-thousandths SQDIST_Q_SQL the ADC pipeline uses, so the rank
+    order is deterministic in both engines. Query side broadcasts;
+    the corpus never shuffles."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    dist = SQDIST_Q_SQL.format(a="eq", b="embedding")
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(dist).alias("sqdist_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy("sqdist_q", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sqdist_q")
+    )
+
+
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, cell): assign each vector to its max-cosine centroid —
     the IVF coarse quantizer. At scale, search then touches only the
@@ -1060,6 +1088,40 @@ def connected_components(
     )
 
 
+def neardup_probe(
+    is_new,
+    sets: DataFrame,
+    sigs: DataFrame,
+    threshold: float = 0.8,
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """The lazy batch-vs-corpus near-dup probe (the shape
+    incremental_dedup eagerly checkpoints; factored out so the plan
+    stays inspectable — tests assert the collected capped bucket index
+    and equi-probe here): corpus (band, sig) buckets as collect_list
+    arrays capped at ``max_bucket``, batch signatures equi-join the
+    index, candidates verify by exact shingle-Jaccard. Returns the
+    distinct batch doc_ids with a near-dup in the corpus."""
+    old_buckets = (
+        sigs.filter(~is_new)
+        .groupBy("band", "sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") <= max_bucket)
+    )
+    cand = (
+        sigs.filter(is_new)
+        .join(old_buckets, ["band", "sig"])
+        .select(F.col("doc_id").alias("doc_a"), F.explode("ids").alias("doc_b"))
+        .distinct()
+    )
+    jacc = "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"
+    return (
+        scored_pairs(cand, sets, jacc, "jacc", threshold)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+
+
 def incremental_dedup(
     docs: DataFrame,
     new_sql: str,
@@ -1103,23 +1165,8 @@ def incremental_dedup(
     # feeds signature build + pair verify, sigs feeds index + probe.
     sets = doc_shingles(docs, n).persist()
     sigs = lsh_band_signatures(docs, n, sets=sets).persist()
-    old_buckets = (
-        sigs.filter(~is_new)
-        .groupBy("band", "sig")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") <= max_bucket)
-    )
-    cand = (
-        sigs.filter(is_new)
-        .join(old_buckets, ["band", "sig"])
-        .select(F.col("doc_id").alias("doc_a"), F.explode("ids").alias("doc_b"))
-        .distinct()
-    )
-    jacc = "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"
     near = eager_checkpoint(
-        scored_pairs(cand, sets, jacc, "jacc", threshold)
-        .select(F.col("doc_a").alias("doc_id"))
-        .distinct()
+        neardup_probe(is_new, sets, sigs, threshold, max_bucket)
     )
     sigs.unpersist()
     sets.unpersist()

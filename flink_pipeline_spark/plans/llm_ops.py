@@ -49,6 +49,7 @@ from ..operators.llm import (
     pq_topk,
     topk_neighbors,
     topk_neighbors_ivf,
+    topk_neighbors_l2,
     verified_near_dups,
 )
 from ..operators.multimodal import resize_payload, sample_frames, to_multimodal
@@ -1016,33 +1017,52 @@ def _register_ann_recall() -> None:
     pq_sql = ORACLES["q_sim_pq_topk"]
     # Both methods are audited over the SAME query set — the
     # intersection (vec_id < 4, the PQ set) — so the two rows are
-    # comparable; nq and k come from the ground-truth frame (exact
+    # comparable; nq and k come from the ground-truth frames (exact
     # brute force always returns k rows per issued query), NEVER from
     # the audited method's own output: a method that silently drops a
-    # query must lose recall, not gain it.
+    # query must lose recall, not gain it. Each method scores against
+    # ground truth in ITS OWN metric — IVF vs exact cosine, PQ/ADC vs
+    # exact squared L2 (r6 advice: the fixture vectors are not
+    # normalized, so cosine truth for the L2-ranked PQ path conflated
+    # metric mismatch with quantization loss; now the PQ row isolates
+    # pure quantization error).
+    exact_l2_sql = f"""
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DISTQ_DUCK.format(a='q.embedding', b='e.embedding')},
+                                e.vec_id) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < {PQ_QUERY_MAX}
+        ) t WHERE rank <= 3"""
     hits_cte = """
     {m}_h AS (
         SELECT CAST(coalesce(sum(
                    CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
                ), 0) AS BIGINT) AS hits
-        FROM {m}_q r LEFT JOIN exact_q e
+        FROM {m}_q r LEFT JOIN {truth} e
           ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
     )"""
+    denom_cte = """
+    {m}_d AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq,
+              CAST(max(rank) AS BIGINT) AS k FROM {truth})"""
     row = (
         "SELECT '{m}' AS method, d.nq AS n_queries, h.hits, "
         + round_sql("h.hits::DOUBLE / (d.k * d.nq)")
-        + " AS recall FROM {m}_h h CROSS JOIN denom d"
+        + " AS recall FROM {m}_h h CROSS JOIN {m}_d d"
     )
     oracle = (
         f"WITH exact_r AS ({exact_sql}),\n"
         f" exact_q AS (SELECT * FROM exact_r WHERE query_id < {PQ_QUERY_MAX}),\n"
+        f" exact_l2 AS ({exact_l2_sql}),\n"
         f" ivf_r AS ({ivf_sql}),\n"
         f" ivf_q AS (SELECT * FROM ivf_r WHERE query_id < {PQ_QUERY_MAX}),\n"
         f" pq_q AS ({pq_sql}),\n"
-        " denom AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq,"
-        " CAST(max(rank) AS BIGINT) AS k FROM exact_q),\n"
-        + hits_cte.format(m="ivf") + ",\n"
-        + hits_cte.format(m="pq") + "\n"
+        + denom_cte.format(m="ivf", truth="exact_q") + ",\n"
+        + denom_cte.format(m="pq", truth="exact_l2") + ",\n"
+        + hits_cte.format(m="ivf", truth="exact_q") + ",\n"
+        + hits_cte.format(m="pq", truth="exact_l2") + "\n"
         + row.format(m="ivf")
         + " UNION ALL "
         + row.format(m="pq")
@@ -1058,35 +1078,42 @@ def _register_ann_recall() -> None:
         query set (the intersection of their registered query sets);
         recall = hits / (k * issued queries) with the denominator taken
         from the GROUND-TRUTH frame, so a method that returns nothing
-        for a query loses recall rather than gaining it.
+        for a query loses recall rather than gaining it. Each method is
+        scored against exact truth in ITS OWN metric — IVF vs cosine
+        (what it probes by), PQ/ADC vs squared L2 (what ADC ranks by) —
+        so the PQ row isolates quantization error instead of folding in
+        the cosine-vs-L2 disagreement on unnormalized vectors (r6
+        advice; fixture embeddings are not unit-norm).
 
-        Scale: the search frames are per-query top-k — tiny by
-        construction — so the audit is two broadcast joins and three
+        Scale: the search and truth frames are per-query top-k — tiny
+        by construction — so the audit is two broadcast joins and four
         1-row aggregates; the corpus-sized work lives inside the
-        (already scale-shaped) search operators themselves. The exact
-        frame is persisted: the denominator and both method audits
-        read it."""
-        exact = (
+        (already scale-shaped) search operators themselves."""
+        exact_cos = (
             q_sim_topk(spark, sf_dir)
             .filter(F.col("query_id") < PQ_QUERY_MAX)
             .persist()
         )
-        denom = exact.agg(
-            F.countDistinct("query_id").cast("long").alias("nq"),
-            F.max("rank").cast("long").alias("k"),
-        )
-        exact_pairs = exact.select("query_id", "neighbor_id").withColumn(
-            "hit", F.lit(1)
-        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact_l2 = topk_neighbors_l2(
+            emb, emb.filter(F.col("vec_id") < PQ_QUERY_MAX), k=3
+        ).persist()
         ivf = q_sim_ivf_topk(spark, sf_dir).filter(
             F.col("query_id") < PQ_QUERY_MAX
         )
         pq = q_sim_pq_topk(spark, sf_dir)
 
-        def audit(m: DataFrame, name: str) -> DataFrame:
+        def audit(m: DataFrame, name: str, truth: DataFrame) -> DataFrame:
+            denom = truth.agg(
+                F.countDistinct("query_id").cast("long").alias("nq"),
+                F.max("rank").cast("long").alias("k"),
+            )
+            pairs = truth.select("query_id", "neighbor_id").withColumn(
+                "hit", F.lit(1)
+            )
             hits = F.coalesce(F.sum("hit"), F.lit(0)).cast("long")
             h = m.join(
-                F.broadcast(exact_pairs), ["query_id", "neighbor_id"], "left"
+                F.broadcast(pairs), ["query_id", "neighbor_id"], "left"
             ).agg(hits.alias("hits"))
             return h.crossJoin(F.broadcast(denom)).select(
                 F.lit(name).alias("method"),
@@ -1097,7 +1124,9 @@ def _register_ann_recall() -> None:
                 ).alias("recall"),
             )
 
-        return audit(ivf, "ivf").unionByName(audit(pq, "pq"))
+        return audit(ivf, "ivf", exact_cos).unionByName(
+            audit(pq, "pq", exact_l2)
+        )
 
 
 _register_ann_recall()

@@ -219,9 +219,27 @@ def test_text_chunks_zero_exchange(spark):
 def test_incremental_dedup_corpus_index_shape(spark):
     """The batch probe must join the corpus's collected bucket index
     (collect_list agg), and the digest match must stay a left-semi —
-    the asymmetric shapes that keep per-ingest cost O(batch)."""
+    the asymmetric shapes that keep per-ingest cost O(batch). Since
+    the r7 cache-hygiene rework the probe stage executes eagerly and
+    is checkpointed, so its plan is asserted on the factored-out
+    neardup_probe; the returned frame keeps the left-semi digest
+    match."""
+    from pyspark.sql import functions as F
+
+    from flink_pipeline_spark.catalog import load_table
+    from flink_pipeline_spark.operators.llm import (
+        doc_shingles,
+        lsh_band_signatures,
+        neardup_probe,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sets = doc_shingles(docs)
+    probe_plan = neardup_probe(
+        F.expr("doc_id % 10 = 0"), sets, lsh_band_signatures(docs, sets=sets)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in probe_plan, probe_plan
     plan = _plan(spark, "q_dedup_incremental")
-    assert "collect_list" in plan, plan
     assert "LeftSemi" in plan, plan
 
 

@@ -327,3 +327,74 @@ def test_stop_all_queries(spark, events_stream_dir):
     n = stop_all_queries(spark)
     assert n >= 1
     assert all(not q2.isActive for q2 in [q])
+
+
+def test_streaming_neardup_signature_store(spark, tmp_path):
+    """foreachBatch near-dup ingestion against the persistent LSH
+    signature store: batch 2's exact copy of a batch-1 doc is
+    drop_exact, its one-token mutation of a batch-1 doc is drop_near,
+    a fresh doc is keep — and batch 1 (empty store) keeps everything.
+    State per micro-batch is O(batch + probed buckets); the corpus
+    lives in the on-disk store, not executor memory."""
+    import os
+    import time
+
+    from flink_pipeline_spark.streaming.dedup import (
+        NearDupIngest,
+        start_neardup_stream,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    t1 = " ".join(words)
+    t2 = " ".join(f"x{i}" for i in range(40))
+    t2_near = " ".join(words[:20] + ["CHANGED"] + words[21:])
+    t3 = " ".join(f"z{i}" for i in range(40))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batch1 = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    )
+    batch2 = spark.createDataFrame(
+        [(10, t1), (11, t2_near), (12, t3)], "doc_id long, text string"
+    )
+    f1 = str(src / "b1.parquet")
+    f2 = str(src / "b2.parquet")
+    batch1.coalesce(1).write.parquet(f1)
+    batch2.coalesce(1).write.parquet(f2)
+    # file-source ordering is by modification time: force b1 first
+    now = time.time()
+    for root, base_t in ((f1, now - 120), (f2, now - 60)):
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                os.utime(os.path.join(dirpath, fn), (base_t, base_t))
+
+    schema = spark.read.parquet(f1).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    ingest = NearDupIngest(str(tmp_path / "store"), str(tmp_path / "out"))
+    q = start_neardup_stream(stream, ingest)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    out = {
+        r.doc_id: r.action
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert out == {
+        1: "keep",
+        2: "keep",
+        10: "drop_exact",
+        11: "drop_near",
+        12: "keep",
+    }
+    # the store indexed only kept docs
+    stored = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "store" / "digests")).collect()
+    }
+    assert stored == {1, 2, 12}
