@@ -86,6 +86,13 @@ HEADLINE = [
     # selection) ride the operators already benched here
     "q_dedup_semantic",
     "q_text_surprisal",
+    # round 7: the bigram-LM upgrade (bigram-type join instead of
+    # vocab join), the learned linear quality scorer (broadcast weight
+    # table), and the text-family recall audit (exact inverted-index
+    # truth + three pair generators — the heaviest new composition)
+    "q_text_surprisal_2g",
+    "q_quality_linear",
+    "q_dedup_recall",
     # quantizer training (2 Lloyd iterations) — the recurring index-
     # build job of the ANN family
     "q_sim_kmeans",
