@@ -93,6 +93,7 @@ HEADLINE = [
     "q_text_surprisal_2g",
     "q_quality_linear",
     "q_dedup_recall",
+    "q_search_hybrid",
     # quantizer training (2 Lloyd iterations) — the recurring index-
     # build job of the ANN family
     "q_sim_kmeans",

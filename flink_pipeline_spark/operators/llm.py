@@ -1163,6 +1163,10 @@ def incremental_dedup(
     # (the r6 formulation left both cached until LRU eviction). The
     # persists still pay for themselves inside the eager phase: sets
     # feeds signature build + pair verify, sigs feeds index + probe.
+    # Measured trade: ~+0.5 s fixed per call at sf0.1 (checkpoint I/O
+    # + one extra digest-pass source scan) — constant, not a curve
+    # change (SCALING.md r7: exponent 1.03), and negligible against
+    # corpus scans at real scale.
     sets = doc_shingles(docs, n).persist()
     sigs = lsh_band_signatures(docs, n, sets=sets).persist()
     near = eager_checkpoint(

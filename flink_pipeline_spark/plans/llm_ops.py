@@ -2673,3 +2673,98 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_after_topk(scored, 10, "score_q", "doc_id").select(
         "doc_id", "score_q", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + embedding search
+# ---------------------------------------------------------------------------
+
+RRF_K = 60          # Cormack et al.'s constant; damps rank-1 dominance
+HYBRID_TOPK = 10
+HYBRID_QUERY_VEC = 0  # the semantic query: embedding of vec_id 0
+# Shared fusion formula text (identical IEEE op sequence both engines):
+# scaled to 1e8 BIGINT — 1/(60+r) differences at r<=10 are ~1e-4, so
+# ten-thousandths would collide distinct rank combinations.
+_RRF_SQL = (
+    f"CAST(floor((coalesce(1.0 / ({RRF_K} + r_lex), 0.0)"
+    f" + coalesce(1.0 / ({RRF_K} + r_sem), 0.0)) * 100000000 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+def _register_search_hybrid() -> None:
+    """Closure-registered to compose the registered BM25 oracle as a
+    CTE (the q_ann_recall convention): a change to the lexical ranker
+    flows into the fusion automatically."""
+    sem_sql = f"""
+        SELECT neighbor_id AS doc_id, CAST(rank AS BIGINT) AS r_sem FROM (
+            SELECT e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       ORDER BY floor({_COS_DUCK.format(a='q.embedding', b='e.embedding')}
+                                      * 10000 + 0.5) / 10000 DESC,
+                                e.vec_id) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id = {HYBRID_QUERY_VEC}
+        ) t WHERE rank <= {HYBRID_TOPK}"""
+    oracle = f"""
+    WITH bm25_r AS ({ORACLES['q_text_bm25']}),
+    lex AS (
+        SELECT doc_id, CAST(rank AS BIGINT) AS r_lex FROM bm25_r
+    ), sem AS ({sem_sql}
+    ), cand AS (
+        SELECT doc_id, l.r_lex, s.r_sem
+        FROM lex l FULL OUTER JOIN sem s USING (doc_id)
+    ), scored AS (
+        SELECT doc_id, r_lex, r_sem, {_RRF_SQL} AS rrf_q FROM cand
+    )
+    SELECT doc_id, r_lex, r_sem, rrf_q, rank FROM (
+        SELECT *, row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rank
+        FROM scored
+    ) t WHERE rank <= {HYBRID_TOPK}
+    """
+
+    @register("q_search_hybrid", oracle=oracle)
+    def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """HYBRID retrieval — reciprocal-rank fusion (Cormack et al.,
+        SIGIR 2009; the standard lexical+semantic combiner) of the two
+        registered rankers: Okapi BM25 over the fixed term query and
+        brute-force cosine top-k for the vec_id-{qv} embedding query
+        (documents and embeddings are row-aligned in the fixtures, so
+        doc_id == vec_id). score = sum over lists of 1/(K + rank),
+        K={k}; a document missing from one list contributes 0 for it —
+        the join is FULL OUTER, never inner, so a lexical-only or
+        semantic-only hit still ranks.
+
+        Portability: ranks are integers, so the fused score is one
+        deterministic IEEE expression (shared text both engines),
+        quantized at 1e8 where rank combinations stay distinct. Final
+        ranking via rank_after_topk over the <= 2k fused candidates —
+        no corpus-sized window; the corpus-scale work lives inside the
+        two composed rankers, each already shaped for it (BM25's
+        term-filtered explode, the broadcast-query cosine scan)."""
+        bm = q_text_bm25(spark, sf_dir).select(
+            "doc_id", F.col("rank").cast("long").alias("r_lex")
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        sem = topk_neighbors(
+            emb,
+            emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC),
+            k=HYBRID_TOPK,
+        ).select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("long").alias("r_sem"),
+        )
+        scored = (
+            bm.join(sem, "doc_id", "full_outer")
+            .select("doc_id", "r_lex", "r_sem", F.expr(_RRF_SQL).alias("rrf_q"))
+        )
+        return rank_after_topk(scored, HYBRID_TOPK, "rrf_q", "doc_id").select(
+            "doc_id", "r_lex", "r_sem", "rrf_q", F.col("rank").cast("long").alias("rank")
+        )
+
+    q_search_hybrid.__doc__ = q_search_hybrid.__doc__.format(
+        qv=HYBRID_QUERY_VEC, k=RRF_K
+    )
+
+
+_register_search_hybrid()
