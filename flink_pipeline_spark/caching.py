@@ -38,12 +38,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 def eager_checkpoint(df: DataFrame) -> DataFrame:
     """Reliable-checkpoint ``df`` immediately and return the
-    checkpointed frame (sets a session-scoped checkpoint dir on first
-    use if the session has none — the driver's bare session doesn't)."""
+    checkpointed frame.
+
+    If the session has no checkpoint dir, one is auto-provisioned ONLY
+    in local mode (the driver's bare local session): a driver-local
+    tempdir is correct there. On a real cluster a reliable checkpoint
+    must land on storage every executor can read — auto-picking a
+    driver /tmp path would scatter partitions across executor-local
+    disks and fail on read — so a cluster deployment must call
+    ``sc.setCheckpointDir`` with a shared path (HDFS/S3) at session
+    build; this raises loudly instead of guessing."""
     spark = df.sparkSession
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="fps_ckpt_"))
+        if sc.master.startswith("local"):
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="fps_ckpt_"))
+        else:
+            raise RuntimeError(
+                "eager_checkpoint: no checkpoint dir set on a non-local "
+                "master — call spark.sparkContext.setCheckpointDir with "
+                "a SHARED filesystem path (HDFS/S3) at session build"
+            )
     return df.checkpoint(eager=True)
 
 

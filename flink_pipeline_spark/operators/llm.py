@@ -154,6 +154,12 @@ def lsh_band_signatures(
 # operator. Fixture buckets top out well below this.
 MAX_LSH_BUCKET = 256
 
+# Exact shingle-Jaccard over the sa/sb set columns scored_pairs
+# attaches — ONE definition shared by the batch verify, the batch
+# probe, and the streaming ingest (a drift here would silently fork
+# the regimes' thresholding).
+JACC_SQL = "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"
+
 
 def lsh_candidate_pairs(
     docs: DataFrame,
@@ -227,8 +233,7 @@ def verified_near_dups(
     # materializes — long-lived sessions sweep with release_caches().
     if sets is None:
         sets = doc_shingles(docs, n).persist()
-    jacc = "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"
-    return scored_pairs(candidates, sets, jacc, "jacc", threshold)
+    return scored_pairs(candidates, sets, JACC_SQL, "jacc", threshold)
 
 
 def scored_pairs(
@@ -1114,9 +1119,8 @@ def neardup_probe(
         .select(F.col("doc_id").alias("doc_a"), F.explode("ids").alias("doc_b"))
         .distinct()
     )
-    jacc = "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"
     return (
-        scored_pairs(cand, sets, jacc, "jacc", threshold)
+        scored_pairs(cand, sets, JACC_SQL, "jacc", threshold)
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
     )

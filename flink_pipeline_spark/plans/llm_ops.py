@@ -2016,12 +2016,17 @@ def q_text_surprisal_2g(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = base.select(
         "doc_id", F.posexplode("toks").alias("pos", "tok")
     ).persist()
+    # size guard: sequence(1, 0) yields the DESCENDING [1, 0] for a
+    # 1-token doc, whose toks[-1]/toks[1] lookups abort under ANSI
+    # mode — the same cliff shingles_sql guards against
     bg = base.select(
         "doc_id",
         F.explode(
             F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
                 "transform(sequence(1, size(toks) - 1),"
-                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2").persist()

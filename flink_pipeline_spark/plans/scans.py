@@ -236,7 +236,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bv JOIN hdr USING (file) WHERE k > nl3
     ), stats AS (
         SELECT file,
-               CAST(count(*) // 3 AS BIGINT) AS n_bytes3,
+               CAST(count(*) AS BIGINT) AS n_bytes,
                floor(avg(v) FILTER ((pk - 1) % 3 = 0) * 10000 + 0.5) / 10000
                    AS mean_r,
                floor(avg(v) FILTER ((pk - 1) % 3 = 1) * 10000 + 0.5) / 10000
@@ -248,7 +248,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM px GROUP BY file
     )
     SELECT d.file, d.width, d.height,
-           CASE WHEN s.n_bytes3 = d.width * d.height THEN s.n_bytes3
+           -- exact byte-count check (NOT a floored //3, which would
+           -- bless 1-2 stray trailing bytes the Python codec rejects)
+           CASE WHEN s.n_bytes = d.width * d.height * 3
+                THEN CAST(s.n_bytes // 3 AS BIGINT)
                 ELSE CAST(error('ppm pixel plane truncated: ' || d.file)
                           AS BIGINT)
            END AS n_pixels,

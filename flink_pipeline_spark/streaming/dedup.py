@@ -13,18 +13,31 @@ Two streaming dedup regimes exist and they are different tools:
   disk, so executor memory per micro-batch stays O(batch + probed
   buckets) no matter how large the corpus grows — the bounded-state
   answer for unbounded retention. Each micro-batch replays the
-  batch-incremental probe (operators/llm.incremental_dedup's
-  asymmetric shape): digest anti-probe for exact copies, capped
-  (band, sig) bucket probe + exact shingle-Jaccard verify for
-  near-dups, then appends the KEPT documents' index rows.
+  batch-incremental probe (operators/llm.neardup_probe — the SAME
+  code path as q_dedup_incremental, not a re-implementation): digest
+  anti-probe for exact copies, capped (band, sig) bucket probe +
+  exact shingle-Jaccard verify for near-dups, then writes the KEPT
+  documents' index rows.
+
+Replay idempotence: every write (decisions and the three store
+tables) lands in a ``batch_id=N`` partition directory with OVERWRITE
+semantics, and every store read EXCLUDES the current batch's own
+partition — so a batch re-run after a crash probes the store exactly
+as it stood before the batch and re-derives byte-identical decisions
+instead of matching its own half-written rows (the classic
+foreachBatch at-least-once pitfall).
+
+Per-batch cost: the signature store is left-semi-joined down to the
+buckets the batch actually touches BEFORE the bucket aggregation
+(full membership of a matched bucket is retained, so the occupancy
+cap still sees true bucket sizes) — the shuffle/collect work is
+O(probed buckets), not O(corpus). The store parquet scans themselves
+are linear in corpus size per trigger; at real scale the store is
+written bucketed/partitioned by its join keys so those scans prune —
+the schema here is exactly that artifact.
 
 foreachBatch is the right hook because the store is a cross-batch
-table the engine's per-key state stores cannot hold: micro-batch
-joins against disk-resident parquet, exactly how a production
-pipeline maintains a dedup index (the store schema is the artifact
-incremental_dedup's docstring says a pipeline persists between runs).
-At 100 TB the three store tables become partitioned/bucketed tables;
-the probe stays an equi-join of the batch against them.
+table the engine's per-key state stores cannot hold.
 """
 
 from __future__ import annotations
@@ -38,10 +51,8 @@ from ..operators.llm import (
     MAX_LSH_BUCKET,
     doc_shingles,
     lsh_band_signatures,
-    scored_pairs,
+    neardup_probe,
 )
-
-_JACC = "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"
 
 
 class NearDupIngest:
@@ -51,9 +62,7 @@ class NearDupIngest:
 
     Batch-internal duplicates are deliberately NOT detected (the
     incremental_dedup convention: a batch self-dedups with the batch
-    operators first); the store is consulted as it stood BEFORE the
-    batch, so replaying a batch after a crash re-derives the same
-    decisions for it (append-only store + deterministic probe).
+    operators first).
     """
 
     def __init__(
@@ -73,23 +82,31 @@ class NearDupIngest:
     def _store(self, kind: str) -> str:
         return os.path.join(self.store_dir, kind)
 
-    def _read_store(self, spark, kind: str, schema: str) -> DataFrame:
+    def _read_store(
+        self, spark, kind: str, schema: str, batch_id: int
+    ) -> DataFrame:
+        """The store as it stood BEFORE ``batch_id``: partition
+        discovery over the per-batch dirs, minus the current batch's
+        own partition (crash-replay idempotence)."""
         path = self._store(kind)
         try:
-            return spark.read.schema(schema).parquet(path)
+            df = spark.read.parquet(path)
         except Exception:
             return spark.createDataFrame([], schema)
+        return df.filter(F.col("batch_id") != batch_id).drop("batch_id")
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         docs = batch.select("doc_id", "text").persist()
 
-        digests = self._read_store(spark, "digests", "doc_id BIGINT, dg STRING")
+        digests = self._read_store(
+            spark, "digests", "doc_id BIGINT, dg STRING", batch_id
+        )
         sig_store = self._read_store(
-            spark, "sigs", "doc_id BIGINT, band INT, sig STRING"
+            spark, "sigs", "doc_id BIGINT, band INT, sig STRING", batch_id
         )
         set_store = self._read_store(
-            spark, "sets", "doc_id BIGINT, s ARRAY<STRING>"
+            spark, "sets", "doc_id BIGINT, s ARRAY<STRING>", batch_id
         )
 
         bdig = docs.select("doc_id", F.md5("text").alias("dg"))
@@ -97,34 +114,36 @@ class NearDupIngest:
             digests.select("dg").distinct(), "dg", "left_semi"
         ).select("doc_id")
 
+        # batch signatures feed BOTH the probe and the kept-index
+        # write — persist so the minhash pass runs once per trigger
         bsets = doc_shingles(docs, self.n).persist()
-        bsigs = lsh_band_signatures(docs, self.n, sets=bsets)
-        # capped store buckets: a hot bucket is boilerplate, not signal
-        buckets = (
-            sig_store.groupBy("band", "sig")
-            .agg(F.collect_list("doc_id").alias("ids"))
-            .filter(F.size("ids") <= self.max_bucket)
+        bsigs = lsh_band_signatures(docs, self.n, sets=bsets).persist()
+        # bound the bucket aggregation to the buckets the batch probes
+        # (left-semi on the key keeps FULL membership of matched
+        # buckets — the occupancy cap still sees true sizes)
+        probed_store = sig_store.join(
+            bsigs.select("band", "sig").distinct(), ["band", "sig"], "left_semi"
         )
-        cand = (
-            bsigs.join(buckets, ["band", "sig"])
-            .select(
-                F.col("doc_id").alias("doc_a"), F.explode("ids").alias("doc_b")
-            )
-            .distinct()
+        sigs_all = bsigs.withColumn("is_new", F.lit(True)).unionByName(
+            probed_store.withColumn("is_new", F.lit(False))
         )
-        both_sets = bsets.unionByName(set_store)
-        near = (
-            scored_pairs(cand, both_sets, _JACC, "jacc", self.threshold)
-            .select(F.col("doc_a").alias("doc_id"))
-            .distinct()
+        near = neardup_probe(
+            F.col("is_new"),
+            bsets.unionByName(set_store),
+            sigs_all,
+            self.threshold,
+            self.max_bucket,
         )
 
         decisions = (
             docs.select("doc_id")
             .join(drop_exact.withColumn("ex", F.lit(1)), "doc_id", "left")
-            .join(near.withColumn("nr", F.lit(1)), "doc_id", "left")
+            .join(
+                near.select("doc_id").withColumn("nr", F.lit(1)),
+                "doc_id",
+                "left",
+            )
             .select(
-                F.lit(batch_id).cast("long").alias("batch_id"),
                 "doc_id",
                 F.when(F.col("ex").isNotNull(), F.lit("drop_exact"))
                 .when(F.col("nr").isNotNull(), F.lit("drop_near"))
@@ -133,19 +152,24 @@ class NearDupIngest:
             )
             .persist()
         )
-        decisions.write.mode("append").parquet(self.out_dir)
+
+        def part(root: str) -> str:
+            return os.path.join(root, f"batch_id={batch_id}")
+
+        decisions.write.mode("overwrite").parquet(part(self.out_dir))
 
         kept = decisions.filter(F.col("action") == "keep").select("doc_id")
-        bdig.join(kept, "doc_id", "left_semi").write.mode("append").parquet(
-            self._store("digests")
+        bdig.join(kept, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            part(self._store("digests"))
         )
-        bsigs.join(kept, "doc_id", "left_semi").write.mode("append").parquet(
-            self._store("sigs")
+        bsigs.join(kept, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            part(self._store("sigs"))
         )
-        bsets.join(kept, "doc_id", "left_semi").write.mode("append").parquet(
-            self._store("sets")
+        bsets.join(kept, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            part(self._store("sets"))
         )
         decisions.unpersist()
+        bsigs.unpersist()
         bsets.unpersist()
         docs.unpersist()
 

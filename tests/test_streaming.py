@@ -398,3 +398,32 @@ def test_streaming_neardup_signature_store(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "store" / "digests")).collect()
     }
     assert stored == {1, 2, 12}
+
+
+def test_streaming_neardup_replay_idempotent(spark, tmp_path):
+    """Crash-replay: re-running the SAME batch_id must re-derive the
+    same decisions (the store is read minus the batch's own partition)
+    and must not duplicate store rows — the at-least-once foreachBatch
+    contract the module docstring claims."""
+    from flink_pipeline_spark.streaming.dedup import NearDupIngest
+
+    t1 = " ".join(f"w{i}" for i in range(40))
+    t2 = " ".join(f"y{i}" for i in range(40))
+    ingest = NearDupIngest(str(tmp_path / "store"), str(tmp_path / "out"))
+    b1 = spark.createDataFrame([(1, t1)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(2, t1), (3, t2)], "doc_id long, text string")
+    ingest(b1, 0)
+    ingest(b2, 1)
+    first = sorted(
+        (r.doc_id, r.action)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    # replay batch 1 (crash before checkpoint commit): identical result
+    ingest(b2, 1)
+    second = sorted(
+        (r.doc_id, r.action)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert first == second == [(1, "keep"), (2, "drop_exact"), (3, "keep")]
+    digs = spark.read.parquet(str(tmp_path / "store" / "digests")).collect()
+    assert sorted(r.doc_id for r in digs) == [1, 3]
