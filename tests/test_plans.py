@@ -273,6 +273,11 @@ _ALLOWED_BNLJ = {
     "q_text_surprisal",      # 1-row corpus-total broadcast
     "q_sim_kmeans",          # per-iteration tiny-centroid broadcast assignments
     "q_text_bm25",           # 1-row (N, avgdl) constants broadcast
+    # r7: same vetted classes
+    "q_dedup_recall",        # composes the three pair queries + 1-row truth denom
+    "q_quality_linear",      # 1-row smoothing-constants + bias broadcasts
+    "q_search_hybrid",       # composes q_text_bm25 + the k-row query-side cosine
+    "q_text_surprisal_2g",   # 1-row corpus-total broadcast (unigram convention)
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
