@@ -34,7 +34,7 @@ from ..operators.llm import (
     cosine_pairs,
     cosine_pairs_ivf,
     doc_shingles,
-    exploded_shingles,
+    exploded_from_sets,
     ivf_assign,
     lsh_candidate_pairs,
     minhash_signatures,  # noqa: F401 (re-exported for tests)
@@ -357,7 +357,12 @@ def _register_dedup_recall() -> None:
         at the same tau), simhash between, simhash_calib lowest at
         scale (the documented recall cliff)."""
         d = load_table(spark, sf_dir, "documents")
-        ex = exploded_shingles(d).persist()
+        # ONE shingling of the corpus serves the exact ground truth AND
+        # the MinHash pipeline (sets flows into candidate generation
+        # and verify exactly as inside q_dedup_minhash — same operator
+        # calls, shared cache instead of a second shingle pass)
+        sets = doc_shingles(d).persist()
+        ex = exploded_from_sets(sets)
         sz = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
         a = ex.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh"))
         b = ex.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh"))
@@ -394,8 +399,11 @@ def _register_dedup_recall() -> None:
                 ).alias("recall"),
             )
 
+        mh = verified_near_dups(
+            d, lsh_candidate_pairs(d, sets=sets), threshold=0.8, sets=sets
+        )
         return (
-            audit(q_dedup_minhash(spark, sf_dir), "minhash")
+            audit(mh, "minhash")
             .unionByName(audit(q_dedup_simhash_pairs(spark, sf_dir), "simhash"))
             .unionByName(
                 audit(q_dedup_simhash_pairs_calib(spark, sf_dir), "simhash_calib")

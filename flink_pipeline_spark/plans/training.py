@@ -983,3 +983,94 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logweight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: near-dup clusters never straddle train/val/test
+# ---------------------------------------------------------------------------
+
+
+def _register_split_leakage_safe() -> None:
+    """Closure-registered to compose the registered q_dedup_clusters
+    oracle as a CTE (the q_ann_recall convention) — the split can
+    never drift from the clustering that defines its leakage groups."""
+    from .llm_ops import q_dedup_clusters
+    from .registry import ORACLES
+
+    hash_g = hash56_sql_duckdb("group_id")
+    split_case = (
+        "CASE WHEN {h} % 100 < 80 THEN 'train' "
+        "WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END"
+    )
+    oracle = f"""
+    WITH clusters AS ({ORACLES['q_dedup_clusters']}),
+    g AS (
+        SELECT d.doc_id, d.text,
+               coalesce(c.cluster_id, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ), s AS (
+        SELECT doc_id, text, group_id,
+               {split_case.format(h=hash_g)} AS split,
+               {split_case.format(h=_HASH_DOC)} AS naive_split
+        FROM g
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN split <> naive_split THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved
+    FROM s GROUP BY split
+    """
+
+    @register("q_split_leakage_safe", oracle=oracle)
+    def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """LEAKAGE-SAFE train/val/test split: assignment is hashed on
+        the near-dup CLUSTER id (q_dedup_clusters; singletons hash
+        their own doc_id), so a document and its near-duplicates land
+        in the same split BY CONSTRUCTION — the eval-contamination
+        mode doc-level hashing cannot prevent (Lee et al. report
+        train/test overlap inflating LM evals; splitting after dedup
+        clustering is the standard fix). Emits per-split doc/group/
+        token counts plus n_moved — how many documents the
+        cluster-level hash relocated vs the naive doc-level split
+        (q_train_split's rule): the measured size of the leakage
+        channel this query closes.
+
+        Scale: clusters come from the already-shaped CC pipeline; the
+        split itself is a broadcast-able left join (cluster table is
+        pair-graph-nodes-sized, far smaller than the corpus) + one
+        codegen'd hash + a 3-group aggregate."""
+        d = load_table(spark, sf_dir, "documents")
+        clusters = q_dedup_clusters(spark, sf_dir)
+        g = d.join(clusters, "doc_id", "left").select(
+            "doc_id",
+            "text",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_id"),
+        )
+
+        def split_of(col: str):
+            b = hash56(F.col(col)) % 100
+            return (
+                F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+            )
+
+        s = g.select(
+            "group_id",
+            F.size(F.split("text", " ")).alias("t"),
+            split_of("group_id").alias("split"),
+            split_of("doc_id").alias("naive_split"),
+        )
+        return s.groupBy("split").agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("group_id").alias("n_groups"),
+            F.sum("t").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("split") != F.col("naive_split"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+        )
+
+
+_register_split_leakage_safe()
