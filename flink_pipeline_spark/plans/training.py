@@ -1074,3 +1074,112 @@ def _register_split_leakage_safe() -> None:
 
 
 _register_split_leakage_safe()
+
+
+def _register_split_leakage_audit() -> None:
+    """Companion audit for q_split_leakage_safe: for each split rule,
+    how many verified near-dup PAIRS straddle two different splits —
+    the leakage channel itself, counted. Composes the registered
+    MinHash pair oracle and clusters oracle as CTEs."""
+    from .llm_ops import q_dedup_clusters, q_dedup_minhash
+    from .registry import ORACLES
+
+    split_case = (
+        "CASE WHEN {h} % 100 < 80 THEN 'train' "
+        "WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END"
+    )
+    naive = split_case.format(h=hash56_sql_duckdb("d.doc_id"))
+    safe = split_case.format(h=hash56_sql_duckdb("group_id"))
+    oracle = f"""
+    WITH pairs AS ({ORACLES['q_dedup_minhash']}),
+    clusters AS ({ORACLES['q_dedup_clusters']}),
+    sp AS (
+        SELECT d.doc_id,
+               {naive} AS s_naive,
+               {safe.replace('group_id', 'coalesce(c.cluster_id, d.doc_id)')}
+                   AS s_safe
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ), j AS (
+        SELECT a.s_naive AS na, b.s_naive AS nb,
+               a.s_safe AS sa2, b.s_safe AS sb2
+        FROM pairs p
+        JOIN sp a ON a.doc_id = p.doc_a
+        JOIN sp b ON b.doc_id = p.doc_b
+    )
+    SELECT 'naive' AS rule,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_straddling
+    FROM j
+    UNION ALL
+    SELECT 'cluster' AS rule,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN sa2 <> sb2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_straddling
+    FROM j
+    """
+
+    @register("q_split_leakage_audit", oracle=oracle)
+    def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The leakage channel, COUNTED: verified near-dup pairs whose
+        endpoints land in different splits, under the naive doc-hash
+        rule vs the cluster-hash rule. The cluster row must read
+        n_straddling = 0 — both endpoints of a near-dup pair share a
+        connected component, hence a group hash, hence a split; the
+        oracle recomputes that invariant from first principles
+        (recursive-CTE closure + hash replay) rather than trusting the
+        implementation. The naive row's nonzero count is the measured
+        motivation (fixture: 11 of 25 pairs straddle at sf0.01).
+
+        Scale: the pair and cluster tables are dup-graph-sized, far
+        smaller than the corpus; the corpus appears only through the
+        already-shaped pair/cluster pipelines."""
+        pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+        d = load_table(spark, sf_dir, "documents")
+        clusters = q_dedup_clusters(spark, sf_dir)
+
+        def split_of(col):
+            b = hash56(col) % 100
+            return (
+                F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+            )
+
+        sp = d.join(clusters, "doc_id", "left").select(
+            "doc_id",
+            split_of(F.col("doc_id")).alias("s_naive"),
+            split_of(
+                F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            ).alias("s_safe"),
+        )
+        j = (
+            pairs.join(
+                sp.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("s_naive").alias("na"),
+                    F.col("s_safe").alias("sa2"),
+                ),
+                "doc_a",
+            )
+            .join(
+                sp.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("s_naive").alias("nb"),
+                    F.col("s_safe").alias("sb2"),
+                ),
+                "doc_b",
+            )
+            .persist()
+        )
+
+        def row(rule: str, a: str, b: str) -> DataFrame:
+            return j.agg(
+                F.count("*").cast("long").alias("n_pairs"),
+                F.sum(F.when(F.col(a) != F.col(b), 1).otherwise(0))
+                .cast("long")
+                .alias("n_straddling"),
+            ).select(F.lit(rule).alias("rule"), "n_pairs", "n_straddling")
+
+        return row("naive", "na", "nb").unionByName(row("cluster", "sa2", "sb2"))
+
+
+_register_split_leakage_audit()
