@@ -2781,3 +2781,117 @@ def _register_search_hybrid() -> None:
 
 
 _register_search_hybrid()
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (SQ8) search — the second standard compression path
+# ---------------------------------------------------------------------------
+
+# Exact BIGINT dot product over int8-code arrays: every partial is an
+# integer, so the fold is exactly associative — no float anywhere in
+# the scoring, hence no rounding convention needed at all.
+_INTDOT_SPARK = (
+    "CAST(aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS BIGINT) * y), "
+    "CAST(0 AS BIGINT), (s, v) -> s + v) AS BIGINT)"
+)
+_INTDOT_DUCK = (
+    "CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS BIGINT) * {b}[i])) AS BIGINT)"
+)
+# Per-dim affine quantization to 0..255 (engine-shared semantics; the
+# Spark text uses 0-based lambda indices, the DuckDB text 1-based list
+# indices — same element pairing).
+_SQ_CODE_SPARK = (
+    "zip_with(embedding, sequence(0, size(embedding) - 1), (v, i) -> "
+    "CASE WHEN his[i] > los[i] THEN "
+    "CAST(floor((CAST(v AS DOUBLE) - los[i]) / (his[i] - los[i]) * 255 + 0.5) AS INT) "
+    "ELSE 0 END)"
+)
+_SQ_CODE_DUCK = (
+    "list_transform(range(1, len(embedding) + 1), i -> "
+    "CASE WHEN his[i] > los[i] THEN "
+    "CAST(floor((CAST(embedding[i] AS DOUBLE) - los[i]) / (his[i] - los[i]) * 255 + 0.5) AS INT) "
+    "ELSE 0 END)"
+)
+
+
+@register(
+    "q_sim_sq_topk",
+    oracle=f"""
+    WITH ex AS (
+        SELECT unnest(range(len(embedding))) AS pos,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        FROM embeddings
+    ), d AS (
+        SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos
+    ), lohi AS (
+        SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+        FROM d
+    ), coded AS (
+        SELECT vec_id, {_SQ_CODE_DUCK} AS codes
+        FROM embeddings CROSS JOIN lohi
+    ), q AS (
+        SELECT vec_id AS query_id, codes AS qc
+        FROM coded WHERE vec_id < {PQ_QUERY_MAX}
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_INTDOT_DUCK.format(a='q.qc', b='c.codes')} AS dot_q
+        FROM coded c JOIN q ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, dot_q FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+        FROM scored
+    ) t WHERE rank <= 3
+    """,
+)
+def q_sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) top-3 search — the OTHER standard
+    embedding-compression path next to PQ/ADC (q_sim_pq_topk): each
+    dimension affinely quantizes to an 8-bit code against the corpus
+    per-dim min/max (a 64-row broadcast "codebook"), and similarity is
+    the EXACT BIGINT dot product of code vectors — 4x smaller vectors
+    than float32, integer-only scoring (no float, no rounding
+    convention), and unlike PQ no codebook training. The affine map is
+    monotone per dimension, so code-dot ranking approximates
+    (shifted-)dot ranking; the standard SQ trade.
+
+    Scale: the min/max pass is one posexplode agg (rows x dim, keys =
+    dim); coding is a per-row zip_with against a 1-row broadcast of
+    the lo/hi arrays; search is the broadcast-query scan shape of
+    q_sim_topk with the float fold replaced by an exact integer fold.
+    Corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(F.posexplode("embedding").alias("pos", "xf"))
+        .select("pos", F.col("xf").cast("double").alias("x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    lohi = dims.agg(
+        F.sort_array(F.collect_list(F.struct("pos", "lo", "hi"))).alias("a")
+    ).select(
+        F.expr("transform(a, t -> t.lo)").alias("los"),
+        F.expr("transform(a, t -> t.hi)").alias("his"),
+    )
+    coded = emb.crossJoin(F.broadcast(lohi)).select(
+        "vec_id", F.expr(_SQ_CODE_SPARK).alias("codes")
+    )
+    q = coded.filter(F.col("vec_id") < PQ_QUERY_MAX).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qc")
+    )
+    scored = coded.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(_INTDOT_SPARK.format(a="qc", b="codes")).alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "dot_q")
+    )

@@ -278,6 +278,7 @@ _ALLOWED_BNLJ = {
     "q_quality_linear",      # 1-row smoothing-constants + bias broadcasts
     "q_search_hybrid",       # composes q_text_bm25 + the k-row query-side cosine
     "q_text_surprisal_2g",   # 1-row corpus-total broadcast (unigram convention)
+    "q_sim_sq_topk",         # 1-row lo/hi codebook + k-row query broadcasts
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
