@@ -1014,6 +1014,140 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_classify(emb, emb.filter(F.col("vec_id") < 50), k=5)
 
 
+# ---------------------------------------------------------------------------
+# Scalar-quantized (SQ8) search — the second standard compression path
+# ---------------------------------------------------------------------------
+
+# Exact BIGINT dot product over int8-code arrays: every partial is an
+# integer, so the fold is exactly associative — no float anywhere in
+# the scoring, hence no rounding convention needed at all.
+_INTDOT_SPARK = (
+    "CAST(aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS BIGINT) * y), "
+    "CAST(0 AS BIGINT), (s, v) -> s + v) AS BIGINT)"
+)
+_INTDOT_DUCK = (
+    "CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS BIGINT) * {b}[i])) AS BIGINT)"
+)
+# Per-dim affine quantization to 0..255 (engine-shared semantics; the
+# Spark text uses 0-based lambda indices, the DuckDB text 1-based list
+# indices — same element pairing).
+_SQ_CODE_SPARK = (
+    "zip_with(embedding, sequence(0, size(embedding) - 1), (v, i) -> "
+    "CASE WHEN his[i] > los[i] THEN "
+    "CAST(floor((CAST(v AS DOUBLE) - los[i]) / (his[i] - los[i]) * 255 + 0.5) AS INT) "
+    "ELSE 0 END)"
+)
+_SQ_CODE_DUCK = (
+    "list_transform(range(1, len(embedding) + 1), i -> "
+    "CASE WHEN his[i] > los[i] THEN "
+    "CAST(floor((CAST(embedding[i] AS DOUBLE) - los[i]) / (his[i] - los[i]) * 255 + 0.5) AS INT) "
+    "ELSE 0 END)"
+)
+# ASYMMETRIC query weights: the query keeps its raw floats; ranking by
+# sum(w_d * code_d) with w_d = q_d * span_d equals ranking by the
+# dequantized dot product (the q.lo term is constant per query), so
+# recall measures pure code-quantization loss. Weights quantize to
+# BIGINT ten-thousandths so the score sum is exact.
+_SQ_QW_SPARK = (
+    "zip_with(embedding, sequence(0, size(embedding) - 1), (v, i) -> "
+    "CAST(floor(CAST(v AS DOUBLE) * (his[i] - los[i]) * 10000 + 0.5) AS BIGINT))"
+)
+_SQ_QW_DUCK = (
+    "list_transform(range(1, len(embedding) + 1), i -> "
+    "CAST(floor(CAST(embedding[i] AS DOUBLE) * (his[i] - los[i]) * 10000 + 0.5) AS BIGINT))"
+)
+
+
+@register(
+    "q_sim_sq_topk",
+    oracle=f"""
+    WITH ex AS (
+        SELECT unnest(range(len(embedding))) AS pos,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        FROM embeddings
+    ), d AS (
+        SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos
+    ), lohi AS (
+        SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+        FROM d
+    ), coded AS (
+        SELECT vec_id, {_SQ_CODE_DUCK} AS codes
+        FROM embeddings CROSS JOIN lohi
+    ), q AS (
+        SELECT vec_id AS query_id, {_SQ_QW_DUCK} AS qw
+        FROM embeddings CROSS JOIN lohi
+        WHERE vec_id < {PQ_QUERY_MAX}
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_INTDOT_DUCK.format(a='q.qw', b='c.codes')} AS dot_q
+        FROM coded c JOIN q ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, dot_q FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+        FROM scored
+    ) t WHERE rank <= 3
+    """,
+)
+def q_sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) top-3 search, ASYMMETRIC variant — the
+    other standard embedding-compression path next to PQ/ADC
+    (q_sim_pq_topk): each CORPUS dimension affinely quantizes to an
+    8-bit code against the per-dim min/max (a 64-row broadcast
+    "codebook", no training), while the QUERY keeps its raw floats as
+    span-weighted integer weights (w_d = q_d * span_d, quantized to
+    BIGINT ten-thousandths). Ranking by sum(w_d * code_d) equals
+    ranking by the dequantized dot product — the q.lo term is constant
+    per query — so the only loss is 8-bit code rounding (the audit's
+    sq row measures exactly that; the naive symmetric code-dot scored
+    0.08 recall on these unnormalized vectors and was replaced).
+    Corpus memory is 4x smaller than float32 and every score is an
+    exact integer sum.
+
+    Scale: the min/max pass is one posexplode agg (rows x dim, keys =
+    dim); coding is a per-row zip_with against a 1-row broadcast of
+    the lo/hi arrays; search is the broadcast-query scan shape of
+    q_sim_topk with the float fold replaced by an exact integer fold.
+    Corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(F.posexplode("embedding").alias("pos", "xf"))
+        .select("pos", F.col("xf").cast("double").alias("x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    lohi = dims.agg(
+        F.sort_array(F.collect_list(F.struct("pos", "lo", "hi"))).alias("a")
+    ).select(
+        F.expr("transform(a, t -> t.lo)").alias("los"),
+        F.expr("transform(a, t -> t.hi)").alias("his"),
+    )
+    coded = emb.crossJoin(F.broadcast(lohi)).select(
+        "vec_id", F.expr(_SQ_CODE_SPARK).alias("codes")
+    )
+    q = (
+        emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
+        .crossJoin(F.broadcast(lohi))
+        .select(F.col("vec_id").alias("query_id"), F.expr(_SQ_QW_SPARK).alias("qw"))
+    )
+    scored = coded.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(_INTDOT_SPARK.format(a="qw", b="codes")).alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "dot_q")
+    )
+
+
 def _register_ann_recall() -> None:
     """Registered via a closure so the oracle can COMPOSE the already-
     registered exact / IVF / PQ search oracles as CTEs — one source of
@@ -1044,6 +1178,17 @@ def _register_ann_recall() -> None:
             FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
             WHERE q.vec_id < {PQ_QUERY_MAX}
         ) t WHERE rank <= 3"""
+    exact_dot_sql = f"""
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY floor({_DOT_DUCK.format(a='q.embedding', b='e.embedding')}
+                                      * 10000 + 0.5) / 10000 DESC,
+                                e.vec_id) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < {PQ_QUERY_MAX}
+        ) t WHERE rank <= 3"""
     hits_cte = """
     {m}_h AS (
         SELECT CAST(coalesce(sum(
@@ -1060,20 +1205,27 @@ def _register_ann_recall() -> None:
         + round_sql("h.hits::DOUBLE / (d.k * d.nq)")
         + " AS recall FROM {m}_h h CROSS JOIN {m}_d d"
     )
+    sq_sql = ORACLES["q_sim_sq_topk"]
     oracle = (
         f"WITH exact_r AS ({exact_sql}),\n"
         f" exact_q AS (SELECT * FROM exact_r WHERE query_id < {PQ_QUERY_MAX}),\n"
         f" exact_l2 AS ({exact_l2_sql}),\n"
+        f" exact_dot AS ({exact_dot_sql}),\n"
         f" ivf_r AS ({ivf_sql}),\n"
         f" ivf_q AS (SELECT * FROM ivf_r WHERE query_id < {PQ_QUERY_MAX}),\n"
         f" pq_q AS ({pq_sql}),\n"
+        f" sq_q AS ({sq_sql}),\n"
         + denom_cte.format(m="ivf", truth="exact_q") + ",\n"
         + denom_cte.format(m="pq", truth="exact_l2") + ",\n"
+        + denom_cte.format(m="sq", truth="exact_dot") + ",\n"
         + hits_cte.format(m="ivf", truth="exact_q") + ",\n"
-        + hits_cte.format(m="pq", truth="exact_l2") + "\n"
+        + hits_cte.format(m="pq", truth="exact_l2") + ",\n"
+        + hits_cte.format(m="sq", truth="exact_dot") + "\n"
         + row.format(m="ivf")
         + " UNION ALL "
         + row.format(m="pq")
+        + " UNION ALL "
+        + row.format(m="sq")
     )
 
     @register("q_ann_recall", oracle=oracle)
@@ -1106,10 +1258,32 @@ def _register_ann_recall() -> None:
         exact_l2 = topk_neighbors_l2(
             emb, emb.filter(F.col("vec_id") < PQ_QUERY_MAX), k=3
         ).persist()
+        # exact raw-dot truth for the SQ row (SQ codes approximate the
+        # shifted dot, so its metric is the dot product itself)
+        qd = emb.filter(F.col("vec_id") < PQ_QUERY_MAX).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+        )
+        dotv = round_agg(F.expr(DOT_SQL.format(a="eq", b="embedding")))
+        wdot = Window.partitionBy("query_id").orderBy(
+            F.col("dotv").desc(), F.col("neighbor_id")
+        )
+        exact_dot = (
+            emb.join(F.broadcast(qd), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                dotv.alias("dotv"),
+            )
+            .withColumn("rank", F.row_number().over(wdot))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "neighbor_id", "rank")
+            .persist()
+        )
         ivf = q_sim_ivf_topk(spark, sf_dir).filter(
             F.col("query_id") < PQ_QUERY_MAX
         )
         pq = q_sim_pq_topk(spark, sf_dir)
+        sq = q_sim_sq_topk(spark, sf_dir)
 
         def audit(m: DataFrame, name: str, truth: DataFrame) -> DataFrame:
             denom = truth.agg(
@@ -1132,8 +1306,10 @@ def _register_ann_recall() -> None:
                 ).alias("recall"),
             )
 
-        return audit(ivf, "ivf", exact_cos).unionByName(
-            audit(pq, "pq", exact_l2)
+        return (
+            audit(ivf, "ivf", exact_cos)
+            .unionByName(audit(pq, "pq", exact_l2))
+            .unionByName(audit(sq, "sq", exact_dot))
         )
 
 
@@ -2781,117 +2957,3 @@ def _register_search_hybrid() -> None:
 
 
 _register_search_hybrid()
-
-
-# ---------------------------------------------------------------------------
-# Scalar-quantized (SQ8) search — the second standard compression path
-# ---------------------------------------------------------------------------
-
-# Exact BIGINT dot product over int8-code arrays: every partial is an
-# integer, so the fold is exactly associative — no float anywhere in
-# the scoring, hence no rounding convention needed at all.
-_INTDOT_SPARK = (
-    "CAST(aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS BIGINT) * y), "
-    "CAST(0 AS BIGINT), (s, v) -> s + v) AS BIGINT)"
-)
-_INTDOT_DUCK = (
-    "CAST(list_sum(list_transform(range(1, len({a}) + 1), "
-    "i -> CAST({a}[i] AS BIGINT) * {b}[i])) AS BIGINT)"
-)
-# Per-dim affine quantization to 0..255 (engine-shared semantics; the
-# Spark text uses 0-based lambda indices, the DuckDB text 1-based list
-# indices — same element pairing).
-_SQ_CODE_SPARK = (
-    "zip_with(embedding, sequence(0, size(embedding) - 1), (v, i) -> "
-    "CASE WHEN his[i] > los[i] THEN "
-    "CAST(floor((CAST(v AS DOUBLE) - los[i]) / (his[i] - los[i]) * 255 + 0.5) AS INT) "
-    "ELSE 0 END)"
-)
-_SQ_CODE_DUCK = (
-    "list_transform(range(1, len(embedding) + 1), i -> "
-    "CASE WHEN his[i] > los[i] THEN "
-    "CAST(floor((CAST(embedding[i] AS DOUBLE) - los[i]) / (his[i] - los[i]) * 255 + 0.5) AS INT) "
-    "ELSE 0 END)"
-)
-
-
-@register(
-    "q_sim_sq_topk",
-    oracle=f"""
-    WITH ex AS (
-        SELECT unnest(range(len(embedding))) AS pos,
-               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
-        FROM embeddings
-    ), d AS (
-        SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos
-    ), lohi AS (
-        SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
-        FROM d
-    ), coded AS (
-        SELECT vec_id, {_SQ_CODE_DUCK} AS codes
-        FROM embeddings CROSS JOIN lohi
-    ), q AS (
-        SELECT vec_id AS query_id, codes AS qc
-        FROM coded WHERE vec_id < {PQ_QUERY_MAX}
-    ), scored AS (
-        SELECT q.query_id, c.vec_id AS neighbor_id,
-               {_INTDOT_DUCK.format(a='q.qc', b='c.codes')} AS dot_q
-        FROM coded c JOIN q ON c.vec_id <> q.query_id
-    )
-    SELECT query_id, neighbor_id, rank, dot_q FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
-        FROM scored
-    ) t WHERE rank <= 3
-    """,
-)
-def q_sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-quantized (SQ8) top-3 search — the OTHER standard
-    embedding-compression path next to PQ/ADC (q_sim_pq_topk): each
-    dimension affinely quantizes to an 8-bit code against the corpus
-    per-dim min/max (a 64-row broadcast "codebook"), and similarity is
-    the EXACT BIGINT dot product of code vectors — 4x smaller vectors
-    than float32, integer-only scoring (no float, no rounding
-    convention), and unlike PQ no codebook training. The affine map is
-    monotone per dimension, so code-dot ranking approximates
-    (shifted-)dot ranking; the standard SQ trade.
-
-    Scale: the min/max pass is one posexplode agg (rows x dim, keys =
-    dim); coding is a per-row zip_with against a 1-row broadcast of
-    the lo/hi arrays; search is the broadcast-query scan shape of
-    q_sim_topk with the float fold replaced by an exact integer fold.
-    Corpus never shuffles."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dims = (
-        emb.select(F.posexplode("embedding").alias("pos", "xf"))
-        .select("pos", F.col("xf").cast("double").alias("x"))
-        .groupBy("pos")
-        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-    )
-    lohi = dims.agg(
-        F.sort_array(F.collect_list(F.struct("pos", "lo", "hi"))).alias("a")
-    ).select(
-        F.expr("transform(a, t -> t.lo)").alias("los"),
-        F.expr("transform(a, t -> t.hi)").alias("his"),
-    )
-    coded = emb.crossJoin(F.broadcast(lohi)).select(
-        "vec_id", F.expr(_SQ_CODE_SPARK).alias("codes")
-    )
-    q = coded.filter(F.col("vec_id") < PQ_QUERY_MAX).select(
-        F.col("vec_id").alias("query_id"), F.col("codes").alias("qc")
-    )
-    scored = coded.join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.expr(_INTDOT_SPARK.format(a="qc", b="codes")).alias("dot_q"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dot_q").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", "rank", "dot_q")
-    )
