@@ -102,6 +102,8 @@ HEADLINE = [
     "q_sim_ivf_topk",
     # PQ/ADC compressed search — the 100 TB keep-it-hot path (round 6)
     "q_sim_pq_topk",
+    # asymmetric SQ8 — the second compression path (round 7)
+    "q_sim_sq_topk",
     # token-budget data selection — two-phase bin-offset plan (round 6)
     "q_token_budget_select",
     "q_knn_classify",
