@@ -455,3 +455,96 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_agg(F.avg(clipped)).alias("winsorized_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: population stability index between cohorts
+# ---------------------------------------------------------------------------
+
+PSI_BUCKET_WIDTH = 50.0  # events.value spans ~0-490 -> ~10 buckets
+
+# One shared PSI-term text (identical IEEE op sequence both engines):
+# Laplace-smoothed bucket shares, (p_cur - p_ref) * ln(p_cur / p_ref),
+# quantized to BIGINT hundred-millionths BEFORE the per-type sum so
+# the aggregate is exact (terms are ~1e-3; 1e8 keeps 5 significant
+# digits per term). ln carries the documented ulp caveat (round_agg).
+_PSI_TERM_SQL = (
+    "CAST(floor("
+    "((CAST(n_cur_b + 1 AS DOUBLE) / (nc + nb))"
+    " - (CAST(n_ref_b + 1 AS DOUBLE) / (nr + nb)))"
+    " * ln((CAST(n_cur_b + 1 AS DOUBLE) / (nc + nb))"
+    "      / (CAST(n_ref_b + 1 AS DOUBLE) / (nr + nb)))"
+    " * 100000000 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "q_drift_psi",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               CAST(floor(value / {PSI_BUCKET_WIDTH}) AS BIGINT) AS bucket,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+        FROM events
+    ), cnt AS (
+        SELECT event_type, bucket,
+               CAST(sum(is_ref) AS BIGINT) AS n_ref_b,
+               CAST(sum(1 - is_ref) AS BIGINT) AS n_cur_b
+        FROM b GROUP BY event_type, bucket
+    ), tot AS (
+        SELECT event_type,
+               CAST(sum(n_ref_b) AS DOUBLE) AS nr,
+               CAST(sum(n_cur_b) AS DOUBLE) AS nc,
+               CAST(count(*) AS DOUBLE) AS nb
+        FROM cnt GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(t.nr AS BIGINT) AS n_ref,
+           CAST(t.nc AS BIGINT) AS n_cur,
+           CAST(t.nb AS BIGINT) AS n_buckets,
+           CAST(sum({_PSI_TERM_SQL}) AS BIGINT) AS psi_q
+    FROM cnt c JOIN tot t USING (event_type)
+    GROUP BY c.event_type, t.nr, t.nc, t.nb
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: population stability index of the
+    value distribution between two deterministic cohorts (user parity
+    — the A/B-slice form; a temporal drift monitor is the same query
+    with the cohort predicate on a time column), per event type. PSI =
+    sum over buckets of (p_cur - p_ref) * ln(p_cur / p_ref) with
+    Laplace smoothing over the union of observed buckets — the
+    standard screen (PSI > 0.2 = major shift) a data pipeline runs
+    before trusting a new ingest against its reference profile.
+
+    Portability: each bucket's term quantizes to BIGINT
+    hundred-millionths before the per-type sum (exact-integer
+    convention). Scale: bucket ids are pure map-side IEEE arithmetic
+    (the q_histogram shape); the heavy table reduces to #types x
+    #buckets cells before any of the PSI math happens — the corpus
+    shuffles once into that tiny grid."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.floor(F.col("value") / PSI_BUCKET_WIDTH).cast("long").alias("bucket"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("is_ref"),
+    )
+    cnt = b.groupBy("event_type", "bucket").agg(
+        F.sum("is_ref").cast("long").alias("n_ref_b"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur_b"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("n_ref_b").cast("double").alias("nr"),
+        F.sum("n_cur_b").cast("double").alias("nc"),
+        F.count("*").cast("double").alias("nb"),
+    )
+    return (
+        cnt.join(F.broadcast(tot), "event_type")
+        .groupBy(
+            "event_type",
+            F.col("nr").cast("long").alias("n_ref"),
+            F.col("nc").cast("long").alias("n_cur"),
+            F.col("nb").cast("long").alias("n_buckets"),
+        )
+        .agg(F.sum(F.expr(_PSI_TERM_SQL)).cast("long").alias("psi_q"))
+    )
