@@ -301,14 +301,18 @@ def _register_dedup_recall() -> None:
     ), denom AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)"""
     hits = """
     {m}_h AS (
-        SELECT CAST(count(*) AS BIGINT) AS hits
-        FROM truth t JOIN {m}_r p
+        SELECT CAST(count(*) AS BIGINT) AS n_method,
+               CAST(coalesce(sum(CASE WHEN t.doc_a IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+        FROM {m}_r p LEFT JOIN truth t
           ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
     )"""
     row = (
-        "SELECT '{m}' AS method, d.n_truth, h.hits, "
+        "SELECT '{m}' AS method, d.n_truth, h.n_method, h.hits, "
         + round_sql("h.hits::DOUBLE / d.n_truth")
-        + " AS recall FROM {m}_h h CROSS JOIN denom d"
+        + " AS recall, CASE WHEN h.n_method = 0 THEN 0.0 ELSE "
+        + round_sql("h.hits::DOUBLE / h.n_method")
+        + " END AS prec FROM {m}_h h CROSS JOIN denom d"
     )
     oracle = (
         f"WITH minhash_r AS ({ORACLES['q_dedup_minhash']}),\n"
@@ -353,9 +357,14 @@ def _register_dedup_recall() -> None:
         audited against Jaccard truth deliberately: that mismatch IS
         its deployment condition for shingle-overlap dedup.
 
-        Expected ordering: minhash ~ 1.0 (its pairs are exact-verified
-        at the same tau), simhash between, simhash_calib lowest at
-        scale (the documented recall cliff)."""
+        Both directions are measured: recall (truth pairs found) AND
+        precision (emitted pairs that are true). Fixture readings:
+        minhash 1.0/1.0 (exact-verified at the same tau); 56-bit
+        simhash 0.68/0.89 — a real trade; 16-bit calib 0.96 recall
+        but 0.0008 precision (30,290 emitted pairs, 24 true — at 16
+        bits random documents collide within hamming 3), the failure
+        mode its recall-only r6 presentation could not show, on top
+        of the 48x recall collapse SCALING.md documents."""
         d = load_table(spark, sf_dir, "documents")
         # ONE shingling of the corpus serves the exact ground truth AND
         # the MinHash pipeline (sets flows into candidate generation
@@ -387,16 +396,30 @@ def _register_dedup_recall() -> None:
         def audit(m: DataFrame, name: str) -> DataFrame:
             h = (
                 m.select("doc_a", "doc_b")
-                .join(F.broadcast(truth), ["doc_a", "doc_b"])
-                .agg(F.count("*").cast("long").alias("hits"))
+                .join(
+                    F.broadcast(truth.withColumn("hit", F.lit(1))),
+                    ["doc_a", "doc_b"],
+                    "left",
+                )
+                .agg(
+                    F.count("*").cast("long").alias("n_method"),
+                    F.coalesce(F.sum("hit"), F.lit(0))
+                    .cast("long")
+                    .alias("hits"),
+                )
+            )
+            prec = F.when(F.col("n_method") == 0, F.lit(0.0)).otherwise(
+                round_agg(F.col("hits").cast("double") / F.col("n_method"))
             )
             return h.crossJoin(F.broadcast(denom)).select(
                 F.lit(name).alias("method"),
                 F.col("n_truth"),
+                "n_method",
                 "hits",
                 round_agg(
                     F.col("hits").cast("double") / F.col("n_truth")
                 ).alias("recall"),
+                prec.alias("prec"),
             )
 
         mh = verified_near_dups(
