@@ -590,11 +590,11 @@ def test_ann_recall_bounds_and_exact_selfcheck(spark):
 
     q_ann_recall = query_fns()["q_ann_recall"]
     rows = {r.method: r for r in q_ann_recall(spark, SF_DIR).collect()}
-    assert set(rows) == {"ivf", "pq"}
+    assert set(rows) == {"ivf", "pq", "sq"}
     for r in rows.values():
         assert 0.0 <= r.recall <= 1.0
         assert r.hits <= 3 * r.n_queries
-        # both methods audit the SAME issued-query set (the denominator
+        # all methods audit the SAME issued-query set (the denominator
         # comes from the ground-truth frame, not the method's output)
         assert r.n_queries == 4
 
