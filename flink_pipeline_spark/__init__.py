@@ -19,3 +19,8 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+from .caching import release_caches  # noqa: E402  (session-hygiene API)
+
+__all__ = ["release_caches", "__version__"]

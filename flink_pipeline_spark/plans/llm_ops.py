@@ -2071,7 +2071,10 @@ def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing), and a document's score is the bias plus the sum of its
     token-bucket weights — one broadcast join + one per-doc agg.
     Output keeps the exact-integer score, the thresholded prediction,
-    and the actual binary label so accuracy is one agg away.
+    and the actual binary label so accuracy is one agg away. (The
+    fit is in-sample by design — the fixture has no held-out labels;
+    production use fits the weight table on a labeled slice and
+    broadcasts it, which is byte-for-byte this query's second half.)
 
     The heuristic q_text_quality/q_quality_gate remain the cold-start
     filters; this is the trained-classifier upgrade the r6 verdict
