@@ -427,3 +427,30 @@ def test_streaming_neardup_replay_idempotent(spark, tmp_path):
     assert first == second == [(1, "keep"), (2, "drop_exact"), (3, "keep")]
     digs = spark.read.parquet(str(tmp_path / "store" / "digests")).collect()
     assert sorted(r.doc_id for r in digs) == [1, 3]
+
+
+def test_streaming_neardup_matches_batch_incremental(spark, tmp_path):
+    """Cross-regime equivalence: ingesting the standing corpus as
+    batch 0 and the doc_id%10==0 slice as batch 1 must reproduce
+    q_dedup_incremental's decisions for that slice EXACTLY — the
+    streaming store probe and the batch-vs-corpus probe are the same
+    operator chain, and this pins them together."""
+    from flink_pipeline_spark.operators.llm import incremental_dedup
+    from flink_pipeline_spark.streaming.dedup import NearDupIngest
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    want = {
+        r.doc_id: r.action
+        for r in incremental_dedup(docs, "doc_id % 10 = 0").collect()
+    }
+
+    ingest = NearDupIngest(str(tmp_path / "store"), str(tmp_path / "out"))
+    ingest(docs.filter("doc_id % 10 <> 0"), 0)
+    ingest(docs.filter("doc_id % 10 = 0"), 1)
+    got = {
+        r.doc_id: r.action
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .filter("batch_id = 1")
+        .collect()
+    }
+    assert got == want
