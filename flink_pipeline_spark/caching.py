@@ -67,8 +67,7 @@ def release_caches(spark: SparkSession) -> int:
     any remaining persisted RDD. Returns the number of persisted RDDs
     that were still registered before the sweep."""
     jsc = spark.sparkContext._jsc
-    rdds = jsc.getPersistentRDDs()
-    n = rdds.size()
+    n = jsc.getPersistentRDDs().size()
     spark.catalog.clearCache()
     # py4j maps java.util.Map to a dict-like view
     for rdd in list(jsc.getPersistentRDDs().values()):

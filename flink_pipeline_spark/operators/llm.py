@@ -1126,6 +1126,26 @@ def neardup_probe(
     )
 
 
+def dedup_decisions(
+    ids: DataFrame, drop_exact: DataFrame, near: DataFrame
+) -> DataFrame:
+    """(doc_id, action): classify each id as drop_exact / drop_near /
+    keep given the two drop id-sets — the shared decision tail of the
+    batch (incremental_dedup) and streaming (NearDupIngest) ingestion
+    regimes; the precedence order lives in exactly one place."""
+    return (
+        ids.join(drop_exact.withColumn("ex", F.lit(1)), "doc_id", "left")
+        .join(near.select("doc_id").withColumn("nr", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("ex").isNotNull(), F.lit("drop_exact"))
+            .when(F.col("nr").isNotNull(), F.lit("drop_near"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+        )
+    )
+
+
 def incremental_dedup(
     docs: DataFrame,
     new_sql: str,
@@ -1178,19 +1198,7 @@ def incremental_dedup(
     )
     sigs.unpersist()
     sets.unpersist()
-    return (
-        docs.filter(is_new)
-        .select("doc_id")
-        .join(drop_exact.withColumn("ex", F.lit(1)), "doc_id", "left")
-        .join(near.withColumn("nr", F.lit(1)), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("ex").isNotNull(), F.lit("drop_exact"))
-            .when(F.col("nr").isNotNull(), F.lit("drop_near"))
-            .otherwise(F.lit("keep"))
-            .alias("action"),
-        )
-    )
+    return dedup_decisions(docs.filter(is_new).select("doc_id"), drop_exact, near)
 
 
 # ---------------------------------------------------------------------------

@@ -37,6 +37,20 @@ PACK_SUBSHARD = 256
 
 _HASH_DOC = hash56_sql_duckdb("doc_id")
 
+# ONE split rule shared by q_train_split, q_split_leakage_safe, and
+# q_split_leakage_audit (SQL template over a hash expression + the
+# Column twin) — a threshold edit cannot fork the rules.
+SPLIT_CASE = (
+    "CASE WHEN {h} % 100 < 80 THEN 'train' "
+    "WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+def split_col(col):
+    """train/val/test Column from a hashable id Column (80/10/10)."""
+    b = hash56(col) % 100
+    return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
 
 @register(
     "q_train_split",
@@ -997,11 +1011,6 @@ def _register_split_leakage_safe() -> None:
     from .llm_ops import q_dedup_clusters
     from .registry import ORACLES
 
-    hash_g = hash56_sql_duckdb("group_id")
-    split_case = (
-        "CASE WHEN {h} % 100 < 80 THEN 'train' "
-        "WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END"
-    )
     oracle = f"""
     WITH clusters AS ({ORACLES['q_dedup_clusters']}),
     g AS (
@@ -1010,8 +1019,8 @@ def _register_split_leakage_safe() -> None:
         FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
     ), s AS (
         SELECT doc_id, text, group_id,
-               {split_case.format(h=hash_g)} AS split,
-               {split_case.format(h=_HASH_DOC)} AS naive_split
+               {SPLIT_CASE.format(h=hash56_sql_duckdb('group_id'))} AS split,
+               {SPLIT_CASE.format(h=_HASH_DOC)} AS naive_split
         FROM g
     )
     SELECT split,
@@ -1049,17 +1058,11 @@ def _register_split_leakage_safe() -> None:
             F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_id"),
         )
 
-        def split_of(col: str):
-            b = hash56(F.col(col)) % 100
-            return (
-                F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
-            )
-
         s = g.select(
             "group_id",
             F.size(F.split("text", " ")).alias("t"),
-            split_of("group_id").alias("split"),
-            split_of("doc_id").alias("naive_split"),
+            split_col(F.col("group_id")).alias("split"),
+            split_col(F.col("doc_id")).alias("naive_split"),
         )
         return s.groupBy("split").agg(
             F.count("*").alias("n_docs"),
@@ -1084,12 +1087,8 @@ def _register_split_leakage_audit() -> None:
     from .llm_ops import q_dedup_clusters, q_dedup_minhash
     from .registry import ORACLES
 
-    split_case = (
-        "CASE WHEN {h} % 100 < 80 THEN 'train' "
-        "WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END"
-    )
-    naive = split_case.format(h=hash56_sql_duckdb("d.doc_id"))
-    safe = split_case.format(h=hash56_sql_duckdb("group_id"))
+    naive = SPLIT_CASE.format(h=hash56_sql_duckdb("d.doc_id"))
+    safe = SPLIT_CASE.format(h=hash56_sql_duckdb("group_id"))
     oracle = f"""
     WITH pairs AS ({ORACLES['q_dedup_minhash']}),
     clusters AS ({ORACLES['q_dedup_clusters']}),
@@ -1138,48 +1137,56 @@ def _register_split_leakage_audit() -> None:
         d = load_table(spark, sf_dir, "documents")
         clusters = q_dedup_clusters(spark, sf_dir)
 
-        def split_of(col):
-            b = hash56(col) % 100
-            return (
-                F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
-            )
-
         sp = d.join(clusters, "doc_id", "left").select(
             "doc_id",
-            split_of(F.col("doc_id")).alias("s_naive"),
-            split_of(
+            split_col(F.col("doc_id")).alias("s_naive"),
+            split_col(
                 F.coalesce(F.col("cluster_id"), F.col("doc_id"))
             ).alias("s_safe"),
         )
-        j = (
-            pairs.join(
-                sp.select(
-                    F.col("doc_id").alias("doc_a"),
-                    F.col("s_naive").alias("na"),
-                    F.col("s_safe").alias("sa2"),
-                ),
-                "doc_a",
-            )
-            .join(
-                sp.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("s_naive").alias("nb"),
-                    F.col("s_safe").alias("sb2"),
-                ),
-                "doc_b",
-            )
-            .persist()
+        j = pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("s_naive").alias("na"),
+                F.col("s_safe").alias("sa2"),
+            ),
+            "doc_a",
+        ).join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("s_naive").alias("nb"),
+                F.col("s_safe").alias("sb2"),
+            ),
+            "doc_b",
+        )
+        # ONE aggregation computes both rules' straddle counts (no
+        # persist, no double execution of the pair pipeline); the
+        # two-row shape is a projection of that single 1-row frame
+        straddles = j.agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0))
+            .cast("long")
+            .alias("st_naive"),
+            F.sum(F.when(F.col("sa2") != F.col("sb2"), 1).otherwise(0))
+            .cast("long")
+            .alias("st_safe"),
         )
 
-        def row(rule: str, a: str, b: str) -> DataFrame:
-            return j.agg(
-                F.count("*").cast("long").alias("n_pairs"),
-                F.sum(F.when(F.col(a) != F.col(b), 1).otherwise(0))
-                .cast("long")
-                .alias("n_straddling"),
-            ).select(F.lit(rule).alias("rule"), "n_pairs", "n_straddling")
-
-        return row("naive", "na", "nb").unionByName(row("cluster", "sa2", "sb2"))
+        return straddles.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("naive").alias("rule"),
+                        F.col("st_naive").alias("n_straddling"),
+                    ),
+                    F.struct(
+                        F.lit("cluster").alias("rule"),
+                        F.col("st_safe").alias("n_straddling"),
+                    ),
+                )
+            ).alias("r"),
+            "n_pairs",
+        ).select("r.rule", "n_pairs", "r.n_straddling")
 
 
 _register_split_leakage_audit()

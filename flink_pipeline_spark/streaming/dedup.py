@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from ..operators.llm import (
     MAX_LSH_BUCKET,
+    dedup_decisions,
     doc_shingles,
     lsh_band_signatures,
     neardup_probe,
@@ -135,23 +136,9 @@ class NearDupIngest:
             self.max_bucket,
         )
 
-        decisions = (
-            docs.select("doc_id")
-            .join(drop_exact.withColumn("ex", F.lit(1)), "doc_id", "left")
-            .join(
-                near.select("doc_id").withColumn("nr", F.lit(1)),
-                "doc_id",
-                "left",
-            )
-            .select(
-                "doc_id",
-                F.when(F.col("ex").isNotNull(), F.lit("drop_exact"))
-                .when(F.col("nr").isNotNull(), F.lit("drop_near"))
-                .otherwise(F.lit("keep"))
-                .alias("action"),
-            )
-            .persist()
-        )
+        decisions = dedup_decisions(
+            docs.select("doc_id"), drop_exact, near
+        ).persist()
 
         def part(root: str) -> str:
             return os.path.join(root, f"batch_id={batch_id}")
