@@ -78,13 +78,9 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a pure map (md5 in codegen) followed by a 3-group aggregate;
     no shuffle wider than the final partial/merge agg."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = hash56(F.col("doc_id")) % 100
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
     return (
         d.select(
-            split.alias("split"),
+            split_col(F.col("doc_id")).alias("split"),
             F.size(F.split("text", " ")).alias("t"),
             "n_chars",
         )
