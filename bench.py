@@ -106,6 +106,9 @@ HEADLINE = [
     "q_sim_sq_topk",
     # token-budget data selection — two-phase bin-offset plan (round 6)
     "q_token_budget_select",
+    # the end-to-end corpus -> training-shard manifest (round 7
+    # capstone: dedup keeper + quality gate + cluster split + shards)
+    "q_build_training_set",
     "q_knn_classify",
     "q_stream_enrich",
     # profiling layer (round 3): TF-IDF is the corpus-heaviest text op
