@@ -83,8 +83,16 @@ def money_sum(col: Column) -> Column:
 
 
 def money_sum_sql(expr: str) -> str:
-    """DuckDB/Spark-SQL text twin of ``money_sum``."""
-    return f"sum(CAST(floor(({expr}) * 100 + 0.5) AS BIGINT)) / 100.0"
+    """DuckDB/Spark-SQL text twin of ``money_sum``. The divisor is an
+    explicit CAST(... AS DOUBLE), not the literal ``100.0``: Spark SQL
+    types a decimal literal as DECIMAL(4,1) (BIGINT / DECIMAL ->
+    DECIMAL cells) while DuckDB types it DOUBLE — the property test
+    test_money_sum_bit_identical runs this text in BOTH engines and
+    caught exactly that divergence."""
+    return (
+        f"sum(CAST(floor(({expr}) * 100 + 0.5) AS BIGINT))"
+        " / CAST(100 AS DOUBLE)"
+    )
 
 
 def epoch_s(col: Column | str) -> Column:

@@ -155,3 +155,29 @@ def test_hash56_column_matches_duckdb(spark, texts):
     s = [r.out for r in sdf.select(hash56("v").alias("out")).collect()]
     d = _duck_vals(pdf, hash56_sql_duckdb("v"))
     assert s == d
+
+
+@given(
+    xs=st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, min_value=0.0, max_value=1e7),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_money_sum_bit_identical(spark, xs):
+    """money_sum (Spark) == money_sum_sql (DuckDB) for ANY finite
+    non-negative money-like values and ANY row order — the integer-
+    cents sum is exactly associative, so unlike a rounded float sum
+    there is no permutation or scale at which the engines can
+    disagree."""
+    import random
+
+    from flink_pipeline_spark.functions.portable import money_sum_sql
+
+    pdf = pd.DataFrame({"v": xs})
+    got_spark = _spark_vals(spark, pdf, money_sum_sql("v"))
+    shuffled = xs[:]
+    random.Random(7).shuffle(shuffled)
+    got_duck = _duck_vals(pd.DataFrame({"v": shuffled}), money_sum_sql("v"))
+    assert got_spark == got_duck
