@@ -2900,9 +2900,13 @@ HYBRID_QUERY_VEC = 0  # the semantic query: embedding of vec_id 0
 # Shared fusion formula text (identical IEEE op sequence both engines):
 # scaled to 1e8 BIGINT — 1/(60+r) differences at r<=10 are ~1e-4, so
 # ten-thousandths would collide distinct rank combinations.
+# CAST(1 AS DOUBLE), not the literal 1.0: Spark SQL types a decimal
+# literal DECIMAL(2,1) and DECIMAL / BIGINT stays DECIMAL (22-digit
+# decimal rounding) while DuckDB computes in DOUBLE — same class as
+# the money_sum_sql divisor hazard the property suite caught.
 _RRF_SQL = (
-    f"CAST(floor((coalesce(1.0 / ({RRF_K} + r_lex), 0.0)"
-    f" + coalesce(1.0 / ({RRF_K} + r_sem), 0.0)) * 100000000 + 0.5)"
+    f"CAST(floor((coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + r_lex), 0.0)"
+    f" + coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + r_sem), 0.0)) * 100000000 + 0.5)"
     " AS BIGINT)"
 )
 
