@@ -247,6 +247,12 @@ def main() -> None:
         "w",
     ) as f:
         json.dump(full, f, indent=1)
+    # r8 (VERDICT r7 #8): surface min-of-N in the driver-recorded line
+    # so sub-second jitter stops reading as round-over-round
+    # regression. The driver's stdout tail is bounded (~2000 chars —
+    # the r05 outgrow), so: compact separators (no spaces), and the
+    # minima ride as a FLOAT ARRAY in the same iteration order as
+    # "queries" (a second full name->min dict would not fit).
     print(
         json.dumps(
             {
@@ -254,9 +260,12 @@ def main() -> None:
                 "value": full["value"],
                 "unit": "sec",
                 "queries": timings,
+                "value_min": full["value_min"],
+                "queries_min_ordered": [best[n] for n in timings],
                 "protocol": full["protocol"],
                 "sf": sf_val,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -77,6 +77,13 @@ def money_sum(col: Column) -> Column:
     accounting semantics, mirrored verbatim in every oracle via
     ``money_sum_sql``. Headroom: ~8e11 rows x ~5e6 cents stays under
     i64; beyond that promote the sum to DECIMAL(38,0) in both engines.
+
+    Semantics caveat (ADVICE r7): this is sum-of-rounded-cents, NOT
+    the TPC-H-style round(sum(x), 2). For 4-decimal derived prices
+    (price*(1-disc), *(1+tax)) the total can drift up to 0.005/row
+    from the exact sum — both engines here agree bit-for-bit with
+    each other, but comparing bench results against an EXTERNAL
+    reference answer set requires accounting for that deviation.
     """
     cents = F.floor(col * F.lit(100) + F.lit(0.5)).cast("long")
     return F.sum(cents) / F.lit(100.0)

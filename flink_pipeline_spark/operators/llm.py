@@ -1172,7 +1172,14 @@ def incremental_dedup(
     cost is O(batch x bands), never O(corpus^2), and the corpus never
     reshuffles for the probe. Digest match is a broadcast-able
     left-semi on the 32-byte md5. Verification attaches shingle sets
-    only to (batch, corpus-candidate) pairs."""
+    only to (batch, corpus-candidate) pairs.
+
+    Deployment note (ADVICE r7): this operator EAGERLY executes a
+    Spark job (the cache-hygiene checkpoint below), and on a
+    non-local master it requires ``sc.setCheckpointDir`` pointed at a
+    SHARED filesystem (HDFS/S3) at session build — without it the
+    call raises RuntimeError rather than guessing a driver-local
+    path. See caching.eager_checkpoint."""
     is_new = F.expr(new_sql)
     dig = docs.select("doc_id", F.md5("text").alias("dg"), is_new.alias("is_new"))
     drop_exact = (
@@ -1239,7 +1246,12 @@ def substring_dedup_stats(
     join-back; output is still one row per occurrence (linear), and
     AQE skew-join splits the straggler. The coverage test is
     O(tokens x dup-starts-in-doc) inside codegen — bounded by doc
-    length squared only for pathological all-duplicate docs."""
+    length squared only for pathological all-duplicate docs.
+
+    Deployment note (ADVICE r7): eagerly executes a Spark job (the
+    cache-hygiene checkpoint) and on a non-local master requires
+    ``sc.setCheckpointDir`` on a SHARED filesystem at session build —
+    raises RuntimeError otherwise. See caching.eager_checkpoint."""
     # cache hygiene (r7): hg feeds only the INTERMEDIATE dup/starts
     # chain — the small per-affected-doc starts table is reliably
     # checkpointed below and hg unpersisted before returning, so the

@@ -210,14 +210,25 @@ def decode_ppm(files: DataFrame) -> DataFrame:
 
         import numpy as np
 
-        hdr_re = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+        # Pinned to the exact newline-delimited layout the DuckDB
+        # oracle tokenizes ("P6\n<w> <h>\n<maxval>\n" — what
+        # scripts/make_image_fixtures.py emits): the PPM spec allows
+        # arbitrary whitespace separators, but a codec more lenient
+        # than its oracle would decode headers the oracle mis-parses
+        # (ADVICE r7). Both engines now accept the same byte grammar
+        # and fail identically on anything else.
+        hdr_re = re.compile(rb"^P6\n(\d+) (\d+)\n(\d+)\n")
         for pdf in batches:
             rows = []
             for file, content in zip(pdf["file"], pdf["content"]):
                 b = bytes(content)
                 m = hdr_re.match(b)
                 if m is None:
-                    raise ValueError(f"{file}: not a binary PPM (P6) header")
+                    raise ValueError(
+                        f"{file}: not a newline-delimited binary PPM "
+                        "(P6) header (codec pins the oracle's grammar: "
+                        "'P6\\n<w> <h>\\n<maxval>\\n')"
+                    )
                 w, h, maxval = (int(g) for g in m.groups())
                 if maxval != 255:
                     raise ValueError(f"{file}: only 8-bit PPM supported")

@@ -394,10 +394,16 @@ def _register_dedup_recall() -> None:
         denom = truth.agg(F.count("*").cast("long").alias("n_truth"))
 
         def audit(m: DataFrame, name: str) -> DataFrame:
+            # no explicit broadcast hint: the truth pair set is
+            # dup-graph-sized but DATA-DEPENDENT — on a heavily
+            # duplicated corpus an unconditional F.broadcast would blow
+            # the broadcast ceiling and fail the audit run (VERDICT r7
+            # wrong#1). AQE broadcasts it when it measures small and
+            # falls back to a shuffle join when it doesn't.
             h = (
                 m.select("doc_a", "doc_b")
                 .join(
-                    F.broadcast(truth.withColumn("hit", F.lit(1))),
+                    truth.withColumn("hit", F.lit(1)),
                     ["doc_a", "doc_b"],
                     "left",
                 )

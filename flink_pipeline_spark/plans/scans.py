@@ -231,6 +231,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bv JOIN hdr USING (file)
         WHERE k > nl1 AND k < nl2
         GROUP BY bv.file
+    ), maxv AS (
+        -- the codec rejects maxval <> 255 (16-bit planes); the oracle
+        -- must fail the same input identically instead of silently
+        -- averaging a misinterpreted byte plane (ADVICE r7)
+        SELECT bv.file,
+               CASE WHEN string_agg(chr(CAST(v AS INT)), '' ORDER BY k) = '255'
+                    THEN 1
+                    ELSE CAST(error('ppm maxval <> 255: ' || bv.file) AS INT)
+               END AS ok
+        FROM bv JOIN hdr USING (file)
+        WHERE k > nl2 AND k < nl3
+        GROUP BY bv.file
     ), px AS (
         SELECT bv.file, k - nl3 AS pk, v
         FROM bv JOIN hdr USING (file) WHERE k > nl3
@@ -259,7 +271,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dims d
     JOIN stats s USING (file)
     JOIN magic m USING (file)
-    WHERE m.ok = 1
+    JOIN maxv x USING (file)
+    WHERE m.ok = 1 AND x.ok = 1
     """,
 )
 def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,6 +46,7 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from ..operators.llm import (
     MAX_LSH_BUCKET,
@@ -88,12 +89,25 @@ class NearDupIngest:
     ) -> DataFrame:
         """The store as it stood BEFORE ``batch_id``: partition
         discovery over the per-batch dirs, minus the current batch's
-        own partition (crash-replay idempotence)."""
+        own partition (crash-replay idempotence).
+
+        Only a MISSING store path maps to the empty frame (the first
+        trigger's legitimate state). Every other read failure —
+        corrupt parquet, transient I/O, permissions — re-raises so a
+        degraded store fails the batch; swallowing it would silently
+        classify standing duplicates as 'keep', commit the wrong
+        decisions, AND index the dups permanently (ADVICE r7)."""
         path = self._store(kind)
         try:
             df = spark.read.parquet(path)
-        except Exception:
-            return spark.createDataFrame([], schema)
+        except AnalysisException as e:
+            cond = (
+                e.getCondition() if hasattr(e, "getCondition")
+                else getattr(e, "getErrorClass", lambda: None)()
+            )
+            if cond == "PATH_NOT_FOUND" or "Path does not exist" in str(e):
+                return spark.createDataFrame([], schema)
+            raise
         return df.filter(F.col("batch_id") != batch_id).drop("batch_id")
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
