@@ -1311,6 +1311,118 @@ def substring_dedup_stats(
 
 
 # ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (line dedup)
+# ---------------------------------------------------------------------------
+
+# Keeper-key packing headroom: pno must stay below 2^20 (10M tokens
+# per document at the default 10-token paragraphs) so (doc_id, pno)
+# packs into one BIGINT and the keeper argmin stays a plain
+# HashAggregate (the ivf_assign packed-key rationale). The guard
+# raises loudly instead of silently mis-ranking a pathological doc.
+PARA_PNO_LIMIT = 1 << 20
+
+
+def paragraph_dedup_stats(docs: DataFrame, p: int = 10) -> DataFrame:
+    """(doc_id, n_paras, paras_dropped, n_tokens, tokens_dropped,
+    kept_hash): paragraph-level EXACT dedup — the CCNet/RefinedWeb
+    line-dedup pass (Wenzek et al., CCNet; Penedo et al., RefinedWeb),
+    the granularity real pipelines run most often after doc-level
+    exact dedup: segment every document into paragraphs, hash each
+    paragraph, and remove every occurrence of any paragraph seen >= 2
+    times corpus-wide EXCEPT the canonical first copy (keep-first by
+    (doc_id, position)). Doc-level dedup cannot see a boilerplate
+    header shared by a million distinct pages; span-level ExactSubstr
+    (substring_dedup_stats) can, but at ~10x the gram-index cost —
+    paragraph hashing is the cheap standard middle.
+
+    Segmentation: production corpora split on the paragraph delimiter
+    ('\\n\\n' or '\\n'); the fixture text is single-line space-
+    tokenized, so paragraphs here are fixed ``p``-token blocks — the
+    same segment-hash-count-remove machinery with a deterministic
+    segmenter both engines replay (slice of the token array; a real
+    corpus swaps in split(text, '\\n\\n') and nothing else changes).
+
+    Plan: corpus scan -> per-doc paragraph explode (linear, no
+    shuffle) -> md5 paragraph digest -> ONE hash aggregate keyed by
+    digest (count + packed-keeper argmin, map-side combined — the
+    shuffle carries 32-byte digests + two longs, never paragraph
+    text) -> equi-join back (AQE-broadcast when the dup set is
+    small) -> per-doc accounting agg. Skew: a boilerplate paragraph
+    shared by millions of docs is ONE hot digest key in the
+    join-back; output stays one row per occurrence and AQE skew-join
+    splits the straggler — same profile as substring_dedup_stats'
+    gram join."""
+    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    paras = (
+        base.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("toks") - 1) / F.lit(p)).cast("int"),
+                )
+            ).alias("pno"),
+        )
+        .select(
+            "doc_id",
+            "pno",
+            F.expr(f"slice(toks, pno * {p} + 1, {p})").alias("ptoks"),
+        )
+        .select(
+            "doc_id",
+            "pno",
+            F.size("ptoks").alias("n_ptoks"),
+            F.concat_ws(" ", "ptoks").alias("ptext"),
+        )
+    )
+    packed = (
+        f"CASE WHEN pno < {PARA_PNO_LIMIT} THEN "
+        f"doc_id * {PARA_PNO_LIMIT} + pno "
+        f"ELSE CAST(raise_error('paragraph_dedup: pno >= 2^20 "
+        f"(doc over {PARA_PNO_LIMIT * p} tokens)') AS BIGINT) END"
+    )
+    occ = paras.select(
+        "doc_id",
+        "pno",
+        "n_ptoks",
+        "ptext",
+        F.md5("ptext").alias("h"),
+        F.expr(packed).alias("k"),
+    )
+    grp = occ.groupBy("h").agg(F.min("k").alias("keep_k"))
+    marked = occ.join(grp, "h").withColumn(
+        "dropped", F.col("k") != F.col("keep_k")
+    )
+    kept_struct = F.when(
+        ~F.col("dropped"), F.struct("pno", "ptext")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+        .cast("long")
+        .alias("paras_dropped"),
+        F.sum("n_ptoks").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("dropped"), F.col("n_ptoks")).otherwise(0))
+        .cast("long")
+        .alias("tokens_dropped"),
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["ptext"],
+                    ),
+                )
+            ),
+            1,
+            8,
+        ).alias("kept_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product-quantization (PQ) compressed ANN
 # ---------------------------------------------------------------------------
 

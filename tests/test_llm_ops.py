@@ -850,3 +850,37 @@ def test_release_caches_sweeps_lazy_persists(spark):
     assert len(_persisted_ids(spark)) > 0
     release_caches(spark)
     assert _persisted_ids(spark) == set()
+
+
+def test_paragraph_dedup_keep_first(spark):
+    """A paragraph repeated across docs (and within one) keeps ONLY
+    the canonical min-(doc_id, pos) copy; unique paragraphs survive
+    untouched; accounting and kept-text fingerprint reflect exactly
+    the removed blocks."""
+    import hashlib
+
+    from flink_pipeline_spark.operators.llm import paragraph_dedup_stats
+
+    boiler = "b1 b2 b3"   # 3-token block, p=3 => one paragraph
+    docs = spark.createDataFrame(
+        [
+            # doc 1: boiler at pos 0 (the canonical copy) + unique tail
+            (1, f"{boiler} u1 u2 u3"),
+            # doc 2: unique head + boiler at pos 1 (dropped)
+            (2, f"v1 v2 v3 {boiler}"),
+            # doc 3: boiler TWICE (pos 0 dropped too: doc 1 holds the
+            # canonical copy; within-doc repeat at pos 1 also dropped)
+            (3, f"{boiler} {boiler}"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r["doc_id"]: r for r in paragraph_dedup_stats(docs, p=3).collect()
+    }
+    assert rows[1]["paras_dropped"] == 0 and rows[1]["tokens_dropped"] == 0
+    assert rows[2]["paras_dropped"] == 1 and rows[2]["tokens_dropped"] == 3
+    assert rows[3]["paras_dropped"] == 2 and rows[3]["tokens_dropped"] == 6
+    assert rows[1]["n_paras"] == 2 and rows[1]["n_tokens"] == 6
+    # kept text: doc2 keeps only its unique head; doc3 keeps nothing
+    assert rows[2]["kept_hash"] == hashlib.md5(b"v1 v2 v3").hexdigest()[:8]
+    assert rows[3]["kept_hash"] == hashlib.md5(b"").hexdigest()[:8]
