@@ -1836,6 +1836,232 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LANGID_HASH_DIM = 256  # char-trigram hashed-feature buckets
+LANGID_LRANK_PACK = 1024  # argmax key stride (> #classes, < overflow)
+
+
+def _register_langid_ngram() -> None:
+    """Closure-registered to compose the keyword-list q_text_langid
+    oracle as a CTE — the agreement audit can never drift from the
+    heuristic it measures (the q_ann_recall convention)."""
+    kw_sql = ORACLES["q_text_langid"]
+    D = LANGID_HASH_DIM
+    h_duck = hash56_sql_duckdb("substr(text, pos, 3)")
+    oracle = f"""
+    WITH langs AS (
+        SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs_l,
+               row_number() OVER (ORDER BY lang) AS lrank
+        FROM documents GROUP BY lang
+    ), nd AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+    ), lb AS (
+        SELECT lang, lrank,
+               CAST(floor(ln(n_docs_l / n) * 10000 + 0.5) AS BIGINT) AS bias_q
+        FROM langs CROSS JOIN nd
+    ), g AS (
+        SELECT doc_id, dlang, {h_duck} % {D} AS b
+        FROM (SELECT doc_id, lang AS dlang, text,
+                     unnest(range(1, length(text) - 1)) AS pos
+              FROM documents WHERE length(text) >= 3) t
+    ), cls AS (
+        SELECT b, dlang AS lang, CAST(count(*) AS DOUBLE) AS cnt
+        FROM g GROUP BY b, dlang
+    ), tot AS (
+        SELECT lang, CAST(sum(cnt) AS DOUBLE) AS tot_l FROM cls GROUP BY lang
+    ), bs AS (
+        SELECT DISTINCT b FROM g
+    ), w AS (
+        SELECT bs.b, l.lang, l.lrank,
+               CAST(floor(ln((coalesce(c.cnt, 0) + 1) / (t.tot_l + {D}.0))
+                          * 10000 + 0.5) AS BIGINT) AS w_q
+        FROM bs
+        CROSS JOIN lb l
+        JOIN tot t ON t.lang = l.lang
+        LEFT JOIN cls c ON c.b = bs.b AND c.lang = l.lang
+    ), sc AS (
+        SELECT g.doc_id, w.lang, w.lrank,
+               CAST(sum(w.w_q) AS BIGINT) AS sumw
+        FROM g JOIN w USING (b)
+        GROUP BY g.doc_id, w.lang, w.lrank
+    ), scored AS (
+        SELECT sc.doc_id, sc.lang,
+               CAST(sc.sumw + l.bias_q AS BIGINT) AS score_q
+        FROM sc JOIN lb l ON l.lang = sc.lang
+    ), best AS (
+        SELECT doc_id, lang, score_q FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score_q DESC, lang) AS rn
+            FROM scored
+        ) t WHERE rn = 1
+    ), kw AS ({kw_sql}
+    )
+    SELECT d.doc_id,
+           coalesce(b.lang, 'und') AS pred_lang,
+           CAST(coalesce(b.score_q, 0) AS BIGINT) AS score_q,
+           kw.pred_lang AS kw_lang,
+           CAST(CASE WHEN coalesce(b.lang, 'und') = kw.pred_lang
+                THEN 1 ELSE 0 END AS BIGINT) AS agree
+    FROM documents d
+    LEFT JOIN best b ON b.doc_id = d.doc_id
+    JOIN kw ON kw.doc_id = d.doc_id
+    """
+
+    @register("q_text_langid_ngram", oracle=oracle)
+    def q_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """LEARNED char-n-gram language ID (r7 verdict gap #3) — the
+        production langid shape (fastText/CLD-style char-n-gram linear
+        classifier) replacing keyword lists: char TRIGRAMS hash into
+        {dim} feature buckets (the q_quality_linear hashing trick),
+        each (bucket, class) carries a deterministic naive-Bayes
+        log-likelihood weight (add-1 smoothing over the bucket space),
+        and a document's per-class score is the class prior plus the
+        sum of its trigram-bucket weights — argmax over classes with
+        alphabetical tie-break, 'und' for gram-less docs (the
+        q_text_langid convention). The same query AUDITS agreement
+        with the keyword-list heuristic per document (`agree`), so the
+        registry sees where the two classifiers diverge. (In-sample
+        fit by design, like q_quality_linear: production fits on a
+        labeled slice and broadcasts the weight table — byte-for-byte
+        this query's scoring half.)
+
+        Portability: weights and priors quantize to BIGINT
+        ten-thousandths, per-doc-per-class scores are exact integer
+        sums, and the argmax rides a packed BIGINT key
+        (score_q * {pack} - lrank — the ivf_assign HashAggregate
+        argmax, no corpus-wide window); the oracle replays fit,
+        scoring, and argmax bit-for-bit.
+
+        Scale: the weight table is <= D x #classes = {dim} x L rows —
+        broadcast by construction; the corpus pays one codegen'd
+        hash+mod projection, a broadcast join fanning each gram to L
+        classes, and two hash aggregates (per-(doc, class) sum, then
+        the packed-key argmax). The fit is two corpus-linear aggs over
+        (bucket, class) cells. Nothing shuffles wider than the
+        per-doc-class score table, which any per-class scorer needs."""
+        d = load_table(spark, sf_dir, "documents")
+        g = (
+            d.filter(F.length("text") >= 3)
+            .select(
+                "doc_id",
+                F.col("lang").alias("dlang"),
+                "text",
+                F.explode(
+                    F.sequence(F.lit(1), F.length("text") - 2)
+                ).alias("pos"),
+            )
+            .select(
+                "doc_id",
+                "dlang",
+                (
+                    F.expr(hash56_sql_spark("substring(text, pos, 3)")) % D
+                ).alias("b"),
+            )
+            .persist()
+        )
+        cls = g.groupBy("b", "dlang").agg(
+            F.count("*").cast("double").alias("cnt")
+        )
+        tot = cls.groupBy("dlang").agg(F.sum("cnt").alias("tot_l")).select(
+            F.col("dlang").alias("lang"), "tot_l"
+        )
+        wl = Window.orderBy("lang")  # L-row frame; the global window is tiny
+        langs = (
+            d.groupBy("lang")
+            .agg(F.count("*").cast("double").alias("n_docs_l"))
+            .withColumn("lrank", F.row_number().over(wl))
+        )
+        nd = d.agg(F.count("*").cast("double").alias("n"))
+        lb = langs.crossJoin(F.broadcast(nd)).select(
+            "lang",
+            "lrank",
+            F.floor(F.log(F.col("n_docs_l") / F.col("n")) * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("bias_q"),
+        )
+        w = (
+            g.select("b")
+            .distinct()
+            .crossJoin(F.broadcast(lb.select("lang", "lrank")))
+            .join(F.broadcast(tot), "lang")
+            .join(
+                F.broadcast(cls.withColumnRenamed("dlang", "lang")),
+                ["b", "lang"],
+                "left",
+            )
+            .select(
+                "b",
+                "lang",
+                "lrank",
+                F.floor(
+                    F.log(
+                        (F.coalesce(F.col("cnt"), F.lit(0.0)) + 1)
+                        / (F.col("tot_l") + F.lit(float(D)))
+                    )
+                    * 10000
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("w_q"),
+            )
+        )
+        sc = (
+            g.join(F.broadcast(w), "b")
+            .groupBy("doc_id", "lang", "lrank")
+            .agg(F.sum("w_q").cast("long").alias("sumw"))
+            .join(F.broadcast(lb.select("lang", "bias_q")), "lang")
+            .select(
+                "doc_id",
+                "lrank",
+                (F.col("sumw") + F.col("bias_q")).cast("long").alias("score_q"),
+            )
+        )
+        key = F.col("score_q") * LANGID_LRANK_PACK - F.col("lrank")
+        best = (
+            sc.groupBy("doc_id")
+            .agg(
+                F.max_by("lrank", key).alias("blrank"),
+                F.max("score_q").cast("long").alias("score_q"),
+            )
+            .join(
+                F.broadcast(
+                    lb.select(
+                        F.col("lrank").alias("blrank"),
+                        F.col("lang").alias("pred"),
+                    )
+                ),
+                "blrank",
+            )
+        )
+        kw = q_text_langid(spark, sf_dir).select(
+            "doc_id", F.col("pred_lang").alias("kw_lang")
+        )
+        pred = F.coalesce(F.col("pred"), F.lit("und"))
+        return (
+            d.select("doc_id")
+            .join(best.select("doc_id", "pred", "score_q"), "doc_id", "left")
+            .join(kw, "doc_id")
+            .select(
+                "doc_id",
+                pred.alias("pred_lang"),
+                F.coalesce(F.col("score_q"), F.lit(0))
+                .cast("long")
+                .alias("score_q"),
+                "kw_lang",
+                F.when(pred == F.col("kw_lang"), 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("agree"),
+            )
+        )
+
+    q_text_langid_ngram.__doc__ = q_text_langid_ngram.__doc__.format(
+        dim=LANGID_HASH_DIM, pack=LANGID_LRANK_PACK
+    )
+
+
+_register_langid_ngram()
+
+
 @register(
     "q_quality_gate",
     oracle="""
