@@ -1477,8 +1477,14 @@ def pq_codes(
 
     ``codebook`` must be (sub, code, cv) with <= a few hundred rows per
     subspace — it broadcasts; the corpus never shuffles for coding.
-    Assignment is argmin-by-struct: min(struct(dist_q, code)) inside a
-    hash aggregate, no window over the corpus."""
+    Assignment is a packed-BIGINT argmin: min(dist_q * 256 + code) —
+    lexicographic (dist, code) because PQ codes are one byte (< 256)
+    by contract — recovered with % 256. A struct-min is semantically
+    identical but its aggregation buffer is not UnsafeRow-mutable, so
+    Spark falls back to SortAggregate (a per-partition sort of the
+    whole corpus-coding stream); the packed key keeps the argmin
+    inside HashAggregate with map-side partials — the ivf_assign
+    finding applied to coding (r8)."""
     sv = _subvectors(emb, m, d_sub, "vec_id", "embedding")
     dist = SQDIST_Q_SQL.format(a="sv", b="cv")
     scored = sv.join(F.broadcast(codebook), "sub").select(
@@ -1486,8 +1492,8 @@ def pq_codes(
     )
     return (
         scored.groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("dist_q", "code")).alias("best"))
-        .select("vec_id", "sub", F.col("best.code").alias("code"))
+        .agg(F.min(F.col("dist_q") * 256 + F.col("code")).alias("bk"))
+        .select("vec_id", "sub", (F.col("bk") % 256).cast("int").alias("code"))
     )
 
 
@@ -1538,6 +1544,141 @@ def pq_topk(
     )
     scored = (
         codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdist_q").alias("adist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist_q", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist_q")
+    )
+
+
+# Elementwise residual (vector - centroid), computed in DOUBLE: both
+# casts are exact (float widens losslessly) and IEEE subtraction is
+# correctly rounded, so the residual arrays are bit-identical across
+# engines and everything downstream (subvector slices, quantized
+# distances) inherits the established PQ portability.
+RESID_SQL = "zip_with({a}, {b}, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE))"
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_codes: int = 16,
+    k: int = 3,
+    nprobe: int = 2,
+    m: int = 8,
+    d_sub: int = 8,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, adist_q): IVFADC — the fused
+    IVF + PQ index (Jegou et al., TPAMI 2011, §V; the FAISS IVFADC
+    layout), and the shape a production 100 TB ANN deployment actually
+    runs: the coarse quantizer routes (per-query work is O(probed
+    cells), never O(corpus)) AND the corpus inside each cell is stored
+    only as ``m`` one-byte PQ codes of the RESIDUAL (vector - its cell
+    centroid), scored by broadcast lookup table. Before this fusion
+    the engine's best plan was either sub-linear (topk_neighbors_ivf:
+    probes raw floats) or compressed (pq_topk: full compressed scan),
+    never both — r7 verdict's top item.
+
+    Residual coding is what makes the fusion better than its parts:
+    within a cell the residual distribution is tighter than the raw
+    corpus, so the same codebook budget quantizes finer; the code
+    approximates ||(q-c) - code(x-c)||^2 ~ ||q-x||^2 for x in a
+    probed cell c.
+
+    Composition, not new machinery: cell assignment is ivf_assign
+    (persisted — the 3-longs-per-vector artifact a production
+    pipeline checkpoints), residual coding is pq_codes over the
+    residual frame with a residual codebook (pq_codebook_from's
+    seeding convention: subvectors of the ``n_codes`` lowest vec_ids'
+    residuals), probing is topk_neighbors_ivf's rounded-cosine
+    centroid rank, and the LUT/ADC scan is pq_topk's — except the LUT
+    is keyed (query, PROBED CELL, sub, code), because the query's
+    residual differs per probed cell.
+
+    Scale shape: the corpus-sized frames are the assignment (3 longs/
+    vector) and the code table (m small ints/vector ~ 1/32 the float
+    bytes); the ADC scan is ONE hash join of the code table against a
+    |queries| x nprobe x m x n_codes broadcast LUT followed by one
+    exact-integer hash aggregate — map-side combined, corpus never
+    shuffles. Per-query compare work is O(sum of probed cell sizes)
+    like the IVF path, at PQ bytes per compare."""
+    assigned = ivf_assign(emb, centroids).persist()
+    cents = centroids.select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    resid = (
+        emb.join(assigned, "vec_id")
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.expr(RESID_SQL.format(a="embedding", b="cvec")).alias("rv"),
+        )
+    )
+    rseed = resid.filter(F.col("vec_id") < n_codes).select(
+        "vec_id", F.col("rv").alias("embedding")
+    )
+    cb = _subvectors(rseed, m, d_sub, "vec_id", "embedding").select(
+        "sub", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cv")
+    )
+    codes = pq_codes(
+        resid.select("vec_id", F.col("rv").alias("embedding")), cb, m, d_sub
+    ).join(assigned, "vec_id")
+
+    q = with_norm(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        F.col("norm").alias("nq"),
+    )
+    c = with_norm(centroids).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("ec"),
+        F.col("norm").alias("nc"),
+    )
+    qcos = F.expr(DOT_SQL.format(a="eq", b="ec")) / (F.col("nq") * F.col("nc"))
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("cell")
+    )
+    probes = (
+        q.join(F.broadcast(c))
+        .select("query_id", "cell", "eq", "ec", round_agg(qcos).alias("qcos"))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "query_id",
+            "cell",
+            F.expr(RESID_SQL.format(a="eq", b="ec")).alias("qrv"),
+        )
+    )
+    d = m * d_sub
+    start = (
+        f"CASE WHEN size(qrv) = {d} THEN sub * {d_sub} + 1 "
+        f"ELSE CAST(raise_error('ivfpq: query dim <> {d} "
+        f"(m={m} x d_sub={d_sub})') AS INT) END"
+    )
+    qsv = probes.select(
+        "query_id",
+        "cell",
+        "qrv",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select(
+        "query_id",
+        "cell",
+        "sub",
+        F.expr(f"slice(qrv, {start}, {d_sub})").alias("sv"),
+    )
+    dist = SQDIST_Q_SQL.format(a="sv", b="cv")
+    lut = qsv.join(F.broadcast(cb), "sub").select(
+        "query_id", "cell", "sub", "code", F.expr(dist).alias("pdist_q")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "sub", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("pdist_q").alias("adist_q"))
