@@ -454,3 +454,100 @@ def test_streaming_neardup_matches_batch_incremental(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_drift_monitor_matches_batch_psi(spark, tmp_path):
+    """Stream==batch equivalence for the PSI drift monitor: a profile
+    built from q_drift_psi's reference cohort (user_id%2=0) plus ONE
+    batch covering the full current cohort must reproduce the
+    registered batch query's psi_q EXACTLY — both reduce to identical
+    (event_type, bucket) grids before the shared term text."""
+    from flink_pipeline_spark.plans.profiling import q_drift_psi
+    from flink_pipeline_spark.streaming.drift import (
+        DriftMonitor,
+        build_reference_profile,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    build_reference_profile(
+        events.filter("user_id % 2 = 0"), str(tmp_path / "ref")
+    )
+    mon = DriftMonitor(str(tmp_path / "ref"), str(tmp_path / "out"))
+    got = sorted(
+        tuple(r) for r in mon.psi(events.filter("user_id % 2 = 1")).collect()
+    )
+    want = sorted(tuple(r) for r in q_drift_psi(spark, SF_DIR).collect())
+    assert got == want
+
+
+def test_drift_monitor_streaming_and_replay(spark, tmp_path):
+    """The monitor as a real file-source stream: two micro-batches emit
+    per-batch PSI partitions; replaying a batch_id overwrites its
+    partition with identical rows (idempotence), and each batch's rows
+    equal the direct psi() of that batch's frame."""
+    import os
+    import time
+
+    from flink_pipeline_spark.streaming.drift import (
+        DriftMonitor,
+        build_reference_profile,
+        start_drift_stream,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_type", "value", "user_id"
+    )
+    build_reference_profile(
+        events.filter("user_id % 2 = 0"), str(tmp_path / "ref")
+    )
+    cur = events.filter("user_id % 2 = 1")
+    src = tmp_path / "src"
+    src.mkdir()
+    f1, f2 = str(src / "b1.parquet"), str(src / "b2.parquet")
+    cur.filter("user_id % 4 = 1").coalesce(1).write.parquet(f1)
+    cur.filter("user_id % 4 = 3").coalesce(1).write.parquet(f2)
+    now = time.time()
+    for root, base_t in ((f1, now - 120), (f2, now - 60)):
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                os.utime(os.path.join(dirpath, fn), (base_t, base_t))
+
+    schema = spark.read.parquet(f1).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    mon = DriftMonitor(str(tmp_path / "ref"), str(tmp_path / "out"))
+    q = start_drift_stream(stream, mon)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    by_batch = {
+        b: sorted(
+            tuple(r)
+            for r in out.filter(F.col("batch_id") == b)
+            .drop("batch_id")
+            .collect()
+        )
+        for b in (0, 1)
+    }
+    # each micro-batch's rows == the direct psi() of that slice
+    assert by_batch[0] == sorted(
+        tuple(r) for r in mon.psi(cur.filter("user_id % 4 = 1")).collect()
+    )
+    assert by_batch[1] == sorted(
+        tuple(r) for r in mon.psi(cur.filter("user_id % 4 = 3")).collect()
+    )
+    # replay batch 1: identical partition contents, no duplication
+    mon(cur.filter("user_id % 4 = 3"), 1)
+    replayed = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .filter(F.col("batch_id") == 1)
+        .drop("batch_id")
+        .collect()
+    )
+    assert replayed == by_batch[1]
