@@ -1269,3 +1269,127 @@ def _register_build_training_set() -> None:
 
 
 _register_build_training_set()
+
+
+def _register_build_training_set_weighted() -> None:
+    """The capstone EXTENDED with per-source sampling weights (r7
+    verdict item #6 — the full trainer handoff): same composed
+    dedup-keeper + quality-gate + leakage-safe-split stages, but the
+    manifest is per (split, source) and carries the registered
+    temperature-mixture rule's weights (q_mixture_temperature's
+    alpha=0.5 formula, applied WITHIN each split over the KEPT
+    corpus) — so a trainer reads, per split, how hard to over/under-
+    sample each source alongside the doc/token inventory."""
+    from .llm_ops import q_dedup_clusters, q_quality_gate
+    from .registry import ORACLES
+
+    oracle = f"""
+    WITH clusters AS ({ORACLES['q_dedup_clusters']}),
+    gate AS ({ORACLES['q_quality_gate']}),
+    g AS (
+        SELECT d.doc_id, d.text, d.source,
+               coalesce(c.cluster_id, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ), kept AS (
+        SELECT g.doc_id, g.text, g.source, g.group_id
+        FROM g JOIN gate ON gate.doc_id = g.doc_id
+        WHERE g.group_id = g.doc_id AND gate.verdict = 'keep'
+    ), assigned AS (
+        SELECT source,
+               {SPLIT_CASE.format(h=hash56_sql_duckdb('group_id'))} AS split,
+               len(string_split(text, ' ')) AS t
+        FROM kept
+    ), mix AS (
+        SELECT split, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(t) AS BIGINT) AS n_tokens,
+               CAST(floor(sqrt(CAST(sum(t) AS BIGINT)) * 10000 + 0.5)
+                    AS BIGINT) AS w_q
+        FROM assigned GROUP BY split, source
+    ), tot AS (
+        SELECT split,
+               CAST(sum(n_tokens) AS BIGINT) AS t_tokens,
+               CAST(sum(w_q) AS BIGINT) AS t_w
+        FROM mix GROUP BY split
+    )
+    SELECT m.split, m.source, m.n_docs, m.n_tokens,
+           {round_sql('m.n_tokens::DOUBLE / t.t_tokens')} AS raw_share,
+           {round_sql('m.w_q::DOUBLE / t.t_w')} AS temp_share,
+           {round_sql('(m.w_q::DOUBLE / t.t_w) / (m.n_tokens::DOUBLE / t.t_tokens)')}
+               AS boost
+    FROM mix m JOIN tot t USING (split)
+    """
+
+    @register("q_build_training_set_weighted", oracle=oracle)
+    def q_build_training_set_weighted(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Capstone manifest WITH mixture weights: dedup keeper
+        (q_dedup_clusters' components) -> C4-style quality gate ->
+        leakage-safe cluster-hash split, then per (split, source) the
+        doc/token inventory PLUS the temperature-scaled sampling
+        share (tokens^0.5, the q_mixture_temperature rule) normalized
+        within the split — raw_share, temp_share, and the
+        over/under-sampling boost a mixture config applies. Every
+        stage composes a registered oracle or shared rule; the weight
+        is quantized to BIGINT ten-thousandths before the exact
+        integer denominator sum (the house convention), so fit and
+        normalization replay bit-for-bit.
+
+        Scale: the cluster/gate stages are the already-shaped
+        pipelines; past them everything reduces to a #splits x
+        #sources grid (persisted — it feeds both the totals agg and
+        the final join; unpersisted, the whole CC chain would execute
+        twice) with 1-per-split broadcast denominators."""
+        d = load_table(spark, sf_dir, "documents")
+        clusters = q_dedup_clusters(spark, sf_dir)
+        gate = (
+            q_quality_gate(spark, sf_dir)
+            .filter(F.col("verdict") == "keep")
+            .select("doc_id")
+        )
+        g = d.join(clusters, "doc_id", "left").select(
+            "doc_id",
+            "text",
+            "source",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_id"),
+        )
+        kept = g.filter(F.col("group_id") == F.col("doc_id")).join(
+            gate, "doc_id"
+        )
+        assigned = kept.select(
+            split_col(F.col("group_id")).alias("split"),
+            "source",
+            F.size(F.split("text", " ")).alias("t"),
+        )
+        mix = (
+            assigned.groupBy("split", "source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("t").cast("long").alias("n_tokens"),
+            )
+            .withColumn(
+                "w_q",
+                F.floor(F.sqrt(F.col("n_tokens")) * 10000 + F.lit(0.5))
+                .cast("long"),
+            )
+            .persist()
+        )
+        tot = mix.groupBy("split").agg(
+            F.sum("n_tokens").cast("long").alias("t_tokens"),
+            F.sum("w_q").cast("long").alias("t_w"),
+        )
+        raw_share = F.col("n_tokens").cast("double") / F.col("t_tokens")
+        temp_share = F.col("w_q").cast("double") / F.col("t_w")
+        return mix.join(F.broadcast(tot), "split").select(
+            "split",
+            "source",
+            "n_docs",
+            "n_tokens",
+            round_agg(raw_share).alias("raw_share"),
+            round_agg(temp_share).alias("temp_share"),
+            round_agg(temp_share / raw_share).alias("boost"),
+        )
+
+
+_register_build_training_set_weighted()
