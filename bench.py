@@ -109,6 +109,14 @@ HEADLINE = [
     # the end-to-end corpus -> training-shard manifest (round 7
     # capstone: dedup keeper + quality gate + cluster split + shards)
     "q_build_training_set",
+    # round 8: paragraph-level exact dedup (the CCNet/RefinedWeb line
+    # pass), the learned char-trigram langid, IVFADC (fused
+    # IVF-probe + PQ-residual search), and the mixture-weighted
+    # capstone manifest
+    "q_dedup_paragraph",
+    "q_text_langid_ngram",
+    "q_sim_ivfpq_topk",
+    "q_build_training_set_weighted",
     "q_knn_classify",
     "q_stream_enrich",
     # profiling layer (round 3): TF-IDF is the corpus-heaviest text op

@@ -279,6 +279,9 @@ _ALLOWED_BNLJ = {
     "q_search_hybrid",       # composes q_text_bm25 + the k-row query-side cosine
     "q_text_surprisal_2g",   # 1-row corpus-total broadcast (unigram convention)
     "q_sim_sq_topk",         # 1-row lo/hi codebook + k-row query broadcasts
+    # r8: same vetted classes
+    "q_sim_ivfpq_topk",      # q_sim_ivf_topk's k-row query x 8-row centroid probe rank
+    "q_text_langid_ngram",   # <=256-bucket x L-class weight grid + 1-row doc-total broadcast
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
