@@ -1997,11 +1997,14 @@ def _register_langid_ngram() -> None:
         CROSS JOIN lb l
         JOIN tot t ON t.lang = l.lang
         LEFT JOIN cls c ON c.b = bs.b AND c.lang = l.lang
+    ), gb AS (
+        SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt
+        FROM g GROUP BY doc_id, b
     ), sc AS (
-        SELECT g.doc_id, w.lang, w.lrank,
-               CAST(sum(w.w_q) AS BIGINT) AS sumw
-        FROM g JOIN w USING (b)
-        GROUP BY g.doc_id, w.lang, w.lrank
+        SELECT gb.doc_id, w.lang, w.lrank,
+               CAST(sum(gb.cnt * w.w_q) AS BIGINT) AS sumw
+        FROM gb JOIN w USING (b)
+        GROUP BY gb.doc_id, w.lang, w.lrank
     ), scored AS (
         SELECT sc.doc_id, sc.lang,
                CAST(sc.sumw + l.bias_q AS BIGINT) AS score_q
@@ -2123,10 +2126,18 @@ def _register_langid_ngram() -> None:
                 .alias("w_q"),
             )
         )
+        # per-(doc, bucket) counts BEFORE the class fan-out: the L-way
+        # broadcast join then sees at most D rows per document instead
+        # of one row per character — at real document lengths (>> D)
+        # that caps the fan-out input by ~len/D, and the weighted sum
+        # stays exact (integer cnt x integer w_q)
+        gb = g.groupBy("doc_id", "b").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
         sc = (
-            g.join(F.broadcast(w), "b")
+            gb.join(F.broadcast(w), "b")
             .groupBy("doc_id", "lang", "lrank")
-            .agg(F.sum("w_q").cast("long").alias("sumw"))
+            .agg(F.sum(F.col("cnt") * F.col("w_q")).cast("long").alias("sumw"))
             .join(F.broadcast(lb.select("lang", "bias_q")), "lang")
             .select(
                 "doc_id",

@@ -1280,12 +1280,13 @@ def _register_build_training_set_weighted() -> None:
     alpha=0.5 formula, applied WITHIN each split over the KEPT
     corpus) — so a trainer reads, per split, how hard to over/under-
     sample each source alongside the doc/token inventory."""
-    from .llm_ops import q_dedup_clusters, q_quality_gate
+    from .llm_ops import q_dedup_clusters, q_dedup_paragraph, q_quality_gate
     from .registry import ORACLES
 
     oracle = f"""
     WITH clusters AS ({ORACLES['q_dedup_clusters']}),
     gate AS ({ORACLES['q_quality_gate']}),
+    para AS ({ORACLES['q_dedup_paragraph']}),
     g AS (
         SELECT d.doc_id, d.text, d.source,
                coalesce(c.cluster_id, d.doc_id) AS group_id
@@ -1295,14 +1296,16 @@ def _register_build_training_set_weighted() -> None:
         FROM g JOIN gate ON gate.doc_id = g.doc_id
         WHERE g.group_id = g.doc_id AND gate.verdict = 'keep'
     ), assigned AS (
-        SELECT source,
-               {SPLIT_CASE.format(h=hash56_sql_duckdb('group_id'))} AS split,
-               len(string_split(text, ' ')) AS t
-        FROM kept
+        SELECT k.source,
+               {SPLIT_CASE.format(h=hash56_sql_duckdb('k.group_id'))} AS split,
+               len(string_split(k.text, ' ')) AS t,
+               p.n_tokens - p.tokens_dropped AS tc
+        FROM kept k JOIN para p ON p.doc_id = k.doc_id
     ), mix AS (
         SELECT split, source,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(t) AS BIGINT) AS n_tokens,
+               CAST(sum(tc) AS BIGINT) AS n_tokens_clean,
                CAST(floor(sqrt(CAST(sum(t) AS BIGINT)) * 10000 + 0.5)
                     AS BIGINT) AS w_q
         FROM assigned GROUP BY split, source
@@ -1312,7 +1315,7 @@ def _register_build_training_set_weighted() -> None:
                CAST(sum(w_q) AS BIGINT) AS t_w
         FROM mix GROUP BY split
     )
-    SELECT m.split, m.source, m.n_docs, m.n_tokens,
+    SELECT m.split, m.source, m.n_docs, m.n_tokens, m.n_tokens_clean,
            {round_sql('m.n_tokens::DOUBLE / t.t_tokens')} AS raw_share,
            {round_sql('m.w_q::DOUBLE / t.t_w')} AS temp_share,
            {round_sql('(m.w_q::DOUBLE / t.t_w) / (m.n_tokens::DOUBLE / t.t_tokens)')}
@@ -1330,10 +1333,14 @@ def _register_build_training_set_weighted() -> None:
         doc/token inventory PLUS the temperature-scaled sampling
         share (tokens^0.5, the q_mixture_temperature rule) normalized
         within the split — raw_share, temp_share, and the
-        over/under-sampling boost a mixture config applies. Every
-        stage composes a registered oracle or shared rule; the weight
-        is quantized to BIGINT ten-thousandths before the exact
-        integer denominator sum (the house convention), so fit and
+        over/under-sampling boost a mixture config applies. The
+        manifest also carries ``n_tokens_clean`` — tokens surviving
+        corpus-wide duplicate-paragraph removal (the registered
+        q_dedup_paragraph accounting, composed) — the post-line-dedup
+        inventory a trainer actually budgets against. Every stage
+        composes a registered oracle or shared rule; the weight is
+        quantized to BIGINT ten-thousandths before the exact integer
+        denominator sum (the house convention), so fit and
         normalization replay bit-for-bit.
 
         Scale: the cluster/gate stages are the already-shaped
@@ -1357,16 +1364,26 @@ def _register_build_training_set_weighted() -> None:
         kept = g.filter(F.col("group_id") == F.col("doc_id")).join(
             gate, "doc_id"
         )
-        assigned = kept.select(
+        # the registered paragraph-dedup accounting, composed: per kept
+        # doc, the tokens surviving corpus-wide duplicate-paragraph
+        # removal — the trainer's post-line-dedup token inventory next
+        # to the raw count (mixture weights stay on raw tokens)
+        para = q_dedup_paragraph(spark, sf_dir).select(
+            "doc_id",
+            (F.col("n_tokens") - F.col("tokens_dropped")).alias("tc"),
+        )
+        assigned = kept.join(para, "doc_id").select(
             split_col(F.col("group_id")).alias("split"),
             "source",
             F.size(F.split("text", " ")).alias("t"),
+            "tc",
         )
         mix = (
             assigned.groupBy("split", "source")
             .agg(
                 F.count("*").alias("n_docs"),
                 F.sum("t").cast("long").alias("n_tokens"),
+                F.sum("tc").cast("long").alias("n_tokens_clean"),
             )
             .withColumn(
                 "w_q",
@@ -1386,6 +1403,7 @@ def _register_build_training_set_weighted() -> None:
             "source",
             "n_docs",
             "n_tokens",
+            "n_tokens_clean",
             round_agg(raw_share).alias("raw_share"),
             round_agg(temp_share).alias("temp_share"),
             round_agg(temp_share / raw_share).alias("boost"),
