@@ -117,6 +117,8 @@ HEADLINE = [
     "q_text_langid_ngram",
     "q_sim_ivfpq_topk",
     "q_build_training_set_weighted",
+    # r8: two-level IVF routing (the corpus-scale-centroid regime)
+    "q_sim_ivf2_topk",
     "q_knn_classify",
     "q_stream_enrich",
     # profiling layer (round 3): TF-IDF is the corpus-heaviest text op

@@ -794,6 +794,85 @@ def topk_neighbors_ivf(
     )
 
 
+def topk_neighbors_ivf2(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    supers: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos): TWO-LEVEL IVF probed top-k —
+    the hierarchical routing the ivf_assign_multi docstring's scale
+    ceiling points at. Flat IVF ranks ALL centroids per query; at
+    corpus-scale cell counts (10^5-10^6 centroids for 10^9+ vectors,
+    the FAISS sqrt(n) rule) that per-query centroid scan is itself a
+    corpus-sized broadcast. The two-level form ranks |supers| coarse
+    super-centroids, descends into the winning super-cell, and ranks
+    only ITS children — per-query centroid work drops from
+    O(|centroids|) to O(|supers| + |children per super|), the standard
+    sqrt split. Recall is bounded by the routing (a true neighbor
+    under a losing super's child is missed — the documented trade on
+    top of flat IVF's, audited in q_ann_recall's ivf2 row).
+
+    Composition: the child->super routing table IS ivf_assign run on
+    the centroids themselves; query routing is ivf_assign on the query
+    set; everything downstream is topk_neighbors_ivf's probe/scan
+    shape. All ranking on portably rounded cosines (round-before-rank)
+    so the full two-level descent replays in the DuckDB oracle."""
+    c2s = ivf_assign(centroids, supers).select(
+        F.col("vec_id").alias("cell"), F.col("cell").alias("sup")
+    )
+    assigned = ivf_assign(emb, centroids)
+    qsup = ivf_assign(
+        queries.select("vec_id", "embedding"), supers
+    ).select(F.col("vec_id").alias("query_id"), F.col("cell").alias("sup"))
+    q = with_norm(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        F.col("norm").alias("nq"),
+    )
+    c = with_norm(centroids).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("ec"),
+        F.col("norm").alias("nc"),
+    )
+    qcos = F.expr(DOT_SQL.format(a="eq", b="ec")) / (F.col("nq") * F.col("nc"))
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("cell")
+    )
+    probes = (
+        q.join(F.broadcast(qsup), "query_id")
+        .join(F.broadcast(c2s), "sup")  # only the winning super's children
+        .join(F.broadcast(c), "cell")
+        .select("query_id", "cell", "eq", "nq", round_agg(qcos).alias("qcos"))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cell", "eq", "nq")
+    )
+    e = with_norm(emb).join(assigned, "vec_id")
+    cos = F.expr(DOT_SQL.format(a="embedding", b="eq")) / (
+        F.col("norm") * F.col("nq")
+    )
+    scored = (
+        e.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            round_agg(cos).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def knn_classify(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """(query_id, predicted_label, actual_label, n_votes): k-NN
     majority-vote label prediction — the embedding-classifier pattern

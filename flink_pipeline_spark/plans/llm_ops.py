@@ -51,6 +51,7 @@ from ..operators.llm import (
     pq_topk,
     topk_neighbors,
     topk_neighbors_ivf,
+    topk_neighbors_ivf2,
     topk_neighbors_l2,
     verified_near_dups,
 )
@@ -1013,6 +1014,92 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF2_SUPERS = 2  # super-centroid seeds for the two-level hierarchy
+
+
+@register(
+    "q_sim_ivf2_topk",
+    oracle=f"""
+    WITH assigned AS ({_SEED_ASSIGN_DUCK}
+    ), c2s AS (
+        SELECT vec_id AS cell, sup FROM (
+            SELECT e.vec_id, s.vec_id AS sup,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='s.embedding')}
+                                      * 10000 + 0.5) / 10000 DESC,
+                                s.vec_id) AS rn
+            FROM embeddings e JOIN embeddings s ON s.vec_id < {IVF2_SUPERS}
+            WHERE e.vec_id < {IVF_SEED_CENTROIDS}
+        ) t WHERE rn = 1
+    ), qsup AS (
+        SELECT vec_id AS query_id, sup FROM (
+            SELECT e.vec_id, s.vec_id AS sup,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='s.embedding')}
+                                      * 10000 + 0.5) / 10000 DESC,
+                                s.vec_id) AS rn
+            FROM embeddings e JOIN embeddings s ON s.vec_id < {IVF2_SUPERS}
+            WHERE e.vec_id < {PQ_QUERY_MAX}
+        ) t WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, c2s.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY floor({_COS_DUCK.format(a='q.embedding', b='ch.embedding')}
+                                      * 10000 + 0.5) / 10000 DESC,
+                                c2s.cell) AS rn
+            FROM embeddings q
+            JOIN qsup ON qsup.query_id = q.vec_id
+            JOIN c2s ON c2s.sup = qsup.sup
+            JOIN embeddings ch ON ch.vec_id = c2s.cell
+        ) t WHERE rn <= 2
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM (
+        SELECT p.query_id, m.vec_id AS neighbor_id,
+               floor({_COS_DUCK.format(a='q.embedding', b='m.embedding')} * 10000 + 0.5)
+                 / 10000 AS cos,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY floor({_COS_DUCK.format(a='q.embedding', b='m.embedding')}
+                                  * 10000 + 0.5) / 10000 DESC, m.vec_id) AS rank
+        FROM probes p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN assigned a ON a.cell = p.cell
+        JOIN embeddings m ON m.vec_id = a.vec_id
+        WHERE m.vec_id <> p.query_id
+    ) t WHERE rank <= 3
+    """,
+)
+def q_sim_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL IVF top-3 (queries = vec_id < 4): rank the
+    {s} super-centroids, descend into the winning super-cell, rank
+    only ITS children, probe the best 2, score their members. The
+    hierarchical routing that keeps probe ranking sub-corpus when the
+    centroid count itself is corpus-scale (the FAISS sqrt(n)-cells
+    regime — flat IVF's per-query rank of ALL centroids stops being
+    'tiny' at 10^6 cells; ivf_assign_multi's documented ceiling).
+    Child->super routing is ivf_assign run on the centroids
+    themselves; every ranking is on the portably rounded cosine, so
+    the full two-level descent — super argmax, child rank, probe,
+    scan — replays bit-for-bit in the oracle. Routing loss on top of
+    flat IVF's probe loss is audited in q_ann_recall's ivf2 row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_neighbors_ivf2(
+        emb,
+        emb.filter(F.col("vec_id") < PQ_QUERY_MAX),
+        emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+        emb.filter(F.col("vec_id") < IVF2_SUPERS),
+        k=3,
+        nprobe=2,
+    )
+
+
+q_sim_ivf2_topk.__doc__ = q_sim_ivf2_topk.__doc__.format(s=IVF2_SUPERS)
+
+
 def _register_kmeans() -> None:
     """Closure-registered: the oracle unrolls the same fixed number of
     Lloyd iterations the Spark operator runs, from the shared
@@ -1355,14 +1442,17 @@ def _register_ann_recall() -> None:
         f" pq_q AS ({pq_sql}),\n"
         f" sq_q AS ({sq_sql}),\n"
         f" ivfpq_q AS ({ivfpq_sql}),\n"
+        f" ivf2_q AS ({ORACLES['q_sim_ivf2_topk']}),\n"
         + denom_cte.format(m="ivf", truth="exact_q") + ",\n"
         + denom_cte.format(m="pq", truth="exact_l2") + ",\n"
         + denom_cte.format(m="sq", truth="exact_dot") + ",\n"
         + denom_cte.format(m="ivfpq", truth="exact_l2") + ",\n"
+        + denom_cte.format(m="ivf2", truth="exact_q") + ",\n"
         + hits_cte.format(m="ivf", truth="exact_q") + ",\n"
         + hits_cte.format(m="pq", truth="exact_l2") + ",\n"
         + hits_cte.format(m="sq", truth="exact_dot") + ",\n"
-        + hits_cte.format(m="ivfpq", truth="exact_l2") + "\n"
+        + hits_cte.format(m="ivfpq", truth="exact_l2") + ",\n"
+        + hits_cte.format(m="ivf2", truth="exact_q") + "\n"
         + row.format(m="ivf")
         + " UNION ALL "
         + row.format(m="pq")
@@ -1370,6 +1460,8 @@ def _register_ann_recall() -> None:
         + row.format(m="sq")
         + " UNION ALL "
         + row.format(m="ivfpq")
+        + " UNION ALL "
+        + row.format(m="ivf2")
     )
 
     @register("q_ann_recall", oracle=oracle)
@@ -1432,6 +1524,9 @@ def _register_ann_recall() -> None:
         # the plain PQ row — is exact L2 truth; the ivfpq row folds in
         # BOTH probing misses and residual-quantization loss
         ivfpq = q_sim_ivfpq_topk(spark, sf_dir)
+        # two-level IVF probes by cosine like flat IVF — same truth;
+        # its row isolates the ADDED super-routing loss vs the ivf row
+        ivf2 = q_sim_ivf2_topk(spark, sf_dir)
 
         def audit(m: DataFrame, name: str, truth: DataFrame) -> DataFrame:
             denom = truth.agg(
@@ -1459,6 +1554,7 @@ def _register_ann_recall() -> None:
             .unionByName(audit(pq, "pq", exact_l2))
             .unionByName(audit(sq, "sq", exact_dot))
             .unionByName(audit(ivfpq, "ivfpq", exact_l2))
+            .unionByName(audit(ivf2, "ivf2", exact_cos))
         )
 
 
@@ -2644,6 +2740,62 @@ def q_text_surprisal_2g(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_surprisal"),
         )
     )
+
+
+# CCNet perplexity-bucket boundaries, fixture-calibrated so all three
+# buckets fire (sf0.01 avg_surprisal spans 3.2966-3.6378; 3.37 sits
+# near the 25th percentile, 3.41 near the 80th). SQL-literal strings
+# so the comparison text is identical in both engines; avg_surprisal
+# is already an exact-integer-derived double, so the compare is safe.
+PPL_HEAD_MAX = "3.37"
+PPL_TAIL_MIN = "3.41"
+_PPL_BUCKET_SQL = (
+    f"CASE WHEN avg_surprisal <= {PPL_HEAD_MAX} THEN 'head' "
+    f"WHEN avg_surprisal >= {PPL_TAIL_MIN} THEN 'tail' "
+    f"ELSE 'middle' END"
+)
+
+
+def _register_ppl_bucket() -> None:
+    """Closure-registered to compose the bigram-LM oracle as a CTE —
+    the gate can never drift from the LM that scores it."""
+    oracle = f"""
+    WITH s AS ({ORACLES['q_text_surprisal_2g']}
+    )
+    SELECT doc_id, n_tokens, avg_surprisal,
+           {_PPL_BUCKET_SQL} AS bucket
+    FROM s
+    """
+
+    @register("q_quality_ppl_bucket", oracle=oracle)
+    def q_quality_ppl_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CCNet perplexity bucketing (Wenzek et al., CCNet §4.3): each
+        document lands in head / middle / tail by its LM mean surprisal
+        — head = most-predictable (closest to the LM's training
+        distribution, kept outright in CCNet), tail = most surprising
+        (gibberish/noise candidates), middle = the sampled band. This
+        is the gate the bigram LM (q_text_surprisal_2g) exists to
+        drive, shipped as one registered query: the oracle embeds the
+        registered LM oracle as a CTE and the bucket rule is one shared
+        SQL text, so LM edits flow into the gate in both engines
+        automatically. (CCNet cuts on per-language percentile
+        boundaries; the fixture is one corpus, so the boundaries are
+        fixture-calibrated literals — at scale, compute them per lang
+        with percentile_approx and broadcast, the winsorized-mean
+        shape.)
+
+        Scale: one codegen'd CASE over the already-shaped LM output —
+        zero additional shuffles beyond the LM's own."""
+        s = q_text_surprisal_2g(spark, sf_dir)
+        return s.select(
+            "doc_id",
+            "n_tokens",
+            "avg_surprisal",
+            F.expr(_PPL_BUCKET_SQL).alias("bucket"),
+        )
+
+
+_register_ppl_bucket()
 
 
 @register(

@@ -281,6 +281,7 @@ _ALLOWED_BNLJ = {
     "q_sim_sq_topk",         # 1-row lo/hi codebook + k-row query broadcasts
     # r8: same vetted classes
     "q_sim_ivfpq_topk",      # q_sim_ivf_topk's k-row query x 8-row centroid probe rank
+    "q_sim_ivf2_topk",       # two-level variant: tiny super/child routing grids
     "q_text_langid_ngram",   # <=256-bucket x L-class weight grid + 1-row doc-total broadcast
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
