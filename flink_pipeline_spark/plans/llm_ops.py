@@ -3114,6 +3114,87 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(d, threshold=0.9)
 
 
+def _register_keeper_quality() -> None:
+    """Closure-registered to compose the registered clusters AND
+    quality oracles as CTEs — the keeper rule can never drift from
+    either input pipeline."""
+    oracle = f"""
+    WITH clusters AS ({ORACLES['q_dedup_clusters']}),
+    q AS ({ORACLES['q_text_quality']}),
+    m AS (
+        SELECT c.cluster_id, c.doc_id, q.quality,
+               CAST(floor(q.quality * 10000 + 0.5) AS BIGINT)
+                   * 4294967296 - c.doc_id AS k
+        FROM clusters c JOIN q ON q.doc_id = c.doc_id
+    ), best AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+               max(k) AS bk
+        FROM m GROUP BY cluster_id
+    ), keep AS (
+        SELECT b.cluster_id, b.n_members, m.doc_id AS keeper_id,
+               m.quality AS keeper_quality
+        FROM best b JOIN m ON m.cluster_id = b.cluster_id AND m.k = b.bk
+    ), minid AS (
+        SELECT cluster_id, quality AS minid_quality
+        FROM m WHERE doc_id = cluster_id
+    )
+    SELECT k.cluster_id, k.n_members, k.keeper_id, k.keeper_quality,
+           mi.minid_quality,
+           k.keeper_quality - mi.minid_quality AS quality_gain
+    FROM keep k JOIN minid mi USING (cluster_id)
+    """
+
+    @register("q_dedup_keeper_quality", oracle=oracle)
+    def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """QUALITY-AWARE dedup keeper selection: per near-dup cluster,
+        keep the HIGHEST-quality member (tie -> smallest doc_id)
+        instead of the min-id canonical copy — the keeper rule
+        production pipelines actually prefer (near-dup members differ
+        by boilerplate/truncation; min-id throws that signal away).
+        Emits per cluster the chosen keeper, its quality, the min-id
+        rule's quality, and the gain — so the rule's value is measured
+        in the same row that applies it. Both inputs are composed
+        registered pipelines (clusters, heuristic quality); the argmax
+        rides a packed BIGINT key (quality-ten-thousandths shifted, as
+        round_agg's grid recovers exactly, minus doc_id for the
+        tie-break) inside a plain HashAggregate.
+
+        Scale: the cluster-member table is dup-graph-sized; one
+        equi-join onto the quality frame (AQE broadcasts the small
+        side), one hash agg, one self-join of tiny frames. The packed
+        key requires doc_id < 2^32 — the shard/offset conventions here
+        keep ids well under it; at wider id spaces widen the shift."""
+        clusters = q_dedup_clusters(spark, sf_dir)
+        qual = q_text_quality(spark, sf_dir).select("doc_id", "quality")
+        m = clusters.join(qual, "doc_id").persist()
+        k = (
+            F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
+            * F.lit(4294967296).cast("long")
+            - F.col("doc_id")
+        )
+        best = m.groupBy("cluster_id").agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.max_by("doc_id", k).alias("keeper_id"),
+            F.max_by("quality", k).alias("keeper_quality"),
+        )
+        minid = m.filter(F.col("doc_id") == F.col("cluster_id")).select(
+            "cluster_id", F.col("quality").alias("minid_quality")
+        )
+        return best.join(minid, "cluster_id").select(
+            "cluster_id",
+            "n_members",
+            "keeper_id",
+            "keeper_quality",
+            "minid_quality",
+            (F.col("keeper_quality") - F.col("minid_quality")).alias(
+                "quality_gain"
+            ),
+        )
+
+
+_register_keeper_quality()
+
+
 @register(
     "q_dedup_apply",
     oracle=f"""

@@ -1411,3 +1411,64 @@ def _register_build_training_set_weighted() -> None:
 
 
 _register_build_training_set_weighted()
+
+
+# Epoch salt strings for the deterministic training-order shuffle —
+# SQL literals shared by both engines (the seed IS the reshuffle knob:
+# a new epoch is the same query with a new salt).
+SHUFFLE_EPOCH_SALTS = ("ep1:", "ep2:")
+
+
+@register(
+    "q_train_shuffle_order",
+    oracle=f"""
+    WITH keys AS (
+        SELECT doc_id,
+               {_HASH_DOC} % {N_SHARDS} AS shard,
+               {hash56_sql_duckdb("'" + SHUFFLE_EPOCH_SALTS[0] + "' || CAST(doc_id AS VARCHAR)")} AS k1,
+               {hash56_sql_duckdb("'" + SHUFFLE_EPOCH_SALTS[1] + "' || CAST(doc_id AS VARCHAR)")} AS k2
+        FROM documents
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY k1, doc_id) AS BIGINT) AS pos_ep1,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY k2, doc_id) AS BIGINT) AS pos_ep2
+    FROM keys
+    """,
+)
+def q_train_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle — the data-ordering step a
+    trainer runs every epoch: each document's position within its
+    shard is its rank by a SALTED hash key (hash56 of 'epN:' ||
+    doc_id), so the order is (a) globally shuffled, (b) exactly
+    reproducible from the salt alone — a crashed epoch resumes at a
+    position, not a file offset — and (c) reshuffled per epoch by
+    changing the salt, never by a stateful RNG. Emits both epochs'
+    positions side by side so determinism AND epoch-decorrelation are
+    visible in one frame.
+
+    Scale: one codegen'd hash projection + per-shard rank windows —
+    each window is shard-sized (the writer's own N_SHARDS knob caps
+    it; more shards = more parallelism, same semantics), and the
+    shuffle carries (doc_id, shard, two 8-byte keys). No global
+    window, no RNG, no driver state."""
+    d = load_table(spark, sf_dir, "documents")
+    keys = d.select(
+        "doc_id",
+        (hash56(F.col("doc_id")) % N_SHARDS).cast("long").alias("shard"),
+        hash56(
+            F.concat(F.lit(SHUFFLE_EPOCH_SALTS[0]), F.col("doc_id").cast("string"))
+        ).alias("k1"),
+        hash56(
+            F.concat(F.lit(SHUFFLE_EPOCH_SALTS[1]), F.col("doc_id").cast("string"))
+        ).alias("k2"),
+    )
+    w1 = Window.partitionBy("shard").orderBy("k1", "doc_id")
+    w2 = Window.partitionBy("shard").orderBy("k2", "doc_id")
+    return keys.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w1).cast("long").alias("pos_ep1"),
+        F.row_number().over(w2).cast("long").alias("pos_ep2"),
+    )

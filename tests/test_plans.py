@@ -282,6 +282,7 @@ _ALLOWED_BNLJ = {
     # r8: same vetted classes
     "q_sim_ivfpq_topk",      # q_sim_ivf_topk's k-row query x 8-row centroid probe rank
     "q_sim_ivf2_topk",       # two-level variant: tiny super/child routing grids
+    "q_quality_ppl_bucket",  # composes q_text_surprisal_2g (vetted 1-row total)
     "q_text_langid_ngram",   # <=256-bucket x L-class weight grid + 1-row doc-total broadcast
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
