@@ -97,6 +97,8 @@ HEADLINE = [
     # quantizer training (2 Lloyd iterations) — the recurring index-
     # build job of the ANN family
     "q_sim_kmeans",
+    # r8: trained PQ codebook (per-subspace Lloyd) + ADC search over it
+    "q_sim_pq_trained",
     # ANN search + classifier over embeddings, and the stream-static
     # dimension join — the round-3 additions a data pipeline runs hot
     "q_sim_ivf_topk",

@@ -1587,6 +1587,61 @@ def pq_codebook_from(emb: DataFrame, n_codes: int, m: int = 8, d_sub: int = 8) -
     )
 
 
+def pq_codebook_refine(
+    emb: DataFrame,
+    codebook: DataFrame,
+    iters: int = 1,
+    m: int = 8,
+    d_sub: int = 8,
+    mean_scale: int = 6,
+) -> DataFrame:
+    """(sub, code, cv): Lloyd refinement of a PQ codebook, one k-means
+    per SUBSPACE run as a single grouped job (the extra grouping key is
+    the subspace id — same shape as kmeans_refine with (sub, code)
+    where it has cell). This is how production PQ codebooks are
+    actually trained (FAISS ProductQuantizer::train): the seeded
+    codebook (pq_codebook_from) is the init, each iteration assigns
+    every subvector to its nearest code (exact-integer quantized L2,
+    deterministic code tie-break) and replaces each code vector with
+    its cluster's per-dimension mean. Codes that lose all members drop
+    out (standard Lloyd).
+
+    Engine-portable by the kmeans_refine convention: assignment argmin
+    on the BIGINT-quantized distance, means floor-round quantized at
+    ``mean_scale`` decimals before becoming the next iteration's code
+    vectors — the whole trajectory replays bit-for-bit in an oracle.
+
+    Scale shape per iteration: one broadcast-codebook assignment over
+    the corpus subvectors (never shuffles the vectors; the argmin is
+    the packed-key HashAggregate of pq_codes), one posexplode to
+    (sub, code, dim, x) with map-side partial means, and an
+    m x n_codes x d_sub reassembly aggregate."""
+    sv = _subvectors(emb, m, d_sub, "vec_id", "embedding")
+    cb = codebook
+    dist = SQDIST_Q_SQL.format(a="sv", b="cv")
+    for _ in range(iters):
+        assigned = (
+            sv.join(F.broadcast(cb), "sub")
+            .select("vec_id", "sub", "code", F.expr(dist).alias("dist_q"))
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.col("dist_q") * 256 + F.col("code")).alias("bk"))
+            .select("vec_id", "sub", (F.col("bk") % 256).cast("int").alias("code"))
+        )
+        longf = assigned.join(sv, ["vec_id", "sub"]).select(
+            "sub", "code", F.posexplode("sv").alias("pos", "x")
+        )
+        means = longf.groupBy("sub", "code", "pos").agg(
+            round_agg(F.avg(F.col("x").cast("double")), scale=mean_scale).alias("v")
+        )
+        cb = means.groupBy("sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("cv")
+        )
+    return cb
+
+
 def pq_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -48,6 +48,7 @@ from ..operators.llm import (
     kmeans_refine,
     ivfpq_topk,
     pq_codebook_from,
+    pq_codebook_refine,
     pq_topk,
     topk_neighbors,
     topk_neighbors_ivf,
@@ -905,6 +906,90 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         emb, emb.filter(F.col("vec_id") < PQ_QUERY_MAX), cb, k=3
     )
+
+
+@register(
+    "q_sim_pq_trained",
+    oracle=f"""
+    WITH sv AS (
+        SELECT e.vec_id, t.sub,
+               list_slice(e.embedding, t.sub * 8 + 1, t.sub * 8 + 8) AS sv
+        FROM embeddings e CROSS JOIN range(0, 8) t(sub)
+    ), cb0 AS (
+        SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv
+        FROM sv WHERE vec_id < 16
+    ), a1 AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT v.vec_id, v.sub, c.code,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id, v.sub
+                       ORDER BY {_DISTQ_DUCK.format(a='v.sv', b='c.cv')}, c.code
+                   ) AS rn
+            FROM sv v JOIN cb0 c ON c.sub = v.sub
+        ) t WHERE rn = 1
+    ), m1 AS (
+        SELECT a.sub, a.code, r.pos,
+               floor(avg(CAST(v.sv[r.pos] AS DOUBLE)) * 1000000 + 0.5)
+                   / 1000000 AS v
+        FROM a1 a
+        JOIN sv v ON v.vec_id = a.vec_id AND v.sub = a.sub
+        CROSS JOIN range(1, 9) r(pos)
+        GROUP BY a.sub, a.code, r.pos
+    ), cb AS (
+        SELECT sub, code, list(v ORDER BY pos) AS cv FROM m1 GROUP BY sub, code
+    ), codes AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT v.vec_id, v.sub, c.code,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id, v.sub
+                       ORDER BY {_DISTQ_DUCK.format(a='v.sv', b='c.cv')}, c.code
+                   ) AS rn
+            FROM sv v JOIN cb c ON c.sub = v.sub
+        ) t WHERE rn = 1
+    ), lut AS (
+        SELECT q.vec_id AS query_id, q.sub, c.code,
+               {_DISTQ_DUCK.format(a='q.sv', b='c.cv')} AS pdist_q
+        FROM sv q JOIN cb c ON c.sub = q.sub
+        WHERE q.vec_id < {PQ_QUERY_MAX}
+    ), scored AS (
+        SELECT l.query_id, x.vec_id AS neighbor_id,
+               CAST(sum(l.pdist_q) AS BIGINT) AS adist_q
+        FROM codes x JOIN lut l ON l.sub = x.sub AND l.code = x.code
+        WHERE x.vec_id <> l.query_id
+        GROUP BY l.query_id, x.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, adist_q FROM (
+        SELECT query_id, neighbor_id, adist_q,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY adist_q, neighbor_id
+               ) AS rank
+        FROM scored
+    ) t WHERE rank <= 3
+    """,
+)
+def q_sim_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-3 over a TRAINED product quantizer: the seeded codebook
+    (subvectors of vec_id < 16) goes through one Lloyd iteration per
+    subspace (FAISS ProductQuantizer::train's loop — assign every
+    corpus subvector to its nearest code, replace each code with its
+    cluster's floor-quantized per-dimension mean), and the refined
+    codebook then drives the same codes + broadcast-LUT ADC search as
+    q_sim_pq_topk. This is the index-BUILD job a production PQ
+    deployment runs before any search: trained codes cut quantization
+    error vs raw seeds at identical search cost. The oracle unrolls
+    the full trajectory — seed assignment, quantized means, recoding,
+    ADC — bit-for-bit (the q_sim_kmeans convention applied to the
+    (sub, code) grid). Scale: each Lloyd pass is one broadcast-codebook
+    assignment over corpus subvectors (never shuffles the vectors) +
+    one linear posexplode mean; the codebook stays m x n_codes rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # persisted: pq_topk consumes the codebook twice (corpus coding +
+    # query LUT) — uncached, the whole refinement lineage (corpus
+    # assignment + mean agg) would execute twice
+    cb = pq_codebook_refine(
+        emb, pq_codebook_from(emb, n_codes=16), iters=1
+    ).persist()
+    return pq_topk(emb, emb.filter(F.col("vec_id") < PQ_QUERY_MAX), cb, k=3)
 
 
 # DuckDB twin of operators/llm.RESID_SQL: per-element double subtract

@@ -653,6 +653,50 @@ def test_pq_rejects_mismatched_dims(spark):
         pq_codes(bad, cb).collect()
 
 
+def test_pq_refine_reduces_quantization_error(spark):
+    """PQ-Lloyd sanity: the refined codebook keeps the (sub, code) grid
+    well-formed (8-dim code vectors, codes within the seed id range)
+    and does not worsen TOTAL quantization error — for squared-L2
+    k-means each Lloyd pass is monotone non-increasing up to the
+    portable floor-rounding of the means, so the corpus-wide sum of
+    per-subvector min distances under the trained codebook must not
+    exceed the seeded codebook's (small slack for the 1e-6 mean
+    quantization)."""
+    from flink_pipeline_spark.operators.llm import (
+        SQDIST_Q_SQL,
+        _subvectors,
+        pq_codebook_from,
+        pq_codebook_refine,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb0 = pq_codebook_from(emb, n_codes=16)
+    cb1 = pq_codebook_refine(emb, cb0, iters=1)
+
+    rows = cb1.collect()
+    assert all(len(r.cv) == 8 for r in rows)
+    assert all(0 <= r.code < 16 for r in rows)
+    # every subspace keeps at least one code (total collapse would mean
+    # the assignment or the mean reassembly lost rows)
+    assert {r.sub for r in rows} == set(range(8))
+
+    sv = _subvectors(emb, 8, 8, "vec_id", "embedding")
+
+    def total_err(cb):
+        dist = SQDIST_Q_SQL.format(a="sv", b="cv")
+        return (
+            sv.join(F.broadcast(cb), "sub")
+            .select("vec_id", "sub", F.expr(dist).alias("dist_q"))
+            .groupBy("vec_id", "sub")
+            .agg(F.min("dist_q").alias("d"))
+            .agg(F.sum("d"))
+            .collect()[0][0]
+        )
+
+    e0, e1 = total_err(cb0), total_err(cb1)
+    assert e1 <= e0 + emb.count() * 8  # <= 1 quantum slack per subvector
+
+
 def test_semantic_dedup_keeper_rule(spark):
     """SemDeDup verdicts: every vector appears exactly once, every
     group keeps exactly one member, and the keeper is the member with
