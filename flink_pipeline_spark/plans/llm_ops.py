@@ -1528,16 +1528,19 @@ def _register_ann_recall() -> None:
         f" sq_q AS ({sq_sql}),\n"
         f" ivfpq_q AS ({ivfpq_sql}),\n"
         f" ivf2_q AS ({ORACLES['q_sim_ivf2_topk']}),\n"
+        f" pq_trained_q AS ({ORACLES['q_sim_pq_trained']}),\n"
         + denom_cte.format(m="ivf", truth="exact_q") + ",\n"
         + denom_cte.format(m="pq", truth="exact_l2") + ",\n"
         + denom_cte.format(m="sq", truth="exact_dot") + ",\n"
         + denom_cte.format(m="ivfpq", truth="exact_l2") + ",\n"
         + denom_cte.format(m="ivf2", truth="exact_q") + ",\n"
+        + denom_cte.format(m="pq_trained", truth="exact_l2") + ",\n"
         + hits_cte.format(m="ivf", truth="exact_q") + ",\n"
         + hits_cte.format(m="pq", truth="exact_l2") + ",\n"
         + hits_cte.format(m="sq", truth="exact_dot") + ",\n"
         + hits_cte.format(m="ivfpq", truth="exact_l2") + ",\n"
-        + hits_cte.format(m="ivf2", truth="exact_q") + "\n"
+        + hits_cte.format(m="ivf2", truth="exact_q") + ",\n"
+        + hits_cte.format(m="pq_trained", truth="exact_l2") + "\n"
         + row.format(m="ivf")
         + " UNION ALL "
         + row.format(m="pq")
@@ -1547,6 +1550,8 @@ def _register_ann_recall() -> None:
         + row.format(m="ivfpq")
         + " UNION ALL "
         + row.format(m="ivf2")
+        + " UNION ALL "
+        + row.format(m="pq_trained")
     )
 
     @register("q_ann_recall", oracle=oracle)
@@ -1612,6 +1617,10 @@ def _register_ann_recall() -> None:
         # two-level IVF probes by cosine like flat IVF — same truth;
         # its row isolates the ADDED super-routing loss vs the ivf row
         ivf2 = q_sim_ivf2_topk(spark, sf_dir)
+        # trained-codebook ADC shares the pq row's L2 truth, so
+        # (pq_trained.recall - pq.recall) is exactly the benefit of the
+        # Lloyd pass at identical search cost
+        pq_t = q_sim_pq_trained(spark, sf_dir)
 
         def audit(m: DataFrame, name: str, truth: DataFrame) -> DataFrame:
             denom = truth.agg(
@@ -1640,6 +1649,7 @@ def _register_ann_recall() -> None:
             .unionByName(audit(sq, "sq", exact_dot))
             .unionByName(audit(ivfpq, "ivfpq", exact_l2))
             .unionByName(audit(ivf2, "ivf2", exact_cos))
+            .unionByName(audit(pq_t, "pq_trained", exact_l2))
         )
 
 

@@ -590,7 +590,7 @@ def test_ann_recall_bounds_and_exact_selfcheck(spark):
 
     q_ann_recall = query_fns()["q_ann_recall"]
     rows = {r.method: r for r in q_ann_recall(spark, SF_DIR).collect()}
-    assert set(rows) == {"ivf", "pq", "sq", "ivfpq", "ivf2"}
+    assert set(rows) == {"ivf", "pq", "sq", "ivfpq", "ivf2", "pq_trained"}
     for r in rows.values():
         assert 0.0 <= r.recall <= 1.0
         assert r.hits <= 3 * r.n_queries
