@@ -121,6 +121,9 @@ HEADLINE = [
     "q_build_training_set_weighted",
     # r8: two-level IVF routing (the corpus-scale-centroid regime)
     "q_sim_ivf2_topk",
+    # r8: Bloom-filter decontamination — the packed-word filter build
+    # + k-probe corpus scan, with the exact-truth FP audit inline
+    "q_decontaminate_bloom",
     "q_knn_classify",
     "q_stream_enrich",
     # profiling layer (round 3): TF-IDF is the corpus-heaviest text op

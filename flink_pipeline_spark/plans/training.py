@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.portable import hash56, hash56_sql_duckdb, round_agg, round_sql
+from ..functions.portable import (
+    hash56,
+    hash56_sql_duckdb,
+    hash56_sql_spark,
+    round_agg,
+    round_sql,
+)
 from ..functions.text import QUALITY_SCORE_SQL, quality_score, shingles_sql
 from .registry import register
 
@@ -391,6 +397,201 @@ def q_decontaminate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_hit.alias("n_hit"),
             round_agg(n_hit.cast("double") / F.count("*")).alias("hit_ratio"),
             (n_hit * 10 >= F.count("*")).alias("flagged"),
+        )
+    )
+
+
+# Bloom-filter decontamination parameters. Sized for the DOC-level
+# any-hit decision, not the per-shingle probe: a doc with s shingles
+# false-flags with probability ~1 - (1-p)^s, so the classic 10-bit/key
+# p~0.8% operating point amplifies to ~30% doc FP at s~50. 16 bits/key
+# with k=11 puts the shingle FP at ~0.05% -> a few percent doc-level
+# (measured in the query's n_false_pos column). 32-bit words keep
+# every mask and every power(2, bit) exactly representable in both
+# BIGINT and IEEE double, so the filter build and the probe are pure
+# portable arithmetic (floor/%/power) with no engine-specific bit
+# operators.
+BLOOM_BITS_PER_KEY = 16
+BLOOM_K = 11
+BLOOM_WORD = 32
+
+
+def _bloom_pos_sql(engine: str, sh_expr: str, i_expr: str, m_expr: str) -> str:
+    """Bloom probe position i of a shingle: hash56(sh # i) % m_bits."""
+    cast_t = "STRING" if engine == "spark" else "VARCHAR"
+    key = f"concat({sh_expr}, '#', CAST({i_expr} AS {cast_t}))"
+    h = hash56_sql_spark(key) if engine == "spark" else hash56_sql_duckdb(key)
+    return f"({h} % {m_expr})"
+
+
+@register(
+    "q_decontaminate_bloom",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source,
+               unnest({shingles_sql('duckdb', 'text', 3)}) AS sh
+        FROM documents
+    ), bench AS (
+        SELECT DISTINCT sh FROM sh WHERE source = 'src0'
+    ), m AS (
+        SELECT {BLOOM_WORD} * CAST(floor(
+            (count(*) * {BLOOM_BITS_PER_KEY} + {BLOOM_WORD - 1})
+            / {BLOOM_WORD}.0) AS BIGINT) AS m_bits
+        FROM bench
+    ), ks AS (
+        SELECT i FROM range(0, {BLOOM_K}) t(i)
+    ), bpos AS (
+        SELECT {_bloom_pos_sql('duckdb', 'b.sh', 'k.i', 'm.m_bits')} AS pos
+        FROM bench b, ks k, m
+    ), fwords AS (
+        SELECT CAST(floor(pos / {BLOOM_WORD}.0) AS BIGINT) AS word,
+               bit_or(CAST(power(2, pos % {BLOOM_WORD}) AS BIGINT)) AS mask
+        FROM bpos GROUP BY 1
+    ), cs AS (
+        SELECT DISTINCT sh FROM sh WHERE source <> 'src0'
+    ), cpos AS (
+        SELECT c.sh,
+               {_bloom_pos_sql('duckdb', 'c.sh', 'k.i', 'm.m_bits')} AS pos
+        FROM cs c, ks k, m
+    ), probe AS (
+        SELECT p.sh,
+               min(CASE WHEN f.mask IS NOT NULL
+                        AND CAST(floor(f.mask / power(2, p.pos % {BLOOM_WORD}))
+                                 AS BIGINT) % 2 = 1
+                   THEN 1 ELSE 0 END) AS all_set
+        FROM cpos p
+        LEFT JOIN fwords f
+          ON CAST(floor(p.pos / {BLOOM_WORD}.0) AS BIGINT) = f.word
+        GROUP BY p.sh
+    ), flagged AS (
+        SELECT sh FROM probe WHERE all_set = 1
+    ), fdocs AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN flagged g USING (sh) WHERE s.source <> 'src0'
+    ), exact AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN bench b USING (sh) WHERE s.source <> 'src0'
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN fd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN fd.doc_id IS NOT NULL AND ex.doc_id IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM documents d
+    LEFT JOIN fdocs fd ON d.doc_id = fd.doc_id
+    LEFT JOIN exact ex ON d.doc_id = ex.doc_id
+    WHERE d.source <> 'src0'
+    GROUP BY d.lang
+    """,
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination with an exact-truth FP audit: the
+    benchmark shingle set is packed into a Bloom filter (k=11 hash
+    probes into 16·B bits stored as 32-bit words — sized for the
+    doc-level ANY-HIT decision, see the constants above), the corpus
+    probes the filter, and each per-lang row reports Bloom-flagged vs
+    exact-hit counts — the false-positive column makes the filter's
+    doc-level FP rate registry-visible, and the guarantee
+    n_flagged >= n_exact (no false negatives) is testable.
+
+    This is the structure real 100 TB pipelines ship instead of
+    q_decontaminate's raw shingle broadcast: the broadcast side is
+    m/32 packed words — sized by the BENCHMARK (16 bits per eval-suite
+    shingle, half an int32 per shingle vs one 8-byte hash each),
+    constant in the corpus — and the corpus-side probe is k=11 md5
+    hashes + a broadcast word lookup per distinct shingle, all in
+    whole-stage codegen. Spark's own bloom_filter_agg/might_contain would build
+    the same thing with engine-private hashing; the relational
+    word-table form is used so the DuckDB oracle replays the filter
+    bit-identically (portable.hash56 positions, power-of-two masks —
+    no engine-specific bit operators).
+
+    Reference anchor: extends the decontamination family
+    (q_decontaminate, plans/training.py) beyond the reference's
+    per-sample demux surface (workflow.py:232-260)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(shingles_sql("spark", "text", 3))).alias("sh"),
+    )
+    bench = sh.filter(F.col("source") == "src0").select("sh").distinct()
+    # m_bits scalar: one row, broadcast into both the build and the probe
+    m = bench.agg(F.count("*").alias("b")).select(
+        (
+            F.lit(BLOOM_WORD)
+            * F.floor(
+                (F.col("b") * BLOOM_BITS_PER_KEY + (BLOOM_WORD - 1))
+                / float(BLOOM_WORD)
+            ).cast("long")
+        ).alias("m_bits")
+    )
+    ks = spark.range(BLOOM_K).select(F.col("id").alias("i"))
+    pos = F.expr(
+        _bloom_pos_sql("spark", "sh", "i", "m_bits")
+    )
+    word = F.floor(F.col("pos") / float(BLOOM_WORD)).cast("long")
+    bit = F.col("pos") % BLOOM_WORD
+    fwords = (
+        bench.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(m))
+        .select(pos.alias("pos"))
+        .select(word.alias("word"), bit.alias("bit"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(CAST(power(2, bit) AS BIGINT))").alias("mask"))
+    )
+    cs = sh.filter(F.col("source") != "src0").select("sh").distinct()
+    probe = (
+        cs.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(m))
+        .select("sh", pos.alias("pos"))
+        .join(F.broadcast(fwords), word == F.col("word"), "left")
+        .select(
+            "sh",
+            F.when(
+                F.col("mask").isNotNull()
+                & (F.floor(F.col("mask") / F.pow(F.lit(2), bit)).cast("long") % 2 == 1),
+                1,
+            )
+            .otherwise(0)
+            .alias("present"),
+        )
+        .groupBy("sh")
+        .agg(F.min("present").alias("all_set"))
+    )
+    flagged_sh = probe.filter(F.col("all_set") == 1).select("sh")
+    corpus_sh = sh.filter(F.col("source") != "src0")
+    fdocs = (
+        corpus_sh.join(flagged_sh, "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("flag", F.lit(1))
+    )
+    exact = (
+        corpus_sh.join(F.broadcast(bench), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        d.filter(F.col("source") != "src0")
+        .join(fdocs, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("flag").isNotNull(), 1).otherwise(0)).alias(
+                "n_flagged"
+            ),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias("n_exact"),
+            F.sum(
+                F.when(F.col("flag").isNotNull() & F.col("hit").isNull(), 1).otherwise(
+                    0
+                )
+            ).alias("n_false_pos"),
         )
     )
 

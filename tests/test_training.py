@@ -54,6 +54,25 @@ def test_decontaminate_counts_consistent(spark):
         assert r.n_docs == corpus_by_lang[r.lang]
 
 
+def test_decontaminate_bloom_superset_of_exact(spark):
+    """Bloom guarantee: no false negatives (every exact hit is
+    flagged), and the FP column is exactly the flagged/exact gap."""
+    from flink_pipeline_spark.plans.training import q_decontaminate_bloom
+
+    out = q_decontaminate_bloom(spark, SF_DIR).collect()
+    assert out, "expected per-lang rows"
+    for r in out:
+        assert r.n_flagged >= r.n_exact, r
+        assert r.n_false_pos == r.n_flagged - r.n_exact, r
+        assert 0 <= r.n_flagged <= r.n_docs
+    # the whole point of the audit: the filter is lossy in exactly
+    # one direction; at 10 bits/key some FP docs should exist but
+    # far fewer than the clean population
+    total_fp = sum(r.n_false_pos for r in out)
+    total_clean = sum(r.n_docs - r.n_exact for r in out)
+    assert total_fp < 0.1 * total_clean
+
+
 def test_pack_sequences_matches_bruteforce(spark):
     """Exact recomputation of one shard's packing in plain Python."""
     docs = load_table(spark, SF_DIR, "documents")
