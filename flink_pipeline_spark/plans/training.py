@@ -596,6 +596,85 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-source document cap (RefinedWeb-style per-domain cap). 15 bites
+# at the fixtures' 25 docs/source; at production scale this is the
+# "no single domain dominates the corpus" rule.
+SOURCE_CAP = 15
+
+
+@register(
+    "q_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS tok,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {hash56_sql_duckdb('doc_id')}, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= {SOURCE_CAP} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > {SOURCE_CAP} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN rn <= {SOURCE_CAP} THEN tok ELSE 0 END)
+               AS BIGINT) AS kept_tokens
+    FROM ranked GROUP BY source
+    """,
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — keep at most SOURCE_CAP docs per
+    source, chosen by hash56(doc_id) order (a deterministic uniform
+    reservoir: content- and engine-independent, same keepers on any
+    cluster). RefinedWeb/C4-style "no domain dominates" rule; reports
+    per-source total/kept/dropped docs and the kept token mass.
+
+    Scale (the reason this is NOT one row_number window): a plain
+    PARTITION BY source window shuffles every doc of a mega-domain
+    into one task — the exact skew cliff a domain cap exists to fight.
+    Two-phase instead: (1) a local window keyed by (input partition
+    id, source) keeps each partition's top-CAP per source — correct
+    because the global top-CAP by a fixed total order is a subset of
+    every partition's local top-CAP — bounding any source to
+    CAP * n_partitions rows; (2) the real PARTITION BY source rank
+    runs over that pruned set, so the worst-case per-task row count is
+    CAP * n_partitions regardless of domain skew. Totals come from a
+    separate map-side-partial count agg joined back on source
+    (unhinted — AQE broadcasts the per-source grid when small)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("tok"),
+        hash56(F.col("doc_id")).alias("h"),
+    )
+    local_w = Window.partitionBy("pid", "source").orderBy("h", "doc_id")
+    pruned = (
+        t.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrn", F.row_number().over(local_w))
+        .filter(F.col("lrn") <= SOURCE_CAP)
+        .drop("pid", "lrn")
+    )
+    global_w = Window.partitionBy("source").orderBy("h", "doc_id")
+    kept = (
+        pruned.withColumn("rn", F.row_number().over(global_w))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("tok").alias("kept_tokens"))
+    )
+    totals = t.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return totals.join(kept, "source").select(
+        "source",
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+        "kept_tokens",
+    )
+
+
 # Resampling gate precision: rates are fixed-point basis points
 # (1/10000), compared against hash56(doc_id) % 10000 — an INTEGER
 # compare, so the keep/drop decision cannot drift between engines.

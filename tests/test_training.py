@@ -73,6 +73,39 @@ def test_decontaminate_bloom_superset_of_exact(spark):
     assert total_fp < 0.1 * total_clean
 
 
+def test_source_cap_invariants(spark):
+    """Cap accounting + the local-prune phase changes nothing: the
+    two-phase plan must equal a direct single-window recomputation."""
+    from flink_pipeline_spark.plans.training import SOURCE_CAP, q_source_cap
+
+    out = {r.source: r for r in q_source_cap(spark, SF_DIR).collect()}
+    assert out
+    for r in out.values():
+        assert r.n_kept <= SOURCE_CAP
+        assert r.n_kept + r.n_dropped == r.n_docs
+        assert r.n_kept == min(SOURCE_CAP, r.n_docs)
+    # direct recomputation without the local prune
+    from pyspark.sql.window import Window
+
+    from flink_pipeline_spark.functions.portable import hash56
+
+    d = load_table(spark, SF_DIR, "documents")
+    w = Window.partitionBy("source").orderBy(hash56(F.col("doc_id")), "doc_id")
+    direct = {
+        r.source: (r.n_kept, r.kept_tokens)
+        for r in d.select(
+            "source",
+            F.size(F.split("text", " ")).alias("tok"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("tok").alias("kept_tokens"))
+        .collect()
+    }
+    assert {s: (r.n_kept, r.kept_tokens) for s, r in out.items()} == direct
+
+
 def test_pack_sequences_matches_bruteforce(spark):
     """Exact recomputation of one shard's packing in plain Python."""
     docs = load_table(spark, SF_DIR, "documents")
