@@ -118,6 +118,8 @@ HEADLINE = [
     "q_dedup_paragraph",
     "q_text_langid_ngram",
     "q_sim_ivfpq_topk",
+    # r8: exact re-rank of the ADC shortlist — the serving-path pair
+    "q_sim_ivfpq_rerank",
     "q_build_training_set_weighted",
     # r8: two-level IVF routing (the corpus-scale-centroid regime)
     "q_sim_ivf2_topk",

@@ -27,6 +27,7 @@ from ..functions.text import (
 )
 from ..operators.llm import (
     DOT_SQL,
+    SQDIST_Q_SQL,
     MAX_LSH_BUCKET,
     MAX_SHINGLE_DF,
     connected_components,
@@ -1185,6 +1186,90 @@ def q_sim_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_sim_ivf2_topk.__doc__ = q_sim_ivf2_topk.__doc__.format(s=IVF2_SUPERS)
 
 
+# Exact-rescoring shortlist width: the ADC stage returns its top-10
+# per query, the re-rank stage rescores those 10 with full vectors.
+RERANK_SHORTLIST = 10
+
+
+def _register_ivfpq_rerank() -> None:
+    """Closure-registered so the oracle COMPOSES the registered IVFADC
+    oracle as its shortlist CTE — widened from top-3 to the top-10
+    shortlist by rewriting its single final rank bound (asserted
+    unique, so an upstream edit that changes the bound's spelling
+    fails loudly here instead of silently forking the rule)."""
+    short_sql = ORACLES["q_sim_ivfpq_topk"]
+    assert short_sql.count("WHERE rank <= 3") == 1, "ivfpq oracle shape changed"
+    short_sql = short_sql.replace(
+        "WHERE rank <= 3", f"WHERE rank <= {RERANK_SHORTLIST}"
+    )
+    dist = _DISTQ_DUCK.format(a="q.embedding", b="n.embedding")
+    oracle = f"""
+    WITH short AS ({short_sql})
+    SELECT query_id, neighbor_id, rank, dist_q FROM (
+        SELECT s.query_id, s.neighbor_id, {dist} AS dist_q,
+               row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY {dist}, s.neighbor_id
+               ) AS rank
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings n ON n.vec_id = s.neighbor_id
+    ) t WHERE rank <= 3
+    """
+
+    @register("q_sim_ivfpq_rerank", oracle=oracle)
+    def q_sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Two-stage retrieval — ADC shortlist, exact re-rank: the
+        IVFADC index (q_sim_ivfpq_topk's exact machinery, widened to a
+        top-10 shortlist) nominates candidates from compressed codes,
+        then ONLY those <= 10 ids per query are rescored against their
+        full float vectors (the same integer-ten-thousandths exact
+        squared L2 the recall audit's ground truth uses) and the final
+        top-3 is ranked on the exact distance. This is how production
+        ANN actually serves (FAISS index + refine/rerank stage): the
+        compressed scan bounds the candidate set sub-linearly, the
+        exact stage touches O(shortlist) full vectors per query — at
+        100 TB the full-precision corpus is only ever randomly read at
+        shortlist width, never scanned.
+
+        Plan: the shortlist (nq x 10 rows) BROADCASTS against the
+        corpus to fetch neighbor vectors co-located with the scan
+        (no corpus shuffle); the query side broadcasts as in every
+        search query; final rank is a window over <= 10 rows/query."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        short = ivfpq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < PQ_QUERY_MAX),
+            emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+            n_codes=16,
+            k=RERANK_SHORTLIST,
+            nprobe=2,
+        ).select("query_id", "neighbor_id")
+        q = emb.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+        )
+        rescored = (
+            emb.join(F.broadcast(short), F.col("vec_id") == F.col("neighbor_id"))
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.expr(SQDIST_Q_SQL.format(a="eq", b="embedding")).alias("dist_q"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy("dist_q", "neighbor_id")
+        return (
+            rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "neighbor_id", "rank", "dist_q")
+        )
+
+    return q_sim_ivfpq_rerank
+
+
+q_sim_ivfpq_rerank = _register_ivfpq_rerank()
+
+
 def _register_kmeans() -> None:
     """Closure-registered: the oracle unrolls the same fixed number of
     Lloyd iterations the Spark operator runs, from the shared
@@ -1517,6 +1602,7 @@ def _register_ann_recall() -> None:
     )
     sq_sql = ORACLES["q_sim_sq_topk"]
     ivfpq_sql = ORACLES["q_sim_ivfpq_topk"]
+    rerank_sql = ORACLES["q_sim_ivfpq_rerank"]
     oracle = (
         f"WITH exact_r AS ({exact_sql}),\n"
         f" exact_q AS (SELECT * FROM exact_r WHERE query_id < {PQ_QUERY_MAX}),\n"
@@ -1529,18 +1615,21 @@ def _register_ann_recall() -> None:
         f" ivfpq_q AS ({ivfpq_sql}),\n"
         f" ivf2_q AS ({ORACLES['q_sim_ivf2_topk']}),\n"
         f" pq_trained_q AS ({ORACLES['q_sim_pq_trained']}),\n"
+        f" rerank_q AS ({rerank_sql}),\n"
         + denom_cte.format(m="ivf", truth="exact_q") + ",\n"
         + denom_cte.format(m="pq", truth="exact_l2") + ",\n"
         + denom_cte.format(m="sq", truth="exact_dot") + ",\n"
         + denom_cte.format(m="ivfpq", truth="exact_l2") + ",\n"
         + denom_cte.format(m="ivf2", truth="exact_q") + ",\n"
         + denom_cte.format(m="pq_trained", truth="exact_l2") + ",\n"
+        + denom_cte.format(m="rerank", truth="exact_l2") + ",\n"
         + hits_cte.format(m="ivf", truth="exact_q") + ",\n"
         + hits_cte.format(m="pq", truth="exact_l2") + ",\n"
         + hits_cte.format(m="sq", truth="exact_dot") + ",\n"
         + hits_cte.format(m="ivfpq", truth="exact_l2") + ",\n"
         + hits_cte.format(m="ivf2", truth="exact_q") + ",\n"
-        + hits_cte.format(m="pq_trained", truth="exact_l2") + "\n"
+        + hits_cte.format(m="pq_trained", truth="exact_l2") + ",\n"
+        + hits_cte.format(m="rerank", truth="exact_l2") + "\n"
         + row.format(m="ivf")
         + " UNION ALL "
         + row.format(m="pq")
@@ -1552,6 +1641,8 @@ def _register_ann_recall() -> None:
         + row.format(m="ivf2")
         + " UNION ALL "
         + row.format(m="pq_trained")
+        + " UNION ALL "
+        + row.format(m="rerank")
     )
 
     @register("q_ann_recall", oracle=oracle)
@@ -1621,6 +1712,11 @@ def _register_ann_recall() -> None:
         # (pq_trained.recall - pq.recall) is exactly the benefit of the
         # Lloyd pass at identical search cost
         pq_t = q_sim_pq_trained(spark, sf_dir)
+        # exact re-rank of the ADC top-10 shortlist, same L2 truth —
+        # (rerank.recall - ivfpq.recall) is exactly what full-vector
+        # rescoring recovers from ADC's misrankings WITHIN the
+        # shortlist; misses outside the shortlist stay missed
+        rr = q_sim_ivfpq_rerank(spark, sf_dir)
 
         def audit(m: DataFrame, name: str, truth: DataFrame) -> DataFrame:
             denom = truth.agg(
@@ -1650,6 +1746,7 @@ def _register_ann_recall() -> None:
             .unionByName(audit(ivfpq, "ivfpq", exact_l2))
             .unionByName(audit(ivf2, "ivf2", exact_cos))
             .unionByName(audit(pq_t, "pq_trained", exact_l2))
+            .unionByName(audit(rr, "rerank", exact_l2))
         )
 
 

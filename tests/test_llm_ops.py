@@ -590,7 +590,18 @@ def test_ann_recall_bounds_and_exact_selfcheck(spark):
 
     q_ann_recall = query_fns()["q_ann_recall"]
     rows = {r.method: r for r in q_ann_recall(spark, SF_DIR).collect()}
-    assert set(rows) == {"ivf", "pq", "sq", "ivfpq", "ivf2", "pq_trained"}
+    assert set(rows) == {
+        "ivf",
+        "pq",
+        "sq",
+        "ivfpq",
+        "ivf2",
+        "pq_trained",
+        "rerank",
+    }
+    # exact re-rank can only fix misrankings inside the ADC shortlist,
+    # never lose them: its recall dominates the ivfpq row's
+    assert rows["rerank"].recall >= rows["ivfpq"].recall
     for r in rows.values():
         assert 0.0 <= r.recall <= 1.0
         assert r.hits <= 3 * r.n_queries
