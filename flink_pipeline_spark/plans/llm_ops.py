@@ -2010,6 +2010,68 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_after_topk(counts, 20, "n", "tok")
 
 
+BPE_TOP_PAIRS = 20  # merge candidates emitted per BPE round
+
+
+@register(
+    "q_bpe_merge_pairs",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), wf AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS wf
+        FROM w WHERE len(word) >= 2 GROUP BY word
+    ), pairs AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair, wf FROM (
+            SELECT word, wf, unnest(range(1, len(word))) AS i FROM wf
+        )
+    ), pc AS (
+        SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+    )
+    SELECT pair, cnt, rank FROM (
+        SELECT pair, cnt,
+               row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+        FROM pc
+    ) t WHERE rank <= {BPE_TOP_PAIRS}
+    """,
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, one merge round (Sennrich et al. 2016):
+    corpus-weighted adjacent character-pair counts over the WORD-TYPE
+    table, top-{BPE_TOP_PAIRS} merge candidates by count — the exact
+    statistic the trainer's argmax merge decision consumes each round
+    (a full trainer re-segments and repeats; each round's pair-count
+    job is this query's shape).
+
+    Scale — the distributed-BPE trick this encodes: pair counting runs
+    on word TYPES weighted by frequency, never on the corpus stream.
+    One corpus pass builds the Zipf-bounded (word, freq) table; the
+    pair fan-out is then O(total chars of the vocabulary), independent
+    of corpus token count — at 100 TB the type table is millions of
+    rows against trillions of corpus tokens. Both the fan-out
+    (transform+sequence, codegen) and the weighted agg are JVM-side;
+    top-k is TakeOrderedAndProject via rank_after_topk, never a
+    global window."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "wf",
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("wf").alias("cnt"))
+    return rank_after_topk(pc, BPE_TOP_PAIRS, "cnt", "pair")
+
+
 VOCAB_K = 10  # top-K vocabulary size (fixture-calibrated so OOV is nonzero)
 
 

@@ -633,6 +633,30 @@ def test_text_surprisal_matches_bruteforce(spark):
         assert g.avg_surprisal == math.floor(s / len(toks) + 0.5) / 10000
 
 
+def test_bpe_merge_pairs_matches_bruteforce(spark):
+    """Full brute-force recomputation of the weighted pair counts."""
+    from collections import Counter
+
+    from flink_pipeline_spark.plans import query_fns
+    from flink_pipeline_spark.plans.llm_ops import BPE_TOP_PAIRS
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    wf: Counter = Counter()
+    for r in docs:
+        wf.update(w for w in r.text.split(" ") if len(w) >= 2)
+    pc: Counter = Counter()
+    for w, n in wf.items():
+        for i in range(len(w) - 1):
+            pc[w[i : i + 2]] += n
+    expected = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_PAIRS]
+    got = sorted(
+        query_fns()["q_bpe_merge_pairs"](spark, SF_DIR).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [(r.pair, r.cnt) for r in got] == expected
+    assert [r.rank for r in got] == list(range(1, BPE_TOP_PAIRS + 1))
+
+
 def test_dedup_cluster_stats_consistent_with_clusters(spark):
     from collections import Counter
 
