@@ -424,6 +424,79 @@ def _bloom_pos_sql(engine: str, sh_expr: str, i_expr: str, m_expr: str) -> str:
     return f"({h} % {m_expr})"
 
 
+def _bloom_ks(spark: SparkSession):
+    return spark.range(BLOOM_K).select(F.col("id").alias("i"))
+
+
+def bloom_filter_words(bench_sh: DataFrame) -> DataFrame:
+    """(word, mask, m_bits): the packed Bloom filter of a shingle set
+    — every shingle sets BLOOM_K bit positions, bit-OR-packed into
+    32-bit words. m_bits (the same value on every row) travels with
+    the table so a persisted filter is self-describing."""
+    spark = bench_sh.sparkSession
+    m = bench_sh.agg(F.count("*").alias("b")).select(
+        (
+            F.lit(BLOOM_WORD)
+            * F.floor(
+                (F.col("b") * BLOOM_BITS_PER_KEY + (BLOOM_WORD - 1))
+                / float(BLOOM_WORD)
+            ).cast("long")
+        ).alias("m_bits")
+    )
+    pos = F.expr(_bloom_pos_sql("spark", "sh", "i", "m_bits"))
+    word = F.floor(F.col("pos") / float(BLOOM_WORD)).cast("long")
+    bit = F.col("pos") % BLOOM_WORD
+    return (
+        bench_sh.crossJoin(F.broadcast(_bloom_ks(spark)))
+        .crossJoin(F.broadcast(m))
+        .select(pos.alias("pos"), "m_bits")
+        .select(word.alias("word"), bit.alias("bit"), "m_bits")
+        .groupBy("word", "m_bits")
+        .agg(F.expr("bit_or(CAST(power(2, bit) AS BIGINT))").alias("mask"))
+        .select("word", "mask", "m_bits")
+    )
+
+
+def bloom_flagged_docs(doc_sh: DataFrame, fwords: DataFrame) -> DataFrame:
+    """(doc_id,): docs with ANY shingle whose BLOOM_K probe bits are
+    all set in the filter. The filter table broadcasts; the doc side
+    pays one distinct-shingle reduce plus k codegen'd md5 probes per
+    distinct shingle — never a corpus shuffle."""
+    m = fwords.select("m_bits").distinct()
+    spark = doc_sh.sparkSession
+    pos = F.expr(_bloom_pos_sql("spark", "sh", "i", "m_bits"))
+    word = F.floor(F.col("pos") / float(BLOOM_WORD)).cast("long")
+    bit = F.col("pos") % BLOOM_WORD
+    cs = doc_sh.select("sh").distinct()
+    probe = (
+        cs.crossJoin(F.broadcast(_bloom_ks(spark)))
+        .crossJoin(F.broadcast(m))
+        .select("sh", pos.alias("pos"))
+        .join(
+            F.broadcast(fwords.select("word", "mask")),
+            word == F.col("word"),
+            "left",
+        )
+        .select(
+            "sh",
+            F.when(
+                F.col("mask").isNotNull()
+                & (
+                    F.floor(F.col("mask") / F.pow(F.lit(2), bit)).cast("long") % 2
+                    == 1
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("present"),
+        )
+        .groupBy("sh")
+        .agg(F.min("present").alias("all_set"))
+    )
+    flagged_sh = probe.filter(F.col("all_set") == 1).select("sh")
+    return doc_sh.join(flagged_sh, "sh", "left_semi").select("doc_id").distinct()
+
+
 @register(
     "q_decontaminate_bloom",
     oracle=f"""
@@ -519,57 +592,9 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(shingles_sql("spark", "text", 3))).alias("sh"),
     )
     bench = sh.filter(F.col("source") == "src0").select("sh").distinct()
-    # m_bits scalar: one row, broadcast into both the build and the probe
-    m = bench.agg(F.count("*").alias("b")).select(
-        (
-            F.lit(BLOOM_WORD)
-            * F.floor(
-                (F.col("b") * BLOOM_BITS_PER_KEY + (BLOOM_WORD - 1))
-                / float(BLOOM_WORD)
-            ).cast("long")
-        ).alias("m_bits")
-    )
-    ks = spark.range(BLOOM_K).select(F.col("id").alias("i"))
-    pos = F.expr(
-        _bloom_pos_sql("spark", "sh", "i", "m_bits")
-    )
-    word = F.floor(F.col("pos") / float(BLOOM_WORD)).cast("long")
-    bit = F.col("pos") % BLOOM_WORD
-    fwords = (
-        bench.crossJoin(F.broadcast(ks))
-        .crossJoin(F.broadcast(m))
-        .select(pos.alias("pos"))
-        .select(word.alias("word"), bit.alias("bit"))
-        .groupBy("word")
-        .agg(F.expr("bit_or(CAST(power(2, bit) AS BIGINT))").alias("mask"))
-    )
-    cs = sh.filter(F.col("source") != "src0").select("sh").distinct()
-    probe = (
-        cs.crossJoin(F.broadcast(ks))
-        .crossJoin(F.broadcast(m))
-        .select("sh", pos.alias("pos"))
-        .join(F.broadcast(fwords), word == F.col("word"), "left")
-        .select(
-            "sh",
-            F.when(
-                F.col("mask").isNotNull()
-                & (F.floor(F.col("mask") / F.pow(F.lit(2), bit)).cast("long") % 2 == 1),
-                1,
-            )
-            .otherwise(0)
-            .alias("present"),
-        )
-        .groupBy("sh")
-        .agg(F.min("present").alias("all_set"))
-    )
-    flagged_sh = probe.filter(F.col("all_set") == 1).select("sh")
+    fwords = bloom_filter_words(bench)
     corpus_sh = sh.filter(F.col("source") != "src0")
-    fdocs = (
-        corpus_sh.join(flagged_sh, "sh", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("flag", F.lit(1))
-    )
+    fdocs = bloom_flagged_docs(corpus_sh, fwords).withColumn("flag", F.lit(1))
     exact = (
         corpus_sh.join(F.broadcast(bench), "sh", "left_semi")
         .select("doc_id")

@@ -551,3 +551,112 @@ def test_drift_monitor_streaming_and_replay(spark, tmp_path):
         .collect()
     )
     assert replayed == by_batch[1]
+
+
+def test_bloom_decontaminator_matches_batch_query(spark, tmp_path):
+    """Stream==batch equivalence for Bloom decontamination: a filter
+    built from the src0 benchmark docs plus ONE batch covering the
+    full corpus must reproduce the registered q_decontaminate_bloom's
+    per-lang flag counts exactly — both route through the same
+    bloom_filter_words / bloom_flagged_docs rule."""
+    from flink_pipeline_spark.plans.training import q_decontaminate_bloom
+    from flink_pipeline_spark.streaming.decontaminate import (
+        BloomDecontaminator,
+        build_bloom_reference,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    build_bloom_reference(
+        docs.filter("source = 'src0'"), str(tmp_path / "ref")
+    )
+    decon = BloomDecontaminator(str(tmp_path / "ref"), str(tmp_path / "out"))
+    corpus = docs.filter("source <> 'src0'")
+    got = {
+        r.lang: (r.n_docs, r.n_flagged)
+        for r in decon.flags(corpus)
+        .join(corpus.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("flagged").cast("long")).alias("n_flagged"),
+        )
+        .collect()
+    }
+    want = {
+        r.lang: (r.n_docs, r.n_flagged)
+        for r in q_decontaminate_bloom(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_bloom_decontaminator_streaming_and_replay(spark, tmp_path):
+    """The decontaminator as a real file-source stream: two
+    micro-batches emit per-batch flag partitions; each batch's rows
+    equal the direct flags() of that slice, and replaying a batch_id
+    overwrites its partition with identical rows."""
+    import os
+    import time
+
+    from flink_pipeline_spark.streaming.decontaminate import (
+        BloomDecontaminator,
+        build_bloom_reference,
+        start_decontaminate_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    build_bloom_reference(
+        docs.filter("source = 'src0'"), str(tmp_path / "ref")
+    )
+    corpus = docs.filter("source <> 'src0'")
+    src = tmp_path / "src"
+    src.mkdir()
+    f1, f2 = str(src / "b1.parquet"), str(src / "b2.parquet")
+    corpus.filter("doc_id % 2 = 0").coalesce(1).write.parquet(f1)
+    corpus.filter("doc_id % 2 = 1").coalesce(1).write.parquet(f2)
+    now = time.time()
+    for root, base_t in ((f1, now - 120), (f2, now - 60)):
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                os.utime(os.path.join(dirpath, fn), (base_t, base_t))
+
+    schema = spark.read.parquet(f1).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    decon = BloomDecontaminator(str(tmp_path / "ref"), str(tmp_path / "out"))
+    q = start_decontaminate_stream(stream, decon)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    by_batch = {
+        b: sorted(
+            tuple(r)
+            for r in out.filter(F.col("batch_id") == b)
+            .drop("batch_id")
+            .collect()
+        )
+        for b in (0, 1)
+    }
+    assert by_batch[0] == sorted(
+        tuple(r) for r in decon.flags(corpus.filter("doc_id % 2 = 0")).collect()
+    )
+    assert by_batch[1] == sorted(
+        tuple(r) for r in decon.flags(corpus.filter("doc_id % 2 = 1")).collect()
+    )
+    assert sum(len(v) for v in by_batch.values()) == corpus.count()
+    # replay batch 1: identical partition contents, no duplication
+    decon(corpus.filter("doc_id % 2 = 1"), 1)
+    replayed = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .filter(F.col("batch_id") == 1)
+        .drop("batch_id")
+        .collect()
+    )
+    assert replayed == by_batch[1]
