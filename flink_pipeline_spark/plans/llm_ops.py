@@ -2072,6 +2072,128 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_after_topk(pc, BPE_TOP_PAIRS, "cnt", "pair")
 
 
+# Symbol separator for BPE segmentations: chr(31) (unit separator)
+# sorts below every printable character, so concat-with-separator
+# tie-break keys order identically to per-column lexicographic order.
+_BPE_SEP = "chr(31)"
+
+
+@register(
+    "q_bpe_round2_pairs",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), wf AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS wf
+        FROM w WHERE len(word) >= 2 GROUP BY word
+    ), p1 AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair, wf FROM (
+            SELECT word, wf, unnest(range(1, len(word))) AS i FROM wf
+        )
+    ), pc1 AS (
+        SELECT pair, sum(wf) AS cnt FROM p1 GROUP BY pair
+    ), m1 AS (
+        SELECT pair FROM (
+            SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rn
+            FROM pc1
+        ) t WHERE rn = 1
+    ), seg2 AS (
+        SELECT replace(
+                   array_to_string(
+                       list_transform(range(1, len(word) + 1),
+                                      i -> substr(word, CAST(i AS INT), 1)),
+                       {_BPE_SEP}),
+                   substr(m1.pair, 1, 1) || {_BPE_SEP} || substr(m1.pair, 2, 1),
+                   m1.pair) AS seg,
+               wf
+        FROM wf, m1
+    ), syms AS (
+        SELECT string_split(seg, {_BPE_SEP}) AS s, wf FROM seg2
+    ), p2 AS (
+        SELECT s[CAST(i AS INT)] AS lsym, s[CAST(i AS INT) + 1] AS rsym, wf
+        FROM (SELECT s, wf, unnest(range(1, len(s))) AS i FROM syms)
+    ), pc2 AS (
+        SELECT lsym, rsym, CAST(sum(wf) AS BIGINT) AS cnt
+        FROM p2 GROUP BY lsym, rsym
+    )
+    SELECT lsym, rsym, cnt, rank FROM (
+        SELECT lsym, rsym, cnt,
+               row_number() OVER (
+                   ORDER BY cnt DESC, lsym || {_BPE_SEP} || rsym
+               ) AS rank
+        FROM pc2
+    ) t WHERE rank <= {BPE_TOP_PAIRS}
+    """,
+)
+def q_bpe_round2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round TWO — the iterative step q_bpe_merge_pairs's docstring
+    points at, unrolled the way q_sim_kmeans unrolls Lloyd: take round
+    one's argmax merge, APPLY it (greedy left-to-right non-overlapping,
+    exactly what ``replace`` does on the separator-joined segmentation
+    in both engines), re-segment every word type, and recount adjacent
+    SYMBOL pairs — now (possibly multi-char, hence the lsym/rsym
+    columns) — for the next merge decision. The whole trajectory —
+    round-1 counts, argmax, merge application, round-2 counts — is
+    hash-gated by the oracle.
+
+    Scale: identical profile to round one — everything runs on the
+    Zipf-bounded word-TYPE table (the merge is a 1-row broadcast
+    constant join), so per-round cost is O(vocab chars) regardless of
+    corpus token count; a full trainer loops this shape once per merge."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    p1 = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "wf",
+    )
+    m1 = (
+        p1.groupBy("pair")
+        .agg(F.sum("wf").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("merge1"))
+    )
+    seg2 = wf.crossJoin(F.broadcast(m1)).select(
+        F.expr(
+            "replace("
+            "  array_join(transform(sequence(1, length(word)),"
+            f"                      i -> substring(word, i, 1)), {_BPE_SEP}),"
+            f"  substring(merge1, 1, 1) || {_BPE_SEP} || substring(merge1, 2, 1),"
+            "  merge1)"
+        ).alias("seg"),
+        "wf",
+    )
+    syms = seg2.select(F.split("seg", "\x1f").alias("s"), "wf")
+    p2 = syms.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(s) - 1),"
+                " i -> struct(element_at(s, i) AS lsym,"
+                "             element_at(s, i + 1) AS rsym))"
+            )
+        ).alias("p"),
+        "wf",
+    ).select(F.col("p.lsym").alias("lsym"), F.col("p.rsym").alias("rsym"), "wf")
+    pc2 = (
+        p2.groupBy("lsym", "rsym")
+        .agg(F.sum("wf").alias("cnt"))
+        .withColumn("tiekey", F.expr(f"lsym || {_BPE_SEP} || rsym"))
+    )
+    return rank_after_topk(pc2, BPE_TOP_PAIRS, "cnt", "tiekey").select(
+        "lsym", "rsym", "cnt", "rank"
+    )
+
+
 VOCAB_K = 10  # top-K vocabulary size (fixture-calibrated so OOV is nonzero)
 
 

@@ -657,6 +657,47 @@ def test_bpe_merge_pairs_matches_bruteforce(spark):
     assert [r.rank for r in got] == list(range(1, BPE_TOP_PAIRS + 1))
 
 
+def test_bpe_round2_matches_bruteforce(spark):
+    """Recompute the full two-round BPE trajectory in plain Python:
+    round-1 argmax merge, greedy left-to-right application, round-2
+    weighted symbol-pair counts."""
+    from collections import Counter
+
+    from flink_pipeline_spark.plans import query_fns
+    from flink_pipeline_spark.plans.llm_ops import BPE_TOP_PAIRS
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    wf: Counter = Counter()
+    for r in docs:
+        wf.update(w for w in r.text.split(" ") if len(w) >= 2)
+    pc1: Counter = Counter()
+    for w, n in wf.items():
+        for i in range(len(w) - 1):
+            pc1[w[i : i + 2]] += n
+    merge1 = min(pc1.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    a, b = merge1[0], merge1[1]
+    pc2: Counter = Counter()
+    for w, n in wf.items():
+        syms, i = [], 0
+        while i < len(w):
+            if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                syms.append(merge1)
+                i += 2
+            else:
+                syms.append(w[i])
+                i += 1
+        for j in range(len(syms) - 1):
+            pc2[(syms[j], syms[j + 1])] += n
+    expected = sorted(
+        pc2.items(), key=lambda kv: (-kv[1], kv[0][0] + "\x1f" + kv[0][1])
+    )[:BPE_TOP_PAIRS]
+    got = sorted(
+        query_fns()["q_bpe_round2_pairs"](spark, SF_DIR).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [((r.lsym, r.rsym), r.cnt) for r in got] == expected
+
+
 def test_dedup_cluster_stats_consistent_with_clusters(spark):
     from collections import Counter
 
