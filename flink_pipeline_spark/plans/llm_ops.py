@@ -4025,3 +4025,480 @@ def _register_search_hybrid() -> None:
 
 
 _register_search_hybrid()
+
+
+# ---------------------------------------------------------------------------
+# L5: rule-based quality filtering (Gopher / Dolma rule family)
+# ---------------------------------------------------------------------------
+
+# Rae et al. 2021 ("Gopher") §A1.1 repetition/quality rules, adapted to
+# this corpus (space-joined word stream, no punctuation — so the
+# symbol/ellipsis/bullet rules have no signal here and the word-count,
+# mean-word-length, stopword, repetition, and lexical-diversity rules
+# carry the family). Thresholds fixture-calibrated so each rule has a
+# real pass/fail mix at sf0.01 except r_word_len (all-pass here, kept
+# Gopher-faithful: 3 <= mean <= 10).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 1000
+GOPHER_MIN_WLEN = 3.0
+GOPHER_MAX_WLEN = 10.0
+GOPHER_MAX_TOP_SHARE = 0.2   # most-frequent-word share (repetition rule)
+GOPHER_MIN_DISTINCT = 0.4    # distinct-word ratio (diversity rule)
+GOPHER_STOPWORDS = ("the", "a")
+
+
+@register(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH tc AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+    ), m AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(c * length(tok)) AS BIGINT) AS n_chars,
+               CAST(max(c) AS BIGINT) AS top_cnt,
+               max(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) = 1
+                 AS stop_hit
+        FROM tc GROUP BY doc_id
+    ), f AS (
+        SELECT doc_id, n_words,
+               {round_sql('n_chars::DOUBLE / n_words')} AS mean_word_len,
+               {round_sql('n_distinct::DOUBLE / n_words')} AS distinct_ratio,
+               {round_sql('top_cnt::DOUBLE / n_words')} AS top_share,
+               n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                 AS r_words,
+               n_chars::DOUBLE / n_words BETWEEN {GOPHER_MIN_WLEN}
+                 AND {GOPHER_MAX_WLEN} AS r_word_len,
+               stop_hit AS r_stopword,
+               top_cnt::DOUBLE / n_words <= {GOPHER_MAX_TOP_SHARE}
+                 AS r_repetition,
+               n_distinct::DOUBLE / n_words >= {GOPHER_MIN_DISTINCT}
+                 AS r_distinct
+        FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, distinct_ratio, top_share,
+           r_words, r_word_len, r_stopword, r_repetition, r_distinct,
+           (r_words AND r_word_len AND r_stopword AND r_repetition
+            AND r_distinct) AS passes
+    FROM f
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1;
+    the rule family RefinedWeb/Dolma run verbatim): per-document word
+    count bounds, mean word length bounds, stopword containment,
+    most-frequent-word share (the repetition rule), and distinct-word
+    ratio — each emitted as its own flag plus the conjunction, so a
+    downstream gate can tune per-rule instead of rerunning the scan.
+
+    Plan: ONE explode into (doc, tok) counts, then one map-side-
+    combinable re-agg to per-doc moments — no joins, no windows; every
+    derived metric (mean word length, top-token share, diversity) falls
+    out of the same two aggregates. At 100 TB this is a single shuffle
+    on doc_id-sized keys; the stopword test rides the same agg as a
+    MAX(CASE), never a second pass."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    m = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.length("tok")).alias("n_chars"),
+        F.max("c").alias("top_cnt"),
+        (
+            F.max(
+                F.when(F.col("tok").isin(*GOPHER_STOPWORDS), 1).otherwise(0)
+            )
+            == 1
+        ).alias("stop_hit"),
+    )
+    mwl = F.col("n_chars").cast("double") / F.col("n_words")
+    dr = F.col("n_distinct").cast("double") / F.col("n_words")
+    ts = F.col("top_cnt").cast("double") / F.col("n_words")
+    r_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_word_len = mwl.between(GOPHER_MIN_WLEN, GOPHER_MAX_WLEN)
+    r_stop = F.col("stop_hit")
+    r_rep = ts <= GOPHER_MAX_TOP_SHARE
+    r_dist = dr >= GOPHER_MIN_DISTINCT
+    return m.select(
+        "doc_id",
+        "n_words",
+        round_agg(mwl).alias("mean_word_len"),
+        round_agg(dr).alias("distinct_ratio"),
+        round_agg(ts).alias("top_share"),
+        r_words.alias("r_words"),
+        r_word_len.alias("r_word_len"),
+        r_stop.alias("r_stopword"),
+        r_rep.alias("r_repetition"),
+        r_dist.alias("r_distinct"),
+        (r_words & r_word_len & r_stop & r_rep & r_dist).alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L5: vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+# Rank checkpoints for the coverage curve — powers of two so the curve
+# is log-spaced like a tokenizer-vocab-size sweep.
+COVERAGE_RANKS = (1, 2, 4, 8, 16, 32)
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH tf AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS t FROM tf
+    ), ranked AS (
+        SELECT tok, n,
+               CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+                 AS rank,
+               CAST(sum(n) OVER (
+                   ORDER BY n DESC, tok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM tf
+    )
+    SELECT rank, tok, cum_tokens,
+           {round_sql('cum_tokens::DOUBLE / t')} AS coverage
+    FROM ranked CROSS JOIN tot
+    WHERE rank IN ({', '.join(str(k) for k in COVERAGE_RANKS)})
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: cumulative corpus-token share covered
+    by the top-k most frequent word types, checkpointed at log-spaced
+    ranks — the statistic that sizes a tokenizer vocabulary (what OOV
+    rate does vocab=k buy?) and verifies the Zipf assumption every
+    type-table trick in this module (BPE training, df caps) rests on.
+
+    Scale: the corpus collapses to the word-TYPE table in one map-side-
+    combinable agg before any ordering; the global window then runs on
+    vocab-sized data only (Zipf-bounded — millions of rows at 100 TB
+    against trillions of corpus tokens), which is the same single-
+    partition-on-tiny-data trade rank_after_topk documents. The
+    denominator is a 1-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = tf.agg(F.sum("n").alias("t"))
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    ranked = tf.select(
+        "tok",
+        "n",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_tokens"),
+    )
+    return (
+        ranked.filter(F.col("rank").isin(*COVERAGE_RANKS))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "tok",
+            "cum_tokens",
+            round_agg(F.col("cum_tokens").cast("double") / F.col("t")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L5: BPE encoding — apply the learned merge list to the corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bpe_encode",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), cw AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS n
+        FROM w GROUP BY source, word
+    ), wf AS (
+        SELECT word, CAST(sum(n) AS BIGINT) AS wf
+        FROM cw WHERE len(word) >= 2 GROUP BY word
+    ), p1 AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair, wf FROM (
+            SELECT word, wf, unnest(range(1, len(word))) AS i FROM wf
+        )
+    ), pc1 AS (
+        SELECT pair, sum(wf) AS cnt FROM p1 GROUP BY pair
+    ), m1 AS (
+        SELECT pair FROM (
+            SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rn
+            FROM pc1
+        ) t WHERE rn = 1
+    ), types AS (
+        SELECT DISTINCT word FROM cw
+    ), seg1 AS (
+        SELECT word,
+               replace(
+                   array_to_string(
+                       list_transform(range(1, len(word) + 1),
+                                      i -> substr(word, CAST(i AS INT), 1)),
+                       {_BPE_SEP}),
+                   substr(m1.pair, 1, 1) || {_BPE_SEP} || substr(m1.pair, 2, 1),
+                   m1.pair) AS seg
+        FROM types, m1
+    ), p2 AS (
+        SELECT s[CAST(i AS INT)] AS lsym, s[CAST(i AS INT) + 1] AS rsym, wf
+        FROM (SELECT s, wf, unnest(range(1, len(s))) AS i FROM (
+            SELECT string_split(seg, {_BPE_SEP}) AS s, wf
+            FROM seg1 JOIN wf USING (word)
+        ))
+    ), pc2 AS (
+        SELECT lsym, rsym, sum(wf) AS cnt FROM p2 GROUP BY lsym, rsym
+    ), m2 AS (
+        SELECT lsym, rsym FROM (
+            SELECT lsym, rsym,
+                   row_number() OVER (
+                       ORDER BY cnt DESC, lsym || {_BPE_SEP} || rsym) AS rn
+            FROM pc2
+        ) t WHERE rn = 1
+    ), enc AS (
+        SELECT word,
+               CAST(len(string_split(
+                   substr(w2, 2, len(w2) - 2), {_BPE_SEP})) AS BIGINT)
+                 AS n_sym
+        FROM (
+            SELECT word,
+                   replace({_BPE_SEP} || seg || {_BPE_SEP},
+                           {_BPE_SEP} || m2.lsym || {_BPE_SEP} || m2.rsym
+                             || {_BPE_SEP},
+                           {_BPE_SEP} || m2.lsym || m2.rsym || {_BPE_SEP})
+                     AS w2
+            FROM seg1, m2
+        )
+    ), bysrc AS (
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS n_words,
+               CAST(sum(n * len(word)) AS BIGINT) AS n_chars,
+               CAST(sum(n * n_sym) AS BIGINT) AS n_tokens
+        FROM cw JOIN enc USING (word)
+        GROUP BY source
+    )
+    SELECT source, n_words, n_chars, n_tokens,
+           {round_sql('n_chars::DOUBLE / n_tokens')} AS compression
+    FROM bysrc
+    """,
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the consumer half of the trainer that
+    q_bpe_merge_pairs / q_bpe_round2_pairs unroll: re-learn the 2-merge
+    list (round-1 argmax over char pairs, round-2 argmax over symbol
+    pairs — identical statistics to the registered trainer queries),
+    apply both merges to every word TYPE, and report per-source corpus
+    compression (chars per BPE token) — the fertility statistic that
+    decides whether a tokenizer ships. Merge application is the same
+    separator-joined ``replace`` convention the round-2 trainer
+    documents (greedy left-to-right, non-overlapping as ``replace``
+    scans — both engines share the semantics bit-for-bit); the round-2
+    pattern is boundary-anchored ({sep}l{sep}r{sep}) so a multi-char
+    symbol can never match inside a neighbor.
+
+    Scale: the trainer statistics and the encoding both run on the
+    Zipf-bounded word-TYPE table — the corpus is touched exactly once
+    (one explode into per-(source, word) counts); each merge is a 1-row
+    broadcast; the final join keys corpus counts to the vocab-sized
+    encoding table. Corpus token count never enters any fan-out."""
+    d = load_table(spark, sf_dir, "documents")
+    cw = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    wf = (
+        cw.filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.sum("n").alias("wf"))
+    )
+    p1 = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "wf",
+    )
+    m1 = (
+        p1.groupBy("pair")
+        .agg(F.sum("wf").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("merge1"))
+    )
+    types = cw.select("word").distinct()
+    seg1 = types.crossJoin(F.broadcast(m1)).select(
+        "word",
+        F.expr(
+            "replace("
+            "  array_join(transform(sequence(1, length(word)),"
+            f"                      i -> substring(word, i, 1)), {_BPE_SEP}),"
+            f"  substring(merge1, 1, 1) || {_BPE_SEP} || substring(merge1, 2, 1),"
+            "  merge1)"
+        ).alias("seg"),
+    )
+    syms = seg1.join(wf, "word").select(F.split("seg", "\x1f").alias("s"), "wf")
+    p2 = syms.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(s) - 1),"
+                " i -> struct(element_at(s, i) AS lsym,"
+                "             element_at(s, i + 1) AS rsym))"
+            )
+        ).alias("p"),
+        "wf",
+    ).select("p.lsym", "p.rsym", "wf")
+    m2 = (
+        p2.groupBy("lsym", "rsym")
+        .agg(F.sum("wf").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.expr(f"lsym || {_BPE_SEP} || rsym"))
+        .limit(1)
+        .select("lsym", "rsym")
+    )
+    enc = (
+        seg1.crossJoin(F.broadcast(m2))
+        .select(
+            "word",
+            F.expr(
+                f"replace({_BPE_SEP} || seg || {_BPE_SEP},"
+                f"        {_BPE_SEP} || lsym || {_BPE_SEP} || rsym || {_BPE_SEP},"
+                f"        {_BPE_SEP} || lsym || rsym || {_BPE_SEP})"
+            ).alias("w2"),
+        )
+        .select(
+            "word",
+            F.size(
+                F.split(F.expr("substring(w2, 2, length(w2) - 2)"), "\x1f")
+            )
+            .cast("long")
+            .alias("n_sym"),
+        )
+    )
+    bysrc = (
+        cw.join(enc, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.length("word")).alias("n_chars"),
+            F.sum(F.col("n") * F.col("n_sym")).alias("n_tokens"),
+        )
+    )
+    return bysrc.select(
+        "source",
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        round_agg(
+            F.col("n_chars").cast("double") / F.col("n_tokens")
+        ).alias("compression"),
+    )
+
+
+q_bpe_encode.__doc__ = q_bpe_encode.__doc__.replace("{sep}", "\\x1f")
+
+
+# ---------------------------------------------------------------------------
+# L3: matryoshka truncated-dimension recall audit
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = 16  # truncated prefix dimensionality (of the 64-dim fixtures)
+
+
+def _register_truncate_recall() -> None:
+    """Closure registration so the oracle composes the registered exact
+    search oracle (q_sim_topk) as its ground-truth CTE — same pattern
+    as q_ann_recall."""
+    trunc_sql = f"""
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY floor({_COS_DUCK.format(
+                           a=f'q.embedding[1:{MRL_DIMS}]',
+                           b=f'e.embedding[1:{MRL_DIMS}]')} * 10000 + 0.5)
+                                  / 10000 DESC,
+                                e.vec_id) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < {PQ_QUERY_MAX}
+        ) t WHERE rank <= 3"""
+    oracle = f"""
+    WITH exact_r AS ({ORACLES['q_sim_topk']}),
+    truth AS (
+        SELECT query_id, neighbor_id FROM exact_r
+        WHERE query_id < {PQ_QUERY_MAX}
+    ), trunc_q AS ({trunc_sql}
+    )
+    SELECT t.query_id,
+           CAST(coalesce(sum(
+               CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+           ), 0) AS BIGINT) AS hits,
+           {round_sql(
+               "coalesce(sum(CASE WHEN c.neighbor_id IS NOT NULL"
+               " THEN 1 ELSE 0 END), 0)::DOUBLE / count(*)")} AS recall
+    FROM truth t LEFT JOIN trunc_q c
+      ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """
+
+    @register("q_embed_truncate_recall", oracle=oracle)
+    def q_embed_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Matryoshka-style truncated-dimension audit (Kusupati et al.
+        2022): per-query recall@3 of brute-force cosine over the FIRST
+        {d} of 64 dims against full-dim exact truth — the measurement
+        behind the standard 100 TB two-stage trick of searching a
+        cheap dim-truncated index and re-ranking survivors at full
+        width (the storage/recall twin of the SQ/PQ compression audits
+        already registered). Truth denominator comes from the ground-
+        truth frame per query, so a truncated search that drops a
+        query loses recall rather than gaining it.
+
+        Scale: both searches broadcast the query side and scan the
+        corpus in place (topk_neighbors's shape); the truncated scan
+        reads {d}/64 of the vector bytes — exactly the I/O saving the
+        audit prices. The audit join itself is per-query top-k sized."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        t16 = emb.select(
+            "vec_id", F.slice("embedding", 1, MRL_DIMS).alias("embedding")
+        )
+        cand = topk_neighbors(
+            t16, t16.filter(F.col("vec_id") < PQ_QUERY_MAX), k=3
+        ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        truth = (
+            q_sim_topk(spark, sf_dir)
+            .filter(F.col("query_id") < PQ_QUERY_MAX)
+            .select("query_id", "neighbor_id")
+        )
+        joined = truth.join(cand, ["query_id", "neighbor_id"], "left")
+        hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        return joined.groupBy("query_id").agg(
+            hits.cast("long").alias("hits"),
+            round_agg(hits.cast("double") / F.count("*")).alias("recall"),
+        )
+
+    q_embed_truncate_recall.__doc__ = q_embed_truncate_recall.__doc__.format(
+        d=MRL_DIMS
+    )
+
+
+_register_truncate_recall()

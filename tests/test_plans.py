@@ -284,6 +284,13 @@ _ALLOWED_BNLJ = {
     "q_sim_ivf2_topk",       # two-level variant: tiny super/child routing grids
     "q_quality_ppl_bucket",  # composes q_text_surprisal_2g (vetted 1-row total)
     "q_text_langid_ngram",   # <=256-bucket x L-class weight grid + 1-row doc-total broadcast
+    # r8 continued: same vetted classes
+    "q_bpe_round2_pairs",    # 1-row argmax-merge broadcast onto the type table
+    "q_bpe_encode",          # two 1-row merge broadcasts onto the type table
+    "q_decontaminate_bloom", # 1-row packed-filter broadcast (the Bloom bitset)
+    "q_sim_ivfpq_rerank",    # composes q_sim_ivfpq_topk (vetted) + k-row re-rank
+    "q_embed_truncate_recall",  # composes q_sim_topk + k-row truncated query side
+    "q_vocab_coverage",      # 1-row corpus-total denominator broadcast
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
