@@ -324,3 +324,69 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("es").alias("end_s"),
         (F.max("es") - F.min("es")).alias("duration_s"),
     )
+
+
+@register(
+    "q_scd2_history",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               {_EVENTS_TS} AS es
+        FROM events
+    ), flagged AS (
+        SELECT *,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY es, event_id) AS prev_t
+        FROM e
+    ), ch AS (
+        SELECT user_id, event_id, event_type, es FROM flagged
+        WHERE prev_t IS NULL OR prev_t <> event_type
+    )
+    SELECT user_id, event_type, es AS valid_from,
+           lead(es) OVER (
+               PARTITION BY user_id ORDER BY es, event_id) AS valid_to,
+           lead(es) OVER (
+               PARTITION BY user_id ORDER BY es, event_id) IS NULL
+             AS is_current
+    FROM ch
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build (Kimball slowly-changing-dimension
+    semantics) from the raw event log: collapse each user's stream to
+    its event_type CHANGE points, then stamp every change row with a
+    [valid_from, valid_to) validity interval — valid_to = the next
+    change's timestamp, NULL marks the current row. This is the batch
+    form of a CDC merge: the same change-point detection the stateful
+    job tracker applies incrementally (streaming/state.py), here as a
+    reprocessable lag -> filter -> lead window chain.
+
+    Scale: two ordered windows over the SAME user_id partitioning (one
+    exchange — the q_sessionize shape, plan-shape precedent there), and
+    the second window runs on the already-collapsed change rows. Time
+    arithmetic is floor'd epoch seconds; (es, event_id) is a total
+    order per user, so ties cannot flip validity intervals between
+    engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    ch = (
+        e.withColumn("prev_t", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_t").isNull()
+            | (F.col("prev_t") != F.col("event_type"))
+        )
+        .select("user_id", "event_id", "event_type", "es")
+    )
+    nxt = F.lead("es").over(w)
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.col("es").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

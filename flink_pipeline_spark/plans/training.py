@@ -1777,3 +1777,98 @@ def q_train_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w1).cast("long").alias("pos_ep1"),
         F.row_number().over(w2).cast("long").alias("pos_ep2"),
     )
+
+
+# Salt for the within-bucket curriculum shuffle — same convention as
+# SHUFFLE_EPOCH_SALTS (deterministic salted-hash order, no RNG).
+CURRICULUM_SALT = "curr:"
+
+
+@register(
+    "q_curriculum_order",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               length(replace(text, ' ', '')) AS n_letter_chars
+        FROM documents
+    ), q AS (
+        SELECT doc_id,
+               CAST(floor(({QUALITY_SCORE_SQL}) * 10000 + 0.5) AS BIGINT)
+                 // 1000 AS bucket,
+               {hash56_sql_duckdb(f"'{CURRICULUM_SALT}' || CAST(doc_id AS VARCHAR)")}
+                 AS k
+        FROM m
+    ), rn AS (
+        SELECT doc_id, bucket,
+               CAST(row_number() OVER (
+                   PARTITION BY bucket ORDER BY k, doc_id) AS BIGINT) AS r
+        FROM q
+    ), bc AS (
+        SELECT bucket, count(*) AS c FROM q GROUP BY bucket
+    ), off AS (
+        SELECT bucket,
+               CAST(coalesce(sum(c) OVER (
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS o
+        FROM bc
+    )
+    SELECT rn.doc_id, CAST(rn.bucket AS BIGINT) AS bucket,
+           rn.r + off.o AS pos
+    FROM rn JOIN off USING (bucket)
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering — the trainer handoff that sorts the corpus
+    easy-to-hard: documents are binned by the shared quality score
+    (QUALITY_SCORE_SQL, the same source of truth q_text_quality and
+    q_token_budget_select use) into 0.1-wide VALUE buckets, buckets are
+    consumed in ascending order, and order WITHIN a bucket is the
+    deterministic salted-hash shuffle of q_train_shuffle_order — so the
+    curriculum is reproducible from the salt alone and reshufflable per
+    epoch without re-binning. The bucket edge test happens on integer
+    1e-4 quality grains (floor(q*1e4+0.5) // 1000), so no float sits on
+    a bin boundary in either engine.
+
+    Scale — why value bins, not ntile: an ntile/global-rank curriculum
+    needs a total order over the corpus (one giant sort); value bins
+    are embarrassingly parallel, and the global position is then
+    two-phase — a per-bucket rank window plus a bucket-count offset
+    table (rows = #buckets, broadcast) — the same trick
+    q_pack_sequences uses for sub-shard offsets. No global window
+    anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_letter_chars"),
+    )
+    quality = quality_score(
+        F.col("n_tokens"), F.col("n_distinct"), F.col("n_letter_chars")
+    )
+    q = m.select(
+        "doc_id",
+        F.floor(quality * 10000 + 0.5).cast("long").alias("qm"),
+        hash56(
+            F.concat(F.lit(CURRICULUM_SALT), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    ).select("doc_id", F.expr("qm div 1000").alias("bucket"), "k")
+    w = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    rn = q.select(
+        "doc_id", "bucket", F.row_number().over(w).cast("long").alias("r")
+    )
+    bc = q.groupBy("bucket").agg(F.count("*").alias("c"))
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    off = bc.select(
+        "bucket",
+        F.coalesce(F.sum("c").over(woff), F.lit(0)).cast("long").alias("o"),
+    )
+    return rn.join(F.broadcast(off), "bucket").select(
+        "doc_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.col("r") + F.col("o")).alias("pos"),
+    )
