@@ -126,6 +126,14 @@ HEADLINE = [
     # r8: Bloom-filter decontamination — the packed-word filter build
     # + k-probe corpus scan, with the exact-truth FP audit inline
     "q_decontaminate_bloom",
+    # r8: the Gopher rule scan (one-pass per-doc quality flags), BPE
+    # encoding (type-table merge application + per-source compression),
+    # the quality-binned curriculum handoff, and the SCD2 change-history
+    # build (lag->filter->lead on one exchange)
+    "q_gopher_rules",
+    "q_bpe_encode",
+    "q_curriculum_order",
+    "q_scd2_history",
     "q_knn_classify",
     "q_stream_enrich",
     # profiling layer (round 3): TF-IDF is the corpus-heaviest text op
