@@ -1501,6 +1501,107 @@ def paragraph_dedup_stats(docs: DataFrame, p: int = 10) -> DataFrame:
     )
 
 
+# Content-defined chunking: a token whose hash56 % CDC_MOD == 0 closes
+# the current chunk, so expected chunk length is CDC_MOD tokens and the
+# boundary positions depend only on CONTENT, never on offsets.
+CDC_MOD = 6
+CDC_CID_LIMIT = 1 << 20
+
+
+def cdc_chunk_stats(docs: DataFrame, mod: int = CDC_MOD) -> DataFrame:
+    """(doc_id, n_chunks, chunks_dropped, n_tokens, tokens_dropped,
+    kept_hash): CONTENT-DEFINED chunking dedup — the FastCDC/rsync
+    boundary trick applied to text: a chunk ends at any token whose
+    hash56 is ≡ 0 (mod ``mod``), so boundaries are a pure function of
+    local content. Fixed-block segmentation (paragraph_dedup_stats)
+    loses every downstream block to misalignment when one token is
+    inserted at the front of a shared boilerplate; content-defined
+    boundaries re-synchronize within ~mod tokens, which is why backup
+    and web-corpus dedup systems chunk this way. Dedup rule is
+    identical to the paragraph pass: corpus-wide repeat removal,
+    keep-first canonical copy by packed (doc_id, chunk_index), per-doc
+    kept/dropped accounting + kept-text fingerprint.
+
+    Plan: corpus scan -> per-doc (pos, token) explode -> boundary flag
+    (one md5 per token, codegen) -> chunk index via an EXCLUSIVE
+    running sum over the doc_id window (the boundary token belongs to
+    the chunk it closes) -> chunk re-assembly agg -> the same ONE
+    digest-keyed hash aggregate + join-back as paragraph dedup. Two
+    shuffles carry (doc_id)-keyed token rows and 32-byte digests; the
+    window is per-document (bounded by doc length), never global.
+    Skew profile as paragraph_dedup_stats: a viral chunk is one hot
+    digest key, AQE splits the join-back straggler."""
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("i", "tok"),
+    )
+    flagged = tok.withColumn(
+        "f", F.when(hash56(F.col("tok")) % mod == 0, 1).otherwise(0)
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cids = flagged.select(
+        "doc_id",
+        "i",
+        "tok",
+        F.coalesce(F.sum("f").over(w), F.lit(0)).cast("long").alias("cid"),
+    )
+    chunks = cids.groupBy("doc_id", "cid").agg(
+        F.count("*").cast("long").alias("n_ctoks"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("ctext"),
+    )
+    packed = (
+        f"CASE WHEN cid < {CDC_CID_LIMIT} THEN "
+        f"doc_id * {CDC_CID_LIMIT} + cid "
+        f"ELSE CAST(raise_error('cdc_chunks: cid >= 2^20') AS BIGINT) END"
+    )
+    occ = chunks.select(
+        "doc_id",
+        "cid",
+        "n_ctoks",
+        "ctext",
+        F.md5("ctext").alias("h"),
+        F.expr(packed).alias("k"),
+    )
+    grp = occ.groupBy("h").agg(F.min("k").alias("keep_k"))
+    marked = occ.join(grp, "h").withColumn(
+        "dropped", F.col("k") != F.col("keep_k")
+    )
+    kept_struct = F.when(~F.col("dropped"), F.struct("cid", "ctext"))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+        .cast("long")
+        .alias("chunks_dropped"),
+        F.sum("n_ctoks").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("dropped"), F.col("n_ctoks")).otherwise(0))
+        .cast("long")
+        .alias("tokens_dropped"),
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["ctext"],
+                    ),
+                )
+            ),
+            1,
+            8,
+        ).alias("kept_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product-quantization (PQ) compressed ANN
 # ---------------------------------------------------------------------------

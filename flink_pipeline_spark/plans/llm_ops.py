@@ -41,6 +41,9 @@ from ..operators.llm import (
     minhash_signatures,  # noqa: F401 (re-exported for tests)
     incremental_dedup,
     paragraph_dedup_stats,
+    cdc_chunk_stats,
+    CDC_MOD,
+    CDC_CID_LIMIT,
     simhash,
     simhash_pairs,
     substring_dedup_stats,
@@ -3759,6 +3762,77 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_dedup_paragraph.__doc__ = q_dedup_paragraph.__doc__.format(p=PARA_TOKENS)
+
+
+@register(
+    "q_dedup_cdc_chunks",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), tok AS (
+        SELECT doc_id, i, toks[CAST(i AS INT) + 1] AS tok
+        FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i
+              FROM base)
+    ), flagged AS (
+        SELECT doc_id, i, tok,
+               CASE WHEN {hash56_sql_duckdb('tok')} % {CDC_MOD} = 0
+                    THEN 1 ELSE 0 END AS f
+        FROM tok
+    ), cids AS (
+        SELECT doc_id, i, tok,
+               CAST(coalesce(sum(f) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cid
+        FROM flagged
+    ), chunks AS (
+        SELECT doc_id, cid,
+               CAST(count(*) AS BIGINT) AS n_ctoks,
+               string_agg(tok, ' ' ORDER BY i) AS ctext
+        FROM cids GROUP BY doc_id, cid
+    ), occ AS (
+        SELECT doc_id, cid, n_ctoks, ctext, md5(ctext) AS h,
+               CASE WHEN cid < {CDC_CID_LIMIT}
+                    THEN doc_id * {CDC_CID_LIMIT} + cid
+                    ELSE CAST(error('cdc_chunks: cid >= 2^20')
+                              AS BIGINT) END AS k
+        FROM chunks
+    ), grp AS (
+        SELECT h, min(k) AS keep_k FROM occ GROUP BY h
+    ), marked AS (
+        SELECT o.*, (o.k <> g.keep_k) AS dropped
+        FROM occ o JOIN grp g USING (h)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+               AS chunks_dropped,
+           CAST(sum(n_ctoks) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN dropped THEN n_ctoks ELSE 0 END) AS BIGINT)
+               AS tokens_dropped,
+           substr(md5(coalesce(string_agg(ctext, ' ' ORDER BY cid)
+                      FILTER (WHERE NOT dropped), '')), 1, 8) AS kept_hash
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the FastCDC/rsync boundary
+    trick): a chunk ends at any token whose hash56 ≡ 0 (mod {m}), so
+    chunk boundaries depend only on LOCAL content — insert one token
+    at the front of a shared boilerplate and fixed {p}-token blocks
+    (q_dedup_paragraph) lose every downstream block to misalignment,
+    while content-defined boundaries re-synchronize within ~{m}
+    tokens. Same dedup rule as the paragraph pass (corpus-wide repeat
+    removal, keep-first canonical copy, per-doc kept/dropped
+    accounting + kept-text fingerprint) so the two granularities are
+    directly comparable. See operators/llm.py cdc_chunk_stats for the
+    plan and skew notes."""
+    return cdc_chunk_stats(load_table(spark, sf_dir, "documents"))
+
+
+q_dedup_cdc_chunks.__doc__ = q_dedup_cdc_chunks.__doc__.format(
+    m=CDC_MOD, p=PARA_TOKENS
+)
 
 
 @register(

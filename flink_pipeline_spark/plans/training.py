@@ -1779,6 +1779,84 @@ def q_train_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH sp AS (
+        SELECT doc_id, text,
+               {SPLIT_CASE.format(h=_HASH_DOC)} AS split
+        FROM documents
+    ), g AS (
+        SELECT doc_id, split, unnest({shingles_sql('duckdb', 'text', 3)}) AS ng
+        FROM sp
+    ), train_ng AS (
+        SELECT DISTINCT ng FROM g WHERE split = 'train'
+    ), ev AS (
+        SELECT d.doc_id, d.split,
+               CAST(count(*) AS BIGINT) AS n_ngrams,
+               CAST(sum(CASE WHEN t.ng IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_seen
+        FROM g d LEFT JOIN train_ng t USING (ng)
+        WHERE d.split <> 'train'
+        GROUP BY d.doc_id, d.split
+    )
+    SELECT doc_id, split, n_ngrams, n_seen,
+           {round_sql('1 - n_seen::DOUBLE / n_ngrams')} AS novelty
+    FROM ev
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram novelty audit — the memorization-exposure
+    measurement that complements decontamination: q_decontaminate
+    screens against an EXTERNAL benchmark; this scores how much of
+    each held-out document's 3-gram SET already appears anywhere in
+    the train split (the same 80/10/10 SPLIT_CASE rule every split
+    query shares). novelty = 1 − seen/total per eval doc: a val/test
+    doc with novelty ≈ 0 is an eval item the model has effectively
+    seen, and eval-set quality reports rank on exactly this statistic
+    (e.g. the Lee et al. 2022 dedup paper's train-test overlap
+    analysis).
+
+    Scale: the train n-gram vocabulary is corpus-scale, so this is
+    deliberately NOT a broadcast — one distinct-agg to build it, one
+    shuffle equi-join on the n-gram key against only the eval slice
+    (10–20% of the corpus), partial-agg combined. At 100 TB both
+    sides hash-partition on the n-gram; no windows, no driver state."""
+    d = load_table(spark, sf_dir, "documents")
+    sp = d.select("doc_id", "text", split_col(F.col("doc_id")).alias("split"))
+    g = sp.select(
+        "doc_id",
+        "split",
+        F.explode(F.expr(shingles_sql("spark", "text", 3))).alias("ng"),
+    )
+    train_ng = (
+        g.filter(F.col("split") == "train")
+        .select("ng")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    ev = (
+        g.filter(F.col("split") != "train")
+        .join(train_ng, "ng", "left")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("seen"), F.lit(0)))
+            .cast("long")
+            .alias("n_seen"),
+        )
+    )
+    return ev.select(
+        "doc_id",
+        "split",
+        "n_ngrams",
+        "n_seen",
+        round_agg(
+            1 - F.col("n_seen").cast("double") / F.col("n_ngrams")
+        ).alias("novelty"),
+    )
+
+
 # Salt for the within-bucket curriculum shuffle — same convention as
 # SHUFFLE_EPOCH_SALTS (deterministic salted-hash order, no RNG).
 CURRICULUM_SALT = "curr:"
