@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.portable import round_agg, hash56_sql_duckdb, hash56_sql_spark, round_sql
+from ..functions.portable import (
+    hash56,
+    hash56_sql_duckdb,
+    hash56_sql_spark,
+    round_agg,
+    round_sql,
+)
 from ..functions.text import (
     P31,
     QUALITY_SCORE_SQL,
@@ -3833,6 +3839,208 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_dedup_cdc_chunks.__doc__ = q_dedup_cdc_chunks.__doc__.format(
     m=CDC_MOD, p=PARA_TOKENS
 )
+
+
+# Winnowing (Schleimer et al., SIGMOD 2003 — the MOSS fingerprinter):
+# k-gram hashes, sliding window of W consecutive hashes, keep each
+# window's minimum. Guarantees any shared run of >= W + k - 1 tokens
+# shares at least one fingerprint, at ~2/(W+1) sampling density.
+WINNOW_K = 3   # gram width (tokens)
+WINNOW_W = 4   # winnowing window (grams)
+WINNOW_MIN_SHARED = 3  # candidate-pair threshold (fingerprints shared)
+
+
+@register(
+    "q_winnow_fingerprint",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos, len(t) - {WINNOW_K - 1} AS ng,
+               {hash56_sql_duckdb(
+                   f"array_to_string(t[CAST(i AS INT):CAST(i AS INT)"
+                   f"+{WINNOW_K - 1}], ' ')")} AS h
+        FROM (SELECT doc_id, t,
+                     unnest(range(1, len(t) - {WINNOW_K - 2})) AS i
+              FROM base)
+    ), sel AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW
+                   AND {WINNOW_W - 1} FOLLOWING) AS fh,
+               pos, ng
+        FROM g
+    ), fp0 AS (
+        SELECT DISTINCT doc_id, fh FROM sel
+        WHERE pos <= ng - {WINNOW_W - 1}
+    ), keepf AS (
+        SELECT fh FROM fp0 GROUP BY fh
+        HAVING count(*) <= {MAX_SHINGLE_DF}
+    ), fp AS (
+        SELECT fp0.doc_id, fp0.fh FROM fp0 JOIN keepf USING (fh)
+    ), nd AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp FROM fp GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM fp a JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {WINNOW_MIN_SHARED}
+    )
+    SELECT doc_a, doc_b, shared,
+           {round_sql('shared::DOUBLE / least(na.nfp, nb.nfp)')} AS overlap
+    FROM pairs
+    JOIN nd na ON na.doc_id = doc_a
+    JOIN nd nb ON nb.doc_id = doc_b
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    {k}-gram, slide a window of {w} consecutive hashes, keep each
+    window's minimum — any shared token run of >= {g} tokens is
+    GUARANTEED to share a fingerprint (the local-algorithm property
+    MinHash lacks: MinHash bounds expected Jaccard error, winnowing
+    bounds worst-case miss length), at ~2/(w+1) the storage of the
+    full gram set. Candidate pairs = docs sharing >= {t} fingerprints,
+    scored by overlap = shared / min(|fp_a|, |fp_b|).
+
+    Scale: fingerprint selection is one per-doc ordered window
+    (doc-bounded, one doc_id exchange); the pair stage is the standard
+    df-capped inverted index (df <= {d}, the shared MAX_SHINGLE_DF
+    knob — fixture max df is 7, so the cap costs nothing here while
+    bounding hot-key fan-out at corpus scale), sum(df^2) bounded like
+    q_dedup_containment."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("t"))
+    g = base.select(
+        "doc_id",
+        (F.size("t") - (WINNOW_K - 1)).alias("ng"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {WINNOW_K - 1}),"
+                f" i -> struct(i AS pos,"
+                f" concat_ws(' ', slice(t, i, {WINNOW_K})) AS gram))"
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        "ng",
+        F.col("p.pos").alias("pos"),
+        hash56(F.col("p.gram")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    sel = g.select(
+        "doc_id", "pos", "ng", F.min("h").over(w).alias("fh")
+    ).filter(F.col("pos") <= F.col("ng") - (WINNOW_W - 1))
+    fp0 = sel.select("doc_id", "fh").distinct()
+    keepf = (
+        fp0.groupBy("fh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("fh")
+    )
+    fp = fp0.join(keepf, "fh")
+    nd = fp.groupBy("doc_id").agg(F.count("*").cast("long").alias("nfp"))
+    fa = fp.select(F.col("doc_id").alias("doc_a"), "fh")
+    fb = fp.select(F.col("doc_id").alias("doc_b"), "fh")
+    pairs = (
+        fa.join(fb, "fh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .filter(F.col("shared") >= WINNOW_MIN_SHARED)
+    )
+    na = nd.select(F.col("doc_id").alias("doc_a"), F.col("nfp").alias("na"))
+    nb = nd.select(F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nb"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            round_agg(
+                F.col("shared").cast("double") / F.least("na", "nb")
+            ).alias("overlap"),
+        )
+    )
+
+
+q_winnow_fingerprint.__doc__ = q_winnow_fingerprint.__doc__.format(
+    k=WINNOW_K,
+    w=WINNOW_W,
+    g=WINNOW_W + WINNOW_K - 1,
+    t=WINNOW_MIN_SHARED,
+    d=MAX_SHINGLE_DF,
+)
+
+
+@register(
+    "q_mixture_domain",
+    oracle=f"""
+    WITH assigned AS ({_SEED_ASSIGN_DUCK}
+    ), mix AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_docs
+        FROM assigned GROUP BY cell
+    ), w AS (
+        SELECT cell, n_docs,
+               CAST(floor(sqrt(n_docs) * 10000 + 0.5) AS BIGINT) AS w_q
+        FROM mix
+    ), tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+               CAST(sum(w_q) AS BIGINT) AS t_w
+        FROM w
+    )
+    SELECT cell, n_docs,
+           {round_sql('n_docs::DOUBLE / t_docs')} AS raw_share,
+           {round_sql('w_q::DOUBLE / t_w')} AS temp_share,
+           {round_sql('(w_q::DOUBLE / t_w) / (n_docs::DOUBLE / t_docs)')}
+               AS boost
+    FROM w CROSS JOIN tot
+    """,
+)
+def q_mixture_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC-domain mixture weights: the temperature-sampling rule
+    of q_mixture_temperature applied to EMBEDDING-CLUSTER domains
+    instead of source labels — assign every vector to its IVF cell
+    (the shared seed coarse quantizer every embedding query composes),
+    then weight each cluster by n^0.5 so small semantic domains are
+    upsampled (the cluster-balanced sampling of DataComp-LM-style
+    curation: source tags miss topical imbalance WITHIN a source;
+    k-means cells see it). Same exact-integer weight convention:
+    sqrt quantized to BIGINT ten-thousandths BEFORE the denominator
+    sum, so normalization is an exact integer sum.
+
+    Scale: the cell assignment is the vetted broadcast-centroid argmax
+    (corpus never shuffles); everything after runs on the #cells-sized
+    grid with a 1-row denominator broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS))
+    mix = assigned.groupBy("cell").agg(F.count("*").alias("n_docs"))
+    w = mix.select(
+        "cell",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs")) * 10000 + 0.5)
+        .cast("long")
+        .alias("w_q"),
+    )
+    tot = w.agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("w_q").alias("t_w")
+    )
+    raw = F.col("n_docs").cast("double") / F.col("t_docs")
+    tmp = F.col("w_q").cast("double") / F.col("t_w")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_docs",
+        round_agg(raw).alias("raw_share"),
+        round_agg(tmp).alias("temp_share"),
+        round_agg(tmp / raw).alias("boost"),
+    )
 
 
 @register(
