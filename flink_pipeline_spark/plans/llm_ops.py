@@ -3841,6 +3841,219 @@ q_dedup_cdc_chunks.__doc__ = q_dedup_cdc_chunks.__doc__.format(
 )
 
 
+_CDC_SHIFT_OFFSET = 10_000_000  # twin doc_id offset for the robustness audit
+# One-token prefix used to build each document's shifted twin; 'zq' is
+# outside the fixture vocabulary so it can only add (never merge) chunks.
+_CDC_SENTINEL = "zq"
+
+
+def _register_cdc_robustness() -> None:
+    """Registered via a closure so the oracle can build both chunkers'
+    CTEs from the same token table."""
+    # chunk-text sets per (doc, variant) for both methods, DuckDB side
+    oracle = f"""
+    WITH corpus2 AS (
+        SELECT doc_id, text, 0 AS shifted FROM documents
+        UNION ALL
+        SELECT doc_id + {_CDC_SHIFT_OFFSET},
+               '{_CDC_SENTINEL} ' || text, 1
+        FROM documents
+    ), base AS (
+        SELECT doc_id, shifted, string_split(text, ' ') AS toks FROM corpus2
+    ), tok AS (
+        SELECT doc_id, shifted, i, toks[CAST(i AS INT) + 1] AS tok
+        FROM (SELECT doc_id, shifted, toks,
+                     unnest(range(0, len(toks))) AS i
+              FROM base)
+    ), cdc_cid AS (
+        SELECT doc_id, shifted, i, tok,
+               CAST(coalesce(sum(CASE WHEN {hash56_sql_duckdb('tok')}
+                                      % {CDC_MOD} = 0
+                                 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cid
+        FROM tok
+    ), cdc_ch AS (
+        SELECT 'cdc' AS method, doc_id, shifted,
+               md5(string_agg(tok, ' ' ORDER BY i)) AS h
+        FROM cdc_cid GROUP BY doc_id, shifted, cid
+    ), fix_ch AS (
+        SELECT 'fixed' AS method, doc_id, shifted,
+               md5(array_to_string(
+                   list_slice(toks, pno * {PARA_TOKENS} + 1,
+                              pno * {PARA_TOKENS} + {PARA_TOKENS}), ' ')) AS h
+        FROM (SELECT doc_id, shifted, toks,
+                     unnest(range(0, (len(toks) - 1) // {PARA_TOKENS} + 1))
+                       AS pno
+              FROM base)
+    ), ch AS (
+        SELECT DISTINCT method, doc_id, shifted, h FROM cdc_ch
+        UNION ALL
+        SELECT DISTINCT method, doc_id, shifted, h FROM fix_ch
+    ), orig AS (
+        SELECT method, doc_id, h FROM ch WHERE shifted = 0
+    ), twin AS (
+        SELECT method, doc_id - {_CDC_SHIFT_OFFSET} AS doc_id, h
+        FROM ch WHERE shifted = 1
+    ), per_doc AS (
+        SELECT o.method, o.doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_survived
+        FROM orig o LEFT JOIN twin t
+          ON t.method = o.method AND t.doc_id = o.doc_id AND t.h = o.h
+        GROUP BY o.method, o.doc_id
+    )
+    SELECT method,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(sum(n_survived) AS BIGINT) AS n_survived,
+           {round_sql('sum(n_survived)::DOUBLE / sum(n_chunks)')}
+               AS survival
+    FROM per_doc GROUP BY method
+    """
+
+    @register("q_dedup_cdc_robustness", oracle=oracle)
+    def q_dedup_cdc_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The AUDIT that justifies content-defined chunking over fixed
+        blocks, measured on the whole corpus: give every document a
+        twin with ONE sentinel token prepended (the smallest possible
+        upstream edit — a date stamp, a byline), chunk both with the
+        CDC boundary rule AND with fixed {p}-token blocks, and report
+        per method what fraction of the original's chunk set survives
+        in the twin. Fixed blocks shift at every boundary, so survival
+        collapses toward 0 (only the dedup-repeat chunks survive by
+        accident); CDC boundaries re-synchronize within ~{m} tokens, so
+        survival stays high — which is exactly why a CDC-keyed dedup
+        store keeps recognizing boilerplate across crawl snapshots
+        while a fixed-block store re-ingests everything.
+
+        Scale: the audit doubles the corpus (orig + twin) through the
+        same linear chunkers, then joins per-(method, doc) digest sets
+        — digest-keyed equi-joins, partial-agg combined; an audit
+        priced like the corpus pass it audits."""
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        both = d.select("doc_id", "text", F.lit(0).alias("shifted")).unionByName(
+            d.select(
+                (F.col("doc_id") + _CDC_SHIFT_OFFSET).alias("doc_id"),
+                F.concat(F.lit(f"{_CDC_SENTINEL} "), F.col("text")).alias(
+                    "text"
+                ),
+                F.lit(1).alias("shifted"),
+            )
+        )
+        tok = both.select(
+            "doc_id",
+            "shifted",
+            F.posexplode(F.split("text", " ")).alias("i", "tok"),
+        )
+        wcid = (
+            Window.partitionBy("doc_id")
+            .orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cdc_cid = tok.select(
+            "doc_id",
+            "shifted",
+            "i",
+            "tok",
+            F.coalesce(
+                F.sum(
+                    F.when(hash56(F.col("tok")) % CDC_MOD == 0, 1).otherwise(0)
+                ).over(wcid),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("cid"),
+        )
+        cdc_ch = (
+            cdc_cid.groupBy("doc_id", "shifted", "cid")
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                            lambda s: s["tok"],
+                        ),
+                    )
+                ).alias("h")
+            )
+            .select(F.lit("cdc").alias("method"), "doc_id", "shifted", "h")
+        )
+        fix_ch = (
+            both.select(
+                "doc_id", "shifted", F.split("text", " ").alias("toks")
+            )
+            .select(
+                "doc_id",
+                "shifted",
+                "toks",
+                F.explode(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((F.size("toks") - 1) / F.lit(PARA_TOKENS)).cast(
+                            "int"
+                        ),
+                    )
+                ).alias("pno"),
+            )
+            .select(
+                F.lit("fixed").alias("method"),
+                "doc_id",
+                "shifted",
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.expr(
+                            f"slice(toks, pno * {PARA_TOKENS} + 1, {PARA_TOKENS})"
+                        ),
+                    )
+                ).alias("h"),
+            )
+        )
+        ch = cdc_ch.distinct().unionByName(fix_ch.distinct())
+        orig = ch.filter(F.col("shifted") == 0).select("method", "doc_id", "h")
+        twin = ch.filter(F.col("shifted") == 1).select(
+            "method",
+            (F.col("doc_id") - _CDC_SHIFT_OFFSET).alias("doc_id"),
+            F.col("h").alias("ht"),
+        )
+        per_doc = (
+            orig.join(
+                twin,
+                (orig.method == twin.method)
+                & (orig.doc_id == twin.doc_id)
+                & (orig.h == twin.ht),
+                "left",
+            )
+            .select(orig.method.alias("m"), orig.doc_id.alias("d"), "ht")
+            .groupBy("m", "d")
+            .agg(
+                F.count("*").cast("long").alias("n_chunks"),
+                F.sum(F.when(F.col("ht").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_survived"),
+            )
+        )
+        return per_doc.groupBy(F.col("m").alias("method")).agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("n_survived").cast("long").alias("n_survived"),
+            round_agg(
+                F.sum("n_survived").cast("double") / F.sum("n_chunks")
+            ).alias("survival"),
+        )
+
+    q_dedup_cdc_robustness.__doc__ = q_dedup_cdc_robustness.__doc__.format(
+        p=PARA_TOKENS, m=CDC_MOD
+    )
+
+
+_register_cdc_robustness()
+
+
 # Winnowing (Schleimer et al., SIGMOD 2003 — the MOSS fingerprinter):
 # k-gram hashes, sliding window of W consecutive hashes, keep each
 # window's minimum. Guarantees any shared run of >= W + k - 1 tokens
