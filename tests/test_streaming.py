@@ -660,3 +660,77 @@ def test_bloom_decontaminator_streaming_and_replay(spark, tmp_path):
         .collect()
     )
     assert replayed == by_batch[1]
+
+
+def test_scd2_stream_equals_batch(spark, tmp_path):
+    """L9 streaming face: feeding the events slice in event-time order
+    as 3 micro-batches, the stateful SCD2 operator's CLOSED intervals
+    must equal the batch q_scd2_history's is_current = false rows
+    exactly (same (user, type, from, to) set)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from flink_pipeline_spark.plans import query_fns
+    from flink_pipeline_spark.streaming.scd2 import scd2_changes_stream
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_timestamp("ts").cast("long").alias("es"),
+        )
+    )
+    lo, hi = ev.agg(F.min("es"), F.max("es")).collect()[0]
+    t1 = lo + (hi - lo) // 3
+    t2 = lo + 2 * (hi - lo) // 3
+    src = tmp_path / "src"
+    src.mkdir()
+    parts = [
+        ev.filter(F.col("es") < t1),
+        ev.filter((F.col("es") >= t1) & (F.col("es") < t2)),
+        ev.filter(F.col("es") >= t2),
+    ]
+    now = time.time()
+    for i, p in enumerate(parts):
+        f = str(src / f"b{i}.parquet")
+        p.coalesce(1).write.parquet(f)
+        for dirpath, _, files in os.walk(f):
+            for fn in files:
+                os.utime(
+                    os.path.join(dirpath, fn),
+                    (now - 300 + i * 60, now - 300 + i * 60),
+                )
+
+    schema = spark.read.parquet(str(src / "b0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    name = _run_to_memory(scd2_changes_stream(stream), "update")
+    streamed = {
+        (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"])
+        for r in spark.table(name).collect()
+    }
+
+    batch = {
+        (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"])
+        for r in query_fns()["q_scd2_history"](spark, SF_DIR)
+        .filter((F.col("user_id") < 40) & ~F.col("is_current"))
+        .collect()
+    }
+    assert streamed == batch
+    # the open intervals (batch is_current rows) are exactly the rows
+    # the stream has NOT emitted: one per user
+    n_users = ev.select("user_id").distinct().count()
+    n_current = (
+        query_fns()["q_scd2_history"](spark, SF_DIR)
+        .filter((F.col("user_id") < 40) & F.col("is_current"))
+        .count()
+    )
+    assert n_current == n_users
