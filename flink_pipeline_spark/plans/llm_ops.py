@@ -3841,6 +3841,129 @@ q_dedup_cdc_chunks.__doc__ = q_dedup_cdc_chunks.__doc__.format(
 )
 
 
+NDCG_K = 10  # evaluation depth (matches the BM25 ranker's top-k)
+
+
+def _register_search_ndcg() -> None:
+    """Closure registration: the oracle composes the registered BM25
+    oracle as its ranking CTE — one source of truth for the ranker."""
+    bm_sql = ORACLES["q_text_bm25"]
+    terms_duck = "[" + ", ".join(f"'{t}'" for t in BM25_TERMS) + "]"
+    rel_duck = (
+        "len(list_intersect(list_distinct(string_split(text, ' ')),"
+        f" {terms_duck}))"
+    )
+    # (2^rel - 1) exactly via integer shift; ln-based log2 with the
+    # module's accepted ulp caveat; quantized to BIGINT 1e-4 grains so
+    # the DCG sums are exactly associative (the BM25 convention).
+    term_duck = "((1 << rel) - 1) * ln(2) / ln(rank + 1)"
+    oracle = f"""
+    WITH bm AS ({bm_sql}),
+    rel AS (
+        SELECT doc_id, CAST({rel_duck} AS INT) AS rel FROM documents
+    ), ranked AS (
+        SELECT b.rank, r.rel FROM bm b JOIN rel r USING (doc_id)
+    ), dcg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(floor(({term_duck}) * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS dcg_q,
+               CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rel,
+               CAST(min(CASE WHEN rel > 0 THEN rank END) AS BIGINT)
+                 AS first_rel
+        FROM ranked
+    ), ideal AS (
+        SELECT rel, rank FROM (
+            SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id)
+                     AS rank
+            FROM rel
+        ) t WHERE rank <= {NDCG_K}
+    ), idcg AS (
+        SELECT CAST(sum(CAST(floor(({term_duck}) * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS idcg_q
+        FROM ideal
+    )
+    SELECT d.k, d.dcg_q, i.idcg_q,
+           {round_sql('d.dcg_q::DOUBLE / i.idcg_q')} AS ndcg,
+           {round_sql('coalesce(1.0 / d.first_rel, 0)')} AS mrr,
+           {round_sql('d.n_rel::DOUBLE / d.k')} AS prec_k
+    FROM dcg d CROSS JOIN idcg i
+    """
+
+    @register("q_search_ndcg", oracle=oracle)
+    def q_search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Ranking-quality evaluation of the registered BM25 retriever:
+        NDCG@{k}, MRR, and precision@{k} against a graded relevance
+        label derived deterministically from the data (rel = number of
+        distinct query terms the document contains, 0..{t}) — the
+        eval-set mining metrics a retrieval stack reports before any
+        index config ships, in the same audit spirit as q_ann_recall
+        for the embedding side. DCG terms use exact (2^rel − 1) via
+        integer shift and are quantized to BIGINT 1e-4 grains before
+        summation (exactly associative; the BM25 score convention);
+        the ideal ranking is corpus-wide, so NDCG is normalized
+        against the true best attainable top-{k}, not the retrieved
+        set's own reordering.
+
+        Scale: relevance is one codegen'd array-intersect per doc; the
+        ideal top-{k} is TakeOrderedAndProject via rank_after_topk
+        (never a global window); everything else runs on the {k}-row
+        ranking frame with 1-row audit aggregates."""
+        bm = q_text_bm25(spark, sf_dir)
+        d = load_table(spark, sf_dir, "documents")
+        rel = d.select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.split("text", " ")),
+                    F.array(*[F.lit(t) for t in BM25_TERMS]),
+                )
+            )
+            .cast("int")
+            .alias("rel"),
+        )
+        term_q = F.floor(
+            F.expr("(shiftleft(1, rel) - 1) * ln(2) / ln(rank + 1)")
+            * 10000
+            + 0.5
+        ).cast("long")
+        ranked = bm.join(rel, "doc_id")
+        dcg = ranked.agg(
+            F.count("*").cast("long").alias("k"),
+            F.sum(term_q).cast("long").alias("dcg_q"),
+            F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rel"),
+            F.min(F.when(F.col("rel") > 0, F.col("rank")))
+            .cast("long")
+            .alias("first_rel"),
+        )
+        ideal = rank_after_topk(rel, NDCG_K, "rel", "doc_id")
+        idcg = ideal.agg(F.sum(term_q).cast("long").alias("idcg_q"))
+        return dcg.crossJoin(F.broadcast(idcg)).select(
+            "k",
+            "dcg_q",
+            "idcg_q",
+            round_agg(
+                F.col("dcg_q").cast("double") / F.col("idcg_q")
+            ).alias("ndcg"),
+            round_agg(
+                F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0))
+            ).alias("mrr"),
+            round_agg(F.col("n_rel").cast("double") / F.col("k")).alias(
+                "prec_k"
+            ),
+        )
+
+    q_search_ndcg.__doc__ = q_search_ndcg.__doc__.format(
+        k=NDCG_K, t=len(BM25_TERMS)
+    )
+
+
+# NOTE: _register_search_ndcg() is invoked at the END of this module —
+# its oracle composes ORACLES['q_text_bm25'], which registers below.
+
+
 _CDC_SHIFT_OFFSET = 10_000_000  # twin doc_id offset for the robustness audit
 # One-token prefix used to build each document's shifted twin; 'zq' is
 # outside the fixture vocabulary so it can only add (never merge) chunks.
@@ -4997,3 +5120,7 @@ def _register_truncate_recall() -> None:
 
 
 _register_truncate_recall()
+
+
+# Deferred: composes ORACLES['q_text_bm25'], registered above.
+_register_search_ndcg()

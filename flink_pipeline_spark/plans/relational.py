@@ -538,3 +538,108 @@ def q_when_otherwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_discount") > 0, round_agg(F.col("l_discount"))), F.lit(0.0)
         ).alias("disc_or_zero"),
     )
+
+
+# Snapshot-diff simulation knobs: deterministic per-doc fates for the
+# synthetic "next snapshot" (delete / modify / add), keyed on salted
+# hash56 so both engines derive the identical v2.
+_DIFF_DEL_MOD = 19
+_DIFF_MOD_MOD = 13
+_DIFF_ADD_MOD = 29
+_DIFF_ADD_OFFSET = 20_000_000
+
+
+def _snapshot_diff_sql() -> str:
+    from ..functions.portable import hash56_sql_duckdb
+
+    h = lambda salt: hash56_sql_duckdb(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH v1 AS (
+        SELECT doc_id, source, text FROM documents
+    ), v2 AS (
+        SELECT doc_id, source,
+               CASE WHEN {h('mod')} % {_DIFF_MOD_MOD} = 0
+                    THEN text || ' rev' ELSE text END AS text
+        FROM documents
+        WHERE {h('del')} % {_DIFF_DEL_MOD} <> 0
+        UNION ALL
+        SELECT doc_id + {_DIFF_ADD_OFFSET}, source, text || ' new'
+        FROM documents
+        WHERE {h('add')} % {_DIFF_ADD_MOD} = 0
+    ), joined AS (
+        SELECT coalesce(a.source, b.source) AS source,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 a FULL OUTER JOIN v2 b USING (doc_id)
+    )
+    SELECT source, status, CAST(count(*) AS BIGINT) AS n
+    FROM joined GROUP BY source, status
+    """
+
+
+@register("q_snapshot_diff", oracle=_snapshot_diff_sql())
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-snapshot DIFF — the lakehouse change report (what Delta's
+    change-data-feed gives you for free, computed here from data for
+    the tables that don't have one): full-outer key join of two
+    snapshot versions + content-digest compare, classifying every row
+    added / removed / changed / unchanged, rolled up per source. The
+    v2 snapshot is derived deterministically from v1 (delete where
+    hash56('del:'||id) % 19 == 0, append-edit where % 13 == 0, insert
+    a new doc where % 29 == 0), so the oracle replays the whole
+    simulation — in production v2 is simply the next day's table and
+    only the join+digest machinery remains.
+
+    Scale: ONE full-outer shuffle join on the snapshot key (both sides
+    hash-partitioned; this is the one unavoidable data movement of any
+    diff) with the md5 digest computed in the scan projection — the
+    compare never carries full text through the join when columns are
+    pruned to (key, digest, source). Counts are map-side combined."""
+    from ..functions.portable import hash56
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    def h(salt: str):
+        return hash56(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string")))
+
+    v1 = d
+    v2 = d.filter(h("del") % _DIFF_DEL_MOD != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            h("mod") % _DIFF_MOD_MOD == 0, F.concat("text", F.lit(" rev"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        d.filter(h("add") % _DIFF_ADD_MOD == 0).select(
+            (F.col("doc_id") + _DIFF_ADD_OFFSET).alias("doc_id"),
+            "source",
+            F.concat("text", F.lit(" new")).alias("text"),
+        )
+    )
+    a = v1.select(
+        "doc_id",
+        F.col("source").alias("src_a"),
+        F.md5("text").alias("dg_a"),
+    )
+    b = v2.select(
+        "doc_id",
+        F.col("source").alias("src_b"),
+        F.md5("text").alias("dg_b"),
+    )
+    joined = a.join(b, "doc_id", "full_outer").select(
+        F.coalesce("src_a", "src_b").alias("source"),
+        F.when(F.col("dg_a").isNull(), "added")
+        .when(F.col("dg_b").isNull(), "removed")
+        .when(F.col("dg_a") != F.col("dg_b"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return joined.groupBy("source", "status").agg(
+        F.count("*").cast("long").alias("n")
+    )
