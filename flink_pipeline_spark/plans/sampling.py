@@ -183,3 +183,71 @@ def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.levenshtein("pa", "pb").alias("dist"))
         .filter(F.col("dist") <= 20)
     )
+
+
+# Efraimidis-Spirakis weighted reservoir sampling: per-row key
+# u^(1/w) with u uniform — equivalently argmax of ln(u)/w — gives an
+# exact weighted-without-replacement sample as a plain top-k. u is
+# hash-derived, so the sample is reproducible on any partitioning.
+WRS_K = 16
+WRS_SALT = "samp:"
+_TWO56 = float(1 << 56)
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               CAST(floor(
+                   ln((CAST({hash56_sql_duckdb(
+                       f"'{WRS_SALT}' || CAST(doc_id AS VARCHAR)")}
+                       AS DOUBLE) + 1) / {_TWO56!r})
+                   / n_chars * 100000000 + 0.5) AS BIGINT) AS key_q
+        FROM documents
+    )
+    SELECT doc_id, n_chars, key_q, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT doc_id, n_chars, key_q,
+               row_number() OVER (ORDER BY key_q DESC, doc_id) AS rank
+        FROM keyed
+    ) t WHERE rank <= {WRS_K}
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED reservoir sample (Efraimidis & Spirakis 2006) —
+    deterministic: each row draws u in (0, 1] from the salted portable
+    hash and is ranked by u^(1/w) (computed as ln(u)/w, the numerically
+    standard form), with w = n_chars, so longer documents are
+    proportionally likelier to be sampled and the SAME {k} rows come
+    back on any cluster, any partitioning, any engine — the weighted
+    counterpart of q_sample_systematic's uniform rule. The ranking key
+    is quantized to BIGINT 1e-8 grains before the top-k (round-before-
+    rank; doc_id breaks grain ties) so the ln ulp hazard cannot flip
+    the selection.
+
+    Scale: one codegen'd hash+ln projection, then top-{k} via
+    TakeOrderedAndProject (rank_after_topk) — no global window, no
+    state; the one-pass distributed weighted sample a mixture stage
+    uses to materialize its per-source quotas."""
+    from ..operators.topk import rank_after_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.expr(
+            hash56_sql_spark(f"'{WRS_SALT}' || CAST(doc_id AS STRING)")
+        ).cast("double")
+        + 1
+    ) / F.lit(_TWO56)
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.floor(F.log(u) / F.col("n_chars") * 100000000 + 0.5)
+        .cast("long")
+        .alias("key_q"),
+    )
+    return rank_after_topk(keyed, WRS_K, "key_q", "doc_id").select(
+        "doc_id", "n_chars", "key_q", F.col("rank").cast("long").alias("rank")
+    )
+
+
+q_sample_weighted.__doc__ = q_sample_weighted.__doc__.format(k=WRS_K)

@@ -292,6 +292,7 @@ _ALLOWED_BNLJ = {
     "q_embed_truncate_recall",  # composes q_sim_topk + k-row truncated query side
     "q_vocab_coverage",      # 1-row corpus-total denominator broadcast
     "q_mixture_domain",      # vetted centroid-argmax assign + 1-row denom
+    "q_search_ndcg",         # composes q_text_bm25 + 1-row DCG/IDCG audit join
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
