@@ -156,3 +156,83 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_after_topk(agg, 20, "revenue", "c_custkey").select(
         "c_custkey", "c_name", "revenue", "n_name", "rank"
     )
+
+
+@register(
+    "q_attribution",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es
+        FROM events
+    ), tagged AS (
+        SELECT user_id, event_id, event_type, es,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY es, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS channel
+        FROM e
+    ), purchases AS (
+        SELECT coalesce(channel, 'none') AS channel FROM tagged
+        WHERE event_type = 'purchase'
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS t FROM purchases
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+           floor(count(*)::DOUBLE / t * 10000 + 0.5) / 10000 AS share
+    FROM purchases CROSS JOIN tot
+    GROUP BY channel, t
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH conversion attribution — the marketing-analytics
+    staple over an event stream: each 'purchase' is credited to the
+    user's most recent preceding NON-purchase event type (the
+    last-non-null-carry window idiom: tag non-purchase rows, then
+    last_value IGNORE NULLS over the exclusive preceding frame), with
+    purchases that have no preceding touch credited to 'none'. Output
+    is the per-channel conversion count and share — the report a
+    growth team reads daily.
+
+    Scale: ONE ordered window per user_id (the q_sessionize exchange
+    shape) followed by a channel-cardinality-sized aggregate; the
+    share denominator is a 1-row broadcast. first-touch attribution is
+    the same plan with an UNBOUNDED-following frame; multi-touch
+    is the same tag exploded — the carry idiom is the whole trick."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("es"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = e.withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    purchases = tagged.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("channel", F.lit("none")).alias("channel")
+    )
+    tot = purchases.agg(F.count("*").cast("long").alias("t"))
+    return (
+        purchases.crossJoin(F.broadcast(tot))
+        .groupBy("channel", "t")
+        .agg(F.count("*").cast("long").alias("n_purchases"))
+        .select(
+            "channel",
+            "n_purchases",
+            round_agg(
+                F.col("n_purchases").cast("double") / F.col("t")
+            ).alias("share"),
+        )
+    )

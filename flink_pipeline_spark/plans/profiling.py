@@ -548,3 +548,86 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.expr(_PSI_TERM_SQL)).cast("long").alias("psi_q"))
     )
+
+
+# Equi-depth histogram: EQD_BUCKETS buckets of ~equal row count, the
+# quantile-boundary twin of q_histogram's fixed-width buckets.
+EQD_BUCKETS = 4
+
+
+@register(
+    "q_histogram_equidepth",
+    oracle=f"""
+    WITH vc AS (
+        SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY n_chars
+    ), cum AS (
+        SELECT v, c,
+               CAST(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT) AS cb,
+               CAST(sum(c) OVER () AS BIGINT) AS t
+        FROM vc
+    ), b AS (
+        SELECT v, c,
+               least(coalesce(cb, 0) * {EQD_BUCKETS} // t,
+                     {EQD_BUCKETS - 1}) AS bucket
+        FROM cum
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(min(v) AS BIGINT) AS lo,
+           CAST(max(v) AS BIGINT) AS hi,
+           CAST(sum(c) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram over document length: {q} buckets holding
+    ~equal row counts, with data-derived boundaries — the optimizer-
+    statistics twin of q_histogram's fixed-width buckets (equi-depth
+    is what ANALYZE builds, because equal-mass buckets bound
+    selectivity-estimate error where fixed-width buckets don't). A
+    VALUE's bucket is floor(rows_before * {q} / total) on exact
+    integers (a value never straddles buckets — the standard
+    convention), so no percentile interpolation and no float sits on
+    a boundary in either engine.
+
+    Scale: the corpus collapses to the distinct-VALUE count table in
+    one map-side-combinable agg (bounded domain — lengths, prices,
+    scores); the cumulative window then runs on that type table only.
+    The same two-phase shape as q_vocab_coverage; never a window over
+    corpus rows."""
+    d = load_table(spark, sf_dir, "documents")
+    vc = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    from pyspark.sql.window import Window
+
+    wcb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vc.select(
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(wcb), F.lit(0)).alias("cb"),
+        F.sum("c").over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("t"),
+    )
+    b = cum.select(
+        "v",
+        "c",
+        F.least(
+            F.expr(f"(cb * {EQD_BUCKETS}) div t"), F.lit(EQD_BUCKETS - 1)
+        ).alias("bucket"),
+    )
+    return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.min("v").cast("long").alias("lo"),
+        F.max("v").cast("long").alias("hi"),
+        F.sum("c").cast("long").alias("n"),
+    )
+
+
+q_histogram_equidepth.__doc__ = q_histogram_equidepth.__doc__.format(
+    q=EQD_BUCKETS
+)

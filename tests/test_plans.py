@@ -293,6 +293,7 @@ _ALLOWED_BNLJ = {
     "q_vocab_coverage",      # 1-row corpus-total denominator broadcast
     "q_mixture_domain",      # vetted centroid-argmax assign + 1-row denom
     "q_search_ndcg",         # composes q_text_bm25 + 1-row DCG/IDCG audit join
+    "q_attribution",         # 1-row share-denominator broadcast
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
