@@ -5122,5 +5122,127 @@ def _register_truncate_recall() -> None:
 _register_truncate_recall()
 
 
+# PMI collocation mining: adjacent-bigram pointwise mutual information
+# (the word2phrase / phrase-detection statistic).
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+@register(
+    "q_text_pmi_collocations",
+    oracle=f"""
+    WITH base AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+    ), uni AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(toks) AS tok FROM base) GROUP BY tok
+    ), bg AS (
+        SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM base)
+    ), bc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bg GROUP BY w1, w2
+        HAVING count(*) >= {PMI_MIN_COUNT}
+    ), consts AS (
+        SELECT (SELECT CAST(sum(c1) AS DOUBLE) FROM uni) AS t,
+               (SELECT CAST(count(*) AS DOUBLE) FROM bg) AS b
+    ), scored AS (
+        SELECT w1, w2, c12,
+               CAST(floor(ln(
+                   (CAST(c12 AS DOUBLE) * t * t)
+                   / (b * CAST(u1.c1 AS DOUBLE) * CAST(u2.c1 AS DOUBLE))
+               ) * 10000 + 0.5) AS BIGINT) AS pmi_q
+        FROM bc
+        JOIN uni u1 ON u1.tok = bc.w1
+        JOIN uni u2 ON u2.tok = bc.w2
+        CROSS JOIN consts
+    )
+    SELECT w1, w2, c12, pmi_q, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT w1, w2, c12, pmi_q,
+               row_number() OVER (
+                   ORDER BY pmi_q DESC, w1 || {_BPE_SEP} || w2) AS rank
+        FROM scored
+    ) t WHERE rank <= {PMI_TOPK}
+    """,
+)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining — the word2phrase / phrase-detection
+    statistic (Mikolov et al. 2013's phrase pass; Church & Hanks 1990):
+    pointwise mutual information ln(p(w1,w2) / (p(w1) p(w2))) of every
+    adjacent bigram seen >= {m} times, top-{k} by PMI — the pairs that
+    co-occur far more than chance, i.e. the multi-word units a
+    tokenizer or phrase-merger should treat as one symbol. PMI inputs
+    are built in ONE canonical multiplication order (c12*T*T then
+    B*c1*c2, all doubles) so both engines feed ln the identical IEEE
+    value; the result is BIGINT-quantized before ranking (the module's
+    round-before-rank rule), tie-broken on the separator-packed pair.
+
+    Scale: two type-table aggs (unigram + bigram counts, both
+    map-side combined, both Zipf-bounded), two equi-joins of the
+    bigram TYPE table against the unigram TYPE table, a 1-row
+    constants broadcast, and TakeOrderedAndProject for the top-k —
+    corpus token count never enters any fan-out (the q_bpe_merge_pairs
+    cost profile)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(F.split("text", " ").alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    bg = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                "             element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    consts = uni.agg(
+        F.sum("c1").cast("double").alias("t")
+    ).crossJoin(bg.agg(F.count("*").cast("double").alias("b")))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c1").alias("ca"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c1").alias("cb"))
+    scored = (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.floor(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("t") * F.col("t"))
+                    / (
+                        F.col("b")
+                        * F.col("ca").cast("double")
+                        * F.col("cb").cast("double")
+                    )
+                )
+                * 10000
+                + 0.5
+            )
+            .cast("long")
+            .alias("pmi_q"),
+        )
+        .withColumn("tiekey", F.expr(f"w1 || {_BPE_SEP} || w2"))
+    )
+    return rank_after_topk(scored, PMI_TOPK, "pmi_q", "tiekey").select(
+        "w1", "w2", "c12", "pmi_q", F.col("rank").cast("long").alias("rank")
+    )
+
+
+q_text_pmi_collocations.__doc__ = q_text_pmi_collocations.__doc__.format(
+    m=PMI_MIN_COUNT, k=PMI_TOPK
+)
+
+
 # Deferred: composes ORACLES['q_text_bm25'], registered above.
 _register_search_ndcg()

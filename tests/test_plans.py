@@ -294,6 +294,7 @@ _ALLOWED_BNLJ = {
     "q_mixture_domain",      # vetted centroid-argmax assign + 1-row denom
     "q_search_ndcg",         # composes q_text_bm25 + 1-row DCG/IDCG audit join
     "q_attribution",         # 1-row share-denominator broadcast
+    "q_text_pmi_collocations",  # 1-row (T, B) constants broadcast
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
