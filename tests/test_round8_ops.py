@@ -322,3 +322,121 @@ def test_mixture_domain_normalized(spark):
     smallest = min(rows, key=lambda r: r["n_docs"])
     largest = max(rows, key=lambda r: r["n_docs"])
     assert smallest["boost"] >= 1.0 >= largest["boost"]
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sample: the weights must actually bite
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Efraimidis-Spirakis with w = n_chars must overrepresent long
+    documents: the mean length of the selected rows should exceed the
+    corpus mean (the fixture's length spread is ~10x, so this holds
+    with huge margin for any reasonable hash draw)."""
+    rows = query_fns()["q_sample_weighted"](spark, SF_DIR).collect()
+    assert len(rows) == 16
+    sel_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus_mean = corpus.agg(F.avg("n_chars")).collect()[0][0]
+    assert sel_mean > corpus_mean, (sel_mean, corpus_mean)
+    # ranks are 1..16 and keys non-increasing
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    keys = [r["key_q"] for r in by_rank]
+    assert keys == sorted(keys, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram: near-equal masses, ordered non-overlapping bounds
+# ---------------------------------------------------------------------------
+
+
+def test_equidepth_buckets_balanced_and_ordered(spark):
+    rows = sorted(
+        query_fns()["q_histogram_equidepth"](spark, SF_DIR).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == list(range(len(rows)))
+    total = sum(r["n"] for r in rows)
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    vc_max = (
+        corpus.groupBy("n_chars").count().agg(F.max("count")).collect()[0][0]
+    )
+    target = total / len(rows)
+    for r in rows:
+        # a value never splits, so each bucket is within one value-mass
+        # of the ideal equal share
+        assert abs(r["n"] - target) <= vc_max, (r, target, vc_max)
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] < b["lo"], (a, b)
+
+
+# ---------------------------------------------------------------------------
+# Attribution: shares normalize, channels legal
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_shares_and_channels(spark):
+    rows = query_fns()["q_attribution"](spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    types = {
+        r["event_type"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    legal = (types - {"purchase"}) | {"none"}
+    for r in rows:
+        assert r["channel"] in legal, r
+
+
+# ---------------------------------------------------------------------------
+# PMI: thresholds and ordering
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_threshold_and_ordering(spark):
+    rows = sorted(
+        query_fns()["q_text_pmi_collocations"](spark, SF_DIR).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows and rows[0]["rank"] == 1
+    for r in rows:
+        assert r["c12"] >= 5
+    pmis = [r["pmi_q"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: both versions reconcile from the status counts
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_reconciles(spark):
+    rows = query_fns()["q_snapshot_diff"](spark, SF_DIR).collect()
+    by = {}
+    for r in rows:
+        by[r["status"]] = by.get(r["status"], 0) + r["n"]
+    v1 = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    # v1 rows = removed + changed + unchanged
+    assert by.get("removed", 0) + by.get("changed", 0) + by.get(
+        "unchanged", 0
+    ) == v1
+    # and every status is present (the simulation knobs guarantee it)
+    assert set(by) == {"added", "removed", "changed", "unchanged"}
+
+
+# ---------------------------------------------------------------------------
+# NDCG audit: bounds and dominance
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_bounds(spark):
+    (r,) = query_fns()["q_search_ndcg"](spark, SF_DIR).collect()
+    assert r["k"] == 10
+    assert 0 < r["dcg_q"] <= r["idcg_q"]
+    assert 0.0 < r["ndcg"] <= 1.0
+    assert 0.0 < r["mrr"] <= 1.0
+    assert 0.0 <= r["prec_k"] <= 1.0
