@@ -35,6 +35,12 @@ IMG_DIR = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "images")
 )
 
+# Committed deterministic WAV (RIFF/PCM16LE) fixtures (see
+# scripts/make_audio_fixtures.py) — the audio-CONTAINER payload source.
+AUDIO_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "audio")
+)
+
 # Oracle SQL that must read the scale-factor parquet embeds the
 # {SF_DIR} placeholder; registry.oracle_sqls() resolves it per run
 # (driver default sf0.01, local mirror whatever SF it tests), keeping
@@ -300,3 +306,111 @@ def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("path", r"([^/]+)$", 1).alias("file"), "content"
     )
     return decode_ppm(files)
+
+
+# Hex arithmetic for the WAV oracle: byte value at 1-based byte index j
+# of hex string h is _WB(j); little-endian u16/u32 compose from it.
+def _wb(j: str) -> str:
+    return (
+        f"((strpos('{_HEXDIGITS}', h[2*({j})-1:2*({j})-1]) - 1) * 16"
+        f" + (strpos('{_HEXDIGITS}', h[2*({j}):2*({j})]) - 1))"
+    )
+
+
+_WAV_U16_23 = f"({_wb('23')} + 256 * {_wb('24')})"
+_WAV_U32_25 = (
+    f"({_wb('25')} + 256 * {_wb('26')}"
+    f" + 65536 * {_wb('27')} + 16777216 * {_wb('28')})"
+)
+_WAV_U32_41 = (
+    f"({_wb('41')} + 256 * {_wb('42')}"
+    f" + 65536 * {_wb('43')} + 16777216 * {_wb('44')})"
+)
+
+
+@register(
+    "q_multimodal_wav",
+    oracle=f"""
+    WITH b AS (
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+               hex(content) AS h,
+               octet_length(content) AS n
+        FROM read_blob('{AUDIO_DIR}/*.wav')
+    ), magic AS (
+        SELECT file, h, n,
+               CASE WHEN n >= 44
+                     AND h[1:8] = '52494646' AND h[17:24] = '57415645'
+                     AND h[25:32] = '666D7420' AND h[33:40] = '10000000'
+                     AND h[41:44] = '0100' AND h[69:72] = '1000'
+                     AND h[73:80] = '64617461'
+                    THEN 1
+                    ELSE CAST(error('not a canonical PCM16 wav: ' || file)
+                              AS INT)
+               END AS ok
+        FROM b
+    ), fields AS (
+        SELECT file, h, n,
+               {_WAV_U16_23} AS channels,
+               {_WAV_U32_25} AS sample_rate,
+               {_WAV_U32_41} AS data_size
+        FROM magic
+    ), guard AS (
+        SELECT file, h, channels, sample_rate, data_size,
+               CASE WHEN n = 44 + data_size AND data_size % 2 = 0
+                     AND channels > 0
+                     AND (data_size // 2) % channels = 0 THEN 1
+                    ELSE CAST(error('wav payload disagrees with header: '
+                                    || file) AS INT)
+               END AS ok
+        FROM fields
+    ), sm AS (
+        SELECT file, channels, sample_rate, t,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+        FROM (
+            SELECT file, channels, sample_rate, t,
+                   {_wb('45 + 2*t')} + 256 * {_wb('46 + 2*t')} AS u
+            FROM (SELECT file, h, channels, sample_rate,
+                         unnest(range(0, data_size // 2)) AS t
+                  FROM guard)
+        )
+    )
+    SELECT file,
+           CAST(any_value(channels) AS BIGINT) AS channels,
+           CAST(any_value(sample_rate) AS BIGINT) AS sample_rate,
+           CAST(count(*) // any_value(channels) AS BIGINT) AS n_frames,
+           CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+           floor(sum(s)::DOUBLE / count(*) * 10000 + 0.5) / 10000
+               AS mean_ampl,
+           floor(sqrt(sum(s * s)::DOUBLE / count(*)) * 10000 + 0.5) / 10000
+               AS rms,
+           CAST(sum(((t + 1) * (s + 32768)) % 2147483647) % 2147483647
+                AS BIGINT) AS sample_fp
+    FROM sm GROUP BY file
+    """,
+)
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO-CONTAINER decode end-to-end (SURVEY.md L4 — the third
+    modality format; raw PCM16 is q_multimodal_decode, binary PPM is
+    q_multimodal_image): binaryFile scan over committed WAV
+    (RIFF/PCM16LE) fixtures -> chunk-layout validation + little-endian
+    field extraction + signed 16-bit sample reinterpretation in an
+    Arrow-batched mapInPandas codec (operators/multimodal.py
+    decode_wav) -> per-file channels / sample rate / frame count, peak
+    |amplitude|, exact-integer-backed mean and RMS, and the
+    position-weighted sample fingerprint. The DuckDB oracle replays
+    the ENTIRE parse — every magic/field/size guard and the signed
+    conversion — from read_blob hex arithmetic, so a malformed
+    container fails identically in both engines instead of producing
+    plausible stats.
+
+    Scale: one row per file, codec work partition-parallel over Arrow
+    batches, no shuffle — a libsndfile/ffmpeg codec drops into the
+    same mapInPandas slot; the canonical-header WAV keeps the
+    committed fixtures dependency-free and byte-replayable."""
+    from ..operators.multimodal import decode_wav
+
+    df = spark.read.format("binaryFile").load(os.path.join(AUDIO_DIR, "*.wav"))
+    files = df.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("file"), "content"
+    )
+    return decode_wav(files)

@@ -1004,3 +1004,72 @@ def test_paragraph_dedup_keep_first(spark):
     # kept text: doc2 keeps only its unique head; doc3 keeps nothing
     assert rows[2]["kept_hash"] == hashlib.md5(b"v1 v2 v3").hexdigest()[:8]
     assert rows[3]["kept_hash"] == hashlib.md5(b"").hexdigest()[:8]
+
+
+def test_decode_wav_matches_formula(spark):
+    """The WAV codec's output must equal the direct per-index sample
+    formula the fixture generator used (scripts/make_audio_fixtures.py)
+    — an independent recomputation, not a snapshot."""
+    import math
+    import struct
+
+    from flink_pipeline_spark.operators.multimodal import decode_wav
+
+    i, rate, ch, nf = 1, 16000, 2, 320
+    n = nf * ch
+    samples = [((k * 37 + i * 11) % 4096) - 2048 for k in range(n)]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE" + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    files = spark.createDataFrame(
+        [("a.wav", hdr + data)], "file string, content binary"
+    )
+    row = decode_wav(files).collect()[0]
+    assert (row.channels, row.sample_rate, row.n_frames) == (ch, rate, nf)
+    assert row.peak_abs == max(abs(s) for s in samples)
+    assert row.mean_ampl == math.floor(sum(samples) / n * 10000 + 0.5) / 10000
+    rms = math.sqrt(sum(s * s for s in samples) / n)
+    assert row.rms == math.floor(rms * 10000 + 0.5) / 10000
+    assert row.sample_fp == sum(
+        (k + 1) * (s + 32768) for k, s in enumerate(samples)
+    ) % 2147483647
+
+
+def test_decode_wav_fails_loudly(spark):
+    """Bad magic, non-PCM format, and a data-size/payload disagreement
+    must raise, not emit plausible stats."""
+    import struct
+
+    import pytest
+
+    from flink_pipeline_spark.operators.multimodal import decode_wav
+
+    def wav(fmt=1, bits=16, data=b"\x00\x00", size=None, magic=b"RIFF"):
+        d = data
+        return (
+            magic + struct.pack("<I", 36 + len(d)) + b"WAVE" + b"fmt "
+            + struct.pack("<IHHIIHH", 16, fmt, 1, 8000, 16000, 2, bits)
+            + b"data" + struct.pack("<I", len(d) if size is None else size)
+            + d
+        )
+
+    bad_magic = spark.createDataFrame(
+        [("x.wav", wav(magic=b"RIFX"))], "file string, content binary"
+    )
+    with pytest.raises(Exception, match="RIFF|PYTHON"):
+        decode_wav(bad_magic).collect()
+
+    bad_fmt = spark.createDataFrame(
+        [("y.wav", wav(fmt=3))], "file string, content binary"
+    )
+    with pytest.raises(Exception, match="PCM16|PYTHON"):
+        decode_wav(bad_fmt).collect()
+
+    bad_size = spark.createDataFrame(
+        [("z.wav", wav(size=10))], "file string, content binary"
+    )
+    with pytest.raises(Exception, match="disagrees|PYTHON"):
+        decode_wav(bad_size).collect()
