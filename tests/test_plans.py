@@ -295,6 +295,7 @@ _ALLOWED_BNLJ = {
     "q_search_ndcg",         # composes q_text_bm25 + 1-row DCG/IDCG audit join
     "q_attribution",         # 1-row share-denominator broadcast
     "q_text_pmi_collocations",  # 1-row (T, B) constants broadcast
+    "q_quality_calibration",  # composes q_quality_linear (vetted 1-row consts)
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
