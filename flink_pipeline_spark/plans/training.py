@@ -1950,3 +1950,130 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("long").alias("bucket"),
         (F.col("r") + F.col("o")).alias("pos"),
     )
+
+
+# DoReMi-shape reweighting knobs: one exponentiated-gradient step at
+# step size ETA over the per-source context gain between the two
+# registered LMs. Gains span ~0.012-0.028 nats/token on the fixtures,
+# so ETA=100 produces meaningful but bounded boosts (e^1.2 .. e^2.8
+# before normalization).
+DOREMI_ETA = 100
+
+
+def _register_mixture_doremi() -> None:
+    """Closure: composes the two registered LM oracles so the loss
+    convention cannot fork between the scorers and the reweighter."""
+    from .registry import ORACLES
+
+    uni = ORACLES["q_text_surprisal"]
+    bi = ORACLES["q_text_surprisal_2g"]
+    oracle = f"""
+    WITH uni AS ({uni}), bi AS ({bi}),
+    per AS (
+        SELECT d.source,
+               CAST(sum(u.n_tokens) AS BIGINT) AS nt,
+               CAST(sum(u.surprisal_q) AS BIGINT) AS su,
+               CAST(sum(b.surprisal_q) AS BIGINT) AS sb
+        FROM documents d
+        JOIN uni u ON u.doc_id = d.doc_id
+        JOIN bi b ON b.doc_id = d.doc_id
+        GROUP BY d.source
+    ), w AS (
+        SELECT source, nt,
+               (su - sb)::DOUBLE / 10000 / nt AS gain,
+               CAST(floor(
+                   nt::DOUBLE / (SELECT sum(nt) FROM per)
+                   * exp({DOREMI_ETA} * ((su - sb)::DOUBLE / 10000 / nt))
+                   * 100000000 + 0.5) AS BIGINT) AS w_q
+        FROM per
+    ), tot AS (
+        SELECT CAST(sum(w_q) AS BIGINT) AS t_w,
+               (SELECT CAST(sum(nt) AS BIGINT) FROM per) AS t_nt
+        FROM w
+    )
+    SELECT source, nt AS n_tokens,
+           {round_sql('nt::DOUBLE / t_nt')} AS base_share,
+           {round_sql('gain', 6)} AS gain,
+           {round_sql('w_q::DOUBLE / t_w')} AS weight,
+           {round_sql('(w_q::DOUBLE / t_w) / (nt::DOUBLE / t_nt)')} AS boost
+    FROM w CROSS JOIN tot
+    """
+
+    @register("q_mixture_doremi", oracle=oracle)
+    def q_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DoReMi-SHAPE domain reweighting (Xie et al. 2023): one
+        exponentiated-gradient step over per-domain excess loss —
+        w_s ∝ base_share_s * exp(eta * excess_s) — with the excess
+        instantiated as the CONTEXT GAIN between the two registered
+        LMs (unigram surprisal − bigram surprisal, nats/token): the
+        fixture setup has no held-out reference model, so the gain
+        plays the reference-vs-proxy loss-gap role, and the
+        transferable machinery is exactly DoReMi's — grouped
+        per-domain loss deltas from already-registered scorers, a
+        multiplicative update, and exact-integer weight normalization
+        (quantize BEFORE the denominator sum, the mixture-family
+        convention). A full DoReMi loops this step with retrained
+        proxies; each iteration's data-plane job is this query's
+        shape. exp() shares ln()'s documented cross-engine ulp caveat;
+        the update is quantized to BIGINT 1e-8 grains after exp.
+
+        Scale: both composed scorers are the registered type-table LM
+        passes; the reweighter itself runs on the #sources grid with
+        1-row denominators."""
+        from .registry import QUERIES
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        u = QUERIES["q_text_surprisal"](spark, sf_dir).select(
+            "doc_id", "n_tokens", F.col("surprisal_q").alias("uq")
+        )
+        b = QUERIES["q_text_surprisal_2g"](spark, sf_dir).select(
+            "doc_id", F.col("surprisal_q").alias("bq")
+        )
+        per = (
+            d.join(u, "doc_id")
+            .join(b, "doc_id")
+            .groupBy("source")
+            .agg(
+                F.sum("n_tokens").cast("long").alias("nt"),
+                F.sum("uq").cast("long").alias("su"),
+                F.sum("bq").cast("long").alias("sb"),
+            )
+        )
+        tot_nt = per.agg(F.sum("nt").cast("long").alias("t_nt"))
+        gain = (
+            (F.col("su") - F.col("sb")).cast("double") / 10000 / F.col("nt")
+        )
+        w = per.crossJoin(F.broadcast(tot_nt)).select(
+            "source",
+            "nt",
+            "t_nt",
+            gain.alias("gain"),
+            F.floor(
+                F.col("nt").cast("double")
+                / F.col("t_nt")
+                * F.exp(DOREMI_ETA * gain)
+                * 100000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("w_q"),
+        )
+        tot_w = w.agg(F.sum("w_q").cast("long").alias("t_w"))
+        return w.crossJoin(F.broadcast(tot_w)).select(
+            "source",
+            F.col("nt").alias("n_tokens"),
+            round_agg(F.col("nt").cast("double") / F.col("t_nt")).alias(
+                "base_share"
+            ),
+            round_agg(F.col("gain"), 6).alias("gain"),
+            round_agg(F.col("w_q").cast("double") / F.col("t_w")).alias(
+                "weight"
+            ),
+            round_agg(
+                (F.col("w_q").cast("double") / F.col("t_w"))
+                / (F.col("nt").cast("double") / F.col("t_nt"))
+            ).alias("boost"),
+        )
+
+
+_register_mixture_doremi()
