@@ -1386,6 +1386,149 @@ def _register_ivfpq_rerank() -> None:
 q_sim_ivfpq_rerank = _register_ivfpq_rerank()
 
 
+GRAPH_EXPAND_DEG = 2  # neighbors pulled in per shortlist member
+
+
+def _register_graph_expand():
+    """Closure-registered: composes the registered IVFADC oracle (the
+    shortlist) AND the registered multiprobe capped IVF pair oracle
+    (the neighbor graph) — both assets the engine already maintains."""
+    short_sql = ORACLES["q_sim_ivfpq_topk"]
+    assert short_sql.count("WHERE rank <= 3") == 1, "ivfpq oracle shape changed"
+    short_sql = short_sql.replace(
+        "WHERE rank <= 3", f"WHERE rank <= {RERANK_SHORTLIST}"
+    )
+    dist = _DISTQ_DUCK.format(a="q.embedding", b="n.embedding")
+    oracle = f"""
+    WITH short AS ({short_sql}),
+    prs AS ({_IVF_MULTIPROBE_PAIRS_SQL}),
+    sym AS (
+        SELECT vec_a AS src, vec_b AS dst, cos FROM prs
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst, cos FROM prs
+    ), knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (
+                       PARTITION BY src ORDER BY cos DESC, dst) AS rn
+            FROM sym
+        ) t WHERE rn <= {GRAPH_EXPAND_DEG}
+    ), expanded AS (
+        SELECT DISTINCT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id FROM short
+            UNION ALL
+            SELECT s.query_id, g.dst AS neighbor_id
+            FROM short s JOIN knn g ON g.src = s.neighbor_id
+        ) u WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, rank, dist_q FROM (
+        SELECT e.query_id, e.neighbor_id, {dist} AS dist_q,
+               row_number() OVER (
+                   PARTITION BY e.query_id
+                   ORDER BY {dist}, e.neighbor_id
+               ) AS rank
+        FROM expanded e
+        JOIN embeddings q ON q.vec_id = e.query_id
+        JOIN embeddings n ON n.vec_id = e.neighbor_id
+    ) t WHERE rank <= 3
+    """
+
+    @register("q_sim_graph_expand", oracle=oracle)
+    def q_sim_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """GRAPH-EXPANDED re-rank — the neighborhood-expansion step of
+        graph-augmented ANN (the DiskANN/NN-descent family's serving
+        idea, grafted onto the IVF stack): take the IVFADC top-10
+        shortlist, pull in each member's top-{d} neighbors from the
+        near-dup pair GRAPH the dedup family already maintains (the
+        registered multiprobe capped IVF pairs — no new index), and
+        exact-rescore the expanded candidate set. The mechanism: a
+        true neighbor the probed cells missed can be one graph hop
+        from a candidate they didn't miss — recall the plain rerank
+        row can never reach, since it only reorders WITHIN the
+        shortlist. The gexp row in q_ann_recall measures the delta at
+        identical truth — and on these fixtures it is ZERO at every SF
+        (gexp == rerank): the embeddings are isotropic random vectors,
+        so the capped-cell pair graph carries no metric structure for
+        a hop to exploit (a denser threshold-0 graph was probed and
+        also recovers nothing). That null is the audit's finding, kept
+        visible on purpose: expansion pays exactly when the graph
+        encodes real neighborhood structure (actual model embeddings),
+        and the row is where that payoff would show.
+
+        Plan: the shortlist and graph frames are per-query-top-k /
+        capped-pair sized (tiny, broadcast); the exact rescoring
+        touches O(shortlist x (1+{d})) full vectors per query — same
+        random-read serving profile as the rerank stage. The corpus
+        never shuffles."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        short = ivfpq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < PQ_QUERY_MAX),
+            emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+            n_codes=16,
+            k=RERANK_SHORTLIST,
+            nprobe=2,
+        ).select("query_id", "neighbor_id")
+        pairs = cosine_pairs_ivf(
+            emb,
+            emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+            threshold=EMBED_PAIR_TAU,
+            max_cell=EMBED_MULTI_MAX_CELL,
+            nprobe=EMBED_PAIR_NPROBE,
+        )
+        sym = pairs.select(
+            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos"
+        ).unionByName(
+            pairs.select(
+                F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cos"
+            )
+        )
+        wk = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+        knn = (
+            sym.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= GRAPH_EXPAND_DEG)
+            .select("src", "dst")
+        )
+        hop = short.join(
+            knn, short.neighbor_id == knn.src
+        ).select("query_id", F.col("dst").alias("neighbor_id"))
+        expanded = (
+            short.unionByName(hop)
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .distinct()
+        )
+        q = emb.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+        )
+        rescored = (
+            emb.join(
+                F.broadcast(expanded), F.col("vec_id") == F.col("neighbor_id")
+            )
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.expr(SQDIST_Q_SQL.format(a="eq", b="embedding")).alias(
+                    "dist_q"
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy("dist_q", "neighbor_id")
+        return (
+            rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "neighbor_id", "rank", "dist_q")
+        )
+
+    q_sim_graph_expand.__doc__ = q_sim_graph_expand.__doc__.format(
+        d=GRAPH_EXPAND_DEG
+    )
+    return q_sim_graph_expand
+
+
+q_sim_graph_expand = _register_graph_expand()
+
+
 def _register_kmeans() -> None:
     """Closure-registered: the oracle unrolls the same fixed number of
     Lloyd iterations the Spark operator runs, from the shared
@@ -1719,6 +1862,7 @@ def _register_ann_recall() -> None:
     sq_sql = ORACLES["q_sim_sq_topk"]
     ivfpq_sql = ORACLES["q_sim_ivfpq_topk"]
     rerank_sql = ORACLES["q_sim_ivfpq_rerank"]
+    gexp_sql = ORACLES["q_sim_graph_expand"]
     oracle = (
         f"WITH exact_r AS ({exact_sql}),\n"
         f" exact_q AS (SELECT * FROM exact_r WHERE query_id < {PQ_QUERY_MAX}),\n"
@@ -1732,6 +1876,7 @@ def _register_ann_recall() -> None:
         f" ivf2_q AS ({ORACLES['q_sim_ivf2_topk']}),\n"
         f" pq_trained_q AS ({ORACLES['q_sim_pq_trained']}),\n"
         f" rerank_q AS ({rerank_sql}),\n"
+        f" gexp_q AS ({gexp_sql}),\n"
         + denom_cte.format(m="ivf", truth="exact_q") + ",\n"
         + denom_cte.format(m="pq", truth="exact_l2") + ",\n"
         + denom_cte.format(m="sq", truth="exact_dot") + ",\n"
@@ -1739,13 +1884,15 @@ def _register_ann_recall() -> None:
         + denom_cte.format(m="ivf2", truth="exact_q") + ",\n"
         + denom_cte.format(m="pq_trained", truth="exact_l2") + ",\n"
         + denom_cte.format(m="rerank", truth="exact_l2") + ",\n"
+        + denom_cte.format(m="gexp", truth="exact_l2") + ",\n"
         + hits_cte.format(m="ivf", truth="exact_q") + ",\n"
         + hits_cte.format(m="pq", truth="exact_l2") + ",\n"
         + hits_cte.format(m="sq", truth="exact_dot") + ",\n"
         + hits_cte.format(m="ivfpq", truth="exact_l2") + ",\n"
         + hits_cte.format(m="ivf2", truth="exact_q") + ",\n"
         + hits_cte.format(m="pq_trained", truth="exact_l2") + ",\n"
-        + hits_cte.format(m="rerank", truth="exact_l2") + "\n"
+        + hits_cte.format(m="rerank", truth="exact_l2") + ",\n"
+        + hits_cte.format(m="gexp", truth="exact_l2") + "\n"
         + row.format(m="ivf")
         + " UNION ALL "
         + row.format(m="pq")
@@ -1759,6 +1906,8 @@ def _register_ann_recall() -> None:
         + row.format(m="pq_trained")
         + " UNION ALL "
         + row.format(m="rerank")
+        + " UNION ALL "
+        + row.format(m="gexp")
     )
 
     @register("q_ann_recall", oracle=oracle)
@@ -1833,6 +1982,10 @@ def _register_ann_recall() -> None:
         # rescoring recovers from ADC's misrankings WITHIN the
         # shortlist; misses outside the shortlist stay missed
         rr = q_sim_ivfpq_rerank(spark, sf_dir)
+        # graph expansion reaches OUTSIDE the shortlist via the pair
+        # graph, same L2 truth — (gexp.recall - rerank.recall) is what
+        # one neighbor hop recovers of the cells' probing misses
+        ge = q_sim_graph_expand(spark, sf_dir)
 
         def audit(m: DataFrame, name: str, truth: DataFrame) -> DataFrame:
             denom = truth.agg(
@@ -1863,6 +2016,7 @@ def _register_ann_recall() -> None:
             .unionByName(audit(ivf2, "ivf2", exact_cos))
             .unionByName(audit(pq_t, "pq_trained", exact_l2))
             .unionByName(audit(rr, "rerank", exact_l2))
+            .unionByName(audit(ge, "gexp", exact_l2))
         )
 
 

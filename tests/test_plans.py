@@ -297,6 +297,7 @@ _ALLOWED_BNLJ = {
     "q_text_pmi_collocations",  # 1-row (T, B) constants broadcast
     "q_quality_calibration",  # composes q_quality_linear (vetted 1-row consts)
     "q_mixture_doremi",      # composes both LMs (vetted) + 1-row denominators
+    "q_sim_graph_expand",    # composes q_sim_ivfpq_topk (vetted) + k-row expansion
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
