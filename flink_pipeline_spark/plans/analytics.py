@@ -236,3 +236,75 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@register(
+    "q_nation_trade_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {money_sum_sql(_REV)} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               l.l_extendedprice, l.l_discount
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+            OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7 shape (volume shipping): bilateral trade between two
+    nations by ship year — the 6-way join with TWO roles for the same
+    dimension (nation joins once through the supplier chain and once
+    through the customer chain) plus a disjunctive cross-pair
+    predicate, the classic join-reorder + self-dimension-alias stress
+    test. Rounds out the TPC-H shape family (Q1 flagship, Q3 shipping
+    priority, Q5 local supplier volume, Q10 returned items).
+
+    Scale: both nation aliases and supplier broadcast; lineitem and
+    orders shuffle once each on the order key; the ship-date filter
+    pushes into the scan; money totals in exact integer cents."""
+    ns = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        money_sum(F.expr(_REV)).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
