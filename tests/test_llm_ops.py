@@ -598,10 +598,15 @@ def test_ann_recall_bounds_and_exact_selfcheck(spark):
         "ivf2",
         "pq_trained",
         "rerank",
+        "gexp",
     }
     # exact re-rank can only fix misrankings inside the ADC shortlist,
     # never lose them: its recall dominates the ivfpq row's
     assert rows["rerank"].recall >= rows["ivfpq"].recall
+    # graph expansion rescoring a SUPERSET of the shortlist can never
+    # lose recall vs the plain rerank (equality = the hop found
+    # nothing, the isotropic-fixture null the docstring documents)
+    assert rows["gexp"].recall >= rows["rerank"].recall
     for r in rows.values():
         assert 0.0 <= r.recall <= 1.0
         assert r.hits <= 3 * r.n_queries
