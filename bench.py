@@ -134,6 +134,15 @@ HEADLINE = [
     "q_bpe_encode",
     "q_curriculum_order",
     "q_scd2_history",
+    # r8 continued: content-defined chunking dedup (the insertion-robust
+    # granularity), winnowing fingerprints (the MOSS local-guarantee
+    # pair generator), the MinHash estimator audit, the DoReMi-shape
+    # reweighter (composes both LMs), and the Q7 join shape
+    "q_dedup_cdc_chunks",
+    "q_winnow_fingerprint",
+    "q_dedup_minhash_estimate",
+    "q_mixture_doremi",
+    "q_nation_trade_volume",
     "q_knn_classify",
     "q_stream_enrich",
     # profiling layer (round 3): TF-IDF is the corpus-heaviest text op

@@ -308,3 +308,80 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(F.expr(_REV)).alias("revenue"),
         F.count("*").cast("long").alias("n_items"),
     )
+
+
+WEEK_S = 604800  # epoch seconds per week (the cohort grain)
+
+
+@register(
+    "q_events_retention",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // {WEEK_S} AS week
+        FROM events
+    ), cohort AS (
+        SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
+    ), active AS (
+        SELECT DISTINCT e.user_id, c.cohort_week,
+               e.week - c.cohort_week AS week_offset
+        FROM e JOIN cohort c USING (user_id)
+    ), size_ AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM cohort GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           s.cohort_size,
+           {round_sql('count(*)::DOUBLE / s.cohort_size')} AS retention
+    FROM active a JOIN size_ s USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION — the product-analytics staple: users are
+    cohorted by their first-activity week (epoch-week grain, integer
+    division on floored epoch seconds so no timezone or float sits on
+    a boundary), and each (cohort, weeks-since-first) cell reports how
+    many of the cohort's users were active — the retention triangle a
+    growth dashboard renders. Week arithmetic is all BIGINT; the
+    retention share is one exact rational per cell.
+
+    Scale: one map-side pass to (user, week) pairs, a per-user min
+    agg for the cohort (combinable), a distinct on (user, cohort,
+    offset) — all shuffles keyed by user or cohort, no windows; the
+    final grid is #cohorts x #offsets (tiny). The cohort-size join is
+    grid-sized (AQE broadcasts it)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"CAST(floor(unix_timestamp(ts)) AS BIGINT) div {WEEK_S}").alias(
+            "week"
+        ),
+    )
+    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = (
+        e.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    size = cohort.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    return (
+        active.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .join(size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            round_agg(
+                F.col("n_active").cast("double") / F.col("cohort_size")
+            ).alias("retention"),
+        )
+    )

@@ -2077,3 +2077,114 @@ def _register_mixture_doremi() -> None:
 
 
 _register_mixture_doremi()
+
+
+# Salt for the weighted-cap sampling keys (distinct from WRS_SALT so
+# the two samplers draw independent u's).
+WCAP_SALT = "wcap:"
+_WCAP_TWO56 = float(1 << 56)
+
+
+@register(
+    "q_source_cap_weighted",
+    oracle=f"""
+    WITH m AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               length(replace(text, ' ', '')) AS n_letter_chars
+        FROM documents
+    ), keyed AS (
+        SELECT source, doc_id, n_tokens,
+               {QUALITY_SCORE_SQL} AS q,
+               CAST(floor(
+                   ln((CAST({hash56_sql_duckdb(
+                       f"'{WCAP_SALT}' || CAST(doc_id AS VARCHAR)")}
+                       AS DOUBLE) + 1) / {_WCAP_TWO56!r})
+                   / ({QUALITY_SCORE_SQL}) * 100000000 + 0.5)
+                   AS BIGINT) AS key_q
+        FROM m
+    ), ranked AS (
+        SELECT source, doc_id, n_tokens, q,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY key_q DESC, doc_id
+               ) AS rn
+        FROM keyed
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= {SOURCE_CAP} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <= {SOURCE_CAP} THEN n_tokens ELSE 0 END)
+               AS BIGINT) AS kept_tokens,
+           {round_sql(
+               'sum(CASE WHEN rn <= ' + str(SOURCE_CAP)
+               + ' THEN q ELSE 0 END)'
+               + ' / sum(CASE WHEN rn <= ' + str(SOURCE_CAP)
+               + ' THEN 1 ELSE 0 END)')} AS q_kept,
+           {round_sql('sum(q) / count(*)')} AS q_all
+    FROM ranked GROUP BY source
+    """,
+)
+def q_source_cap_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-WEIGHTED per-source cap — q_source_cap's "no domain
+    dominates" rule with the keeper chosen by an Efraimidis-Spirakis
+    weighted draw (w = the shared quality score) instead of the
+    uniform hash: each source still keeps at most {c} docs, but
+    higher-quality docs are proportionally likelier to be the ones
+    kept — the RefinedWeb-style cap upgraded to the quality-aware
+    selection a curation pipeline actually wants. Emits q_kept next
+    to q_all per source so the selection lift is measured in the
+    result itself — modest on these fixtures (14/20 sources lifted;
+    quality spans only ~1.8x and the cap keeps 15 of 25 docs, so
+    there is little room to select), and growing exactly as the
+    keep ratio shrinks or the weight sharpens. The
+    ranking key ln(u)/w is quantized to BIGINT 1e-8 grains before the
+    rank (round-before-rank; doc_id breaks ties).
+
+    Scale: the same per-source rank shape as q_source_cap — and the
+    same two-phase local-prune applies verbatim when a mega-domain
+    shows up (the fixed total order here is (key_q DESC, doc_id), so
+    the global top-CAP is a subset of every partition's local
+    top-CAP); the fixture-scale plan keeps the single pruned window.
+    One corpus pass computes quality and key together in codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    q = quality_score(
+        F.size(toks),
+        F.size(F.array_distinct(toks)),
+        F.length(F.regexp_replace("text", " ", "")),
+    )
+    u = (
+        F.expr(
+            hash56_sql_spark(f"'{WCAP_SALT}' || CAST(doc_id AS STRING)")
+        ).cast("double")
+        + 1
+    ) / F.lit(_WCAP_TWO56)
+    keyed = d.select(
+        "source",
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        q.alias("q"),
+        F.floor(F.log(u) / q * 100000000 + 0.5).cast("long").alias("key_q"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("key_q").desc(), "doc_id")
+    ranked = keyed.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") <= SOURCE_CAP
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        round_agg(
+            F.sum(F.when(kept, F.col("q")).otherwise(0.0))
+            / F.sum(F.when(kept, 1).otherwise(0))
+        ).alias("q_kept"),
+        round_agg(F.sum("q") / F.count("*")).alias("q_all"),
+    )
+
+
+q_source_cap_weighted.__doc__ = q_source_cap_weighted.__doc__.format(
+    c=SOURCE_CAP
+)
