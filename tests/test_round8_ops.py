@@ -440,3 +440,72 @@ def test_ndcg_bounds(spark):
     assert 0.0 < r["ndcg"] <= 1.0
     assert 0.0 < r["mrr"] <= 1.0
     assert 0.0 <= r["prec_k"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# DoReMi reweighting: normalization and monotonicity in the gain
+# ---------------------------------------------------------------------------
+
+
+def test_doremi_weights_normalized_and_monotone(spark):
+    rows = query_fns()["q_mixture_doremi"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    # sources sorted by gain must have non-decreasing boost (the
+    # multiplicative update is monotone in the exponent; token shares
+    # are near-uniform on the fixtures so base-share noise stays well
+    # under the exp spread)
+    by_gain = sorted(rows, key=lambda r: r["gain"])
+    assert by_gain[0]["boost"] < by_gain[-1]["boost"]
+    assert by_gain[0]["boost"] < 1.0 < by_gain[-1]["boost"]
+
+
+# ---------------------------------------------------------------------------
+# Retention triangle: offset-0 row is the full cohort
+# ---------------------------------------------------------------------------
+
+
+def test_retention_offset_zero_is_full_cohort(spark):
+    rows = query_fns()["q_events_retention"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["retention"] <= 1.0
+        assert r["n_active"] <= r["cohort_size"]
+        if r["week_offset"] == 0:
+            # every user is active in their own first week by definition
+            assert r["n_active"] == r["cohort_size"]
+    assert {r["week_offset"] for r in rows if r["week_offset"] == 0}
+
+
+# ---------------------------------------------------------------------------
+# Weighted source cap: cap respected, quality weighting directional
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_cap_respects_cap_and_lifts(spark):
+    from flink_pipeline_spark.plans.training import SOURCE_CAP
+
+    rows = query_fns()["q_source_cap_weighted"](spark, SF_DIR).collect()
+    assert rows
+    lifted = 0
+    for r in rows:
+        assert r["n_kept"] == min(SOURCE_CAP, r["n_docs"])
+        if r["q_kept"] > r["q_all"]:
+            lifted += 1
+    # directional: a majority of sources must show the quality lift
+    assert lifted > len(rows) / 2, (lifted, len(rows))
+
+
+# ---------------------------------------------------------------------------
+# Nation trade volume: both directions of the pair appear
+# ---------------------------------------------------------------------------
+
+
+def test_nation_trade_bilateral(spark):
+    rows = query_fns()["q_nation_trade_volume"](spark, SF_DIR).collect()
+    pairs = {(r["supp_nation"], r["cust_nation"]) for r in rows}
+    assert ("NATION_1", "NATION_2") in pairs
+    assert ("NATION_2", "NATION_1") in pairs
+    for r in rows:
+        assert r["l_year"] in (1996, 1997)
+        assert r["n_items"] > 0
