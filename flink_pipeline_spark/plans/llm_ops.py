@@ -1802,6 +1802,159 @@ def q_sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Binary (1-bit) quantization search — the extreme compression point
+# ---------------------------------------------------------------------------
+
+BINARY_SHORTLIST = 10  # Hamming-stage candidates per query before re-rank
+
+# Sign-bit packing: bit d of the code is set iff v_d > mid_d with
+# mid_d = (lo_d + hi_d) / 2 from the EXACT per-dim min/max — both
+# engines compute the identical double, so the cut is deterministic
+# (a data-derived mean would re-introduce float-sum ordering). 64 dims
+# pack into TWO 32-bit halves summed as disjoint powers of two — an
+# order-independent exact BIGINT sum, no fold-order convention needed
+# (a single 64-bit word would overflow signed BIGINT at bit 63).
+_BIN_PACK_SPARK = (
+    "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (s, i) -> s + "
+    "CASE WHEN CAST(embedding[i{off}] AS DOUBLE) > mids[i{off}] "
+    "THEN shiftleft(CAST(1 AS BIGINT), 31 - i) ELSE CAST(0 AS BIGINT) END)"
+)
+_BIN_PACK_DUCK = (
+    "CAST(list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN CAST(embedding[i + 1{off}] AS DOUBLE) > mids[i + 1{off}] "
+    "THEN (CAST(1 AS BIGINT) << (31 - i)) ELSE CAST(0 AS BIGINT) END)) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "q_sim_binary_topk",
+    oracle=f"""
+    WITH ex AS (
+        SELECT unnest(range(len(embedding))) AS pos,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        FROM embeddings
+    ), d AS (
+        SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos
+    ), m AS (
+        SELECT list((lo + hi) / 2 ORDER BY pos) AS mids FROM d
+    ), coded AS (
+        SELECT vec_id,
+               {_BIN_PACK_DUCK.format(off='')} AS h1,
+               {_BIN_PACK_DUCK.format(off=' + 32')} AS h2
+        FROM embeddings CROSS JOIN m
+    ), qc AS (
+        SELECT vec_id AS query_id, h1 AS q1, h2 AS q2
+        FROM coded WHERE vec_id < {PQ_QUERY_MAX}
+    ), short AS (
+        SELECT query_id, neighbor_id, hamming FROM (
+            SELECT qc.query_id, c.vec_id AS neighbor_id,
+                   CAST(bit_count(xor(c.h1, qc.q1))
+                        + bit_count(xor(c.h2, qc.q2)) AS BIGINT) AS hamming,
+                   row_number() OVER (
+                       PARTITION BY qc.query_id
+                       ORDER BY bit_count(xor(c.h1, qc.q1))
+                                + bit_count(xor(c.h2, qc.q2)), c.vec_id) AS rn
+            FROM coded c JOIN qc ON c.vec_id <> qc.query_id
+        ) t WHERE rn <= {BINARY_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, rank, hamming, dotv FROM (
+        SELECT s.query_id, s.neighbor_id, s.hamming,
+               floor({_DOT_DUCK.format(a='q.embedding', b='n.embedding')}
+                     * 10000 + 0.5) / 10000 AS dotv,
+               row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY floor({_DOT_DUCK.format(a='q.embedding', b='n.embedding')}
+                                  * 10000 + 0.5) / 10000 DESC,
+                            s.neighbor_id) AS rank
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings n ON n.vec_id = s.neighbor_id
+    ) t WHERE rank <= 3
+    """,
+)
+def q_sim_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized (1 bit/dim) two-stage search — the EXTREME
+    compression point of the quantization family (32x smaller than
+    float32, 8x smaller than SQ8): each dimension keeps only its sign
+    against the per-dim midpoint (lo+hi)/2, 64 dims pack into two
+    32-bit BIGINT halves, and stage 1 ranks by Hamming distance
+    computed as bit_count(xor) — pure integer ALU work, no floats
+    anywhere in the scan. Stage 2 rescores ONLY the top-{BINARY_SHORTLIST}
+    Hamming candidates per query against their full float vectors
+    (the exact re-rank pattern of q_sim_ivfpq_rerank) and emits the
+    final top-3 by exact dot product. This is the modern
+    binary-embedding serving recipe (e.g. Cohere/HF binary MRL
+    embeddings): Hamming scan over packed bits at memory-bandwidth
+    speed, float refine at shortlist width.
+
+    Scale: codes are 16 bytes/vector — a 100 TB float corpus becomes
+    ~3 TB of codes, small enough to cache in executor memory; the
+    Hamming scan is a broadcast-query pass over the code table (corpus
+    never shuffles), and full vectors are only randomly read at
+    shortlist width per query. The audit's `bin` row measures what the
+    sign-only codes give up vs the exact-dot truth."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(F.posexplode("embedding").alias("pos", "xf"))
+        .select("pos", F.col("xf").cast("double").alias("x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    mids = dims.agg(
+        F.sort_array(F.collect_list(F.struct("pos", "lo", "hi"))).alias("a")
+    ).select(F.expr("transform(a, t -> (t.lo + t.hi) / 2)").alias("mids"))
+    coded = emb.crossJoin(F.broadcast(mids)).select(
+        "vec_id",
+        F.expr(_BIN_PACK_SPARK.format(off="")).alias("h1"),
+        F.expr(_BIN_PACK_SPARK.format(off=" + 32")).alias("h2"),
+    )
+    qc = coded.filter(F.col("vec_id") < PQ_QUERY_MAX).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("h1").alias("q1"),
+        F.col("h2").alias("q2"),
+    )
+    ham = coded.join(
+        F.broadcast(qc), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.expr("bit_count(h1 ^ q1) + bit_count(h2 ^ q2)").cast("long")
+        ).alias("hamming"),
+    )
+    wh = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    short = (
+        ham.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") <= BINARY_SHORTLIST)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    rescored = (
+        emb.join(F.broadcast(short), F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            round_agg(F.expr(DOT_SQL.format(a="eq", b="embedding"))).alias(
+                "dotv"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("dotv").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "hamming", "dotv")
+    )
+
+
 def _register_ann_recall() -> None:
     """Registered via a closure so the oracle can COMPOSE the already-
     registered exact / IVF / PQ search oracles as CTEs — one source of
@@ -1863,6 +2016,7 @@ def _register_ann_recall() -> None:
     ivfpq_sql = ORACLES["q_sim_ivfpq_topk"]
     rerank_sql = ORACLES["q_sim_ivfpq_rerank"]
     gexp_sql = ORACLES["q_sim_graph_expand"]
+    bin_sql = ORACLES["q_sim_binary_topk"]
     oracle = (
         f"WITH exact_r AS ({exact_sql}),\n"
         f" exact_q AS (SELECT * FROM exact_r WHERE query_id < {PQ_QUERY_MAX}),\n"
@@ -1877,6 +2031,7 @@ def _register_ann_recall() -> None:
         f" pq_trained_q AS ({ORACLES['q_sim_pq_trained']}),\n"
         f" rerank_q AS ({rerank_sql}),\n"
         f" gexp_q AS ({gexp_sql}),\n"
+        f" bin_q AS ({bin_sql}),\n"
         + denom_cte.format(m="ivf", truth="exact_q") + ",\n"
         + denom_cte.format(m="pq", truth="exact_l2") + ",\n"
         + denom_cte.format(m="sq", truth="exact_dot") + ",\n"
@@ -1885,6 +2040,7 @@ def _register_ann_recall() -> None:
         + denom_cte.format(m="pq_trained", truth="exact_l2") + ",\n"
         + denom_cte.format(m="rerank", truth="exact_l2") + ",\n"
         + denom_cte.format(m="gexp", truth="exact_l2") + ",\n"
+        + denom_cte.format(m="bin", truth="exact_dot") + ",\n"
         + hits_cte.format(m="ivf", truth="exact_q") + ",\n"
         + hits_cte.format(m="pq", truth="exact_l2") + ",\n"
         + hits_cte.format(m="sq", truth="exact_dot") + ",\n"
@@ -1892,7 +2048,8 @@ def _register_ann_recall() -> None:
         + hits_cte.format(m="ivf2", truth="exact_q") + ",\n"
         + hits_cte.format(m="pq_trained", truth="exact_l2") + ",\n"
         + hits_cte.format(m="rerank", truth="exact_l2") + ",\n"
-        + hits_cte.format(m="gexp", truth="exact_l2") + "\n"
+        + hits_cte.format(m="gexp", truth="exact_l2") + ",\n"
+        + hits_cte.format(m="bin", truth="exact_dot") + "\n"
         + row.format(m="ivf")
         + " UNION ALL "
         + row.format(m="pq")
@@ -1908,6 +2065,8 @@ def _register_ann_recall() -> None:
         + row.format(m="rerank")
         + " UNION ALL "
         + row.format(m="gexp")
+        + " UNION ALL "
+        + row.format(m="bin")
     )
 
     @register("q_ann_recall", oracle=oracle)
@@ -1986,6 +2145,11 @@ def _register_ann_recall() -> None:
         # graph, same L2 truth — (gexp.recall - rerank.recall) is what
         # one neighbor hop recovers of the cells' probing misses
         ge = q_sim_graph_expand(spark, sf_dir)
+        # binary (1-bit) codes rank their Hamming shortlist, then
+        # re-rank by exact dot — same dot truth as the SQ row, so
+        # (sq.recall - bin.recall) is the price of dropping from 8
+        # bits to 1 bit per dimension
+        bq = q_sim_binary_topk(spark, sf_dir)
 
         def audit(m: DataFrame, name: str, truth: DataFrame) -> DataFrame:
             denom = truth.agg(
@@ -2017,6 +2181,7 @@ def _register_ann_recall() -> None:
             .unionByName(audit(pq_t, "pq_trained", exact_l2))
             .unionByName(audit(rr, "rerank", exact_l2))
             .unionByName(audit(ge, "gexp", exact_l2))
+            .unionByName(audit(bq, "bin", exact_dot))
         )
 
 
