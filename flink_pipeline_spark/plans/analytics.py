@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.portable import money_sum, money_sum_sql, round_agg, round_sql
@@ -385,3 +386,110 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+LATE_DAYS = 60  # "kept the order waiting": shipped > 60 days after order
+
+
+@register(
+    "q_waiting_suppliers",
+    oracle=f"""
+    WITH fo AS (
+        SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+    ), late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN fo ON l.l_orderkey = fo.o_orderkey
+        WHERE l.l_shipdate > fo.o_orderdate + INTERVAL {LATE_DAYS} DAY
+    ), w AS (
+        SELECT l1.l_orderkey, l1.l_suppkey
+        FROM late l1
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+        ) AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+        )
+    )
+    SELECT s_name, numwait, rank FROM (
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait,
+               row_number() OVER (ORDER BY count(*) DESC, s.s_name) AS rank
+        FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+        GROUP BY s.s_name
+    ) t WHERE rank <= 10
+    """,
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21 shape (suppliers who kept orders waiting), adapted to
+    the fixture schema: with no commit/receipt dates, "late" means the
+    item shipped more than {LATE_DAYS} days after its finished ('F')
+    order was placed. A late lineitem counts only when its order is
+    multi-supplier (EXISTS another supplier's item -> LEFT SEMI join)
+    AND its supplier is the SOLE late one (NOT EXISTS another
+    supplier's late item -> LEFT ANTI join) — the classic
+    correlated-exists pair that completes the TPC-H shape family
+    (Q1/Q3/Q5/Q7/Q10) with the semi+anti composite-condition joins
+    none of the other shapes exercise.
+
+    Scale: the status filter pushes into the orders scan on BOTH
+    derivations of the late set, and every lineitem scan prunes to
+    three columns (Q21's l1/l2/l3 cost three pruned fact scans — the
+    shape's intrinsic price); semi/anti joins shuffle on the order
+    key — the same key both fact tables already join on — and
+    carry the supplier-inequality as a cheap residual conjunct;
+    supplier broadcasts for the final name lookup; top-10 is a window
+    over the per-supplier aggregate (|suppliers| rows)."""
+    fo = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        li.join(fo, li.l_orderkey == fo.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    sole = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        ).join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    agg = (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("s_name", "numwait", "rank")
+    )
+
+
+q_waiting_suppliers.__doc__ = q_waiting_suppliers.__doc__.format(
+    LATE_DAYS=LATE_DAYS
+)
