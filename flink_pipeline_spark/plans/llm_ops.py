@@ -3553,6 +3553,155 @@ def q_text_surprisal_2g(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Kneser-Ney absolute discount, as a SQL-literal string so the
+# formula TEXT (and IEEE op sequence) is identical in both engines.
+KN_DISCOUNT = "0.75"
+# -ln P_KN(w2|w1) with interpolated absolute discounting:
+#   (max(c(w1,w2) - D, 0) + D * N1+(w1,.) * P_cont(w2)) / c(w1)
+# over exact counts cast to DOUBLE (cnt2/cnt1/n1fwd/n1bwd/bt);
+# quantized to BIGINT ten-thousandths like every LM term here.
+_LPKN_SQL = (
+    f"CAST(floor(-ln((greatest(cnt2 - {KN_DISCOUNT}, 0.0)"
+    f" + {KN_DISCOUNT} * n1fwd * (n1bwd / bt)) / cnt1)"
+    f" * 10000 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "q_text_surprisal_kn",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents
+    ), bg AS (
+        SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ), tf AS (
+        SELECT tok, CAST(count(*) AS DOUBLE) AS n FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT CAST(sum(n) AS DOUBLE) AS t FROM tf
+    ), c2 AS (
+        SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cnt2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, CAST(sum(cnt2) AS DOUBLE) AS cnt1 FROM c2 GROUP BY w1
+    ), n1f AS (
+        SELECT w1, CAST(count(*) AS DOUBLE) AS n1fwd FROM c2 GROUP BY w1
+    ), n1b AS (
+        SELECT w2, CAST(count(*) AS DOUBLE) AS n1bwd FROM c2 GROUP BY w2
+    ), btc AS (
+        SELECT CAST(count(*) AS DOUBLE) AS bt FROM c2
+    ), lp1 AS (
+        SELECT tok,
+               CAST(floor(ln(t / n) * 10000 + 0.5) AS BIGINT) AS lp_q
+        FROM tf CROSS JOIN tot
+    ), lpkn AS (
+        SELECT x.w1, x.w2, {_LPKN_SQL} AS lp_q
+        FROM c2 x
+        JOIN c1 USING (w1)
+        JOIN n1f USING (w1)
+        JOIN n1b USING (w2)
+        CROSS JOIN btc
+    ), parts AS (
+        SELECT t.doc_id, lp1.lp_q FROM toks t JOIN lp1 USING (tok)
+        WHERE t.pos = 1
+        UNION ALL
+        SELECT bg.doc_id, lpkn.lp_q FROM bg JOIN lpkn USING (w1, w2)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lp_q) AS BIGINT) AS surprisal_q,
+           floor(sum(lp_q)::DOUBLE / count(*) + 0.5) / 10000 AS avg_surprisal
+    FROM parts GROUP BY doc_id
+    """,
+)
+def q_text_surprisal_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNESER-NEY smoothed bigram surprisal — the smoothing the
+    production perplexity filters (KenLM inside CCNet) actually use,
+    next to q_text_surprisal_2g's Jelinek-Mercer mixture: each
+    observed bigram scores -ln of the absolute-discounted conditional
+    (max(c - D, 0) + D * N1+(w1,.) * P_cont(w2)) / c(w1) with D=0.75,
+    where the back-off mass goes to the CONTINUATION probability
+    P_cont(w2) = N1+(.,w2) / |bigram types| — "how many contexts does
+    w2 complete" — rather than raw frequency, the insight that makes
+    KN the default n-gram smoother. The document's first token is
+    scored by the unigram MLE (same convention as the 2g query;
+    P_cont would be zero for tokens only ever seen at position 1,
+    and the unigram term keeps every score finite).
+
+    Portability: per-bigram surprisal quantizes to BIGINT
+    ten-thousandths before the per-doc sum; discount and formula are
+    ONE shared SQL text over exact counts cast to DOUBLE.
+
+    Scale shape: identical to the 2g query — all smoothing statistics
+    (c1, N1+ fwd/bwd, type total) are aggregates OVER THE BIGRAM-TYPE
+    TABLE, not the corpus, so KN costs three extra type-table aggs and
+    two extra type-table equi-joins; the corpus still pays exactly one
+    (w1, w2) join + one per-doc agg."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).persist()
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2").persist()
+    tf = toks.groupBy("tok").agg(F.count("*").cast("double").alias("n"))
+    tot = tf.agg(F.sum("n").cast("double").alias("t"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("cnt2"))
+    c1 = c2.groupBy("w1").agg(F.sum("cnt2").cast("double").alias("cnt1"))
+    n1f = c2.groupBy("w1").agg(F.count("*").cast("double").alias("n1fwd"))
+    n1b = c2.groupBy("w2").agg(F.count("*").cast("double").alias("n1bwd"))
+    btc = c2.agg(F.count("*").cast("double").alias("bt"))
+    lp1 = tf.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(F.log(F.col("t") / F.col("n")) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("lp_q"),
+    )
+    lpkn = (
+        c2.join(c1, "w1")
+        .join(n1f, "w1")
+        .join(n1b, "w2")
+        .crossJoin(F.broadcast(btc))
+        .select("w1", "w2", F.expr(_LPKN_SQL).alias("lp_q"))
+    )
+    parts = (
+        toks.filter(F.col("pos") == 0)
+        .join(lp1, "tok")
+        .select("doc_id", "lp_q")
+        .unionByName(bg.join(lpkn, ["w1", "w2"]).select("doc_id", "lp_q"))
+    )
+    return (
+        parts.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lp_q").cast("long").alias("surprisal_q"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "surprisal_q",
+            (
+                F.floor(
+                    F.col("surprisal_q").cast("double") / F.col("n_tokens")
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
 # CCNet perplexity-bucket boundaries, fixture-calibrated so all three
 # buckets fire (sf0.01 avg_surprisal spans 3.2966-3.6378; 3.37 sits
 # near the 25th percentile, 3.41 near the 80th). SQL-literal strings
