@@ -1955,6 +1955,197 @@ def q_sim_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# MMR diverse selection — de-redundifying a retrieval shortlist
+# ---------------------------------------------------------------------------
+
+MMR_SHORTLIST = 8  # relevance candidates per query entering the greedy
+MMR_K = 3          # diverse picks per query
+# lambda = 0.7 as the integer pair (7, 3): score = 7*rel_q - 3*max_sim_q
+# keeps the whole greedy in EXACT BIGINT arithmetic (scaled by 10 on
+# top of the ten-thousandths quantization) — no float ever enters the
+# selection, so Spark's pandas loop and DuckDB's unrolled SQL cannot
+# disagree.
+_MMR_CAND_DUCK = f"""
+        SELECT query_id, neighbor_id, rel_q FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   CAST(floor({_DOT_DUCK.format(a='q.embedding', b='e.embedding')}
+                              * 10000 + 0.5) AS BIGINT) AS rel_q,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY floor({_DOT_DUCK.format(a='q.embedding', b='e.embedding')}
+                                      * 10000 + 0.5) DESC,
+                                e.vec_id) AS rn
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < {PQ_QUERY_MAX}
+        ) t WHERE rn <= {MMR_SHORTLIST}"""
+
+
+@register(
+    "q_select_mmr",
+    oracle=f"""
+    WITH cand AS ({_MMR_CAND_DUCK}
+    ), sims AS (
+        SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+               CAST(floor({_DOT_DUCK.format(a='ea.embedding', b='eb.embedding')}
+                          * 10000 + 0.5) AS BIGINT) AS sim_q
+        FROM cand a
+        JOIN cand b ON b.query_id = a.query_id
+                   AND b.neighbor_id <> a.neighbor_id
+        JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+        JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+    ), s1 AS (
+        SELECT query_id, neighbor_id, 7 * rel_q AS score_q10 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel_q DESC, neighbor_id) AS rn
+            FROM cand) t WHERE rn = 1
+    ), r2 AS (
+        SELECT c.query_id, c.neighbor_id,
+               7 * c.rel_q - 3 * s.sim_q AS score_q10
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id
+               AND c.neighbor_id <> s1.neighbor_id
+        JOIN sims s ON s.query_id = c.query_id
+                   AND s.na = c.neighbor_id AND s.nb = s1.neighbor_id
+    ), s2 AS (
+        SELECT query_id, neighbor_id, score_q10 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score_q10 DESC, neighbor_id) AS rn
+            FROM r2) t WHERE rn = 1
+    ), r3 AS (
+        SELECT c.query_id, c.neighbor_id,
+               7 * c.rel_q - 3 * greatest(sa.sim_q, sb.sim_q) AS score_q10
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id
+               AND c.neighbor_id <> s1.neighbor_id
+        JOIN s2 ON s2.query_id = c.query_id
+               AND c.neighbor_id <> s2.neighbor_id
+        JOIN sims sa ON sa.query_id = c.query_id
+                    AND sa.na = c.neighbor_id AND sa.nb = s1.neighbor_id
+        JOIN sims sb ON sb.query_id = c.query_id
+                    AND sb.na = c.neighbor_id AND sb.nb = s2.neighbor_id
+    ), s3 AS (
+        SELECT query_id, neighbor_id, score_q10 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score_q10 DESC, neighbor_id) AS rn
+            FROM r3) t WHERE rn = 1
+    )
+    SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS sel_rank, score_q10 FROM s1
+    UNION ALL
+    SELECT query_id, neighbor_id, CAST(2 AS BIGINT) AS sel_rank, score_q10 FROM s2
+    UNION ALL
+    SELECT query_id, neighbor_id, CAST(3 AS BIGINT) AS sel_rank, score_q10 FROM s3
+    """,
+)
+def q_select_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diverse
+    top-{MMR_K}: from each query's top-{MMR_SHORTLIST} relevance
+    shortlist, greedily pick the candidate maximizing
+    lambda*rel - (1-lambda)*max_sim_to_already_selected (lambda=0.7) —
+    the standard de-redundification step between retrieval and
+    consumption (RAG context packing, diverse training-example
+    selection), where plain top-k returns near-duplicates of one
+    strong hit. The first pick is pure relevance (empty selected set).
+
+    Determinism: rel and pairwise sims are the portable rounded dot
+    (BIGINT ten-thousandths), and lambda enters as the integer pair
+    (7, 3), so every score is exact BIGINT arithmetic — Spark's greedy
+    loop and the oracle's unrolled-step SQL replay identical integers;
+    ties break to the smallest neighbor id.
+
+    Scale shape: the corpus-sized work is the shortlist retrieval
+    (the registered broadcast-query scan); MMR itself touches only
+    nq x {MMR_SHORTLIST} candidate rows and their pairwise sims
+    (computed relationally BEFORE the grouped step, so no float work
+    happens in Python), then runs the inherently-sequential greedy
+    per query inside one applyInPandas group of ~{MMR_SHORTLIST}**2
+    Arrow rows — the U1 grouped-transform contract, parallel across
+    queries, constant work within one."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = emb.filter(F.col("vec_id") < PQ_QUERY_MAX).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    relv = round_agg(F.expr(DOT_SQL.format(a="eq", b="embedding")))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        emb.join(F.broadcast(qd), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            relv.alias("rel"),
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= MMR_SHORTLIST)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(F.col("rel") * 10000 + F.lit(0.5)).cast("long").alias("rel_q"),
+        )
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("na"), F.col("embedding").alias("va")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("nb"), F.col("embedding").alias("vb")
+    )
+    ca = cand.select("query_id", F.col("neighbor_id").alias("na"), "rel_q")
+    cb = cand.select("query_id", F.col("neighbor_id").alias("nb"))
+    simq = F.floor(
+        round_agg(F.expr(DOT_SQL.format(a="va", b="vb"))) * 10000 + F.lit(0.5)
+    ).cast("long")
+    pairs = (
+        ca.join(cb, "query_id")
+        .filter(F.col("na") != F.col("nb"))
+        .join(F.broadcast(ea), "na")
+        .join(F.broadcast(eb), "nb")
+        .select("query_id", "na", "rel_q", "nb", simq.alias("sim_q"))
+    )
+
+    def greedy(pdf):
+        import pandas as pd
+
+        qid = int(pdf["query_id"].iloc[0])
+        rel = {
+            int(r.na): int(r.rel_q)
+            for r in pdf[["na", "rel_q"]].drop_duplicates().itertuples()
+        }
+        sim = {
+            (int(r.na), int(r.nb)): int(r.sim_q)
+            for r in pdf[["na", "nb", "sim_q"]].itertuples()
+        }
+        selected, out = [], []
+        for step in range(1, MMR_K + 1):
+            best, best_score = None, None
+            for d in sorted(rel):  # ascending id => smallest wins ties
+                if d in selected:
+                    continue
+                if selected:
+                    score = 7 * rel[d] - 3 * max(sim[(d, s)] for s in selected)
+                else:
+                    score = 7 * rel[d]
+                if best_score is None or score > best_score:
+                    best, best_score = d, score
+            if best is None:
+                break
+            selected.append(best)
+            out.append((qid, best, step, best_score))
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "sel_rank", "score_q10"]
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(
+        greedy,
+        "query_id long, neighbor_id long, sel_rank long, score_q10 long",
+    )
+
+
+q_select_mmr.__doc__ = q_select_mmr.__doc__.format(
+    MMR_K=MMR_K, MMR_SHORTLIST=MMR_SHORTLIST
+)
+
+
 def _register_ann_recall() -> None:
     """Registered via a closure so the oracle can COMPOSE the already-
     registered exact / IVF / PQ search oracles as CTEs — one source of

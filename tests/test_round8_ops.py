@@ -509,3 +509,139 @@ def test_nation_trade_bilateral(spark):
     for r in rows:
         assert r["l_year"] in (1996, 1997)
         assert r["n_items"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization, Q21 shape, Kneser-Ney, MMR (round-8 session 2)
+# ---------------------------------------------------------------------------
+
+
+def test_binary_recall_row_between_zero_and_sq(spark):
+    """The 1-bit row must exist and (on this fixture) give up recall
+    vs the 8-bit SQ row scored against the SAME exact-dot truth."""
+    rows = {
+        r["method"]: r["recall"]
+        for r in query_fns()["q_ann_recall"](spark, SF_DIR).collect()
+    }
+    assert "bin" in rows and "sq" in rows
+    assert 0.0 <= rows["bin"] <= 1.0
+    assert rows["bin"] <= rows["sq"]
+
+
+def test_binary_codes_pack_32_bits_per_half(spark):
+    """Hamming distances are bounded by the 64 packed bits."""
+    df = query_fns()["q_sim_binary_topk"](spark, SF_DIR)
+    rows = df.collect()
+    assert rows and all(0 <= r["hamming"] <= 64 for r in rows)
+
+
+def test_waiting_suppliers_sole_blocker(spark):
+    """Every counted supplier must actually be the sole late supplier
+    of a multi-supplier 'F' order — replay the definition directly."""
+    from flink_pipeline_spark.catalog import load_table
+
+    fo = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, SF_DIR, "lineitem")
+    late = (
+        li.join(fo, li.l_orderkey == fo.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    # orders with exactly one late supplier AND >= 2 suppliers overall
+    one_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("nl"))
+        .filter(F.col("nl") == 1)
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+    )
+    expected = (
+        late.join(one_late, "l_orderkey", "left_semi")
+        .join(multi, "l_orderkey", "left_semi")
+        .count()
+    )
+    got = (
+        query_fns()["q_waiting_suppliers"](spark, SF_DIR)
+        .agg(F.sum("numwait"))
+        .first()[0]
+    )
+    # top-10 supplier cut can drop rows only if > 10 suppliers qualify
+    assert got <= expected
+    n_supp = query_fns()["q_waiting_suppliers"](spark, SF_DIR).count()
+    if n_supp < 10:
+        assert got == expected
+
+
+def test_kn_surprisal_matches_2g_token_accounting(spark):
+    """KN and JM score the same per-doc token streams — n_tokens must
+    agree exactly; only the probabilities (hence surprisal) differ."""
+    kn = (
+        query_fns()["q_text_surprisal_kn"](spark, SF_DIR)
+        .select("doc_id", F.col("n_tokens").alias("nk"))
+    )
+    jm = (
+        query_fns()["q_text_surprisal_2g"](spark, SF_DIR)
+        .select("doc_id", F.col("n_tokens").alias("nj"))
+    )
+    bad = kn.join(jm, "doc_id").filter(F.col("nk") != F.col("nj")).count()
+    assert bad == 0
+    mism = kn.join(jm, "doc_id", "full_outer").filter(
+        F.col("nk").isNull() | F.col("nj").isNull()
+    )
+    assert mism.count() == 0
+
+
+def test_kn_surprisal_positive_and_finite(spark):
+    rows = query_fns()["q_text_surprisal_kn"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["surprisal_q"] > 0
+        assert 0.0 < r["avg_surprisal"] < 50.0
+
+
+def test_mmr_first_pick_is_top_relevance_and_sets_diversify(spark):
+    """Greedy step 1 maximizes pure relevance; the selected set is
+    distinct; and on this fixture MMR must actually swap at least one
+    pick vs plain top-3 (otherwise the diversity term is dead code)."""
+    from flink_pipeline_spark.catalog import load_table
+    from flink_pipeline_spark.operators.llm import DOT_SQL
+    from flink_pipeline_spark.functions.portable import round_agg
+    from flink_pipeline_spark.plans.llm_ops import PQ_QUERY_MAX
+
+    mmr = query_fns()["q_select_mmr"](spark, SF_DIR).collect()
+    by_q = {}
+    for r in mmr:
+        by_q.setdefault(r["query_id"], []).append(r)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qd = emb.filter(F.col("vec_id") < PQ_QUERY_MAX).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    from pyspark.sql.window import Window
+
+    relv = round_agg(F.expr(DOT_SQL.format(a="eq", b="embedding")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    top3 = (
+        emb.join(F.broadcast(qd), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), relv.alias("rel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    )
+    top1 = {r["query_id"]: r["neighbor_id"] for r in top3 if r["rn"] == 1}
+    t3 = {(r["query_id"], r["neighbor_id"]) for r in top3}
+    picked = {(r["query_id"], r["neighbor_id"]) for r in mmr}
+    for qid, rows in by_q.items():
+        ids = [r["neighbor_id"] for r in rows]
+        assert len(ids) == len(set(ids)) == 3
+        first = [r["neighbor_id"] for r in rows if r["sel_rank"] == 1]
+        assert first == [top1[qid]]
+    assert picked != t3  # the diversity term moved at least one pick
