@@ -143,6 +143,15 @@ HEADLINE = [
     "q_dedup_minhash_estimate",
     "q_mixture_doremi",
     "q_nation_trade_volume",
+    # r8 session 2: binary (1-bit) codes + Hamming shortlist + exact
+    # re-rank, the Q21 semi+anti shape, Kneser-Ney bigram surprisal
+    # (type-table smoothing stats), and MMR diverse selection (the
+    # integer-greedy applyInPandas over relational shortlist+sims)
+    "q_sim_binary_topk",
+    "q_waiting_suppliers",
+    "q_big_orders",
+    "q_text_surprisal_kn",
+    "q_select_mmr",
     "q_knn_classify",
     "q_stream_enrich",
     # profiling layer (round 3): TF-IDF is the corpus-heaviest text op

@@ -493,3 +493,76 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_waiting_suppliers.__doc__ = q_waiting_suppliers.__doc__.format(
     LATE_DAYS=LATE_DAYS
 )
+
+
+BIG_ORDER_QTY = 300  # Q18 threshold: orders with > 300 total quantity
+
+
+@register(
+    "q_big_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey,
+               sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS qty_q
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT))
+               > {BIG_ORDER_QTY} * 10000
+    )
+    SELECT c_name, o_orderkey, o_totalprice, total_qty, rank FROM (
+        SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+               b.qty_q / 10000.0 AS total_qty,
+               row_number() OVER (
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    ) t WHERE rank <= 20
+    """,
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds {BIG_ORDER_QTY}, with their customer,
+    ranked by order value — the aggregated-HAVING IN-subquery shape
+    (Q18's `o_orderkey IN (SELECT .. GROUP BY .. HAVING sum > Q)`)
+    expressed directly as agg -> filter -> join, which is exactly the
+    semi-join plan Catalyst rewrites the IN form into, except the
+    aggregate is reused for the output column instead of computed
+    twice.
+
+    Portability: l_quantity is a non-integral DOUBLE, so the per-order
+    total quantizes each row to BIGINT ten-thousandths BEFORE the sum
+    (exact, order-independent) and both the HAVING cut and the emitted
+    total divide out of that integer — no float sum anywhere.
+
+    Scale: the qty aggregate is map-side-combinable on the lineitem
+    scan's own key; the HAVING cut shrinks the agg output to the
+    handful of jumbo orders BEFORE any join, so the orders/customer
+    joins probe with a tiny build side (AQE will broadcast it); the
+    final rank is a window over <= |big| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qq = F.floor(F.col("l_quantity") * 10000 + F.lit(0.5)).cast("long")
+    big = (
+        li.select("l_orderkey", qq.alias("qq"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("qq").alias("qty_q"))
+        .filter(F.col("qty_q") > BIG_ORDER_QTY * 10000)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("qty_q") / 10000.0).alias("total_qty"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("c_name", "o_orderkey", "o_totalprice", "total_qty", "rank")
+    )
+
+
+q_big_orders.__doc__ = q_big_orders.__doc__.format(BIG_ORDER_QTY=BIG_ORDER_QTY)

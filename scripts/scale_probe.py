@@ -46,7 +46,7 @@ WORK = "/tmp/scale_probe"
 
 def build_corpus(spark: SparkSession, m: int) -> str:
     out = os.path.join(WORK, f"m{m}")
-    marker = os.path.join(out, "_SUCCESS_PROBE_V4")  # v4: + embeddings replica
+    marker = os.path.join(out, "_SUCCESS_PROBE_V5")  # v5: + lineitem/supplier
     if os.path.exists(marker):
         return out
     d = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
@@ -119,6 +119,25 @@ def build_corpus(spark: SparkSession, m: int) -> str:
     for c in mcopies[1:]:
         allm = allm.unionByName(c)
     allm.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    # lineitem replica for the join-shape family (Q21): order keys
+    # offset in lockstep with the orders replica so every copy carries
+    # the original's late/multi-supplier structure; supplier keys
+    # UNCHANGED (the dimension stays fixed-size, as it would at 100 TB),
+    # so per-supplier waiting counts grow ~m while the supplier set
+    # does not.
+    li = spark.read.parquet(os.path.join(BASE, "lineitem.parquet"))
+    lcopies = [
+        li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k * 1_000_000_000)
+        )
+        for k in range(m)
+    ]
+    alll = lcopies[0]
+    for c in lcopies[1:]:
+        alll = alll.unionByName(c)
+    alll.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    sup = spark.read.parquet(os.path.join(BASE, "supplier.parquet"))
+    sup.write.mode("overwrite").parquet(os.path.join(out, "supplier.parquet"))
     open(marker, "w").close()
     return out
 
