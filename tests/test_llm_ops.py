@@ -599,6 +599,7 @@ def test_ann_recall_bounds_and_exact_selfcheck(spark):
         "pq_trained",
         "rerank",
         "gexp",
+        "bin",
     }
     # exact re-rank can only fix misrankings inside the ADC shortlist,
     # never lose them: its recall dominates the ivfpq row's
