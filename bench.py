@@ -154,6 +154,15 @@ HEADLINE = [
     "q_select_mmr",
     "q_knn_classify",
     "q_stream_enrich",
+    # r8 session 3: the Q17/Q13/Q14 join shapes (correlated-avg
+    # de-correlation, outer-join-condition double agg, conditional-agg
+    # ratio) and the two-phase phi-heavy-hitter scan
+    "q_small_qty_revenue",
+    "q_cust_order_dist",
+    "q_promo_revenue",
+    "q_heavy_hitters",
+    "q_banded_revenue",
+    "q_idle_rich_customers",
     # profiling layer (round 3): TF-IDF is the corpus-heaviest text op
     # (explode + two aggs + join + per-doc top-k), the funnel and
     # sessionizer exercise the stacked-window-one-exchange shape

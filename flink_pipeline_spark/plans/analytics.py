@@ -566,3 +566,312 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_big_orders.__doc__ = q_big_orders.__doc__.format(BIG_ORDER_QTY=BIG_ORDER_QTY)
+
+
+SMALL_QTY_BRAND = "Brand#13"  # Q17's single-brand probe
+
+
+@register(
+    "q_small_qty_revenue",
+    oracle=f"""
+    WITH pb AS (
+        SELECT p_partkey FROM part WHERE p_brand = '{SMALL_QTY_BRAND}'
+    ), stats AS (
+        SELECT l_partkey,
+               sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sumq100,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem JOIN pb ON l_partkey = p_partkey
+        GROUP BY l_partkey
+    )
+    SELECT
+        CAST(count(*) AS BIGINT) AS n_items,
+        sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            / CAST(700 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN stats s ON l.l_partkey = s.l_partkey
+    WHERE CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) * 5 * s.cnt
+          < s.sumq100
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 shape (small-quantity-order revenue): the average
+    yearly revenue lost if small orders — quantity below 20% of the
+    part's own average — were no longer filled, for one brand. The
+    correlated scalar subquery (`l_quantity < 0.2 * (SELECT avg(..)
+    WHERE l2.l_partkey = p.p_partkey)`) becomes a per-part aggregate
+    joined back onto the fact — the de-correlation Catalyst itself
+    performs, written directly so the aggregate builds ONLY over the
+    brand's parts (the brand filter pushes into both sides).
+
+    Portability: `q < 0.2 * avg(q)` compares a double against an
+    order-dependent float average, so both sides are cleared of
+    division entirely — quantities quantize to BIGINT hundredths and
+    the predicate is the integer cross-multiplication
+    `q100 * 5 * cnt < sum(q100)`; revenue totals in exact integer
+    cents, divided by 700 (cents x the 7-year window) only at the end.
+
+    Scale: the brand filter keeps ~1/|brands| of parts, and the
+    per-part stats table is brand-sized, so BOTH the stats build and
+    the probe join broadcast the small side; lineitem shuffles once on
+    l_partkey at most (AQE broadcasts stats instead at this SF). The
+    output is one global row from a combinable agg."""
+    pb = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == SMALL_QTY_BRAND)
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    q100 = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    brand_items = li.join(
+        F.broadcast(pb), li.l_partkey == pb.p_partkey
+    ).select("l_partkey", "l_extendedprice", q100.alias("q100"))
+    stats = brand_items.groupBy("l_partkey").agg(
+        F.sum("q100").alias("sumq100"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        brand_items.join(F.broadcast(stats), "l_partkey")
+        .filter(F.col("q100") * F.lit(5) * F.col("cnt") < F.col("sumq100"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            (F.sum(cents) / F.lit(700).cast("double")).alias("avg_yearly"),
+        )
+    )
+
+
+@register(
+    "q_cust_order_dist",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) t GROUP BY c_count
+    """,
+)
+def q_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 shape (customer order-count distribution): how many
+    customers placed 0, 1, 2, ... non-urgent orders. The defining
+    features are the predicate INSIDE the outer-join condition (an
+    urgent order must not null out its customer — filtering after the
+    join would) and the double aggregation, whose first level must
+    COUNT THE JOIN KEY (count(o_orderkey), not count(*)) so no-order
+    customers land in the c_count=0 bucket.
+
+    Scale: the priority predicate prunes the orders scan before the
+    join; the outer join shuffles both sides on the customer key;
+    level-1 aggregation is per-customer (same key — no extra
+    exchange), level-2 reduces to the #distinct-counts-sized grid
+    with map-side combine. Skewed mega-customers salt level 1 if
+    needed; the fixture keys are uniform."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@register(
+    "q_promo_revenue",
+    oracle=f"""
+    SELECT
+        CAST(count(*) AS BIGINT) AS n_items,
+        sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(floor({_REV} * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) / CAST(100 AS DOUBLE) AS promo_revenue,
+        floor(
+            CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(floor({_REV} * 100 + 0.5) AS BIGINT)
+                          ELSE 0 END) AS DOUBLE)
+            / sum(CAST(floor({_REV} * 100 + 0.5) AS BIGINT))
+            * 100 * 10000 + 0.5) / 10000 AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape (promotion effect): the share of a shipping
+    window's revenue that came from promo-class parts — the
+    conditional-aggregate ratio (`sum(CASE WHEN promo)/sum(all)`)
+    computed in ONE pass over the joined fact, no self-join, no
+    second scan.
+
+    Portability: both numerator and denominator are exact integer
+    cents (per-row floor-rounded, BIGINT-summed); the single
+    float division and the x100 percent scaling happen once at the
+    end, then portably round. The ship-window predicate pushes into
+    the parquet scan; part broadcasts.
+
+    Scale: one broadcast-joined fact scan with a fully combinable
+    conditional agg — the cheapest possible shape for a ratio over a
+    filtered fact. At 100 TB the only cost is the pruned scan itself."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.floor(F.expr(_REV) * 100 + F.lit(0.5)).cast("long")
+    promo_cents = F.sum(
+        F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0).cast("long"))
+    )
+    total_cents = F.sum(cents)
+    share = F.floor(
+        promo_cents.cast("double") / total_cents * 100 * 10000 + F.lit(0.5)
+    ) / F.lit(10000)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            (promo_cents / F.lit(100).cast("double")).alias("promo_revenue"),
+            share.alias("promo_share_pct"),
+        )
+    )
+
+
+# Q19's three (brand, size-band, quantity-band) disjuncts, adapted to
+# the fixture's brand/size domains
+PROMO_BANDS = [
+    ("Brand#13", 1, 15, 1, 11),
+    ("Brand#19", 1, 25, 10, 20),
+    ("Brand#5", 1, 35, 20, 30),
+]
+
+
+def _band_sql(brand: str, s_lo: int, s_hi: int, q_lo: int, q_hi: int) -> str:
+    return (
+        f"(p_brand = '{brand}' AND p_size BETWEEN {s_lo} AND {s_hi}"
+        f" AND l_quantity >= {q_lo} AND l_quantity <= {q_hi})"
+    )
+
+
+@register(
+    "q_banded_revenue",
+    oracle=f"""
+    SELECT
+        CAST(count(*) AS BIGINT) AS n_items,
+        {money_sum_sql(_REV)} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {" OR ".join(_band_sql(*b) for b in PROMO_BANDS)}
+    """,
+)
+def q_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19 shape (discounted revenue, disjunctive bands): revenue
+    from lineitems matching any of three (brand, part-size band,
+    quantity band) conjunct groups — the OR-of-ANDs predicate that
+    tests whether the optimizer can still PUSH the union of
+    single-table bounds into each scan. Catalyst factors the common
+    per-table envelopes out of the disjunction: the part scan gets the
+    brand IN-list + max size bound, the lineitem scan the overall
+    quantity envelope, and only the residual cross-table disjunction
+    evaluates post-join.
+
+    Portability: quantity bands compare integer-valued DOUBLEs against
+    integer literals (exact in IEEE); revenue is exact integer cents.
+
+    Scale: part broadcasts (brand IN-list prunes it first); lineitem
+    never shuffles — the whole query is scan -> broadcast-probe ->
+    combinable agg, the minimum possible shape for a disjunctive fact
+    filter. One global row out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    band = None
+    for brand, s_lo, s_hi, q_lo, q_hi in PROMO_BANDS:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & (F.col("l_quantity") >= q_lo)
+            & (F.col("l_quantity") <= q_hi)
+        )
+        band = c if band is None else (band | c)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            money_sum(F.expr(_REV)).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_idle_rich_customers",
+    oracle="""
+    WITH pos AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+        FROM customer WHERE c_acctbal > 0.0
+    ), avg_ AS (
+        SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM pos
+    ), rich AS (
+        SELECT p.c_custkey, p.c_nationkey, p.bal_c
+        FROM pos p CROSS JOIN avg_
+        WHERE p.bal_c * avg_.cnt > avg_.sum_c
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS numcust,
+           sum(r.bal_c) / CAST(100 AS DOUBLE) AS totacctbal
+    FROM rich r
+    JOIN nation n ON n.n_nationkey = r.c_nationkey
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+    )
+    GROUP BY n.n_name
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 shape (global-counts opportunity): customers whose
+    account balance beats the GLOBAL average of positive balances but
+    who never placed an order — per nation, how many and how much. Two
+    classic sub-shapes in one query: a global scalar aggregate gating
+    a row-level predicate (1-row broadcast, cleared of division via
+    the exact cross-multiplication `bal_cents * cnt > sum_cents`), and
+    the no-orders condition as a LEFT ANTI join on the customer key.
+
+    Scale: the scalar agg is one combinable pass over the pruned
+    customer scan; the anti join shuffles the (already rich-filtered,
+    tiny) customer side against orders' custkey projection — at 100 TB
+    AQE broadcasts the rich side instead; nation broadcasts; the final
+    grid is |nations| rows. The positive-balance filter pushes into
+    the parquet scan on BOTH derivations."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 0.0
+    )
+    bal_c = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    pos = cust.select("c_custkey", "c_nationkey", bal_c.alias("bal_c"))
+    avg_ = pos.agg(
+        F.sum("bal_c").cast("long").alias("sum_c"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    rich = (
+        pos.crossJoin(F.broadcast(avg_))
+        .filter(F.col("bal_c") * F.col("cnt") > F.col("sum_c"))
+        .select("c_custkey", "c_nationkey", "bal_c")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    n = load_table(spark, sf_dir, "nation")
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(n), idle.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            (F.sum("bal_c") / F.lit(100).cast("double")).alias("totacctbal"),
+        )
+    )

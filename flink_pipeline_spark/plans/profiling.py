@@ -18,7 +18,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import epoch_s_sql_duckdb, money_sum, money_sum_sql, round_agg, round_sql
+from ..functions.portable import (
+    epoch_s_sql_duckdb,
+    hash56,
+    money_sum,
+    money_sum_sql,
+    round_agg,
+    round_sql,
+)
 from .registry import register
 
 
@@ -630,4 +637,91 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_histogram_equidepth.__doc__ = q_histogram_equidepth.__doc__.format(
     q=EQD_BUCKETS
+)
+
+
+HH_K = 100     # heavy hitter = frequency > total/HH_K (phi = 1%)
+HH_BUCKETS = 4096  # phase-1 candidate grid; must be >> HH_K to prune
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS total FROM t
+    ), c AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok
+    )
+    SELECT tok, cnt,
+           floor(CAST(cnt AS DOUBLE) / total * 10000 + 0.5) / 10000 AS share
+    FROM c CROSS JOIN tot
+    WHERE cnt * {HH_K} > total
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY HITTERS (frequent items): every token whose corpus
+    frequency exceeds total/{k} (phi = 1/{k}), with its exact count
+    and share — the phi-heavy-hitter query behind stop-word discovery,
+    hot-key detection and spam-token screens.
+
+    The implementation is the two-phase candidate/verify design the
+    streaming literature (Misra-Gries, Count-Min + exact second pass)
+    reduces to in a batch engine:
+
+      phase 1 — tokens hash into a fixed {b}-bucket grid and only the
+        GRID is aggregated (map-side-combinable, {b} rows out of every
+        partition regardless of vocabulary size). A bucket's count
+        upper-bounds every member token's count, so buckets passing
+        `bucket_cnt * {k} > total` form a SUPERSET of the heavy
+        hitters (no false negatives; collisions only add candidates).
+      phase 2 — the candidate bucket ids broadcast back onto the token
+        stream, and ONLY tokens landing in candidate buckets are
+        exactly counted and filtered with the same threshold.
+
+    The output is therefore EXACTLY the true heavy-hitter set — the
+    oracle is the direct one-pass SQL — but the expensive
+    full-vocabulary aggregation never happens: with {b} >> {k}
+    buckets, a non-skewed stream qualifies ~{k} buckets, so phase 2
+    counts ~vocab*{k}/{b} of the type space. On the fixture corpus the
+    grid prunes nothing only because the synthetic vocabulary (~31
+    types) is smaller than the grid — the design is for the 100 TB
+    web-scale vocabulary where the full type table is the cost.
+
+    Scale: phase 1 shuffles {b} rows per partition; the total and the
+    candidate list are 1-row/grid-sized broadcasts; phase 2's exact
+    agg shuffles only candidate-bucket tokens. No window, no sort; the
+    share division is one deterministic IEEE op per surviving row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).select(
+        "tok", F.pmod(hash56("tok"), F.lit(HH_BUCKETS)).alias("bucket")
+    )
+    grid = toks.groupBy("bucket").agg(F.count("*").cast("long").alias("bcnt"))
+    tot = grid.agg(F.sum("bcnt").cast("long").alias("total"))
+    cand = (
+        grid.crossJoin(F.broadcast(tot))
+        .filter(F.col("bcnt") * HH_K > F.col("total"))
+        .select("bucket")
+    )
+    exact = (
+        toks.join(F.broadcast(cand), "bucket", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * HH_K > F.col("total"))
+        .select(
+            "tok",
+            "cnt",
+            round_agg(F.col("cnt").cast("double") / F.col("total")).alias(
+                "share"
+            ),
+        )
+    )
+
+
+q_heavy_hitters.__doc__ = q_heavy_hitters.__doc__.format(
+    k=HH_K, b=HH_BUCKETS
 )

@@ -46,7 +46,7 @@ WORK = "/tmp/scale_probe"
 
 def build_corpus(spark: SparkSession, m: int) -> str:
     out = os.path.join(WORK, f"m{m}")
-    marker = os.path.join(out, "_SUCCESS_PROBE_V5")  # v5: + lineitem/supplier
+    marker = os.path.join(out, "_SUCCESS_PROBE_V6")  # v6: + customer/part
     if os.path.exists(marker):
         return out
     d = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
@@ -138,6 +138,25 @@ def build_corpus(spark: SparkSession, m: int) -> str:
     alll.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
     sup = spark.read.parquet(os.path.join(BASE, "supplier.parquet"))
     sup.write.mode("overwrite").parquet(os.path.join(out, "supplier.parquet"))
+    # customer replica in LOCKSTEP with the orders replica's o_custkey
+    # offset, so every copy carries the original per-customer order
+    # profile (q_cust_order_dist's c_count distribution is invariant in
+    # m — output stays grid-sized while both join sides grow).
+    cu = spark.read.parquet(os.path.join(BASE, "customer.parquet"))
+    ccopies = [
+        cu.withColumn("c_custkey", F.col("c_custkey") + F.lit(k * 100_000_000))
+        for k in range(m)
+    ]
+    allc = ccopies[0]
+    for c in ccopies[1:]:
+        allc = allc.unionByName(c)
+    allc.write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
+    # part stays FIXED-SIZE (like supplier): lineitem replicas keep
+    # l_partkey unchanged, so per-part lineitem groups grow ~m with the
+    # original quantity structure — the Q17 per-part average is
+    # m-invariant while the fact-side work scales.
+    pt = spark.read.parquet(os.path.join(BASE, "part.parquet"))
+    pt.write.mode("overwrite").parquet(os.path.join(out, "part.parquet"))
     open(marker, "w").close()
     return out
 

@@ -298,6 +298,12 @@ _ALLOWED_BNLJ = {
     "q_quality_calibration",  # composes q_quality_linear (vetted 1-row consts)
     "q_mixture_doremi",      # composes both LMs (vetted) + 1-row denominators
     "q_sim_graph_expand",    # composes q_sim_ivfpq_topk (vetted) + k-row expansion
+    # r8 session 2/3: same vetted classes
+    "q_sim_binary_topk",     # 1-row packed-midpoint codebook + k-row query broadcasts
+    "q_text_surprisal_kn",   # 1-row KN smoothing-constants broadcast
+    "q_select_mmr",          # composes the k-row relevance shortlist + pair sims
+    "q_heavy_hitters",       # 1-row corpus-total broadcast onto the candidate grid
+    "q_idle_rich_customers", # 1-row global-average scalar broadcast
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
