@@ -83,6 +83,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         aggregates,
         analytics,
+        analytics_shapes,
         joins,
         llm_ops,
         pipeline_queries,
