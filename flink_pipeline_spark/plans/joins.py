@@ -307,3 +307,67 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
         F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
     )
+
+
+SALT_BUCKETS = 8  # replication factor for the skew-salted join demo
+
+
+@register(
+    "q_join_skew_salted",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           {money_sum_sql('o.o_totalprice')} AS total_value,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW-SALTED join: the replicate-and-salt technique for equi-joins
+    whose key distribution concentrates on a few hot values (one
+    mega-customer owning 30% of orders melts the single reducer that
+    key hashes to). The fact side gets a deterministic salt
+    (pmod(o_orderkey, {SALT_BUCKETS}) — derived from the row identity,
+    never rand(), so retries and both engines agree), the dimension
+    side is exploded {SALT_BUCKETS}x with every salt value, and the
+    join key becomes (custkey, salt): each hot key now spreads over
+    {SALT_BUCKETS} reducers. The oracle is the PLAIN join — salting
+    must be invisible in the result, and the hash gate proves it.
+
+    Complements q_skew_salted_agg (salted two-phase aggregation) with
+    the JOIN half of the skew playbook. AQE's skewedJoin handles this
+    automatically when statistics surface the skew at runtime; manual
+    salting remains the tool when the skew is known ahead of time or
+    the join is sort-merge. Cost: the dimension side is replicated
+    {SALT_BUCKETS}x — only ever worth it for dimension-sized builds.
+
+    Scale: fact shuffles once on the salted composite key; the
+    replicated dimension shuffles {SALT_BUCKETS}x its (small) size;
+    the agg is map-side combinable; money totals in exact integer
+    cents."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.pmod(F.col("o_orderkey"), F.lit(SALT_BUCKETS)).alias("salt"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(SALT_BUCKETS)])
+        ).alias("salt"),
+    )
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            money_sum(F.col("o_totalprice")).alias("total_value"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+q_join_skew_salted.__doc__ = q_join_skew_salted.__doc__.format(
+    SALT_BUCKETS=SALT_BUCKETS
+)

@@ -84,6 +84,7 @@ def _load_all() -> None:
         aggregates,
         analytics,
         analytics_shapes,
+        corpus_ops,
         joins,
         llm_ops,
         pipeline_queries,

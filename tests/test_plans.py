@@ -304,6 +304,9 @@ _ALLOWED_BNLJ = {
     "q_select_mmr",          # composes the k-row relevance shortlist + pair sims
     "q_heavy_hitters",       # 1-row corpus-total broadcast onto the candidate grid
     "q_idle_rich_customers", # 1-row global-average scalar broadcast
+    # r8 session 4: same vetted classes
+    "q_important_parts",     # 1-row (total, count) scalar gate broadcast
+    "q_graph_pagerank",      # 1-row base-mass constant broadcast per iteration
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.

@@ -1,0 +1,350 @@
+"""Property tests for the round-8 session-4 operators (the completed
+TPC-H shape family + corpus ops) — the invariants oracle parity cannot
+see: parity proves both engines agree; these prove the semantics are
+the published query's / algorithm's."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_pipeline_spark.catalog import load_table
+from flink_pipeline_spark.plans import query_fns
+from flink_pipeline_spark.plans.corpus_ops import PR_ITERS, PR_SCALE
+from flink_pipeline_spark.plans.joins import SALT_BUCKETS
+
+from .conftest import SF_DIR
+
+
+def _q(spark, name):
+    return query_fns()[name](spark, SF_DIR)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shape semantics
+# ---------------------------------------------------------------------------
+
+
+def test_min_cost_supplier_is_groupwise_min(spark):
+    """Every emitted (part, supplier) pair must carry the exact minimum
+    cent-quantized price among EUROPE-region suppliers of that part,
+    recomputed brute-force."""
+    rows = _q(spark, "q_min_cost_supplier").collect()
+    assert rows, "probe returned nothing"
+    li = load_table(spark, SF_DIR, "lineitem")
+    s = load_table(spark, SF_DIR, "supplier")
+    n = load_table(spark, SF_DIR, "nation")
+    r = load_table(spark, SF_DIR, "region").filter(F.col("r_name") == "EUROPE")
+    eur = s.join(n, s.s_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    best = {
+        row["l_partkey"]: row["m"]
+        for row in (
+            li.join(eur.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
+            .groupBy("l_partkey")
+            .agg(
+                F.min(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).alias("m")
+            )
+            .collect()
+        )
+    }
+    for row in rows:
+        assert round(row["supply_cost"] * 100) == best[row["p_partkey"]]
+    # rank must be ordered by balance descending
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    bals = [r["s_acctbal"] for r in by_rank]
+    assert bals == sorted(bals, reverse=True) or all(
+        bals[i] >= bals[i + 1] for i in range(len(bals) - 1)
+    )
+
+
+def test_order_priority_check_counts_qualifying_orders(spark):
+    """The per-priority counts must sum to the number of distinct
+    orders in the window having >= 1 late line (brute-force)."""
+    got = {r["o_orderpriority"]: r["order_count"] for r in
+           _q(spark, "q_order_priority_check").collect()}
+    o = load_table(spark, SF_DIR, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, SF_DIR, "lineitem")
+    qual = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .select("o_orderkey")
+        .distinct()
+        .count()
+    )
+    assert sum(got.values()) == qual
+    assert set(got) <= {
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    }
+
+
+def test_market_share_is_a_share(spark):
+    rows = _q(spark, "q_market_share").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["nation_revenue"] <= r["total_revenue"]
+        # the rounded ratio must match the emitted revenue pair
+        assert abs(
+            r["mkt_share"] - r["nation_revenue"] / r["total_revenue"]
+        ) < 1e-3
+
+
+def test_important_parts_threshold_is_exact(spark):
+    """Returned set == {parts with value > 1.5x mean}, both directions,
+    recomputed brute-force from the fact table."""
+    got = {r["l_partkey"] for r in _q(spark, "q_important_parts").collect()}
+    li = load_table(spark, SF_DIR, "lineitem")
+    pv = (
+        li.select(
+            "l_partkey",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("c").alias("v"))
+        .collect()
+    )
+    tot = sum(r["v"] for r in pv)
+    cnt = len(pv)
+    want = {r["l_partkey"] for r in pv if r["v"] * cnt * 2 > 3 * tot}
+    assert got == want and got
+
+
+def test_late_shipments_counts_partition(spark):
+    """high + low must equal the total late-line count (the two CASE
+    branches partition every joined row)."""
+    rows = _q(spark, "q_late_shipments").collect()
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    total = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .count()
+    )
+    assert sum(r["high_line_count"] + r["low_line_count"] for r in rows) == total
+
+
+def test_top_supplier_is_argmax(spark):
+    rows = _q(spark, "q_top_supplier").collect()
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    per = (
+        li.select(
+            "l_suppkey",
+            F.floor(
+                F.expr("l_extendedprice * (1 - l_discount)") * 100 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("c").alias("t"))
+        .collect()
+    )
+    m = max(r["t"] for r in per)
+    winners = {r["l_suppkey"] for r in per if r["t"] == m}
+    assert {r["s_suppkey"] for r in rows} == winners
+    for r in rows:
+        assert round(r["total_revenue"] * 100) == m
+
+
+def test_supplier_part_count_excludes_blacklist(spark):
+    """No count may include a blacklisted supplier: recompute one grid
+    cell brute-force including the exclusions."""
+    rows = _q(spark, "q_supplier_part_count").collect()
+    assert rows
+    probe = max(rows, key=lambda r: r["supplier_cnt"])
+    li = load_table(spark, SF_DIR, "lineitem")
+    p = load_table(spark, SF_DIR, "part").filter(
+        (F.col("p_brand") == probe["p_brand"])
+        & (F.col("p_type") == probe["p_type"])
+        & (F.col("p_size") == probe["p_size"])
+    )
+    bad = load_table(spark, SF_DIR, "supplier").filter(
+        F.col("s_name").like("%7")
+    ).select("s_suppkey")
+    want = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .select("l_suppkey")
+        .distinct()
+        .count()
+    )
+    assert probe["supplier_cnt"] == want
+
+
+def test_dominant_suppliers_majority_holds(spark):
+    """For the supplier with the most dominated parts, re-verify one
+    dominance claim brute-force: its shipped quantity for some
+    prefixed part in the window must exceed half the part total."""
+    rows = _q(spark, "q_dominant_suppliers").collect()
+    assert rows
+    top = max(rows, key=lambda r: r["n_dominated"])
+    li = load_table(spark, SF_DIR, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    pp = load_table(spark, SF_DIR, "part").filter(
+        F.col("p_name").startswith("small")
+    ).select("p_partkey")
+    q100 = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    ps = (
+        li.join(pp, li.l_partkey == pp.p_partkey)
+        .select("l_partkey", "l_suppkey", q100.alias("q"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("q").alias("sq"))
+    )
+    pt = ps.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    n_dom = (
+        ps.join(pt, "l_partkey")
+        .filter(
+            (F.col("l_suppkey") == top["s_suppkey"])
+            & (F.col("sq") * 2 > F.col("tq"))
+        )
+        .count()
+    )
+    assert n_dom == top["n_dominated"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Salted join: same answer as the plain join, salted plan shape
+# ---------------------------------------------------------------------------
+
+
+def test_skew_salted_join_equals_plain_join(spark):
+    got = {
+        r["c_mktsegment"]: (r["total_value"], r["n_orders"])
+        for r in _q(spark, "q_join_skew_salted").collect()
+    }
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    plain = {
+        r["c_mktsegment"]: (r["t"], r["n"])
+        for r in (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                (F.sum(cents) / F.lit(100.0)).alias("t"),
+                F.count("*").cast("long").alias("n"),
+            )
+            .collect()
+        )
+    }
+    assert got == plain
+    # the fact side must actually join on the composite (key, salt):
+    # every salt bucket receives rows (replication really happened)
+    o2 = load_table(spark, SF_DIR, "orders").select(
+        F.pmod(F.col("o_orderkey"), F.lit(SALT_BUCKETS)).alias("salt")
+    )
+    n_buckets = o2.distinct().count()
+    assert n_buckets == SALT_BUCKETS
+
+
+# ---------------------------------------------------------------------------
+# PageRank: fixed-point mass conservation + determinism
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_mass_conserved_and_bounded(spark):
+    rows = _q(spark, "q_graph_pagerank").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r["rank_q"] <= PR_SCALE
+        assert 0.0 <= r["score"] <= 1.0
+    # ranks ordered by (rank_q desc, id asc) along the rnk column
+    ordered = sorted(rows, key=lambda r: r["rnk"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["rank_q"] > b["rank_q"] or (
+            a["rank_q"] == b["rank_q"] and a["id"] < b["id"]
+        )
+
+
+def test_pagerank_total_mass_within_truncation_bound(spark):
+    """Fixed-point PageRank only ever TRUNCATES mass (every div rounds
+    down), so total mass must stay in (SCALE - bound, SCALE]. The
+    bound is loose: one unit per edge per iteration plus one per node
+    per iteration plus the init remainder."""
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .count()
+    )
+    n_edges = 2 * pair.count()
+    n_nodes = (
+        pair.select(F.col("o_custkey").alias("k")).distinct().count()
+        + pair.select(F.col("l_suppkey").alias("k")).distinct().count()
+    )
+    top = _q(spark, "q_graph_pagerank").collect()
+    # the top-20 alone can't exceed the total mass, which truncation
+    # keeps at <= SCALE; and the max rank must be >= the mean of the
+    # full vector, whose total is >= SCALE - the truncation bound
+    slack = PR_ITERS * (n_edges + n_nodes) + n_nodes
+    assert sum(r["rank_q"] for r in top) <= PR_SCALE
+    assert max(r["rank_q"] for r in top) >= (PR_SCALE - slack) // n_nodes
+
+
+def test_pagerank_bit_identical_across_runs(spark):
+    a = [(r["id"], r["rank_q"]) for r in _q(spark, "q_graph_pagerank").collect()]
+    b = [(r["id"], r["rank_q"]) for r in _q(spark, "q_graph_pagerank").collect()]
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: weights are a proper reweighting
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_soft_weights(spark):
+    rows = _q(spark, "q_dedup_soft").collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    clusters = {}
+    for r in rows:
+        assert 0.0 < r["weight"] <= 1.0
+        assert r["n_copies"] >= 1
+        if r["n_copies"] == 1:
+            assert r["weight"] == 1.0
+        clusters.setdefault(r["n_copies"], []).append(r["weight"])
+    # every member of an n-cluster carries the same 1/n weight,
+    # and the cluster's total mass is ~1 document-equivalent
+    for n, ws in clusters.items():
+        assert all(w == ws[0] for w in ws)
+        assert abs(ws[0] * n - 1.0) <= n * 5e-5  # rounding slack
+    # soft dedup must shrink effective size iff duplicates exist
+    eff = sum(r["weight"] for r in rows)
+    has_dups = any(r["n_copies"] > 1 for r in rows)
+    assert (eff < n_docs) == has_dups
+
+
+# ---------------------------------------------------------------------------
+# Zipf: slope sign and rank budget
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_slope_negative(spark):
+    row = _q(spark, "q_text_zipf").collect()[0]
+    assert row["n_ranks"] >= 2
+    assert row["n_ranks"] <= 100
+    assert row["zipf_slope"] < 0.0
