@@ -163,6 +163,17 @@ HEADLINE = [
     "q_heavy_hitters",
     "q_banded_revenue",
     "q_idle_rich_customers",
+    # r8 session 4: the Q8/Q9/Q4 shapes (double-role nation share,
+    # infix-LIKE profit grid, correlated-EXISTS priority check), the
+    # fixed-point PageRank (3 Pregel rounds over the trade graph),
+    # soft dedup (cluster census + weight join on top of the CC
+    # machinery), and the replicate-and-salt skew join
+    "q_market_share",
+    "q_product_profit",
+    "q_order_priority_check",
+    "q_graph_pagerank",
+    "q_dedup_soft",
+    "q_join_skew_salted",
     # profiling layer (round 3): TF-IDF is the corpus-heaviest text op
     # (explode + two aggs + join + per-doc top-k), the funnel and
     # sessionizer exercise the stacked-window-one-exchange shape

@@ -211,10 +211,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     table."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # pair is referenced FOUR times downstream (both union branches,
+    # each again under the outw join) — checkpoint it once or the
+    # single edge-build action recomputes the fact join 4x (measured
+    # 4.1 s -> 2.0 s for the build at sf0.1)
     pair = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
     )
     cid = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
     sid = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
@@ -222,8 +227,20 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair.select(sid.alias("src"), cid.alias("dst"), "w")
     )
     outw = raw.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
-    edges = raw.join(outw, "src").persist()
-    nodes = edges.select(F.col("src").alias("id")).distinct()
+    # localCheckpoint, not persist: the iterative consumer re-ANALYZES
+    # the full logical lineage every iteration even on cache hits (the
+    # connected_components finding, operators/llm.py) — truncating the
+    # edge build once keeps iteration i from re-planning the whole
+    # build i times. Same for the (small) node list, which every
+    # iteration's left join touches. The outw join's own exchange
+    # leaves edges hash-partitioned by src — the partitioning every
+    # propagation join reuses, so no explicit repartition is needed.
+    edges = raw.join(outw, "src").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     base = nodes.agg(
         F.expr(f"CAST({PR_SCALE} div count(*) AS BIGINT)").alias("b")
     )
@@ -361,3 +378,307 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_text_zipf.__doc__ = q_text_zipf.__doc__.format(ZIPF_TOP=ZIPF_TOP)
+
+
+# --------------------------------------------- PCA covariance (fit)
+PCA_SAMPLE_MOD = 8  # fit on the deterministic 1/8 sample (vec_id % 8)
+PCA_Q = 10**4  # per-element fixed-point scale; products carry Q^2
+
+
+@register(
+    "q_embed_pca_cov",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding
+        FROM embeddings WHERE vec_id % {PCA_SAMPLE_MOD} = 0
+    ), el AS (
+        SELECT e.vec_id, t.range AS d,
+               CAST(floor(e.embedding[t.range + 1] * {PCA_Q} + 0.5)
+                    AS BIGINT) AS xq
+        FROM e, range(64) t
+    ), p AS (
+        SELECT a.d AS d_i, b.d AS d_j,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a.xq * b.xq) AS BIGINT) AS sxy,
+               CAST(sum(a.xq) AS BIGINT) AS sx,
+               CAST(sum(b.xq) AS BIGINT) AS sy
+        FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.d <= b.d
+        GROUP BY a.d, b.d
+    )
+    SELECT d_i, d_j, n,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n * {PCA_Q * PCA_Q})
+                 * 100000000 + 0.5) / 100000000 AS cov
+    FROM p
+    """,
+)
+def q_embed_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance-matrix fit — the first half of PCA
+    whitening / OPQ rotation training (the preprocessing step
+    embedding-dedup and ANN pipelines run before quantization; FAISS
+    trains OPQ/PCA on a sample exactly like this). Emits the upper
+    triangle of the 64x64 covariance matrix computed over a
+    DETERMINISTIC 1/{PCA_SAMPLE_MOD} sample (vec_id modulus — fitting
+    rotations on a sample is the production norm, and the modulus
+    keeps the sample identical across engines and runs).
+
+    Portability: elements quantize to BIGINT ten-thousandths; all
+    three regression moments (sum, cross-sum, count) are exact BIGINT;
+    cov = (n*Sxy - Sx*Sy) / (n^2 * Q^2) is one double division,
+    portably rounded. BIGINT headroom holds to ~1e6 sampled vectors;
+    beyond that promote the moments to DECIMAL(38,0) in both engines
+    (the money_sum convention).
+
+    Scale: explode is 64/row on the SAMPLE only; the self-join keys on
+    vec_id (co-partitioned, d<=d residual) and the aggregate reduces
+    straight to the fixed 2080-cell grid with map-side combine. The
+    full corpus is never touched — sample-fit, corpus-apply."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % PCA_SAMPLE_MOD == 0)
+        .select(
+            "vec_id", F.posexplode("embedding").alias("d", "x")
+        )
+        .select(
+            "vec_id",
+            "d",
+            F.floor(F.col("x") * PCA_Q + F.lit(0.5)).cast("long").alias("xq"),
+        )
+    )
+    a = e.select(
+        F.col("vec_id").alias("va"),
+        F.col("d").alias("d_i"),
+        F.col("xq").alias("xa"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"),
+        F.col("d").alias("d_j"),
+        F.col("xq").alias("xb"),
+    )
+    p = (
+        a.join(b, (F.col("va") == F.col("vb")) & (F.col("d_i") <= F.col("d_j")))
+        .groupBy("d_i", "d_j")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+            F.sum("xa").cast("long").alias("sx"),
+            F.sum("xb").cast("long").alias("sy"),
+        )
+    )
+    cov = (
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n").cast("double") * F.col("n") * (PCA_Q * PCA_Q))
+            * 100000000
+            + F.lit(0.5)
+        )
+        / 100000000
+    )
+    return p.select("d_i", "d_j", "n", cov.alias("cov"))
+
+
+q_embed_pca_cov.__doc__ = q_embed_pca_cov.__doc__.format(
+    PCA_SAMPLE_MOD=PCA_SAMPLE_MOD
+)
+
+
+# --------------------------------------------- rendezvous sharding
+RDV_SHARDS = 16
+
+
+def _rdv_hash_duck(shard_expr: str) -> str:
+    from ..functions.portable import hash56_sql_duckdb
+
+    return hash56_sql_duckdb(
+        f"CAST(doc_id AS VARCHAR) || ':' || CAST({shard_expr} AS VARCHAR)"
+    )
+
+
+@register(
+    "q_shard_rendezvous",
+    oracle=f"""
+    WITH grid AS (
+        SELECT d.doc_id, t.range AS shard,
+               {_rdv_hash_duck("t.range")} AS h
+        FROM documents d, range({RDV_SHARDS + 1}) t
+    ), a_now AS (
+        SELECT doc_id, shard FROM (
+            SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY h DESC, shard) AS rn
+            FROM grid WHERE shard < {RDV_SHARDS}
+        ) x WHERE rn = 1
+    ), a_grown AS (
+        SELECT doc_id, shard FROM (
+            SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY h DESC, shard) AS rn
+            FROM grid
+        ) x WHERE rn = 1
+    )
+    SELECT a_now.shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN a_now.shard <> a_grown.shard
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           CAST(sum(CASE WHEN a_now.shard <> a_grown.shard
+                          AND a_grown.shard = {RDV_SHARDS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_to_new
+    FROM a_now JOIN a_grown ON a_now.doc_id = a_grown.doc_id
+    GROUP BY a_now.shard
+    """,
+)
+def q_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) sharding — the stable shard
+    assignment for corpora that grow shards over time: each document
+    goes to argmax over shards of hash(doc, shard). Adding a shard
+    moves ONLY the documents whose new-shard hash beats their current
+    winner — an expected 1/(S+1) of the corpus, every one landing on
+    the NEW shard — where modulo sharding reshuffles (S-1)/S of
+    everything. The query emits the current {RDV_SHARDS}-shard census
+    AND the migration audit against {RDV_SHARDS}+1 shards; the HRW
+    property is registry-visible as n_moved == n_moved_to_new on
+    every row.
+
+    Portability: the weight is the shared hash56 of 'doc_id:shard';
+    argmax ties break by shard index (hash equality across shards is
+    ~2^-56 but the tiebreak removes even that).
+
+    Scale: the grid is a generated {RDV_SHARDS}+1-row explode per doc
+    (no join), both argmaxes ride ONE window over the same
+    doc-partitioned exchange, and the census is shard-cardinality
+    rows. At 100 TB this is the cheapest possible stable-assignment
+    scan: one shuffle on doc_id, no state."""
+    from ..functions.portable import hash56
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    grid = d.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(RDV_SHARDS + 1)])
+        ).alias("shard"),
+    ).select(
+        "doc_id",
+        "shard",
+        hash56(
+            F.concat_ws(":", F.col("doc_id"), F.col("shard"))
+        ).alias("h"),
+    )
+    w_all = Window.partitionBy("doc_id").orderBy(F.col("h").desc(), "shard")
+    ranked = grid.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w_all).alias("rn_grown"),
+        F.when(F.col("shard") < RDV_SHARDS, True).otherwise(False).alias(
+            "now_eligible"
+        ),
+        "h",
+    )
+    w_now = Window.partitionBy("doc_id").orderBy(F.col("h").desc(), "shard")
+    a_grown = ranked.filter(F.col("rn_grown") == 1).select(
+        "doc_id", F.col("shard").alias("shard_grown")
+    )
+    a_now = (
+        ranked.filter("now_eligible")
+        .withColumn("rn_now", F.row_number().over(w_now))
+        .filter(F.col("rn_now") == 1)
+        .select("doc_id", F.col("shard").alias("shard"))
+    )
+    moved = F.when(F.col("shard") != F.col("shard_grown"), 1).otherwise(0)
+    to_new = F.when(
+        (F.col("shard") != F.col("shard_grown"))
+        & (F.col("shard_grown") == RDV_SHARDS),
+        1,
+    ).otherwise(0)
+    return (
+        a_now.join(a_grown, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(moved).cast("long").alias("n_moved"),
+            F.sum(to_new).cast("long").alias("n_moved_to_new"),
+        )
+    )
+
+
+q_shard_rendezvous.__doc__ = q_shard_rendezvous.__doc__.format(
+    RDV_SHARDS=RDV_SHARDS
+)
+
+
+# ------------------------------------------------- token entropy
+@register(
+    "q_text_entropy",
+    oracle="""
+    WITH tc AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+    ), tn AS (
+        SELECT doc_id, c,
+               CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        FROM tc
+    ), m AS (
+        SELECT doc_id,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(c * CAST(floor(
+                   ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+                   * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS h_q
+        FROM tn GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_tokens, n_distinct,
+           floor(h_q / CAST(n AS DOUBLE) + 0.5) / 10000 AS entropy
+    FROM m
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution (Shannon) entropy in nats —
+    the information-density quality feature (low entropy = repeated
+    boilerplate, near-ln(n_tokens) = no repetition at all) that
+    quality classifiers consume alongside the Gopher ratios and
+    repetition shares.
+
+    H = sum_t (c_t/n) ln(n/c_t), computed as an exact BIGINT sum of
+    per-type terms c_t * lnq(n/c_t) (each ln quantized to integer
+    ten-thousandths per row — the q_text_surprisal convention, ln-ulp
+    caveat applies) divided once by n.
+
+    Scale: one explode -> (doc, tok) counts -> per-doc reduce; the
+    per-doc total rides the same aggregate via a window over the
+    already-grouped TYPE table (types/doc rows, not tokens/doc) —
+    two shuffles total, both on doc-ish keys, no joins."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.partitionBy("doc_id")
+    term_q = F.col("c") * F.floor(
+        F.log(
+            F.sum("c").over(w).cast("double") / F.col("c").cast("double")
+        )
+        * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    m = (
+        tc.withColumn("term_q", term_q)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum("term_q").cast("long").alias("h_q"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_distinct",
+        (
+            F.floor(F.col("h_q") / F.col("n").cast("double") + F.lit(0.5))
+            / 10000
+        ).alias("entropy"),
+    )

@@ -46,7 +46,7 @@ WORK = "/tmp/scale_probe"
 
 def build_corpus(spark: SparkSession, m: int) -> str:
     out = os.path.join(WORK, f"m{m}")
-    marker = os.path.join(out, "_SUCCESS_PROBE_V6")  # v6: + customer/part
+    marker = os.path.join(out, "_SUCCESS_PROBE_V7")  # v7: + nation/region
     if os.path.exists(marker):
         return out
     d = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
@@ -157,6 +157,13 @@ def build_corpus(spark: SparkSession, m: int) -> str:
     # m-invariant while the fact-side work scales.
     pt = spark.read.parquet(os.path.join(BASE, "part.parquet"))
     pt.write.mode("overwrite").parquet(os.path.join(out, "part.parquet"))
+    # nation/region stay FIXED-SIZE dimension chains (Q5/Q7/Q8 shapes):
+    # replicated customers keep their original c_nationkey, so each
+    # nation's customer population grows ~m with structure preserved.
+    for dim in ("nation", "region"):
+        spark.read.parquet(os.path.join(BASE, f"{dim}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{dim}.parquet"))
     open(marker, "w").close()
     return out
 

@@ -348,3 +348,76 @@ def test_zipf_slope_negative(spark):
     assert row["n_ranks"] >= 2
     assert row["n_ranks"] <= 100
     assert row["zipf_slope"] < 0.0
+
+
+# ---------------------------------------------------------------------------
+# PCA covariance fit: PSD-implied bounds on the emitted triangle
+# ---------------------------------------------------------------------------
+
+
+def test_pca_cov_triangle_bounds(spark):
+    rows = _q(spark, "q_embed_pca_cov").collect()
+    assert len(rows) == 64 * 65 // 2
+    n_sample = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") % 8 == 0)
+        .count()
+    )
+    var = {}
+    for r in rows:
+        assert r["n"] == n_sample
+        if r["d_i"] == r["d_j"]:
+            assert r["cov"] >= 0.0  # variance
+            var[r["d_i"]] = r["cov"]
+    # Cauchy-Schwarz with rounding slack on every off-diagonal cell
+    for r in rows:
+        if r["d_i"] != r["d_j"]:
+            bound = (var[r["d_i"]] * var[r["d_j"]]) ** 0.5
+            assert abs(r["cov"]) <= bound + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous sharding: census conservation + the HRW migration law
+# ---------------------------------------------------------------------------
+
+
+def test_rendezvous_hrw_property(spark):
+    rows = _q(spark, "q_shard_rendezvous").collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    moved = 0
+    for r in rows:
+        assert 0 <= r["shard"] < 16
+        # THE rendezvous property: every migrating doc goes to the
+        # new shard, none shuffles between existing shards
+        assert r["n_moved"] == r["n_moved_to_new"]
+        moved += r["n_moved"]
+    # expected migration is n/(S+1); allow a generous band but demand
+    # it is nonzero and nowhere near the (S-1)/S of modulo sharding
+    assert 0 < moved < n_docs * 3 / 17
+    assert moved < n_docs / 2
+
+
+def test_rendezvous_deterministic(spark):
+    a = sorted(map(tuple, _q(spark, "q_shard_rendezvous").collect()))
+    b = sorted(map(tuple, _q(spark, "q_shard_rendezvous").collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Token entropy: Shannon bounds
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_bounds(spark):
+    import math
+
+    rows = _q(spark, "q_text_entropy").collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["n_distinct"] <= r["n_tokens"]
+        # 0 <= H <= ln(n_distinct), with quantization slack
+        assert -1e-4 <= r["entropy"] <= math.log(r["n_distinct"]) + 1e-3
+        if r["n_distinct"] == 1:
+            assert r["entropy"] == 0.0
