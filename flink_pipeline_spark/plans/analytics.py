@@ -875,3 +875,101 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("bal_c") / F.lit(100).cast("double")).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH ref AS (
+        SELECT max(o_orderdate) AS r FROM orders
+    ), cust AS (
+        SELECT o.o_custkey,
+               CAST(date_diff('day', max(o.o_orderdate),
+                              (SELECT r FROM ref)) AS BIGINT)
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS monetary_c
+        FROM orders o GROUP BY o.o_custkey
+    ), scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary_c,
+               CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                    AS BIGINT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency ASC, o_custkey)
+                    AS BIGINT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary_c ASC, o_custkey)
+                    AS BIGINT) AS m_score
+        FROM cust
+    )
+    SELECT o_custkey AS c_custkey, recency_days, frequency,
+           monetary_c / CAST(100 AS DOUBLE) AS monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS segment
+    FROM scored
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the customer-value quintile grid (recency /
+    frequency / monetary) every retention team maintains: per customer,
+    days since last order (against the corpus's own max order date, so
+    the query is reproducible without a wall clock), order count, and
+    lifetime spend, each scored into quintiles via ntile(5), composed
+    into the classic 111..555 segment code (555 = recent, frequent,
+    big spender).
+
+    Determinism: every ntile ORDER BY carries the customer key as a
+    tiebreak — quintile boundaries on tied metric values would
+    otherwise depend on shuffle order; spend is exact integer cents;
+    day arithmetic is integer against midnight timestamps.
+
+    Scale: one per-customer aggregate (map-side combinable on the
+    orders scan), then three GLOBAL ntile windows over the
+    customer-dim-sized aggregate — a global sort each, the honest
+    price of exact quantile bucketing (the reason this runs on the
+    AGGREGATE, never the fact). At extreme customer counts swap
+    exact ntile for approx-percentile cutpoints (q_percentile's
+    machinery) and keep the same segment codes."""
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("r"))
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(cents).cast("long").alias("monetary_c"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("r"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_c",
+        )
+    )
+    w_r = Window.orderBy(F.col("recency_days").desc(), "o_custkey")
+    w_f = Window.orderBy(F.col("frequency").asc(), "o_custkey")
+    w_m = Window.orderBy(F.col("monetary_c").asc(), "o_custkey")
+    scored = cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_c",
+        F.ntile(5).over(w_r).cast("long").alias("r_score"),
+        F.ntile(5).over(w_f).cast("long").alias("f_score"),
+        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+    )
+    return scored.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "recency_days",
+        "frequency",
+        (F.col("monetary_c") / F.lit(100).cast("double")).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).alias("segment"),
+    )

@@ -152,12 +152,9 @@ def _pr_oracle() -> str:
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_custkey, l.l_suppkey
     ), raw_edges AS (
-        SELECT 'c' || CAST(c AS VARCHAR) AS src,
-               's' || CAST(s AS VARCHAR) AS dst, w
-        FROM pair
+        SELECT c * 2 AS src, s * 2 + 1 AS dst, w FROM pair
         UNION ALL
-        SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR), w
-        FROM pair
+        SELECT s * 2 + 1, c * 2, w FROM pair
     ), outw AS (
         SELECT src, CAST(sum(w) AS BIGINT) AS ow
         FROM raw_edges GROUP BY src
@@ -171,7 +168,10 @@ def _pr_oracle() -> str:
     ), r0 AS (
         SELECT id, base.b AS r FROM nodes CROSS JOIN base
     ), {", ".join(iters)}
-    SELECT id, rank_q, score, rnk FROM (
+    SELECT CASE WHEN id % 2 = 0 THEN 'c' || CAST(id // 2 AS VARCHAR)
+                ELSE 's' || CAST(id // 2 AS VARCHAR) END AS id,
+           rank_q, score, rnk
+    FROM (
         SELECT id, r AS rank_q,
                floor(r / {PR_SCALE}.0 * 10000000 + 0.5) / 10000000
                    AS score,
@@ -221,8 +221,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("w"))
         .localCheckpoint(eager=True)
     )
-    cid = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-    sid = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    # node ids stay BIGINT through every shuffle (customer = 2k,
+    # supplier = 2k+1) — string ids tripled the edge list's in-memory
+    # footprint and OOM'ed the 48x scale probe; the display form is
+    # minted once, on the 20 output rows
+    cid = (F.col("o_custkey") * 2).cast("long")
+    sid = (F.col("l_suppkey") * 2 + 1).cast("long")
     raw = pair.select(cid.alias("src"), sid.alias("dst"), "w").unionAll(
         pair.select(sid.alias("src"), cid.alias("dst"), "w")
     )
@@ -268,10 +272,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-    w = Window.orderBy(F.col("rank_q").desc(), "id")
+    w = Window.orderBy(F.col("rank_q").desc(), "nid")
+    display = F.concat(
+        F.when(F.col("nid") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.expr("nid div 2").cast("string"),
+    )
     return (
         rank.select(
-            "id",
+            F.col("id").alias("nid"),
             F.col("r").alias("rank_q"),
             (
                 F.floor(
@@ -282,7 +290,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= PR_TOP)
-        .select("id", "rank_q", "score", "rnk")
+        .select(display.alias("id"), "rank_q", "score", "rnk")
     )
 
 
@@ -682,3 +690,137 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("entropy"),
     )
+
+
+# ------------------------------------- farthest-point (k-center) seeding
+SEED_K = 4  # seeds selected; round r maximizes distance to rounds < r
+
+
+def _seed_oracle() -> str:
+    """Unrolled farthest-point traversal in SQL: exact integer squared
+    L2 on quantized elements, argmax by (dist DESC, vec_id)."""
+    ctes = [
+        """el AS (
+        SELECT vec_id, t.range AS d,
+               CAST(floor(embedding[t.range + 1] * 10000 + 0.5) AS BIGINT)
+                   AS xq
+        FROM embeddings, range(64) t
+    ), s1 AS (
+        SELECT d, xq FROM el
+        WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ), d1 AS (
+        SELECT e.vec_id,
+               CAST(sum((e.xq - s.xq) * (e.xq - s.xq)) AS BIGINT) AS dist
+        FROM el e JOIN s1 s ON s.d = e.d GROUP BY e.vec_id
+    )"""
+    ]
+    prev_d = "d1"
+    for i in range(2, SEED_K + 1):
+        ctes.append(
+            f"""pick{i} AS (
+        SELECT vec_id, dist FROM {prev_d}
+        ORDER BY dist DESC, vec_id LIMIT 1
+    ), s{i} AS (
+        SELECT d, xq FROM el
+        WHERE vec_id = (SELECT vec_id FROM pick{i})
+    ), nd{i} AS (
+        SELECT e.vec_id,
+               CAST(sum((e.xq - s.xq) * (e.xq - s.xq)) AS BIGINT) AS dist
+        FROM el e JOIN s{i} s ON s.d = e.d GROUP BY e.vec_id
+    ), d{i} AS (
+        SELECT p.vec_id, least(p.dist, n.dist) AS dist
+        FROM {prev_d} p JOIN nd{i} n ON n.vec_id = p.vec_id
+    )"""
+        )
+        prev_d = f"d{i}"
+    picks = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS seed_idx, vec_id, dist AS dist_q "
+        f"FROM pick{i}"
+        for i in range(2, SEED_K + 1)
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT CAST(1 AS BIGINT) AS seed_idx,
+           (SELECT min(vec_id) FROM embeddings) AS vec_id,
+           CAST(0 AS BIGINT) AS dist_q
+    UNION ALL {picks}
+    """
+
+
+@register("q_sim_seed_farthest", oracle=_seed_oracle())
+def q_sim_seed_farthest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FARTHEST-POINT seeding (Gonzalez k-center traversal — the
+    deterministic kmeans++ stand-in index builders use when
+    reproducibility beats the D^2-sampling guarantee): seed 1 is the
+    lowest vec_id; each later seed is the vector FARTHEST from the
+    already-chosen set. The emitted dist_q per seed is the coverage
+    radius the corpus had before that seed joined — the curve an
+    index tuner reads to pick k (2x-approximation of the optimal
+    k-center radius at every prefix).
+
+    Portability: squared L2 on BIGINT ten-thousandth-quantized
+    elements — distances are EXACT integers, so the argmax (ties by
+    vec_id) cannot flip between engines; the only nondeterminism
+    float distances would allow is gone by construction.
+
+    Scale: each of the k-1 rounds is ONE corpus pass (zip_with +
+    aggregate, JVM codegen, no explode) against a 1-row broadcast
+    seed, with the running min-distance column checkpointed per round
+    so round r never recomputes rounds < r. k passes over the corpus
+    is the algorithm's intrinsic cost — the same shape FAISS pays on
+    one machine, here as k scans that parallelize per partition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    eq = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x * 10000 + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+    first = eq.agg(F.min("vec_id").alias("vid"))
+
+    def dist_to(seed_col):
+        return F.aggregate(
+            F.zip_with(F.col("q"), seed_col, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    s1 = eq.join(F.broadcast(first), eq.vec_id == F.col("vid")).select(
+        F.col("q").alias("sq")
+    )
+    d = (
+        eq.crossJoin(F.broadcast(s1))
+        .select("vec_id", "q", dist_to(F.col("sq")).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    out = first.select(
+        F.lit(1).cast("long").alias("seed_idx"),
+        F.col("vid").alias("vec_id"),
+        F.lit(0).cast("long").alias("dist_q"),
+    )
+    for i in range(2, SEED_K + 1):
+        pick = d.orderBy(F.col("dist").desc(), "vec_id").limit(1)
+        out = out.unionAll(
+            pick.select(
+                F.lit(i).cast("long").alias("seed_idx"),
+                "vec_id",
+                F.col("dist").alias("dist_q"),
+            )
+        )
+        if i < SEED_K:
+            seed = eq.join(
+                F.broadcast(pick.select("vec_id")), "vec_id"
+            ).select(F.col("q").alias("sq"))
+            d = (
+                d.crossJoin(F.broadcast(seed))
+                .select(
+                    "vec_id",
+                    "q",
+                    F.least(F.col("dist"), dist_to(F.col("sq"))).alias(
+                        "dist"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return out

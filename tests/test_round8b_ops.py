@@ -421,3 +421,94 @@ def test_entropy_bounds(spark):
         assert -1e-4 <= r["entropy"] <= math.log(r["n_distinct"]) + 1e-3
         if r["n_distinct"] == 1:
             assert r["entropy"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: quintile balance and code composition
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_quintiles_balanced_and_composed(spark):
+    rows = _q(spark, "q_rfm_segments").collect()
+    n_cust = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_cust
+    from collections import Counter
+
+    for metric in ("r_score", "f_score", "m_score"):
+        c = Counter(r[metric] for r in rows)
+        assert set(c) == {1, 2, 3, 4, 5}
+        # ntile(5) bucket sizes differ by at most 1
+        assert max(c.values()) - min(c.values()) <= 1
+    for r in rows:
+        assert r["segment"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+        assert r["recency_days"] >= 0
+        assert r["frequency"] >= 1
+        assert r["monetary"] > 0
+
+
+def test_rfm_scores_monotone_in_metric(spark):
+    """A customer with strictly larger spend can never hold a lower
+    m_score (ntile is monotone in its order key)."""
+    rows = _q(spark, "q_rfm_segments").collect()
+    by_m = sorted(rows, key=lambda r: (r["monetary"], r["c_custkey"]))
+    scores = [r["m_score"] for r in by_m]
+    assert scores == sorted(scores)
+
+
+# ---------------------------------------------------------------------------
+# Farthest-point seeding: traversal semantics
+# ---------------------------------------------------------------------------
+
+
+def test_seed_farthest_semantics(spark):
+    rows = sorted(
+        _q(spark, "q_sim_seed_farthest").collect(),
+        key=lambda r: r["seed_idx"],
+    )
+    assert [r["seed_idx"] for r in rows] == [1, 2, 3, 4]
+    # seed 1 is the lowest vec_id, radius 0 by convention
+    min_vid = (
+        load_table(spark, SF_DIR, "embeddings")
+        .agg(F.min("vec_id").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert rows[0]["vec_id"] == min_vid and rows[0]["dist_q"] == 0
+    # seeds are distinct vectors
+    assert len({r["vec_id"] for r in rows}) == 4
+    # the coverage radius is non-increasing: each pick was the global
+    # max of a pointwise-min sequence that only ever shrinks
+    assert rows[1]["dist_q"] >= rows[2]["dist_q"] >= rows[3]["dist_q"] > 0
+
+
+def test_seed_farthest_second_pick_is_true_argmax(spark):
+    """Brute-force the second seed: it must be the vector with the
+    exact maximum quantized squared L2 from seed 1 (ties by vec_id)."""
+    rows = {r["seed_idx"]: r for r in _q(spark, "q_sim_seed_farthest").collect()}
+    emb = load_table(spark, SF_DIR, "embeddings")
+    eq = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x * 10000 + F.lit(0.5)).cast("long")
+        ).alias("q"),
+    )
+    s1 = eq.filter(F.col("vec_id") == rows[1]["vec_id"]).select(
+        F.col("q").alias("sq")
+    )
+    d = eq.crossJoin(F.broadcast(s1)).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("q"), F.col("sq"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dist"),
+    )
+    best = d.orderBy(F.col("dist").desc(), "vec_id").limit(1).collect()[0]
+    assert (best["vec_id"], best["dist"]) == (
+        rows[2]["vec_id"],
+        rows[2]["dist_q"],
+    )
