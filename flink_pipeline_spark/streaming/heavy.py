@@ -1,0 +1,170 @@
+"""Streaming heavy hitters: a Misra-Gries frequency summary maintained
+across micro-batches in a persisted store — the unbounded-retention
+answer for "which keys dominate the stream so far" when the key domain
+(users, IPs, doc sources) is far too large to count exactly in state.
+
+Algorithm (Misra-Gries k-summary, merged per batch): the summary holds
+at most ``k`` (key, est) counters. Each micro-batch's EXACT counts
+(bounded by the batch, not the stream) merge into the prior summary by
+addition; if more than k keys remain, every counter decrements by the
+(k+1)-th largest estimate and non-positive counters drop. The merge
+preserves the MG guarantees stream-wide:
+
+* underestimate: est(key) <= true(key) for every key, always;
+* bounded error: true(key) - est(key) <= floor(N / (k+1)) where N is
+  the total count seen so far (tracked in a 1-row meta table);
+* completeness: any key with true frequency > N/(k+1) is IN the
+  summary (its estimate cannot have reached zero).
+
+So the monitor never misses a true heavy hitter and its counts are
+certifiably close — the property tests pin all three against exact
+batch counts (tests/test_streaming.py).
+
+Store layout and replay idempotence follow streaming/dedup.py: each
+batch writes the FULL new summary (<= k rows — tiny) and a 1-row meta
+(n_total) into ``batch_id=N`` partitions with overwrite semantics, and
+each read takes the LATEST partition strictly BEFORE the current batch
+— a crashed batch re-derives byte-identical summaries instead of
+compounding its own half-written state. Determinism: the (k+1)-th
+largest estimate is selected with a full (est DESC, key) tiebreak, so
+a replayed or re-partitioned batch always decrements by the same value.
+
+Per-trigger cost: one exact groupBy on the batch (map-side combined),
+a <= (k + batch-distinct)-row merge, one tiny write. Nothing
+stream-history-sized is ever scanned or shuffled; the summary IS the
+history. foreachBatch is the right hook because the summary is shared
+cross-batch state, not per-key evolving state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class HeavyHitterMonitor:
+    """foreachBatch sink: maintain a k-counter Misra-Gries summary of
+    ``key_col`` frequencies across all batches seen so far."""
+
+    def __init__(self, store_dir: str, k: int = 20, key_col: str = "user_id"):
+        self.store_dir = store_dir
+        self.k = k
+        self.key_col = key_col
+
+    def _path(self, kind: str) -> str:
+        return os.path.join(self.store_dir, kind)
+
+    def _read_latest(
+        self, spark, kind: str, schema: str, batch_id: int
+    ) -> DataFrame:
+        """The newest partition strictly BEFORE ``batch_id`` (the
+        summary is a snapshot, not an append-only log). Only a missing
+        path maps to empty — any other read failure re-raises (the
+        streaming/dedup.py ADVICE-r7 contract)."""
+        try:
+            df = spark.read.parquet(self._path(kind))
+        except AnalysisException as e:
+            cond = (
+                e.getCondition()
+                if hasattr(e, "getCondition")
+                else getattr(e, "getErrorClass", lambda: None)()
+            )
+            if cond == "PATH_NOT_FOUND" or "Path does not exist" in str(e):
+                return spark.createDataFrame([], schema)
+            raise
+        prior = df.filter(F.col("batch_id") < batch_id)
+        latest = prior.agg(F.max("batch_id").alias("mb"))
+        return (
+            prior.join(
+                F.broadcast(latest), prior.batch_id == F.col("mb")
+            )
+            .drop("batch_id", "mb")
+        )
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prior = self._read_latest(
+            spark, "summary", "key STRING, est BIGINT", batch_id
+        )
+        meta = self._read_latest(spark, "meta", "n_total BIGINT", batch_id)
+
+        bc = (
+            batch.select(F.col(self.key_col).cast("string").alias("key"))
+            .groupBy("key")
+            .agg(F.count("*").cast("long").alias("bn"))
+        )
+        merged = (
+            prior.join(bc, "key", "full_outer")
+            .select(
+                "key",
+                (
+                    F.coalesce("est", F.lit(0).cast("long"))
+                    + F.coalesce("bn", F.lit(0).cast("long"))
+                ).alias("est"),
+            )
+            .persist()
+        )
+        # the Misra-Gries reduction: subtract the (k+1)-th largest
+        # estimate (0 when <= k keys survive the merge) from everyone,
+        # drop the non-positive. Deterministic tiebreak on the key.
+        w = Window.orderBy(F.col("est").desc(), "key")
+        kth1 = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == self.k + 1)
+            .select(F.col("est").alias("d"))
+        )
+        # 1-row-or-empty frame -> coalesce to 0 via a left anti trick:
+        # cross join against the (possibly empty) frame loses rows, so
+        # aggregate it to exactly one row first
+        d1 = kth1.agg(
+            F.coalesce(F.max("d"), F.lit(0).cast("long")).alias("d")
+        )
+        summary = (
+            merged.crossJoin(F.broadcast(d1))
+            .select("key", (F.col("est") - F.col("d")).alias("est"))
+            .filter(F.col("est") > 0)
+        )
+        batch_n = batch.select(
+            F.count("*").cast("long").alias("bn")
+        )
+        n_total = (
+            meta.select(F.col("n_total"))
+            .unionByName(batch_n.select(F.col("bn").alias("n_total")))
+            .agg(F.sum("n_total").cast("long").alias("n_total"))
+        )
+
+        def part(kind: str) -> str:
+            return os.path.join(self._path(kind), f"batch_id={batch_id}")
+
+        summary.write.mode("overwrite").parquet(part("summary"))
+        n_total.write.mode("overwrite").parquet(part("meta"))
+        merged.unpersist()
+
+    def summary(self, spark, after_batch_id: int) -> DataFrame:
+        """The summary as of AFTER ``after_batch_id`` (key, est)."""
+        return self._read_latest(
+            spark, "summary", "key STRING, est BIGINT", after_batch_id + 1
+        )
+
+    def n_total(self, spark, after_batch_id: int) -> DataFrame:
+        """1-row (n_total) frame as of AFTER ``after_batch_id`` —
+        returned lazily (callers collect; the package does not)."""
+        return self._read_latest(
+            spark, "meta", "n_total BIGINT", after_batch_id + 1
+        )
+
+
+def start_heavy_hitter_stream(
+    events_stream: DataFrame, monitor: HeavyHitterMonitor, **opts
+):
+    """Wire a streaming events frame through the monitor sink."""
+    return (
+        events_stream.writeStream.foreachBatch(monitor)
+        .outputMode("update")
+        .options(**opts)
+        .start()
+    )

@@ -734,3 +734,121 @@ def test_scd2_stream_equals_batch(spark, tmp_path):
         .count()
     )
     assert n_current == n_users
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries streaming heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _mg_exact_counts(batches):
+    from collections import Counter
+
+    c = Counter()
+    for b in batches:
+        c.update(k for k, in b)
+    return c
+
+
+def test_heavy_hitter_monitor_mg_guarantees(spark, tmp_path):
+    """The three Misra-Gries guarantees against exact counts: every
+    estimate underestimates, the error is bounded by N/(k+1), and no
+    true heavy hitter (freq > N/(k+1)) is missing."""
+    from flink_pipeline_spark.streaming.heavy import HeavyHitterMonitor
+
+    k = 5
+    # a skewed stream: u0 dominates, u1/u2 heavy, long tail of singles
+    batches = [
+        [("u0",)] * 30 + [("u1",)] * 10 + [(f"t{i}",) for i in range(20)],
+        [("u0",)] * 25 + [("u2",)] * 12 + [(f"s{i}",) for i in range(25)],
+        [("u1",)] * 8 + [("u0",)] * 5 + [(f"r{i}",) for i in range(15)],
+    ]
+    mon = HeavyHitterMonitor(str(tmp_path / "store"), k=k, key_col="key")
+    for i, rows in enumerate(batches):
+        mon(spark.createDataFrame(rows, "key string"), i)
+
+    true = _mg_exact_counts(batches)
+    n = sum(true.values())
+    got = {
+        r["key"]: r["est"]
+        for r in mon.summary(spark, len(batches) - 1).collect()
+    }
+    assert len(got) <= k
+    meta = mon.n_total(spark, len(batches) - 1).collect()
+    assert meta[0]["n_total"] == n
+    bound = n // (k + 1)
+    for key, est in got.items():
+        assert est <= true[key], (key, est, true[key])
+        assert true[key] - est <= bound
+    for key, cnt in true.items():
+        if cnt > bound:
+            assert key in got, (key, cnt, bound)
+
+
+def test_heavy_hitter_monitor_replay_idempotent(spark, tmp_path):
+    """Re-running the same batch_id must reproduce the identical
+    summary (reads exclude the batch's own partition)."""
+    from flink_pipeline_spark.streaming.heavy import HeavyHitterMonitor
+
+    mon = HeavyHitterMonitor(str(tmp_path / "store"), k=3, key_col="key")
+    b0 = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "key string")
+    b1 = spark.createDataFrame(
+        [("a",)] * 3 + [("c",)] * 4 + [("d",)] * 1 + [("e",)] * 1,
+        "key string",
+    )
+    mon(b0, 0)
+    mon(b1, 1)
+    first = sorted(
+        (r["key"], r["est"]) for r in mon.summary(spark, 1).collect()
+    )
+    mon(b1, 1)  # crash-replay of batch 1
+    second = sorted(
+        (r["key"], r["est"]) for r in mon.summary(spark, 1).collect()
+    )
+    assert first == second
+
+
+def test_heavy_hitter_stream_matches_batch_fold(spark, tmp_path):
+    """stream==batch: driving the monitor through a real file stream
+    produces the same summary as folding the same frames through the
+    callable directly."""
+    import os as _os
+    import time as _time
+
+    from flink_pipeline_spark.streaming.heavy import (
+        HeavyHitterMonitor,
+        start_heavy_hitter_stream,
+    )
+
+    rows1 = [("u0",)] * 10 + [("u1",)] * 3 + [(f"t{i}",) for i in range(6)]
+    rows2 = [("u0",)] * 7 + [("u2",)] * 5 + [(f"s{i}",) for i in range(6)]
+    src = tmp_path / "src"
+    src.mkdir()
+    f1, f2 = str(src / "b1.parquet"), str(src / "b2.parquet")
+    spark.createDataFrame(rows1, "key string").coalesce(1).write.parquet(f1)
+    spark.createDataFrame(rows2, "key string").coalesce(1).write.parquet(f2)
+    now = _time.time()
+    for root, base_t in ((f1, now - 120), (f2, now - 60)):
+        for dirpath, _, files in _os.walk(root):
+            for fn in files:
+                _os.utime(_os.path.join(dirpath, fn), (base_t, base_t))
+
+    schema = spark.read.parquet(f1).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    mon_s = HeavyHitterMonitor(str(tmp_path / "store_s"), k=4, key_col="key")
+    q = start_heavy_hitter_stream(stream, mon_s)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    mon_b = HeavyHitterMonitor(str(tmp_path / "store_b"), k=4, key_col="key")
+    mon_b(spark.createDataFrame(rows1, "key string"), 0)
+    mon_b(spark.createDataFrame(rows2, "key string"), 1)
+
+    s = sorted((r["key"], r["est"]) for r in mon_s.summary(spark, 1).collect())
+    b = sorted((r["key"], r["est"]) for r in mon_b.summary(spark, 1).collect())
+    assert s == b and s
