@@ -174,6 +174,17 @@ HEADLINE = [
     "q_graph_pagerank",
     "q_dedup_soft",
     "q_join_skew_salted",
+    # r8 session 4 continued: the RFM quintile grid (three global
+    # ntile windows over the customer aggregate), farthest-point
+    # seeding (k narrow corpus passes), the PCA covariance fit
+    # (sample explode + self-join to the 2080-cell grid), rendezvous
+    # sharding, token entropy, and the Zipf diagnostic
+    "q_rfm_segments",
+    "q_sim_seed_farthest",
+    "q_embed_pca_cov",
+    "q_shard_rendezvous",
+    "q_text_entropy",
+    "q_text_zipf",
     # profiling layer (round 3): TF-IDF is the corpus-heaviest text op
     # (explode + two aggs + join + per-doc top-k), the funnel and
     # sessionizer exercise the stacked-window-one-exchange shape
