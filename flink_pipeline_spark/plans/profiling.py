@@ -725,3 +725,156 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_heavy_hitters.__doc__ = q_heavy_hitters.__doc__.format(
     k=HH_K, b=HH_BUCKETS
 )
+
+
+MAD_K = 5.1891  # 3.5 x 1.4826: the Iglewicz-Hoaglin cut on scaled MAD
+
+
+@register(
+    "q_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), spread AS (
+        SELECT e.event_type, m.med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m ON m.event_type = e.event_type
+        GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type,
+           {round_sql('s.med')} AS med,
+           {round_sql('s.mad')} AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN abs(e.value - s.med) > {MAD_K} * s.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           floor(sum(CASE WHEN abs(e.value - s.med) > {MAD_K} * s.mad
+                          THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*) * 10000 + 0.5) / 10000 AS outlier_share
+    FROM events e JOIN spread s ON s.event_type = e.event_type
+    GROUP BY e.event_type, s.med, s.mad
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD (median-absolute-deviation) outlier screen — the ROBUST
+    twin of q_zscore_outliers: median and MAD cannot be dragged by
+    the outliers they are hunting (a z-score screen inflates its own
+    sigma and misses), so this is the screen quality teams run on
+    heavy-tailed metrics. Cut: |x - med| > 3.5 x 1.4826 x MAD
+    (Iglewicz-Hoaglin's modified z-score at the customary 3.5).
+
+    Determinism: both engines compute the SAME linear-interpolated
+    median (percentile <-> quantile_cont, the q_winsorized_stats
+    pairing); the cut compares UNROUNDED values through identical
+    IEEE arithmetic so the same rows flag; only the reported med/mad/
+    share round.
+
+    Scale: two tiny per-type aggregates (the second over |x - med|,
+    which needs the first broadcast back — the two-pass convention),
+    then one combinable conditional count. Nothing corpus-sized
+    shuffles twice."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    spread = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+        )
+    )
+    flag = F.abs(F.col("value") - F.col("med")) > F.lit(MAD_K) * F.col("mad")
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+    return (
+        e.join(F.broadcast(spread), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(flag, one).otherwise(zero)).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            round_agg(F.col("med")).alias("med"),
+            round_agg(F.col("mad")).alias("mad"),
+            "n",
+            "n_outliers",
+            (
+                F.floor(
+                    F.col("n_outliers").cast("double") / F.col("n") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("outlier_share"),
+        )
+    )
+
+
+@register(
+    "q_events_markov",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es
+        FROM events
+    ), seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY es, event_id
+               ) AS dst
+        FROM e
+    ), t AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ), tot AS (
+        SELECT src, CAST(sum(n) AS BIGINT) AS t FROM t GROUP BY src
+    )
+    SELECT t.src, t.dst, t.n,
+           floor(t.n::DOUBLE / tot.t * 10000 + 0.5) / 10000 AS p
+    FROM t JOIN tot ON tot.src = t.src
+    """,
+)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order MARKOV transition matrix over per-user event
+    sequences — the behavioral-model primitive behind next-action
+    prediction, funnel-leak diagnosis, and bot detection (bot
+    sessions have near-deterministic rows in this matrix): for every
+    (src, dst) event-type pair, how often dst immediately follows src
+    within a user's timeline, and the row-normalized transition
+    probability.
+
+    Determinism: the sequence order is (epoch-second, event_id) — the
+    q_attribution/q_sessionize ordering convention, unique per user —
+    and each probability is one exact rational, portably rounded.
+
+    Scale: ONE ordered window per user_id (the same single exchange
+    the other per-user sequence ops ride), then a types^2-sized count
+    grid with map-side combine; the row-total join is grid-sized.
+    The fact is scanned once."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = seq.groupBy("src", "dst").agg(F.count("*").cast("long").alias("n"))
+    tot = t.groupBy("src").agg(F.sum("n").cast("long").alias("t"))
+    return (
+        t.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            (
+                F.floor(
+                    F.col("n").cast("double") / F.col("t") * 10000 + F.lit(0.5)
+                )
+                / 10000
+            ).alias("p"),
+        )
+    )

@@ -2188,3 +2188,65 @@ def q_source_cap_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_source_cap_weighted.__doc__ = q_source_cap_weighted.__doc__.format(
     c=SOURCE_CAP
 )
+
+
+def _register_pack_efficiency() -> None:
+    """Closure-registered so the oracle composes the registered
+    q_pack_sequences oracle as a CTE — the audit can never drift from
+    the packing it grades."""
+    from .registry import ORACLES
+
+    oracle = f"""
+    WITH chunks AS ({ORACLES["q_pack_sequences"]})
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(*) * {PACK_BUDGET} - sum(chunk_tokens) AS BIGINT)
+               AS slack_tokens,
+           floor(sum(chunk_tokens)::DOUBLE / (count(*) * {PACK_BUDGET})
+                 * 10000 + 0.5) / 10000 AS utilization
+    FROM chunks
+    GROUP BY lang, source
+    """
+
+    @register("q_pack_efficiency", oracle=oracle)
+    def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Packing-efficiency audit — the report a pretraining team
+        reads before blessing a shard layout: per (lang, source)
+        shard, how many {PACK_BUDGET}-token chunks the packing
+        produced, the token total, the SLACK against the budget
+        (negative when long documents overflow their first-token
+        chunk — visible, not hidden), and utilization. Composes the
+        registered q_pack_sequences operator, so the audit and the
+        packing share one definition (the standing-audit convention
+        of q_dedup_recall / q_ann_recall / q_split_leakage_audit).
+
+        Scale: reduces the chunk table (already shard-grid-sized) to
+        the (lang, source) grid — pure map-side-combinable aggregation
+        over the packing's own output; exact integer token math, one
+        rounded division for the utilization."""
+        chunks = q_pack_sequences(spark, sf_dir)
+        return chunks.groupBy("lang", "source").agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("chunk_tokens").cast("long").alias("total_tokens"),
+            (
+                F.count("*").cast("long") * PACK_BUDGET
+                - F.sum("chunk_tokens").cast("long")
+            )
+            .cast("long")
+            .alias("slack_tokens"),
+            (
+                F.floor(
+                    F.sum("chunk_tokens").cast("double")
+                    / (F.count("*") * PACK_BUDGET)
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("utilization"),
+        )
+
+
+_register_pack_efficiency()

@@ -512,3 +512,79 @@ def test_seed_farthest_second_pick_is_true_argmax(spark):
         rows[2]["vec_id"],
         rows[2]["dist_q"],
     )
+
+
+# ---------------------------------------------------------------------------
+# MAD outlier screen, Markov transitions, packing audit
+# ---------------------------------------------------------------------------
+
+
+def test_mad_flags_match_bruteforce(spark):
+    """Recompute median/MAD/flag count in Python for every event type
+    (same linear-interpolated quantile both engines use)."""
+    import statistics
+
+    rows = {r["event_type"]: r for r in _q(spark, "q_anomaly_mad").collect()}
+    vals = {}
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for et, xs in vals.items():
+        med = statistics.quantiles(sorted(xs), n=2, method="inclusive")[0]
+        mad = statistics.quantiles(
+            sorted(abs(x - med) for x in xs), n=2, method="inclusive"
+        )[0]
+        n_out = sum(1 for x in xs if abs(x - med) > 5.1891 * mad)
+        got = rows[et]
+        assert got["n"] == len(xs)
+        assert got["n_outliers"] == n_out
+        assert abs(got["med"] - med) < 1e-3
+        assert abs(got["mad"] - mad) < 1e-3
+        assert got["n_outliers"] <= got["n"]
+
+
+def test_markov_rows_normalize(spark):
+    rows = _q(spark, "q_events_markov").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    for src, rs in by_src.items():
+        total = sum(r["n"] for r in rs)
+        p_sum = sum(r["p"] for r in rs)
+        # each p is an exactly-rounded rational; row sums to 1 within
+        # the per-cell rounding slack
+        assert abs(p_sum - 1.0) <= len(rs) * 5e-5
+        for r in rs:
+            assert abs(r["p"] - r["n"] / total) <= 1e-4
+    # transition count conservation: every user contributes
+    # (events - 1) transitions
+    e = load_table(spark, SF_DIR, "events")
+    per_user = e.groupBy("user_id").count().collect()
+    want = sum(r["count"] - 1 for r in per_user if r["count"] > 0)
+    assert sum(r["n"] for r in rows) == want
+
+
+def test_pack_efficiency_consistent_with_chunks(spark):
+    from flink_pipeline_spark.plans.training import PACK_BUDGET
+
+    eff = {
+        (r["lang"], r["source"]): r
+        for r in _q(spark, "q_pack_efficiency").collect()
+    }
+    chunks = _q(spark, "q_pack_sequences").collect()
+    agg = {}
+    for c in chunks:
+        k = (c["lang"], c["source"])
+        a = agg.setdefault(k, [0, 0, 0])
+        a[0] += 1
+        a[1] += c["n_docs"]
+        a[2] += c["chunk_tokens"]
+    assert set(eff) == set(agg)
+    for k, (nc, nd, tt) in agg.items():
+        r = eff[k]
+        assert (r["n_chunks"], r["n_docs"], r["total_tokens"]) == (nc, nd, tt)
+        assert r["slack_tokens"] == nc * PACK_BUDGET - tt
+        assert abs(r["utilization"] - tt / (nc * PACK_BUDGET)) <= 1e-4
