@@ -878,3 +878,145 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
     )
+
+
+DAY_S = 86400
+
+
+@register(
+    "q_active_users",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // {DAY_S} AS day
+        FROM events
+    ), dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ), span AS (
+        SELECT u.user_id, u.day + t.range AS day
+        FROM ud u, range(7) t
+    ), wau AS (
+        SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM span GROUP BY day
+    )
+    SELECT d.day, d.dau, w.wau,
+           floor(d.dau::DOUBLE / w.wau * 10000 + 0.5) / 10000
+               AS stickiness
+    FROM dau d JOIN wau w ON w.day = d.day
+    """,
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness — the engagement dashboard's first row:
+    per active day, distinct daily actives, distinct trailing-7-day
+    actives, and their ratio (DAU/WAU, the classic stickiness metric).
+
+    The trailing-window DISTINCT is the interesting scale problem: a
+    RANGE window cannot count distinct, and re-scanning 7 days per
+    day multiplies the fact 7x. Instead each (user, active-day) pair
+    — already deduplicated, so bounded by users x days, not events —
+    FORWARD-propagates to the <= 7 week-windows it belongs to (a
+    bounded explode of exactly 7), and WAU is one count-distinct per
+    day over that. The fact is scanned once; epoch-day arithmetic is
+    all BIGINT; the ratio is one exact rational, portably rounded.
+
+    Scale: the explode operates on the (user, day) grid (orders of
+    magnitude below the event count); both aggregates are
+    map-side-combinable shuffles on small keys."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"CAST(floor(unix_timestamp(ts)) AS BIGINT) div {DAY_S}").alias(
+            "day"
+        ),
+    )
+    ud = e.distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    span = ud.select(
+        "user_id", "day", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i")
+    ).select("user_id", (F.col("day") + F.col("i")).alias("day"))
+    wau = span.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (
+                F.floor(
+                    F.col("dau").cast("double") / F.col("wau") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("stickiness"),
+        )
+    )
+
+
+@register(
+    "q_funnel_latency",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es
+        FROM events
+    ), f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN es END) AS t_view,
+               min(CASE WHEN event_type = 'purchase' THEN es END) AS t_buy
+        FROM e GROUP BY user_id
+    ), conv AS (
+        SELECT t_buy - t_view AS lat FROM f
+        WHERE t_view IS NOT NULL AND t_buy IS NOT NULL
+          AND t_buy >= t_view
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           {round_sql('quantile_cont(lat, 0.5)')} AS p50_s,
+           {round_sql('quantile_cont(lat, 0.9)')} AS p90_s,
+           CAST(min(lat) AS BIGINT) AS min_s,
+           CAST(max(lat) AS BIGINT) AS max_s
+    FROM conv
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel LATENCY (time-to-convert): among users whose first
+    'view' precedes their first 'purchase', the distribution of
+    seconds between the two — the metric that turns q_event_funnel's
+    conversion COUNTS into an experience measure (how long the funnel
+    takes, not just how many finish it).
+
+    Determinism: first-touch times are MIN aggregates over BIGINT
+    epoch seconds (no window needed — the conditional-min idiom);
+    latencies are exact integers; the reported percentiles use the
+    shared linear-interpolation pairing (percentile <->
+    quantile_cont) and portably round.
+
+    Scale: one conditional-aggregate pass per user (map-side
+    combinable on the fact scan), then a 1-row percentile reduce over
+    the converted-users frame — no self-join of the funnel stages, no
+    per-event window."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("es"),
+    )
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("es"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("es"))).alias(
+            "t_buy"
+        ),
+    )
+    conv = f.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select((F.col("t_buy") - F.col("t_view")).alias("lat"))
+    return conv.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        round_agg(F.expr("percentile(lat, 0.5)")).alias("p50_s"),
+        round_agg(F.expr("percentile(lat, 0.9)")).alias("p90_s"),
+        F.min("lat").cast("long").alias("min_s"),
+        F.max("lat").cast("long").alias("max_s"),
+    )

@@ -588,3 +588,51 @@ def test_pack_efficiency_consistent_with_chunks(spark):
         assert (r["n_chunks"], r["n_docs"], r["total_tokens"]) == (nc, nd, tt)
         assert r["slack_tokens"] == nc * PACK_BUDGET - tt
         assert abs(r["utilization"] - tt / (nc * PACK_BUDGET)) <= 1e-4
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU stickiness and funnel latency
+# ---------------------------------------------------------------------------
+
+
+def test_active_users_wau_dominates_dau(spark):
+    rows = _q(spark, "q_active_users").collect()
+    assert rows
+    days = sorted(r["day"] for r in rows)
+    # every active day appears exactly once, stickiness in (0, 1]
+    assert len(days) == len(set(days))
+    for r in rows:
+        assert r["wau"] >= r["dau"] > 0
+        assert 0.0 < r["stickiness"] <= 1.0
+    # brute-force one day: WAU == distinct users over [day-6, day]
+    probe = rows[len(rows) // 2]
+    e = load_table(spark, SF_DIR, "events").select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400").alias(
+            "day"
+        ),
+    )
+    want = (
+        e.filter(
+            (F.col("day") >= probe["day"] - 6) & (F.col("day") <= probe["day"])
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert probe["wau"] == want
+
+
+def test_funnel_latency_bounds(spark):
+    r = _q(spark, "q_funnel_latency").collect()[0]
+    assert r["n_converted"] > 0
+    assert 0 <= r["min_s"] <= r["p50_s"] <= r["p90_s"] <= r["max_s"]
+    # converted users can never exceed users with any purchase
+    buyers = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r["n_converted"] <= buyers
