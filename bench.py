@@ -185,6 +185,11 @@ HEADLINE = [
     "q_shard_rendezvous",
     "q_text_entropy",
     "q_text_zipf",
+    # r8 session 4, event-analytics closers: the robust MAD screen,
+    # the Markov transition grid, and the DAU/WAU stickiness report
+    "q_anomaly_mad",
+    "q_events_markov",
+    "q_active_users",
     # profiling layer (round 3): TF-IDF is the corpus-heaviest text op
     # (explode + two aggs + join + per-doc top-k), the funnel and
     # sessionizer exercise the stacked-window-one-exchange shape
