@@ -973,3 +973,81 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).alias("segment"),
     )
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS m,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), coh AS (
+        SELECT o_custkey, CAST(min(m) AS BIGINT) AS m0 FROM o
+        GROUP BY o_custkey
+    ), cell AS (
+        SELECT coh.m0 AS cohort_month, o.m - coh.m0 AS age_months,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o.cents) AS BIGINT) AS rev_c
+        FROM o JOIN coh ON coh.o_custkey = o.o_custkey
+        GROUP BY coh.m0, o.m - coh.m0
+    )
+    SELECT cohort_month, age_months, n_orders,
+           rev_c / CAST(100 AS DOUBLE) AS revenue,
+           CAST(sum(rev_c) OVER (
+               PARTITION BY cohort_month ORDER BY age_months
+           ) AS BIGINT) / CAST(100 AS DOUBLE) AS cum_revenue
+    FROM cell
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — the lifetime-value grid finance and growth
+    teams read together: customers cohorted by first-order month, and
+    per (cohort, months-since-first) cell the order count, revenue,
+    and the CUMULATIVE revenue the cohort has produced by that age.
+    Comparing cum_revenue across cohorts at equal age is the LTV
+    trajectory chart; its plateau is the payback ceiling.
+
+    Determinism: month indices are exact integers (year*12 + month);
+    revenue is exact integer cents, cumulated as BIGINT by an ordered
+    window over the cohort grid BEFORE the single presentation
+    division — no float accumulates.
+
+    Scale: one per-customer min (combinable), one fact join against
+    the customer-sized cohort map (AQE broadcasts it here; at 100 TB
+    it co-shuffles on the customer key both sides already use), one
+    grid aggregate, and a window over the #cohorts x #ages GRID —
+    never over fact rows (the q_ratio_share convention)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("m"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    coh = o.groupBy("o_custkey").agg(F.min("m").cast("long").alias("m0"))
+    cell = (
+        o.join(coh, "o_custkey")
+        .groupBy(
+            F.col("m0").alias("cohort_month"),
+            (F.col("m") - F.col("m0")).alias("age_months"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_c"),
+        )
+    )
+    w = Window.partitionBy("cohort_month").orderBy("age_months")
+    return cell.select(
+        "cohort_month",
+        "age_months",
+        "n_orders",
+        (F.col("rev_c") / F.lit(100).cast("double")).alias("revenue"),
+        (
+            F.sum("rev_c").over(w).cast("long") / F.lit(100).cast("double")
+        ).alias("cum_revenue"),
+    )

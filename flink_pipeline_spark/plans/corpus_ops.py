@@ -824,3 +824,59 @@ def q_sim_seed_farthest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
     return out
+
+
+# ---------------------------------------------- graph degree census
+@register(
+    "q_graph_degree_stats",
+    oracle="""
+    WITH pair AS (
+        SELECT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_custkey, l.l_suppkey
+    ), cd AS (
+        SELECT CAST(count(*) AS BIGINT) AS deg FROM pair GROUP BY c
+    ), sd AS (
+        SELECT CAST(count(*) AS BIGINT) AS deg FROM pair GROUP BY s
+    )
+    SELECT 'customer' AS side, deg, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM cd GROUP BY deg
+    UNION ALL
+    SELECT 'supplier' AS side, deg, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM sd GROUP BY deg
+    """,
+)
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree census of the trade graph — the companion diagnostic to
+    q_graph_pagerank: per side of the bipartite graph, the histogram
+    of node degrees (how many partners each customer/supplier trades
+    with). Crawl curation reads exactly this before trusting
+    link-graph signals: a census dominated by degree-1 nodes means
+    the graph carries no ranking information, and a monster-degree
+    hub predicts the skew a propagation join must survive.
+
+    Scale: the distinct-pair aggregate is the same edge build
+    PageRank pays (combinable on the fact scan); each side then
+    reduces pairs -> per-node degree -> histogram, two
+    map-side-combinable aggregates whose output is bounded by the
+    distinct-degree count, not the node count."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+
+    def census(key: str, side: str) -> DataFrame:
+        return (
+            pair.groupBy(key)
+            .agg(F.count("*").cast("long").alias("deg"))
+            .groupBy("deg")
+            .agg(F.count("*").cast("long").alias("n_nodes"))
+            .select(F.lit(side).alias("side"), "deg", "n_nodes")
+        )
+
+    return census("o_custkey", "customer").unionAll(
+        census("l_suppkey", "supplier")
+    )

@@ -1020,3 +1020,75 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lat").cast("long").alias("min_s"),
         F.max("lat").cast("long").alias("max_s"),
     )
+
+
+@register(
+    "q_error_rate_control",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // {DAY_S} AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errs
+        FROM events GROUP BY 1
+    ), g AS (
+        SELECT CAST(sum(errs) AS BIGINT) AS se,
+               CAST(sum(n) AS BIGINT) AS sn
+        FROM d
+    )
+    SELECT d.day, d.n, d.errs,
+           floor(d.errs::DOUBLE / d.n * 10000 + 0.5) / 10000 AS rate,
+           abs(d.errs::DOUBLE / d.n - g.se::DOUBLE / g.sn)
+               > 3 * sqrt((g.se::DOUBLE / g.sn)
+                          * (1 - g.se::DOUBLE / g.sn) / d.n)
+               AS out_of_control
+    FROM d CROSS JOIN g
+    """,
+)
+def q_error_rate_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-CHART control limits on the daily error rate — the SPC
+    (statistical process control) monitor an operations team runs on
+    any failure-rate series: a day is out of control when its rate
+    leaves the 3-sigma binomial band around the process's own global
+    rate, sigma = sqrt(p(1-p)/n_day). Catches both regression spikes
+    and too-good-to-be-true days (a logging outage reads as a
+    suspiciously clean day).
+
+    Determinism: counts are exact BIGINT; the band comparison runs
+    through identical IEEE div/sqrt/mul in both engines (all
+    correctly-rounded operations on identical inputs), so the flag
+    cannot flip; only the reported rate rounds.
+
+    Scale: one combinable per-day conditional count, a 1-row global
+    reduce off the day grid (never a second fact scan), broadcast
+    back onto |days| rows."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.expr(f"CAST(floor(unix_timestamp(ts)) AS BIGINT) div {DAY_S}").alias(
+            "day"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("errs"),
+    )
+    g = d.agg(
+        F.sum("errs").cast("long").alias("se"),
+        F.sum("n").cast("long").alias("sn"),
+    )
+    p_day = F.col("errs").cast("double") / F.col("n")
+    p_bar = F.col("se").cast("double") / F.col("sn")
+    band = F.lit(3) * F.sqrt(p_bar * (F.lit(1) - p_bar) / F.col("n"))
+    return (
+        d.crossJoin(F.broadcast(g))
+        .select(
+            "day",
+            "n",
+            "errs",
+            (F.floor(p_day * 10000 + F.lit(0.5)) / 10000).alias("rate"),
+            (F.abs(p_day - p_bar) > band).alias("out_of_control"),
+        )
+    )

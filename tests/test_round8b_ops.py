@@ -636,3 +636,68 @@ def test_funnel_latency_bounds(spark):
         .count()
     )
     assert r["n_converted"] <= buyers
+
+
+# ---------------------------------------------------------------------------
+# Degree census, p-chart, cohort LTV
+# ---------------------------------------------------------------------------
+
+
+def test_degree_census_conserves_edges(spark):
+    rows = _q(spark, "q_graph_degree_stats").collect()
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    n_pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .count()
+    )
+    for side in ("customer", "supplier"):
+        # sum(deg * n_nodes) over a side == total distinct pairs
+        tot = sum(r["deg"] * r["n_nodes"] for r in rows if r["side"] == side)
+        assert tot == n_pairs
+
+
+def test_error_rate_control_limits(spark):
+    rows = _q(spark, "q_error_rate_control").collect()
+    assert rows
+    se = sum(r["errs"] for r in rows)
+    sn = sum(r["n"] for r in rows)
+    p_bar = se / sn
+    for r in rows:
+        assert 0 <= r["errs"] <= r["n"]
+        want = abs(r["errs"] / r["n"] - p_bar) > 3 * (
+            p_bar * (1 - p_bar) / r["n"]
+        ) ** 0.5
+        assert r["out_of_control"] == want
+
+
+def test_cohort_ltv_cumulative_monotone(spark):
+    rows = _q(spark, "q_cohort_ltv").collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_month"], []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age_months"])
+        # age 0 always exists (the first order defines the cohort)
+        assert rs[0]["age_months"] == 0
+        run = 0.0
+        prev = -1.0
+        for r in rs:
+            run += r["revenue"]
+            assert abs(r["cum_revenue"] - run) < 1e-6
+            assert r["cum_revenue"] >= prev
+            prev = r["cum_revenue"]
+    # revenue conservation against the fact table (exact cents)
+    o = load_table(spark, SF_DIR, "orders")
+    cents = (
+        o.select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c")
+        )
+        .agg(F.sum("c").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert abs(sum(r["revenue"] for r in rows) - cents / 100.0) < 1e-4
