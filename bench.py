@@ -190,6 +190,10 @@ HEADLINE = [
     "q_anomaly_mad",
     "q_events_markov",
     "q_active_users",
+    # r8 session 4 final: degree census, p-chart monitor, LTV grid
+    "q_graph_degree_stats",
+    "q_error_rate_control",
+    "q_cohort_ltv",
     # profiling layer (round 3): TF-IDF is the corpus-heaviest text op
     # (explode + two aggs + join + per-doc top-k), the funnel and
     # sessionizer exercise the stacked-window-one-exchange shape
