@@ -505,10 +505,10 @@ _HIGH = ("1-URGENT", "2-HIGH")
     "q_late_shipments",
     oracle=f"""
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate > o.o_orderdate
