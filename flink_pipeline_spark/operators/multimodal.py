@@ -427,3 +427,132 @@ def resize_payload(mm: DataFrame, factor: int = 2) -> DataFrame:
             )
 
     return mm.select("doc_id", "payload").mapInPandas(rz, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (image near-dup support)
+# ---------------------------------------------------------------------------
+
+AHASH_GRID = 8  # 8x8 cells = 64 hash bits
+AHASH_BANDS = 4  # pigeonhole bands of 16 bits (lossless to hamming 3)
+LUMA_WEIGHTS = (299, 587, 114)  # integer ITU-R 601 luma x1000
+
+AHASH_SCHEMA = "file STRING, blk BIGINT, key BIGINT"
+
+
+def _parse_p6(file: str, b: bytes):
+    """Shared strict P6 parse (the decode_ppm grammar): returns
+    (w, h, pixel ndarray int64 of length w*h*3) or raises loudly."""
+    import re
+
+    import numpy as np
+
+    m = re.compile(rb"^P6\n(\d+) (\d+)\n(\d+)\n").match(b)
+    if m is None:
+        raise ValueError(
+            f"{file}: not a newline-delimited binary PPM (P6) header"
+        )
+    w, h, maxval = (int(g) for g in m.groups())
+    if maxval != 255:
+        raise ValueError(f"{file}: only 8-bit PPM supported")
+    px = np.frombuffer(b, dtype=np.uint8, offset=m.end()).astype(np.int64)
+    if px.size != w * h * 3:
+        raise ValueError(f"{file}: pixel plane {px.size} != {w}x{h}x3")
+    return w, h, px
+
+
+def ahash_bands(files: DataFrame) -> DataFrame:
+    """Per-image 64-bit average hash (aHash), emitted as 4 pigeonhole
+    band keys: (file, blk 0..3, key 0..65535), 4 rows per image.
+
+    The hash is integer-exact end-to-end: gray = 299R + 587G + 114B
+    (x1000 luma, no division), the image is partitioned into an 8x8
+    grid of equal pixel blocks (width/height must divide by 8 — a real
+    pipeline resizes first; the committed phash fixtures are 16x16),
+    and bit c is 1 iff cell_sum * 64 > total_sum (strict). Because
+    each cell is compared to the global mean, a clip-free uniform
+    brightness shift moves both sides identically — aHash is exactly
+    brightness-invariant, which the fixture corpus demonstrates.
+
+    Band layout: cell c (row-major) contributes bit (c % 16) of band
+    c // 16. Two hashes within Hamming distance 3 MUST agree exactly
+    on at least one of the 4 bands (pigeonhole), so near-dup blocking
+    is a plain equi-join on (blk, key) — the simhash_pairs discipline.
+
+    Scale: one Arrow batch pass per partition, 4 fixed-size rows per
+    image out, no shuffle; 16-bit band keys give 65536 buckets/band,
+    so bucket occupancy grows ~n/65536 per band. For web-scale image
+    corpora widen the hash (pHash-DCT at 256 bits) before the 16-bit
+    bands saturate — same curve as SIMHASH_BITS vs the calib width."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        g8 = AHASH_GRID
+        for pdf in batches:
+            rows = []
+            for file, content in zip(pdf["file"], pdf["content"]):
+                w, h, px = _parse_p6(file, bytes(content))
+                if w % g8 or h % g8:
+                    raise ValueError(
+                        f"{file}: {w}x{h} not divisible into an "
+                        f"{g8}x{g8} aHash grid — resize first"
+                    )
+                rgb = px.reshape(h, w, 3)
+                gray = (
+                    rgb[:, :, 0] * LUMA_WEIGHTS[0]
+                    + rgb[:, :, 1] * LUMA_WEIGHTS[1]
+                    + rgb[:, :, 2] * LUMA_WEIGHTS[2]
+                )
+                bh, bw = h // g8, w // g8
+                cells = gray.reshape(g8, bh, g8, bw).sum(axis=(1, 3))
+                bits = (cells.ravel() * (g8 * g8) > gray.sum()).astype(
+                    np.int64
+                )
+                for blk in range(AHASH_BANDS):
+                    seg = bits[blk * 16 : (blk + 1) * 16]
+                    key = int((seg << np.arange(16, dtype=np.int64)).sum())
+                    rows.append((file, blk, key))
+            yield pd.DataFrame(rows, columns=["file", "blk", "key"])
+
+    return files.select("file", "content").mapInPandas(enc, schema=AHASH_SCHEMA)
+
+
+GRAY_SCHEMA = "file STRING, width BIGINT, height BIGINT, p BIGINT, g BIGINT"
+
+
+def gray_pixels(files: DataFrame) -> DataFrame:
+    """Long-format integer luma plane: (file, width, height, p, g) with
+    p the row-major pixel index and g = 299R + 587G + 114B. This is
+    the AUDIT path (exact per-pixel distance ground truth for the
+    perceptual-hash recall query): it explodes pixels into rows, so it
+    is priced for fixture-scale truth computation, not for the corpus
+    path — the scale path is ahash_bands' 4 rows per image."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for file, content in zip(pdf["file"], pdf["content"]):
+                w, h, px = _parse_p6(file, bytes(content))
+                rgb = px.reshape(-1, 3)
+                g = (
+                    rgb[:, 0] * LUMA_WEIGHTS[0]
+                    + rgb[:, 1] * LUMA_WEIGHTS[1]
+                    + rgb[:, 2] * LUMA_WEIGHTS[2]
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "file": file,
+                            "width": w,
+                            "height": h,
+                            "p": range(len(g)),
+                            "g": g,
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=["file", "width", "height", "p", "g"]
+            )
+
+    return files.select("file", "content").mapInPandas(enc, schema=GRAY_SCHEMA)

@@ -1,0 +1,297 @@
+"""Image perceptual near-dup (SURVEY.md L2 x L4 — the dedup modality
+the engine lacked through r8): 64-bit aHash over decoded PPM planes,
+pigeonhole band blocking (the simhash_pairs discipline), exact
+Hamming verify, and a recall/precision audit against exact per-pixel
+gray distance ground truth.
+
+Reference contract: U2's record-level wide transform
+(workflow.py:241-277) moves opaque payloads; this layer PARSES them
+(operators/multimodal.py) and connects the decoded planes to the L2
+pair machinery — multimodal corpora dedupe images as routinely as
+text.
+
+The fixture corpus (scripts/make_phash_fixtures.py) is engineered so
+the readings are honest: a clip-free uniform brightness shift is
+hash-IDENTICAL but outside pixel truth (precision < 1 — perceptual
+invariance is the point of the hash), small boundary noise flips <= 3
+bits (detected), moderate noise flips ~5 (MISSED at the lossless-3
+threshold: recall < 1), and heavy corruption is far in both metrics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import round_agg, round_sql
+from ..operators.multimodal import ahash_bands, gray_pixels
+from .registry import register
+
+PHASH_DIR = os.path.abspath(
+    os.path.join(
+        os.path.dirname(__file__), "..", "..", "fixtures", "images_phash"
+    )
+)
+
+PHASH_SIDE = 16  # fixture corpus is pinned 16x16 (generator asserts)
+MAX_HAMMING = 3  # 4 bands x 16 bits: blocking is LOSSLESS to this
+MAX_BUCKET = 1024  # hot-bucket cap, the simhash_pairs guard
+TRUTH_SUM = 2_000_000  # exact truth: sum |gray_a - gray_b| <= this
+# (keep PHASH_SIDE/TRUTH_SUM in sync with scripts/make_phash_fixtures.py)
+
+_HEXDIGITS = "0123456789ABCDEF"
+_HDR_HEX = "P6\n16 16\n255\n".encode("ascii").hex().upper()
+_HDR_LEN = 13
+_N_PX_BYTES = PHASH_SIDE * PHASH_SIDE * 3
+
+
+def _b(j: str) -> str:
+    """DuckDB hex arithmetic: byte value at 1-based byte index j."""
+    return (
+        f"((strpos('{_HEXDIGITS}', h[2*({j})-1:2*({j})-1]) - 1) * 16"
+        f" + (strpos('{_HEXDIGITS}', h[2*({j}):2*({j})]) - 1))"
+    )
+
+
+# Shared oracle prefix: read_blob -> strict 16x16 P6 guard -> integer
+# luma plane g(file, p, g) -> aHash cells/bits -> band keys
+# bands(file, blk, key). Every stage is the byte-level replay of the
+# operators/multimodal.py codecs (ahash_bands / gray_pixels).
+_PHASH_CTE = f"""b AS (
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+               hex(content) AS h,
+               octet_length(content) AS n
+        FROM read_blob('{PHASH_DIR}/*.ppm')
+    ), guard AS (
+        SELECT file, h,
+               CASE WHEN n = {_HDR_LEN + _N_PX_BYTES}
+                     AND h[1:{2 * _HDR_LEN}] = '{_HDR_HEX}'
+                    THEN 1
+                    ELSE CAST(error('phash fixture is not a 16x16 '
+                                    || 'P6/255 ppm: ' || file) AS INT)
+               END AS ok
+        FROM b
+    ), px AS (
+        SELECT file,
+               (j - {_HDR_LEN + 1}) // 3 AS p,
+               (j - {_HDR_LEN + 1}) % 3 AS ch,
+               {_b('j')} AS v
+        FROM (SELECT file, h,
+                     unnest(range({_HDR_LEN + 1},
+                                  {_HDR_LEN + 1 + _N_PX_BYTES})) AS j
+              FROM guard WHERE ok = 1) t
+    ), g AS (
+        SELECT file, p,
+               CAST(sum(v * CASE ch WHEN 0 THEN 299
+                                    WHEN 1 THEN 587
+                                    ELSE 114 END) AS BIGINT) AS g
+        FROM px GROUP BY file, p
+    ), cell AS (
+        SELECT file,
+               ((p // {PHASH_SIDE}) * 8 // {PHASH_SIDE}) * 8
+                 + ((p % {PHASH_SIDE}) * 8 // {PHASH_SIDE}) AS c,
+               CAST(sum(g) AS BIGINT) AS s
+        FROM g GROUP BY 1, 2
+    ), tot AS (
+        SELECT file, CAST(sum(s) AS BIGINT) AS t FROM cell GROUP BY file
+    ), bits AS (
+        SELECT cell.file, c,
+               CASE WHEN s * 64 > t THEN 1 ELSE 0 END AS bit
+        FROM cell JOIN tot USING (file)
+    ), bands AS (
+        SELECT file, c // 16 AS blk,
+               CAST(sum(bit << (c % 16)) AS BIGINT) AS key
+        FROM bits GROUP BY 1, 2
+    )"""
+
+_PAIRS_SQL = f"""bucket AS (
+        SELECT blk, key FROM bands GROUP BY blk, key
+        HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
+    ), cand AS (
+        SELECT DISTINCT a.file AS file_a, b.file AS file_b
+        FROM bands a
+        JOIN bands b ON a.blk = b.blk AND a.key = b.key
+                    AND a.file < b.file
+        JOIN bucket k ON a.blk = k.blk AND a.key = k.key
+    ), ham AS (
+        SELECT c.file_a, c.file_b,
+               CAST(sum(bit_count(xor(ka.key, kb.key))) AS BIGINT)
+                 AS hamming
+        FROM cand c
+        JOIN bands ka ON ka.file = c.file_a
+        JOIN bands kb ON kb.file = c.file_b AND kb.blk = ka.blk
+        GROUP BY 1, 2
+    )
+    SELECT file_a, file_b, hamming FROM ham WHERE hamming <= {MAX_HAMMING}"""
+
+
+def _load_phash_files(spark: SparkSession) -> DataFrame:
+    df = spark.read.format("binaryFile").load(
+        os.path.join(PHASH_DIR, "*.ppm")
+    )
+    return df.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("file"), "content"
+    )
+
+
+@register(
+    "q_dedup_image_phash",
+    oracle=f"WITH {_PHASH_CTE}, {_PAIRS_SQL}",
+)
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual near-dup pairs: binaryFile scan over the
+    committed phash corpus -> integer-exact 64-bit aHash as 4 band
+    keys (Arrow-batched mapInPandas, operators/multimodal.py
+    ahash_bands) -> pigeonhole blocking on exact band agreement (any
+    pair within Hamming {mh} shares >= 1 of the 4 16-bit bands, so
+    candidates are an equi-join; all-pairs never materializes) ->
+    exact bit_count(xor) verify per band, summed. The DuckDB oracle
+    replays the ENTIRE path from read_blob hex bytes: luma, cell sums,
+    mean comparison, band packing, blocking, cap, verify.
+
+    Fixture readings this corpus pins: the +16-brightness variant at
+    hamming 0 (aHash's global-mean comparison makes a clip-free
+    uniform shift cancel EXACTLY), boundary noise at hamming 2, and
+    the moderate/heavy variants correctly above threshold.
+
+    Scale: 4 fixed-size rows per image out of the codec; blocking
+    shuffles on (blk, key) with the same hot-bucket cap as
+    simhash_pairs; verify joins touch 4-row slices per candidate.
+    65536 keys/band holds bucket occupancy sub-linear until ~10^6
+    images/band-key — past that, widen the hash (pHash-DCT, 256 bits)
+    exactly as SIMHASH_BITS replaced the calib width."""
+    bands = ahash_bands(_load_phash_files(spark))
+    buckets = (
+        bands.groupBy("blk", "key")
+        .agg(F.collect_list("file").alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= MAX_BUCKET))
+    )
+    cand = (
+        buckets.select(F.explode("ms").alias("file_a"), "ms")
+        .select("file_a", F.explode("ms").alias("file_b"))
+        .filter(F.col("file_a") < F.col("file_b"))
+        .distinct()
+    )
+    ka = bands.select(
+        F.col("file").alias("file_a"), "blk", F.col("key").alias("key_a")
+    )
+    kb = bands.select(
+        F.col("file").alias("file_b"), "blk", F.col("key").alias("key_b")
+    )
+    return (
+        cand.join(ka, "file_a")
+        .join(kb, ["file_b", "blk"])
+        .groupBy("file_a", "file_b")
+        .agg(
+            F.sum(F.expr("bit_count(key_a ^ key_b)"))
+            .cast("long")
+            .alias("hamming")
+        )
+        .filter(F.col("hamming") <= MAX_HAMMING)
+    )
+
+
+q_dedup_image_phash.__doc__ = q_dedup_image_phash.__doc__.format(
+    mh=MAX_HAMMING
+)
+
+
+@register(
+    "q_dedup_image_phash_recall",
+    oracle=f"""
+    WITH {_PHASH_CTE}, {_PAIRS_SQL.replace(
+        f"SELECT file_a, file_b, hamming FROM ham WHERE hamming <= {MAX_HAMMING}",
+        f", method AS (SELECT file_a, file_b FROM ham"
+        f" WHERE hamming <= {MAX_HAMMING})",
+    )}, co AS (
+        SELECT a.file AS file_a, b.file AS file_b,
+               CAST(sum(abs(a.g - b.g)) AS BIGINT) AS dist
+        FROM g a JOIN g b ON a.p = b.p AND a.file < b.file
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT file_a, file_b FROM co WHERE dist <= {TRUTH_SUM}
+    ), denom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth
+    ), hits AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_method,
+               CAST(coalesce(sum(CASE WHEN t.file_a IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS hits
+        FROM method m LEFT JOIN truth t
+          ON m.file_a = t.file_a AND m.file_b = t.file_b
+    )
+    SELECT 'ahash' AS method, d.n_truth, h.n_method, h.hits,
+           {round_sql('h.hits::DOUBLE / d.n_truth')} AS recall,
+           CASE WHEN h.n_method = 0 THEN 0.0
+                ELSE {round_sql('h.hits::DOUBLE / h.n_method')}
+           END AS prec
+    FROM hits h CROSS JOIN denom d
+    """,
+)
+def q_dedup_image_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision audit of the image perceptual near-dup against
+    EXACT per-pixel gray distance ground truth (the q_dedup_recall
+    convention extended to the image modality): truth pairs are those
+    with sum |gray_a - gray_b| <= {ts} over aligned pixels; the method
+    is the registered q_dedup_image_phash pair set.
+
+    Both misses are measured honestly on the engineered corpus:
+    recall < 1 because the moderate-noise variant flips ~5 bits
+    (outside the lossless-3 blocking guarantee) while staying inside
+    pixel truth, and precision < 1 because the brightness-shifted
+    variant is hash-IDENTICAL while 16 gray levels from truth —
+    perceptual invariance and pixel distance deliberately disagree,
+    exactly as SimHash-vs-Jaccard does in the text audit.
+
+    Scale: the truth side explodes pixels into rows (gray_pixels) and
+    equi-joins on pixel index + dims — the audit path, priced for
+    fixtures; the method side stays on the 4-rows-per-image scale
+    path. The 1-row denominator broadcast is the vetted source-mix
+    gate."""
+    files = _load_phash_files(spark)
+    method = q_dedup_image_phash(spark, sf_dir).select("file_a", "file_b")
+    gp = gray_pixels(files)
+    a = gp.select(
+        F.col("file").alias("file_a"), "width", "height", "p",
+        F.col("g").alias("ga"),
+    )
+    b = gp.select(
+        F.col("file").alias("file_b"), "width", "height", "p",
+        F.col("g").alias("gb"),
+    )
+    truth = (
+        a.join(b, ["width", "height", "p"])
+        .filter(F.col("file_a") < F.col("file_b"))
+        .groupBy("file_a", "file_b")
+        .agg(F.sum(F.abs(F.col("ga") - F.col("gb"))).alias("dist"))
+        .filter(F.col("dist") <= TRUTH_SUM)
+        .select("file_a", "file_b")
+    )
+    denom = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    h = (
+        method.join(truth.withColumn("hit", F.lit(1)), ["file_a", "file_b"], "left")
+        .agg(
+            F.count("*").cast("long").alias("n_method"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("hits"),
+        )
+    )
+    prec = F.when(F.col("n_method") == 0, F.lit(0.0)).otherwise(
+        round_agg(F.col("hits").cast("double") / F.col("n_method"))
+    )
+    return h.crossJoin(F.broadcast(denom)).select(
+        F.lit("ahash").alias("method"),
+        F.col("n_truth"),
+        "n_method",
+        "hits",
+        round_agg(F.col("hits").cast("double") / F.col("n_truth")).alias(
+            "recall"
+        ),
+        prec.alias("prec"),
+    )
+
+
+q_dedup_image_phash_recall.__doc__ = q_dedup_image_phash_recall.__doc__.format(
+    ts=TRUTH_SUM
+)

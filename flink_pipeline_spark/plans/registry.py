@@ -85,6 +85,7 @@ def _load_all() -> None:
         analytics,
         analytics_shapes,
         corpus_ops,
+        image_dedup,
         joins,
         llm_ops,
         pipeline_queries,

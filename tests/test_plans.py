@@ -309,6 +309,8 @@ _ALLOWED_BNLJ = {
     "q_graph_pagerank",      # 1-row base-mass constant broadcast per iteration
     "q_rfm_segments",        # 1-row reference-date broadcast
     "q_error_rate_control",  # 1-row global-rate scalar broadcast
+    # r9: same vetted classes
+    "q_dedup_image_phash_recall",  # 1-row truth-denominator broadcast
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.

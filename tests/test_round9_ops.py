@@ -1,0 +1,64 @@
+"""Round-9 operator tests: image perceptual near-dup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_pipeline_spark.operators.multimodal import ahash_bands
+from flink_pipeline_spark.plans.image_dedup import (
+    _load_phash_files,
+    q_dedup_image_phash,
+    q_dedup_image_phash_recall,
+)
+
+from .conftest import SF_DIR
+
+
+def test_phash_pairs_pin_the_engineered_corpus(spark):
+    """The committed fixture corpus pins three readings: the clip-free
+    +16-brightness variant is hash-IDENTICAL (hamming 0), boundary
+    noise lands at hamming 2 (detected), and every other pair —
+    including the moderate-noise true dup — is above the lossless-3
+    threshold."""
+    got = {
+        (r.file_a, r.file_b): r.hamming
+        for r in q_dedup_image_phash(spark, SF_DIR).collect()
+    }
+    assert got == {
+        ("ph_a.ppm", "ph_a_bright.ppm"): 0,
+        ("ph_a.ppm", "ph_a_noise.ppm"): 2,
+        ("ph_a_bright.ppm", "ph_a_noise.ppm"): 2,
+    }
+
+
+def test_phash_recall_reads_both_failure_modes(spark):
+    """recall < 1 (moderate noise flips ~5 bits, outside the blocking
+    guarantee) AND precision < 1 (brightness shift is hash-identical
+    but 16 gray levels from pixel truth)."""
+    [row] = q_dedup_image_phash_recall(spark, SF_DIR).collect()
+    assert (row.n_truth, row.n_method, row.hits) == (2, 3, 1)
+    assert row.recall == 0.5
+    assert row.prec == 0.3333
+
+
+def test_ahash_rejects_non_grid_dims(spark):
+    """The codec errors loudly on an image whose dims don't divide
+    into the 8x8 grid (a real pipeline resizes first) — the committed
+    images/ corpus has a 5x7 fixture, so point the codec there."""
+    import os
+
+    from flink_pipeline_spark.plans.scans import IMG_DIR
+
+    df = spark.read.format("binaryFile").load(os.path.join(IMG_DIR, "*.ppm"))
+    files = df.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("file"), "content"
+    )
+    with pytest.raises(Exception, match="aHash grid"):
+        ahash_bands(files).collect()
+
+
+def test_phash_band_keys_are_16_bit(spark):
+    bands = ahash_bands(_load_phash_files(spark)).collect()
+    assert len(bands) == 40  # 10 images x 4 bands
+    assert all(0 <= r.key <= 0xFFFF and 0 <= r.blk <= 3 for r in bands)
