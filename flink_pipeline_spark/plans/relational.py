@@ -549,12 +549,14 @@ _DIFF_ADD_MOD = 29
 _DIFF_ADD_OFFSET = 20_000_000
 
 
-def _snapshot_diff_sql() -> str:
+def _snapshot_versions_cte() -> str:
+    """Shared v1/v2 snapshot-simulation CTEs (q_snapshot_diff AND
+    q_cdc_apply compose this text, so the two queries can never fork
+    their simulated change set)."""
     from ..functions.portable import hash56_sql_duckdb
 
     h = lambda salt: hash56_sql_duckdb(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
-    return f"""
-    WITH v1 AS (
+    return f"""v1 AS (
         SELECT doc_id, source, text FROM documents
     ), v2 AS (
         SELECT doc_id, source,
@@ -566,7 +568,12 @@ def _snapshot_diff_sql() -> str:
         SELECT doc_id + {_DIFF_ADD_OFFSET}, source, text || ' new'
         FROM documents
         WHERE {h('add')} % {_DIFF_ADD_MOD} = 0
-    ), joined AS (
+    )"""
+
+
+def _snapshot_diff_sql() -> str:
+    return f"""
+    WITH {_snapshot_versions_cte()}, joined AS (
         SELECT coalesce(a.source, b.source) AS source,
                CASE WHEN a.doc_id IS NULL THEN 'added'
                     WHEN b.doc_id IS NULL THEN 'removed'
@@ -579,24 +586,11 @@ def _snapshot_diff_sql() -> str:
     """
 
 
-@register("q_snapshot_diff", oracle=_snapshot_diff_sql())
-def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Table-snapshot DIFF — the lakehouse change report (what Delta's
-    change-data-feed gives you for free, computed here from data for
-    the tables that don't have one): full-outer key join of two
-    snapshot versions + content-digest compare, classifying every row
-    added / removed / changed / unchanged, rolled up per source. The
-    v2 snapshot is derived deterministically from v1 (delete where
-    hash56('del:'||id) % 19 == 0, append-edit where % 13 == 0, insert
-    a new doc where % 29 == 0), so the oracle replays the whole
-    simulation — in production v2 is simply the next day's table and
-    only the join+digest machinery remains.
 
-    Scale: ONE full-outer shuffle join on the snapshot key (both sides
-    hash-partitioned; this is the one unavoidable data movement of any
-    diff) with the md5 digest computed in the scan projection — the
-    compare never carries full text through the join when columns are
-    pruned to (key, digest, source). Counts are map-side combined."""
+def _snapshot_versions(spark: SparkSession, sf_dir: str):
+    """Spark-side twin of _snapshot_versions_cte(): (v1, v2) snapshot
+    DataFrames from the same deterministic per-doc fates. Shared by
+    q_snapshot_diff (classification) and q_cdc_apply (merge-apply)."""
     from ..functions.portable import hash56
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -622,6 +616,28 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat("text", F.lit(" new")).alias("text"),
         )
     )
+    return v1, v2
+
+
+@register("q_snapshot_diff", oracle=_snapshot_diff_sql())
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-snapshot DIFF — the lakehouse change report (what Delta's
+    change-data-feed gives you for free, computed here from data for
+    the tables that don't have one): full-outer key join of two
+    snapshot versions + content-digest compare, classifying every row
+    added / removed / changed / unchanged, rolled up per source. The
+    v2 snapshot is derived deterministically from v1 (delete where
+    hash56('del:'||id) % 19 == 0, append-edit where % 13 == 0, insert
+    a new doc where % 29 == 0), so the oracle replays the whole
+    simulation — in production v2 is simply the next day's table and
+    only the join+digest machinery remains.
+
+    Scale: ONE full-outer shuffle join on the snapshot key (both sides
+    hash-partitioned; this is the one unavoidable data movement of any
+    diff) with the md5 digest computed in the scan projection — the
+    compare never carries full text through the join when columns are
+    pruned to (key, digest, source). Counts are map-side combined."""
+    v1, v2 = _snapshot_versions(spark, sf_dir)
     a = v1.select(
         "doc_id",
         F.col("source").alias("src_a"),
@@ -643,3 +659,53 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("source", "status").agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+@register(
+    "q_cdc_apply",
+    oracle=f"""
+    WITH {_snapshot_versions_cte()}
+    SELECT doc_id, source, md5(text) AS digest FROM v2
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY / keyed MERGE (the closer q_snapshot_diff was
+    missing): derive the insert/update/delete change set between the
+    v1 and v2 snapshots exactly as the diff does, then APPLY it back
+    to v1 with MERGE INTO semantics (operators/merge.py merge_into —
+    one full-outer key-equi join, per-column post-image CASE, no
+    windows) and emit the merged table's (key, source, digest). The
+    oracle is simply the simulated v2 snapshot — so the gate proves
+    merge(v1, diff(v1, v2)) == v2 row-for-row, the round-trip identity
+    that makes a diff+apply pipeline trustworthy.
+
+    Scale: two shuffles total — the diff's full-outer join on the key
+    and the merge's full-outer join on the same key (in production the
+    change set ARRIVES as CDC, leaving only the merge join, whose
+    change side AQE broadcast-joins when a day's churn measures small
+    against the base)."""
+    from ..operators.merge import merge_into
+
+    v1, v2 = _snapshot_versions(spark, sf_dir)
+    a = v1.select("doc_id", F.md5("text").alias("dg_a"))
+    b = v2.select(
+        "doc_id",
+        F.col("source").alias("src_b"),
+        F.col("text").alias("txt_b"),
+        F.md5("text").alias("dg_b"),
+    )
+    changes = (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("dg_a").isNull(), "insert")
+            .when(F.col("dg_b").isNull(), "delete")
+            .when(F.col("dg_a") != F.col("dg_b"), "update")
+            .alias("op"),
+            F.col("src_b").alias("source"),
+            F.col("txt_b").alias("text"),
+        )
+        .filter(F.col("op").isNotNull())
+    )
+    merged = merge_into(v1, changes, ["doc_id"])
+    return merged.select("doc_id", "source", F.md5("text").alias("digest"))

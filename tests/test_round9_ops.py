@@ -62,3 +62,36 @@ def test_phash_band_keys_are_16_bit(spark):
     bands = ahash_bands(_load_phash_files(spark)).collect()
     assert len(bands) == 40  # 10 images x 4 bands
     assert all(0 <= r.key <= 0xFFFF and 0 <= r.blk <= 3 for r in bands)
+
+
+def test_merge_into_semantics(spark):
+    """All six MERGE rows of the contract: unchanged, update, delete,
+    insert, upsert-for-absent-key, delete-absent-key-no-op."""
+    from flink_pipeline_spark.operators.merge import merge_into
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k BIGINT, v STRING"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "update", "B"),      # matched update
+            (3, "delete", None),     # matched delete
+            (4, "insert", "d"),      # insert
+            (5, "update", "e"),      # upsert: update for absent key
+            (6, "delete", None),     # delete for absent key -> no-op
+        ],
+        "k BIGINT, op STRING, v STRING",
+    )
+    got = {
+        (r.k, r.v) for r in merge_into(base, changes, ["k"]).collect()
+    }
+    assert got == {(1, "a"), (2, "B"), (4, "d"), (5, "e")}
+
+
+def test_merge_into_requires_post_image_columns(spark):
+    from flink_pipeline_spark.operators.merge import merge_into
+
+    base = spark.createDataFrame([(1, "a")], "k BIGINT, v STRING")
+    changes = spark.createDataFrame([(1, "delete")], "k BIGINT, op STRING")
+    with pytest.raises(ValueError, match="post-image"):
+        merge_into(base, changes, ["k"])
