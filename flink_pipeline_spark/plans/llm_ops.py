@@ -566,6 +566,122 @@ def _register_dedup_recall() -> None:
 _register_dedup_recall()
 
 
+def _register_embed_dedup_recall() -> None:
+    """EMBEDDING-family dedup recall audit (the r8 verdict's measured
+    gap: q_dedup_recall audits only the TEXT methods; the IVF pair
+    generators' cap/quantizer recall cost was unmeasured). Same
+    closure-composition convention: the oracle embeds the registered
+    pair oracles as CTEs, the Spark side calls the same registered
+    query functions, so a threshold / nprobe / cap edit to any audited
+    method flows into its audit automatically.
+
+    Ground truth is q_dedup_embed_cosine itself — EXACT cosine >= tau
+    over the triangle-blocked full pair space (no all-pairs task: the
+    O(n^2) compares distribute over block-pair partitions). The exact
+    method's own row is kept as the 1.0/1.0 control, mirroring
+    minhash's row in the text audit."""
+    methods = {
+        "cosine": "q_dedup_embed_cosine",
+        "ivf": "q_dedup_embed_ivf",
+        "ivf_multiprobe": "q_dedup_embed_ivf_multiprobe",
+    }
+    hits = """
+    {m}_h AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_method,
+               CAST(coalesce(sum(CASE WHEN t.vec_a IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+        FROM {m}_r p LEFT JOIN truth t
+          ON p.vec_a = t.vec_a AND p.vec_b = t.vec_b
+    )"""
+    row = (
+        "SELECT '{m}' AS method, d.n_truth, h.n_method, h.hits, "
+        + round_sql("h.hits::DOUBLE / d.n_truth")
+        + " AS recall, CASE WHEN h.n_method = 0 THEN 0.0 ELSE "
+        + round_sql("h.hits::DOUBLE / h.n_method")
+        + " END AS prec FROM {m}_h h CROSS JOIN denom d"
+    )
+    oracle = (
+        "WITH "
+        + ",\n".join(f"{m}_r AS ({ORACLES[q]})" for m, q in methods.items())
+        + """,
+    truth AS (SELECT vec_a, vec_b FROM cosine_r),
+    denom AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),"""
+        + ",\n".join(hits.format(m=m) for m in methods)
+        + "\n"
+        + " UNION ALL ".join(row.format(m=m) for m in methods)
+    )
+
+    @register("q_dedup_embed_recall", oracle=oracle)
+    def q_dedup_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Recall/precision audit of the embedding near-dup family
+        (exact triangle-blocked cosine, single-assignment IVF,
+        nprobe=2 multi-probe IVF) against the exact cosine-threshold
+        ground truth — the registry-visible measurement of what the
+        quantizer boundary and the cell cap actually cost in pairs,
+        measured the same way the text methods are (q_dedup_recall).
+
+        Readings quantify the design trade: single-assignment IVF
+        loses every pair split across a cell boundary (and anything
+        the 32-cap drops); multi-probe at nprobe=2 recovers the
+        boundary pairs whose top-2 cell sets intersect at ~4x the
+        within-cell compare work. Precision is 1.0 for all three by
+        construction (every emitted pair carries its exact verified
+        cosine) — the embedding family's losses are recall-only,
+        unlike 16-bit SimHash's precision collapse.
+
+        Scale: truth is the one quadratic-compare stage, distributed
+        over triangle block pairs (the irreducible price of an exact
+        audit — run it on a sample at 100 TB); methods and the hit
+        joins are the sub-quadratic paths under audit."""
+        truth = (
+            q_dedup_embed_cosine(spark, sf_dir)
+            .select("vec_a", "vec_b")
+            .persist()
+        )
+        denom = truth.agg(F.count("*").cast("long").alias("n_truth"))
+
+        def audit(m: DataFrame, name: str) -> DataFrame:
+            h = (
+                m.select("vec_a", "vec_b")
+                .join(truth.withColumn("hit", F.lit(1)), ["vec_a", "vec_b"], "left")
+                .agg(
+                    F.count("*").cast("long").alias("n_method"),
+                    F.coalesce(F.sum("hit"), F.lit(0))
+                    .cast("long")
+                    .alias("hits"),
+                )
+            )
+            prec = F.when(F.col("n_method") == 0, F.lit(0.0)).otherwise(
+                round_agg(F.col("hits").cast("double") / F.col("n_method"))
+            )
+            return h.crossJoin(F.broadcast(denom)).select(
+                F.lit(name).alias("method"),
+                F.col("n_truth"),
+                "n_method",
+                "hits",
+                round_agg(
+                    F.col("hits").cast("double") / F.col("n_truth")
+                ).alias("recall"),
+                prec.alias("prec"),
+            )
+
+        return (
+            audit(q_dedup_embed_cosine(spark, sf_dir), "cosine")
+            .unionByName(audit(q_dedup_embed_ivf(spark, sf_dir), "ivf"))
+            .unionByName(
+                audit(
+                    q_dedup_embed_ivf_multiprobe(spark, sf_dir),
+                    "ivf_multiprobe",
+                )
+            )
+        )
+
+
+# NOTE: invoked after the embed pair queries are registered (their
+# oracles are composed at registration time) — see the call below
+# q_dedup_embed_apply.
+
+
 @register(
     "q_dedup_ngram_jaccard",
     oracle=f"""
@@ -855,6 +971,10 @@ def q_dedup_embed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count("dr")).cast("long").alias("n_kept"),
         )
     )
+
+
+# All three embed pair oracles are registered now — compose the audit.
+_register_embed_dedup_recall()
 
 
 # ---------------------------------------------------------------------------
