@@ -92,6 +92,13 @@ def _register_dedup_soft() -> None:
             .persist()
         )
         clusters = connected_components(pairs)
+        # connected_components eagerly localCheckpoints its edge frame,
+        # so the shingle/pair caches are fully consumed by the time it
+        # returns — release them here instead of letting a full-surface
+        # sweep accumulate cached shingle/pair RDDs in executor storage
+        # (ADVICE r8; release_caches() remains the session-wide sweep)
+        sets.unpersist()
+        pairs.unpersist()
         sizes = clusters.groupBy("cluster_id").agg(
             F.count("*").cast("long").alias("n")
         )
@@ -433,9 +440,16 @@ def q_embed_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     Portability: elements quantize to BIGINT ten-thousandths; all
     three regression moments (sum, cross-sum, count) are exact BIGINT;
     cov = (n*Sxy - Sx*Sy) / (n^2 * Q^2) is one double division,
-    portably rounded. BIGINT headroom holds to ~1e6 sampled vectors;
-    beyond that promote the moments to DECIMAL(38,0) in both engines
-    (the money_sum convention).
+    portably rounded. BIGINT headroom: with unit-magnitude elements
+    (|xq| up to Q = 1e4) the binding term is n*Sxy <= n^2 * Q^2, so
+    int64 holds to n ~ 3e5 SAMPLED vectors (ADVICE r9 corrected the
+    earlier ~1e6 claim), not the corpus size — raise PCA_SAMPLE_MOD
+    or promote the moments to DECIMAL(38,0) in both engines (the
+    money_sum convention) past that. The failure mode is ASYMMETRIC
+    and would not fail cleanly: Spark wraps int64 silently while
+    DuckDB promotes/raises, so an over-ceiling run DIVERGES at the
+    parity gate rather than erroring on both sides — treat the
+    ceiling as a hard precondition, not a soft degradation.
 
     Scale: explode is 64/row on the SAMPLE only; the self-join keys on
     vec_id (co-partitioned, d<=d residual) and the aggregate reduces
@@ -716,9 +730,19 @@ def _seed_oracle() -> str:
     ]
     prev_d = "d1"
     for i in range(2, SEED_K + 1):
+        # exclude already-chosen seeds from the argmax: in the
+        # degenerate all-identical corpus every remaining distance is
+        # 0 and the (dist DESC, vec_id) tiebreak would re-pick seed 1
+        # (ADVICE r8) — the exclusion guarantees k DISTINCT seeds in
+        # both engines
+        picked = " UNION ALL ".join(
+            ["SELECT min(vec_id) AS vec_id FROM embeddings"]
+            + [f"SELECT vec_id FROM pick{j}" for j in range(2, i)]
+        )
         ctes.append(
             f"""pick{i} AS (
         SELECT vec_id, dist FROM {prev_d}
+        WHERE vec_id NOT IN ({picked})
         ORDER BY dist DESC, vec_id LIMIT 1
     ), s{i} AS (
         SELECT d, xq FROM el
@@ -800,7 +824,16 @@ def q_sim_seed_farthest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("dist_q"),
     )
     for i in range(2, SEED_K + 1):
-        pick = d.orderBy(F.col("dist").desc(), "vec_id").limit(1)
+        # anti-join the already-chosen seeds out of the candidate
+        # frame: all picked seeds sit at dist 0, so in a degenerate
+        # all-identical corpus the (dist DESC, vec_id) argmax would
+        # re-pick seed 1 — exclusion guarantees k distinct seeds
+        # (ADVICE r8; oracle replays the same NOT IN)
+        pick = (
+            d.join(out.select("vec_id"), "vec_id", "left_anti")
+            .orderBy(F.col("dist").desc(), "vec_id")
+            .limit(1)
+        )
         out = out.unionAll(
             pick.select(
                 F.lit(i).cast("long").alias("seed_idx"),

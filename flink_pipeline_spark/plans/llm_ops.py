@@ -4159,7 +4159,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .persist()
     )
-    return connected_components(pairs)
+    clusters = connected_components(pairs)
+    # the operator eagerly localCheckpoints its edge frame, so the
+    # shingle/pair caches are consumed by return time (q_dedup_soft
+    # convention, ADVICE r8)
+    sets.unpersist()
+    pairs.unpersist()
+    return clusters
 
 
 def _register_cluster_stats() -> None:

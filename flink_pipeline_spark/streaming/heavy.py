@@ -143,6 +143,34 @@ class HeavyHitterMonitor:
         summary.write.mode("overwrite").parquet(part("summary"))
         n_total.write.mode("overwrite").parquet(part("meta"))
         merged.unpersist()
+        # prune snapshots older than the one prior partition after a
+        # successful write: _read_latest re-lists ALL historical
+        # partitions, so an unpruned store costs linearly more per
+        # trigger (quadratic cumulative) for a summary that only ever
+        # needs the latest snapshot (ADVICE r8). Keeping batch N-1
+        # preserves crash-replay: a replayed batch N still reads
+        # latest-strictly-before-N.
+        self._prune_before(spark, "summary", batch_id - 1)
+        self._prune_before(spark, "meta", batch_id - 1)
+
+    def _prune_before(self, spark, kind: str, keep_from: int) -> None:
+        """Delete ``batch_id=B`` partitions with B < ``keep_from`` via
+        the Hadoop FS API (works for local paths and HDFS alike)."""
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self._path(kind))
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("batch_id="):
+                continue
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid < keep_from:
+                fs.delete(st.getPath(), True)
 
     def summary(self, spark, after_batch_id: int) -> DataFrame:
         """The summary as of AFTER ``after_batch_id`` (key, est)."""

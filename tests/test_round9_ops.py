@@ -95,3 +95,55 @@ def test_merge_into_requires_post_image_columns(spark):
     changes = spark.createDataFrame([(1, "delete")], "k BIGINT, op STRING")
     with pytest.raises(ValueError, match="post-image"):
         merge_into(base, changes, ["k"])
+
+
+def test_heavy_hitter_store_prunes_old_snapshots(spark, tmp_path):
+    """After batch N commits, only partitions N-1 and N remain (the
+    summary is a snapshot; unpruned stores cost linearly more per
+    trigger — ADVICE r8). Replay of the newest batch still works off
+    the kept prior partition."""
+    import os
+
+    from flink_pipeline_spark.streaming.heavy import HeavyHitterMonitor
+
+    mon = HeavyHitterMonitor(str(tmp_path / "store"), k=3, key_col="key")
+    frames = [
+        spark.createDataFrame([("a",)] * (i + 2) + [("b",)], "key string")
+        for i in range(3)
+    ]
+    for i, df in enumerate(frames):
+        mon(df, i)
+    for kind in ("summary", "meta"):
+        parts = sorted(
+            d
+            for d in os.listdir(tmp_path / "store" / kind)
+            if d.startswith("batch_id=")
+        )
+        assert parts == ["batch_id=1", "batch_id=2"], (kind, parts)
+    before = sorted(
+        (r["key"], r["est"]) for r in mon.summary(spark, 2).collect()
+    )
+    mon(frames[2], 2)  # crash-replay of the newest batch
+    after = sorted(
+        (r["key"], r["est"]) for r in mon.summary(spark, 2).collect()
+    )
+    assert before == after
+
+
+def test_seed_farthest_distinct_on_degenerate_corpus(spark, tmp_path):
+    """All-identical corpus: every remaining distance is 0, where the
+    bare (dist DESC, vec_id) argmax used to re-pick seed 1 (ADVICE
+    r8). The anti-join guarantees k DISTINCT seeds."""
+    from flink_pipeline_spark.plans.corpus_ops import (
+        SEED_K,
+        q_sim_seed_farthest,
+    )
+
+    rows = [(i, [0.5] * 64) for i in range(10)]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = q_sim_seed_farthest(spark, str(tmp_path)).collect()
+    assert len(got) == SEED_K
+    assert len({r.vec_id for r in got}) == SEED_K
+    assert all(r.dist_q == 0 for r in got if r.seed_idx > 1)
