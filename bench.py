@@ -200,6 +200,13 @@ HEADLINE = [
     "q_text_tfidf",
     "q_event_funnel",
     "q_sessionize",
+    # r9: the CDC merge-apply round trip (two key joins over the
+    # snapshot pair), the image perceptual near-dup (codec + band
+    # blocking + verify), and the embedding-family recall audit (the
+    # exact triangle-blocked cosine truth is the heavy stage)
+    "q_cdc_apply",
+    "q_dedup_image_phash",
+    "q_dedup_embed_recall",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"

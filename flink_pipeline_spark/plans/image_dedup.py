@@ -295,3 +295,118 @@ def q_dedup_image_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_dedup_image_phash_recall.__doc__ = q_dedup_image_phash_recall.__doc__.format(
     ts=TRUTH_SUM
 )
+
+
+# The "new batch" of the incremental scenario: the engineered variants
+# arrive against a store holding the bases + fillers.
+PROBE_FILES = (
+    "ph_a_bright.ppm",
+    "ph_a_noise.ppm",
+    "ph_b_noise.ppm",
+    "ph_c_heavy.ppm",
+)
+_PROBE_IN = ", ".join(f"'{f}'" for f in PROBE_FILES)
+
+
+@register(
+    "q_dedup_image_phash_incremental",
+    oracle=f"""
+    WITH {_PHASH_CTE}, store AS (
+        SELECT file, blk, key FROM bands WHERE file NOT IN ({_PROBE_IN})
+    ), probe AS (
+        SELECT file, blk, key FROM bands WHERE file IN ({_PROBE_IN})
+    ), cand AS (
+        SELECT DISTINCT p.file AS file, s.file AS store_file
+        FROM probe p JOIN store s ON s.blk = p.blk AND s.key = p.key
+    ), ham AS (
+        SELECT c.file, c.store_file,
+               CAST(sum(bit_count(xor(pk.key, sk.key))) AS BIGINT)
+                 AS hamming
+        FROM cand c
+        JOIN probe pk ON pk.file = c.file
+        JOIN store sk ON sk.file = c.store_file AND sk.blk = pk.blk
+        GROUP BY 1, 2
+    ), best AS (
+        SELECT file, store_file, hamming
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY file
+                  ORDER BY hamming, store_file) AS rn
+              FROM ham WHERE hamming <= {MAX_HAMMING}) t
+        WHERE rn = 1
+    )
+    SELECT p.file, b.store_file AS dup_of, b.hamming,
+           b.store_file IS NOT NULL AS is_dup
+    FROM (SELECT DISTINCT file FROM probe) p
+    LEFT JOIN best b ON b.file = p.file
+    """,
+)
+def q_dedup_image_phash_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL image near-dup — the arriving-batch form of
+    q_dedup_image_phash (the q_dedup_incremental pattern applied to
+    the image modality): a new batch of images probes an existing
+    signature STORE (band keys only, 4 rows per stored image — the
+    state a streaming deployment persists); each probe reports its
+    best in-threshold store match (keep/drop decision) or NULL when
+    it is genuinely new. The batch side never joins itself — dup
+    pairs WITHIN an arriving batch are the batch-local
+    q_dedup_image_phash run, exactly as the text incremental splits
+    the work.
+
+    Fixture readings: the brightness variant resolves to its base at
+    hamming 0, the boundary-noise variant at hamming 2; the moderate
+    (5 bits) and heavy (13 bits) variants correctly probe as NEW at
+    the lossless-3 threshold.
+
+    Scale: the probe side is batch-sized; the store join is equi on
+    (blk, key) against a store whose size is 4 rows per image ever
+    kept — the candidate set is bucket-collision-bounded, never
+    store x batch."""
+    bands = ahash_bands(_load_phash_files(spark))
+    is_probe = F.col("file").isin(*PROBE_FILES)
+    store = bands.filter(~is_probe)
+    probe = bands.filter(is_probe)
+    cand = (
+        probe.alias("p")
+        .join(
+            store.alias("s"),
+            (F.col("s.blk") == F.col("p.blk"))
+            & (F.col("s.key") == F.col("p.key")),
+        )
+        .select(
+            F.col("p.file").alias("file"),
+            F.col("s.file").alias("store_file"),
+        )
+        .distinct()
+    )
+    pk = probe.select("file", "blk", F.col("key").alias("pkey"))
+    sk = store.select(
+        F.col("file").alias("store_file"), "blk", F.col("key").alias("skey")
+    )
+    ham = (
+        cand.join(pk, "file")
+        .join(sk, ["store_file", "blk"])
+        .groupBy("file", "store_file")
+        .agg(
+            F.sum(F.expr("bit_count(pkey ^ skey)"))
+            .cast("long")
+            .alias("hamming")
+        )
+        .filter(F.col("hamming") <= MAX_HAMMING)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("file").orderBy("hamming", "store_file")
+    best = (
+        ham.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("file", F.col("store_file").alias("dup_of"), "hamming")
+    )
+    probes = probe.select("file").distinct()
+    return probes.join(best, "file", "left").select(
+        "file",
+        "dup_of",
+        "hamming",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+    )

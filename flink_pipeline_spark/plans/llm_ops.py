@@ -6218,3 +6218,229 @@ def _register_quality_calibration() -> None:
 _register_search_ndcg()
 # Deferred: composes ORACLES['q_quality_linear'], registered above.
 _register_quality_calibration()
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (L6: privacy pass every training pipeline runs)
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PII_PHONE_RE = r"555-[0-9]{4}"
+_PII_EMAIL_MOD = 3  # docs with hash56('pii:'||id) % 3 == 0 get an email
+_PII_PHONE_MOD = 5  # docs with hash56('pii:'||id) % 5 == 0 get a phone
+_P31_PII = 2_147_483_647
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, source,
+               text
+               || CASE WHEN {hash56_sql_duckdb("'pii:' || CAST(doc_id AS VARCHAR)")}
+                            % {_PII_EMAIL_MOD} = 0
+                       THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                            || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN {hash56_sql_duckdb("'pii:' || CAST(doc_id AS VARCHAR)")}
+                            % {_PII_PHONE_MOD} = 0
+                       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS raw
+        FROM documents
+    ), scrubbed AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(raw, '{_PII_EMAIL_RE}')) AS BIGINT)
+                 AS n_email,
+               CAST(len(regexp_extract_all(raw, '{_PII_PHONE_RE}')) AS BIGINT)
+                 AS n_phone,
+               regexp_replace(
+                   regexp_replace(raw, '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{_PII_PHONE_RE}', '[PHONE]', 'g') AS clean
+        FROM raw
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_email_docs,
+           CAST(sum(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_phone_docs,
+           CAST(sum(n_email + n_phone) AS BIGINT) AS n_redactions,
+           CAST(sum({hash56_sql_duckdb('clean')} % {_P31_PII}) AS BIGINT)
+             AS scrub_digest
+    FROM scrubbed GROUP BY source
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing report (the privacy pass every LLM training
+    pipeline runs before anything ships — Dolma/RefinedWeb mask
+    emails/phones/IPs exactly like this): redact email and phone
+    patterns to typed placeholders and report, per source, document
+    counts, per-pattern hit counts, total redactions, and a digest of
+    the REWRITTEN text (sum of per-doc hash56 mod 2^31-1) so the gate
+    pins the actual rewriting, not just the counters.
+
+    The synthetic corpus carries no PII, so both engines first INJECT
+    deterministic fake PII (salted-hash-selected docs get an email
+    and/or a phone derived from doc_id) and then scrub it — the same
+    replay-the-simulation convention as q_snapshot_diff. Regex
+    patterns are kept in the Java-regex/RE2 common dialect (no
+    lookaround, no perl classes), so both engines see identical
+    matches.
+
+    Scale: pure per-row string work in the scan projection (zero
+    Python, zero UDF) followed by one source-grid aggregate —
+    map-side combined, output bounded by the source count."""
+    from ..functions.portable import hash56_sql_spark as _h56s
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr(_h56s("'pii:' || CAST(doc_id AS STRING)"))
+    raw = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                h % _PII_EMAIL_MOD == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                h % _PII_PHONE_MOD == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("raw"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("raw", _PII_EMAIL_RE, "[EMAIL]"),
+        _PII_PHONE_RE,
+        "[PHONE]",
+    )
+    scrubbed = raw.select(
+        "source",
+        F.regexp_count("raw", F.lit(_PII_EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count("raw", F.lit(_PII_PHONE_RE)).cast("long").alias("n_phone"),
+        clean.alias("clean"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_email") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_email_docs"),
+        F.sum(F.when(F.col("n_phone") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_phone_docs"),
+        F.sum(F.col("n_email") + F.col("n_phone"))
+        .cast("long")
+        .alias("n_redactions"),
+        F.sum(F.expr(_h56s("clean")) % _P31_PII)
+        .cast("long")
+        .alias("scrub_digest"),
+    )
+
+
+# Gopher's duplicate-ngram family (Rae et al. 2021 §A1.1): the rule
+# q_gopher_rules could not express — the fraction of gram OCCURRENCES
+# (and of their characters) inside within-doc duplicate 3-grams.
+DUP_NGRAM_N = 3
+DUP_NGRAM_MAX_SHARE = 0.02  # fixture-calibrated: 478/22 split at sf0.01
+
+
+@register(
+    "q_text_dup_ngram_fraction",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+                 || ' ' || toks[CAST(i AS INT) + 2] AS g
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+              FROM base)
+    ), gc AS (
+        SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c,
+               CAST(length(g) AS BIGINT) AS lg
+        FROM g GROUP BY doc_id, g
+    ), m AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                 AS dup_occ,
+               CAST(sum(c * lg) AS BIGINT) AS total_chars,
+               CAST(sum(CASE WHEN c > 1 THEN c * lg ELSE 0 END) AS BIGINT)
+                 AS dup_chars
+        FROM gc GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, dup_occ,
+           {round_sql('dup_occ::DOUBLE / n_grams')} AS dup_gram_share,
+           {round_sql('dup_chars::DOUBLE / total_chars')} AS dup_char_share,
+           dup_chars::DOUBLE / total_chars <= {DUP_NGRAM_MAX_SHARE}
+             AS passes
+    FROM m
+    """,
+)
+def q_text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-{n}-gram repetition screen — the Gopher rule family
+    member q_gopher_rules couldn't express with per-WORD stats (Rae et
+    al. 2021 §A1.1 "fraction of characters in duplicate n-grams"): per
+    doc, the share of {n}-gram occurrences that belong to a gram
+    repeated WITHIN the doc, and the share of gram characters those
+    occurrences carry (each occurrence's characters counted once per
+    occurrence, separators included — a documented adaptation of the
+    paper's overlap-ambiguous wording that both engines replay
+    exactly). Docs under {n} tokens carry no grams and are excluded on
+    both sides (Spark's sequence() would otherwise descend).
+
+    Scale: position explode is ~1 row per corpus token (the langid
+    cost class), immediately reduced by the per-(doc, gram) count —
+    Zipf-bounded within each doc — then one per-doc aggregate; no
+    joins, no windows, map-side combined throughout."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= DUP_NGRAM_N
+    )
+    g = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', element_at(toks, i),"
+                " element_at(toks, i + 1), element_at(toks, i + 2)))"
+            )
+        ).alias("g"),
+    )
+    gc = g.groupBy("doc_id", "g").agg(
+        F.count("*").cast("long").alias("c"),
+        F.length(F.first("g")).cast("long").alias("lg"),
+    )
+    dup = F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))
+    dupch = F.when(F.col("c") > 1, F.col("c") * F.col("lg")).otherwise(
+        F.lit(0)
+    )
+    m = gc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.sum(dup).cast("long").alias("dup_occ"),
+        F.sum(F.col("c") * F.col("lg")).cast("long").alias("total_chars"),
+        F.sum(dupch).cast("long").alias("dup_chars"),
+    )
+    share = F.col("dup_chars").cast("double") / F.col("total_chars")
+    return m.select(
+        "doc_id",
+        "n_grams",
+        "dup_occ",
+        round_agg(F.col("dup_occ").cast("double") / F.col("n_grams")).alias(
+            "dup_gram_share"
+        ),
+        round_agg(share).alias("dup_char_share"),
+        (share <= DUP_NGRAM_MAX_SHARE).alias("passes"),
+    )
+
+
+q_text_dup_ngram_fraction.__doc__ = q_text_dup_ngram_fraction.__doc__.format(
+    n=DUP_NGRAM_N
+)

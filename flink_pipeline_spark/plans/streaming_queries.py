@@ -23,7 +23,7 @@ from ..streaming.windows import (
     stream_dedup,
     tumbling_counts,
 )
-from .registry import register
+from .registry import ORACLES, register
 
 _EVENTS_TS = "CAST(floor(epoch(ts)) AS BIGINT)"
 
@@ -390,3 +390,61 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "q_time_travel",
+    oracle=f"""
+    WITH hist AS ({{scd2}}
+    ), t AS (
+        SELECT (min(valid_from) + max(valid_from)) // 2 AS t0 FROM hist
+    )
+    SELECT h.user_id, h.event_type,
+           h.valid_from,
+           CAST(t.t0 - h.valid_from AS BIGINT) AS state_age_s
+    FROM hist h CROSS JOIN t
+    WHERE h.valid_from <= t.t0
+      AND (h.valid_to IS NULL OR h.valid_to > t.t0)
+    """,
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) table reconstruction from the SCD2
+    history — the read side of the temporal family: given the
+    [valid_from, valid_to) intervals q_scd2_history builds, recover
+    every user's state as of T plus how long that state had been held.
+    T is corpus-derived (the midpoint of the change-point timestamp
+    range) so the query is meaningful at every SF; in production T is
+    a literal and this is the lakehouse "VERSION AS OF"/"TIMESTAMP AS
+    OF" read, computed from data for tables without a transaction log.
+
+    The oracle COMPOSES the registered q_scd2_history SQL as a CTE
+    (the q_ann_recall convention), so any change to the history build
+    flows into the time-travel read automatically.
+
+    Scale: one half-open interval predicate per history row against a
+    1-row broadcast scalar — no join beyond the history build itself;
+    at most one row per (user, T) survives by the SCD2 invariant
+    (intervals partition each user's timeline)."""
+    hist = q_scd2_history(spark, sf_dir)
+    t0 = hist.agg(
+        ((F.min("valid_from") + F.max("valid_from")) / 2)
+        .cast("long")
+        .alias("t0")
+    )
+    return (
+        hist.crossJoin(F.broadcast(t0))
+        .filter(
+            (F.col("valid_from") <= F.col("t0"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("t0")))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            (F.col("t0") - F.col("valid_from")).cast("long").alias("state_age_s"),
+        )
+    )
+
+
+_TT = ORACLES["q_time_travel"]
+ORACLES["q_time_travel"] = _TT.format(scd2=ORACLES["q_scd2_history"])

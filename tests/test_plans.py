@@ -312,6 +312,7 @@ _ALLOWED_BNLJ = {
     # r9: same vetted classes
     "q_dedup_image_phash_recall",  # 1-row truth-denominator broadcast
     "q_dedup_embed_recall",  # composes the vetted IVF pair queries + 1-row denom
+    "q_time_travel",         # 1-row corpus-midpoint scalar broadcast
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.

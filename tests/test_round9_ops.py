@@ -147,3 +147,22 @@ def test_seed_farthest_distinct_on_degenerate_corpus(spark, tmp_path):
     assert len(got) == SEED_K
     assert len({r.vec_id for r in got}) == SEED_K
     assert all(r.dist_q == 0 for r in got if r.seed_idx > 1)
+
+
+def test_phash_incremental_keep_drop_decisions(spark):
+    """Probe batch vs store: brightness and boundary-noise variants
+    resolve to their base (drop), moderate/heavy probe as new (keep)."""
+    from flink_pipeline_spark.plans.image_dedup import (
+        q_dedup_image_phash_incremental,
+    )
+
+    got = {
+        r.file: (r.dup_of, r.hamming, r.is_dup)
+        for r in q_dedup_image_phash_incremental(spark, SF_DIR).collect()
+    }
+    assert got == {
+        "ph_a_bright.ppm": ("ph_a.ppm", 0, True),
+        "ph_a_noise.ppm": ("ph_a.ppm", 2, True),
+        "ph_b_noise.ppm": (None, None, False),
+        "ph_c_heavy.ppm": (None, None, False),
+    }
