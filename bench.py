@@ -207,6 +207,13 @@ HEADLINE = [
     "q_cdc_apply",
     "q_dedup_image_phash",
     "q_dedup_embed_recall",
+    # r9 continued: the AS OF read, the PII pass (pure string scan),
+    # the dup-3gram screen (position-explode cost class), and the
+    # incremental image-probe form
+    "q_time_travel",
+    "q_pii_scrub",
+    "q_text_dup_ngram_fraction",
+    "q_dedup_image_phash_incremental",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"

@@ -1092,3 +1092,120 @@ def q_error_rate_control(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(p_day - p_bar) > band).alias("out_of_control"),
         )
     )
+
+
+# ------------------------------------------------- KMV distinct sketch
+KMV_K = 64  # sketch size; rel. stderr ~ 1/sqrt(k-2) ~ 12.7%
+
+
+@register(
+    "q_distinct_kmv",
+    oracle=f"""
+    WITH base AS (
+        SELECT source, string_split(text, ' ') AS toks FROM documents
+    ), hv AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substr(md5(CAST(g AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+        FROM (SELECT source,
+                     toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+                       || ' ' || toks[CAST(i AS INT) + 2] AS g
+              FROM (SELECT source, toks,
+                           unnest(range(1, len(toks) - 1)) AS i
+                    FROM base))
+    ), ranked AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY source) AS nd
+        FROM hv
+    ), kth AS (
+        SELECT source, CAST(any_value(nd) AS BIGINT) AS exact_distinct,
+               CAST(max(CASE WHEN rn = {KMV_K} THEN h END) AS BIGINT) AS hk
+        FROM ranked WHERE rn <= {KMV_K} GROUP BY source
+    )
+    SELECT source, exact_distinct,
+           CAST(CASE WHEN hk IS NULL THEN exact_distinct
+                ELSE CAST(floor(({KMV_K} - 1) * 72057594037927936::DOUBLE / hk
+                                + 0.5) AS BIGINT)
+           END AS BIGINT) AS kmv_estimate,
+           {round_sql(
+               'abs(CASE WHEN hk IS NULL THEN exact_distinct '
+               f'ELSE floor(({KMV_K} - 1) * 72057594037927936::DOUBLE / hk + 0.5) '
+               'END - exact_distinct) / exact_distinct')} AS rel_err
+    FROM kth
+    """,
+)
+def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch — the portable,
+    engine-replayable stand-in for HyperLogLog (Bar-Yossef et al.
+    2002; Beyer et al. 2007's unbiased (k-1)/h_k estimator): per
+    source, hash every distinct 3-gram shingle into a 56-bit space (the\n    word vocabulary is fixture-small; the shingle space is what a\n    profiler actually sketches), keep the {k}
+    smallest DISTINCT hash values, and estimate the vocabulary as
+    (k-1) * 2^56 / h_k. Groups with fewer than {k} distinct values
+    fall back to their exact count (the standard KMV small-set rule).
+    The exact distinct count and the relative error ride along — the
+    audit convention: the sketch is only shippable because its error
+    is measured, not assumed.
+
+    Why not HLL: Spark's approx_count_distinct and DuckDB's
+    approx_distinct use different registers/seeds, so their outputs
+    can never hash-match; KMV on the shared portable hash56 is
+    bit-identical in both engines AND mergeable (union of sketches =
+    sketch of union, take the k smallest again), which is what a
+    100 TB profiler actually needs from a cardinality sketch.
+
+    Scale: the distinct-(source, hash) agg is the one corpus-sized
+    stage (map-side combined); the per-group top-k window then runs
+    on the deduplicated values only. At production scale the window
+    becomes a k-row aggregate per partition then a k-row merge — the
+    same two-phase shape q_heavy_hitters uses."""
+    from ..functions.portable import hash56_sql_spark
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("source", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    grams = base.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', element_at(toks, i),"
+                " element_at(toks, i + 1), element_at(toks, i + 2)))"
+            )
+        ).alias("g"),
+    )
+    hv = grams.select(
+        "source", F.expr(hash56_sql_spark("g")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    ranked = hv.select(
+        "source",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("nd"),
+    )
+    kth = (
+        ranked.filter(F.col("rn") <= KMV_K)
+        .groupBy("source")
+        .agg(
+            F.first("nd").cast("long").alias("exact_distinct"),
+            F.max(F.when(F.col("rn") == KMV_K, F.col("h")))
+            .cast("long")
+            .alias("hk"),
+        )
+    )
+    est_raw = F.floor(
+        (KMV_K - 1) * F.lit(72057594037927936.0) / F.col("hk") + F.lit(0.5)
+    )
+    est = F.when(F.col("hk").isNull(), F.col("exact_distinct")).otherwise(
+        est_raw
+    )
+    return kth.select(
+        "source",
+        "exact_distinct",
+        est.cast("long").alias("kmv_estimate"),
+        round_agg(
+            F.abs(est - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+        ).alias("rel_err"),
+    )

@@ -28,7 +28,7 @@ from ..functions.portable import (
     round_sql,
 )
 from ..functions.text import QUALITY_SCORE_SQL, quality_score, shingles_sql
-from .registry import register
+from .registry import ORACLES, register
 
 # Sequence-packing token budget (tokens per training sequence). Small
 # enough that fixture docs (~30-130 tokens) produce multi-doc chunks.
@@ -2250,3 +2250,132 @@ def _register_pack_efficiency() -> None:
 
 
 _register_pack_efficiency()
+
+
+def _register_dataset_card() -> None:
+    """Registered last: the oracle composes four already-registered
+    per-source oracles (dedup apply, PII scrub, KMV vocabulary,
+    Gopher rules) as CTEs — the q_build_training_set convention, so
+    the card can never disagree with the reports it summarizes."""
+
+    oracle = f"""
+    WITH RECURSIVE dd AS ({ORACLES['q_dedup_apply']}
+    ), pii AS ({ORACLES['q_pii_scrub']}
+    ), kmv AS ({ORACLES['q_distinct_kmv']}
+    ), gop AS ({ORACLES['q_gopher_rules']}
+    ), base AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                 AS n_tokens
+        FROM documents GROUP BY source
+    ), langs AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, lang
+    ), toplang AS (
+        SELECT source, lang AS top_lang, c
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY source ORDER BY c DESC, lang) AS rn
+              FROM langs) t
+        WHERE rn = 1
+    ), gpass AS (
+        SELECT d.source,
+               CAST(sum(CASE WHEN g.passes THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pass
+        FROM gop g JOIN documents d ON d.doc_id = g.doc_id
+        GROUP BY d.source
+    )
+    SELECT b.source, b.n_docs, b.n_tokens,
+           dd.n_dropped AS n_dup_dropped,
+           {round_sql('dd.n_dropped::DOUBLE / b.n_docs')} AS dup_rate,
+           {round_sql('gp.n_pass::DOUBLE / b.n_docs')} AS gopher_pass_rate,
+           pii.n_redactions AS pii_redactions,
+           kmv.kmv_estimate AS vocab_kmv,
+           tl.top_lang,
+           {round_sql('tl.c::DOUBLE / b.n_docs')} AS top_lang_share
+    FROM base b
+    JOIN dd ON dd.source = b.source
+    JOIN pii ON pii.source = b.source
+    JOIN kmv ON kmv.source = b.source
+    JOIN gpass gp ON gp.source = b.source
+    JOIN toplang tl ON tl.source = b.source
+    """
+
+    @register("q_dataset_card", oracle=oracle)
+    def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DATASET CARD — the per-source release summary every corpus
+        ships with (the "datasheet"/"data card" a consumer reads before
+        training on a source): volume (docs, tokens), near-dup rate
+        (from the registered MinHash->CC->apply pipeline), Gopher
+        quality pass rate, PII redaction count, KMV vocabulary
+        estimate, and the majority language with its share. Every
+        column COMPOSES a registered oracle or a one-pass base
+        aggregate, so the card is pinned to the same machinery the
+        individual reports gate.
+
+        Scale: the expensive constituents (dedup apply) are already
+        priced by their own queries; the card itself adds only
+        source-grid joins (~#sources rows, AQE-broadcast) on top."""
+        from .llm_ops import q_dedup_apply, q_gopher_rules, q_pii_scrub
+        from .profiling import q_distinct_kmv
+
+        d = load_table(spark, sf_dir, "documents")
+        base = d.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        )
+        langs = d.groupBy("source", "lang").agg(
+            F.count("*").cast("long").alias("c")
+        )
+        wl = Window.partitionBy("source").orderBy(F.col("c").desc(), "lang")
+        toplang = (
+            langs.withColumn("rn", F.row_number().over(wl))
+            .filter(F.col("rn") == 1)
+            .select("source", F.col("lang").alias("top_lang"), "c")
+        )
+        dd = q_dedup_apply(spark, sf_dir).select(
+            "source", F.col("n_dropped").alias("n_dup_dropped")
+        )
+        pii = q_pii_scrub(spark, sf_dir).select("source", "n_redactions")
+        kmv = q_distinct_kmv(spark, sf_dir).select(
+            "source", F.col("kmv_estimate").alias("vocab_kmv")
+        )
+        gop = q_gopher_rules(spark, sf_dir).select("doc_id", "passes")
+        gpass = (
+            d.select("doc_id", "source")
+            .join(gop, "doc_id")
+            .groupBy("source")
+            .agg(
+                F.sum(F.when(F.col("passes"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_pass")
+            )
+        )
+        return (
+            base.join(dd, "source")
+            .join(pii, "source")
+            .join(kmv, "source")
+            .join(gpass, "source")
+            .join(toplang, "source")
+            .select(
+                "source",
+                "n_docs",
+                "n_tokens",
+                "n_dup_dropped",
+                round_agg(
+                    F.col("n_dup_dropped").cast("double") / F.col("n_docs")
+                ).alias("dup_rate"),
+                round_agg(
+                    F.col("n_pass").cast("double") / F.col("n_docs")
+                ).alias("gopher_pass_rate"),
+                F.col("n_redactions").alias("pii_redactions"),
+                "vocab_kmv",
+                "top_lang",
+                round_agg(F.col("c").cast("double") / F.col("n_docs")).alias(
+                    "top_lang_share"
+                ),
+            )
+        )
+
+
+_register_dataset_card()
