@@ -166,3 +166,118 @@ def test_phash_incremental_keep_drop_decisions(spark):
         "ph_b_noise.ppm": (None, None, False),
         "ph_c_heavy.ppm": (None, None, False),
     }
+
+
+def _phash_bytes(name: str) -> bytes:
+    import os
+
+    from flink_pipeline_spark.plans.image_dedup import PHASH_DIR
+
+    with open(os.path.join(PHASH_DIR, name), "rb") as f:
+        return f.read()
+
+
+def test_streaming_image_dedup_store(spark, tmp_path):
+    """foreachBatch image ingestion against the persistent aHash band
+    store: batch 2's byte-identical copy is drop_exact, the
+    brightness/noise variants are drop_near (hamming 0 / 2) of their
+    batch-1 base, the 5-bit-noise variant and a fresh image keep —
+    the stream==batch twin of q_dedup_image_phash_incremental."""
+    import os
+    import time
+
+    from flink_pipeline_spark.streaming.image_dedup import (
+        ImageDedupIngest,
+        start_image_dedup_stream,
+    )
+
+    b1 = [(n, _phash_bytes(n)) for n in ("ph_a.ppm", "ph_b.ppm", "ph_d.ppm")]
+    b2 = [
+        ("copy_of_a.ppm", _phash_bytes("ph_a.ppm")),
+        ("ph_a_bright.ppm", _phash_bytes("ph_a_bright.ppm")),
+        ("ph_a_noise.ppm", _phash_bytes("ph_a_noise.ppm")),
+        ("ph_b_noise.ppm", _phash_bytes("ph_b_noise.ppm")),
+        ("ph_e.ppm", _phash_bytes("ph_e.ppm")),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    f1, f2 = str(src / "b1.parquet"), str(src / "b2.parquet")
+    spark.createDataFrame(b1, "file string, content binary").coalesce(
+        1
+    ).write.parquet(f1)
+    spark.createDataFrame(b2, "file string, content binary").coalesce(
+        1
+    ).write.parquet(f2)
+    now = time.time()
+    for root, base_t in ((f1, now - 120), (f2, now - 60)):
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                os.utime(os.path.join(dirpath, fn), (base_t, base_t))
+
+    schema = spark.read.parquet(f1).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    ingest = ImageDedupIngest(str(tmp_path / "store"), str(tmp_path / "out"))
+    q = start_image_dedup_stream(stream, ingest)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    out = {
+        r.file: (r.action, r.dup_of, r.hamming)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert out == {
+        "ph_a.ppm": ("keep", None, None),
+        "ph_b.ppm": ("keep", None, None),
+        "ph_d.ppm": ("keep", None, None),
+        "copy_of_a.ppm": ("drop_exact", None, None),
+        "ph_a_bright.ppm": ("drop_near", "ph_a.ppm", 0),
+        "ph_a_noise.ppm": ("drop_near", "ph_a.ppm", 2),
+        "ph_b_noise.ppm": ("keep", None, None),
+        "ph_e.ppm": ("keep", None, None),
+    }
+    stored = {
+        r.file
+        for r in spark.read.parquet(str(tmp_path / "store" / "digests")).collect()
+    }
+    assert stored == {"ph_a.ppm", "ph_b.ppm", "ph_d.ppm", "ph_b_noise.ppm", "ph_e.ppm"}
+
+
+def test_streaming_image_dedup_replay_idempotent(spark, tmp_path):
+    """Crash-replay of the newest batch re-derives identical decisions
+    and does not duplicate store rows."""
+    from flink_pipeline_spark.streaming.image_dedup import ImageDedupIngest
+
+    ingest = ImageDedupIngest(str(tmp_path / "store"), str(tmp_path / "out"))
+    b0 = spark.createDataFrame(
+        [("ph_a.ppm", _phash_bytes("ph_a.ppm"))], "file string, content binary"
+    )
+    b1 = spark.createDataFrame(
+        [
+            ("ph_a_noise.ppm", _phash_bytes("ph_a_noise.ppm")),
+            ("ph_f.ppm", _phash_bytes("ph_f.ppm")),
+        ],
+        "file string, content binary",
+    )
+    ingest(b0, 0)
+    ingest(b1, 1)
+    first = sorted(
+        (r.file, r.action)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    ingest(b1, 1)  # crash-replay
+    second = sorted(
+        (r.file, r.action)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert first == second == [
+        ("ph_a.ppm", "keep"),
+        ("ph_a_noise.ppm", "drop_near"),
+        ("ph_f.ppm", "keep"),
+    ]
+    bands = spark.read.parquet(str(tmp_path / "store" / "bands"))
+    assert bands.count() == 8  # 2 kept images x 4 bands, no dup rows
