@@ -214,6 +214,10 @@ HEADLINE = [
     "q_pii_scrub",
     "q_text_dup_ngram_fraction",
     "q_dedup_image_phash_incremental",
+    # r9 continued: the KMV cardinality sketch and the dataset-card
+    # capstone (composes dedup-apply + PII + KMV + Gopher per source)
+    "q_distinct_kmv",
+    "q_dataset_card",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"

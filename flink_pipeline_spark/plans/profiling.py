@@ -1094,6 +1094,31 @@ def q_error_rate_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gram3_hashes(docs: DataFrame) -> DataFrame:
+    """Distinct (source, h) 3-gram shingle hashes — the shared unit of
+    the KMV cardinality sketch. Both the batch query (q_distinct_kmv)
+    and the streaming monitor (streaming/kmv.py) build their sketches
+    from THIS function, so the two deployments cannot fork."""
+    from ..functions.portable import hash56_sql_spark
+
+    base = docs.select("source", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    grams = base.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', element_at(toks, i),"
+                " element_at(toks, i + 1), element_at(toks, i + 2)))"
+            )
+        ).alias("g"),
+    )
+    return grams.select(
+        "source", F.expr(hash56_sql_spark("g")).alias("h")
+    ).distinct()
+
+
 # ------------------------------------------------- KMV distinct sketch
 KMV_K = 64  # sketch size; rel. stderr ~ 1/sqrt(k-2) ~ 12.7%
 
@@ -1158,25 +1183,8 @@ def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the deduplicated values only. At production scale the window
     becomes a k-row aggregate per partition then a k-row merge — the
     same two-phase shape q_heavy_hitters uses."""
-    from ..functions.portable import hash56_sql_spark
-
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("source", F.split("text", " ").alias("toks")).filter(
-        F.size("toks") >= 3
-    )
-    grams = base.select(
-        "source",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 2),"
-                " i -> concat_ws(' ', element_at(toks, i),"
-                " element_at(toks, i + 1), element_at(toks, i + 2)))"
-            )
-        ).alias("g"),
-    )
-    hv = grams.select(
-        "source", F.expr(hash56_sql_spark("g")).alias("h")
-    ).distinct()
+    hv = gram3_hashes(d)
     w = Window.partitionBy("source").orderBy("h")
     ranked = hv.select(
         "source",

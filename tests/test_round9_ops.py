@@ -281,3 +281,57 @@ def test_streaming_image_dedup_replay_idempotent(spark, tmp_path):
     ]
     bands = spark.read.parquet(str(tmp_path / "store" / "bands"))
     assert bands.count() == 8  # 2 kept images x 4 bands, no dup rows
+
+
+def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
+    """KMV mergeability, deployed: after streaming two document
+    batches through the monitor, the per-source estimates equal the
+    registered q_distinct_kmv run over the concatenated corpus —
+    union-then-keep-k-smallest is an EXACT merge, so stream == batch
+    bit-for-bit."""
+    from flink_pipeline_spark.plans.profiling import KMV_K, q_distinct_kmv
+    from flink_pipeline_spark.streaming.kmv import KMV_K as SKMV_K
+    from flink_pipeline_spark.streaming.kmv import KMVMonitor
+
+    assert KMV_K == SKMV_K
+
+    d = spark.read.parquet(SF_DIR + "/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 == 1)
+
+    mon = KMVMonitor(str(tmp_path / "store"))
+    mon(b1, 0)
+    mon(b2, 1)
+    streamed = {
+        r.source: r.kmv_estimate for r in mon.estimates(spark, 1).collect()
+    }
+
+    batch_dir = tmp_path / "sf"
+    d.write.parquet(str(batch_dir / "documents.parquet"))
+    batch = {
+        r.source: r.kmv_estimate
+        for r in q_distinct_kmv(spark, str(batch_dir)).collect()
+    }
+    assert streamed == batch
+
+
+def test_streaming_kmv_replay_idempotent(spark, tmp_path):
+    """Crash-replay of the newest batch reproduces the same sketch."""
+    from flink_pipeline_spark.streaming.kmv import KMVMonitor
+
+    d = spark.read.parquet(SF_DIR + "/documents.parquet")
+    b1 = d.filter(F.col("doc_id") % 3 == 0)
+    b2 = d.filter(F.col("doc_id") % 3 == 1)
+    mon = KMVMonitor(str(tmp_path / "store"))
+    mon(b1, 0)
+    mon(b2, 1)
+    first = sorted(
+        (r.source, r.kmv_estimate) for r in mon.estimates(spark, 1).collect()
+    )
+    mon(b2, 1)  # crash-replay
+    second = sorted(
+        (r.source, r.kmv_estimate) for r in mon.estimates(spark, 1).collect()
+    )
+    assert first == second
