@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.portable import round_agg
 from ..operators.llm import (
     connected_components,
     doc_shingles,
@@ -913,3 +914,76 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return census("o_custkey", "customer").unionAll(
         census("l_suppkey", "supplier")
     )
+
+
+# ------------------------------------------- whitening fit -> apply
+WHITEN_PROBES = 3  # vectors whose whitened planes the gate pins
+
+
+@register(
+    "q_embed_whiten",
+    oracle=f"""
+    WITH el AS (
+        SELECT vec_id, t.range AS d,
+               CAST(floor(embedding[t.range + 1] * 10000 + 0.5) AS BIGINT)
+                   AS xq
+        FROM embeddings, range(64) t
+    ), mom AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xq) AS BIGINT) AS sx,
+               CAST(sum(xq * xq) AS BIGINT) AS sxx
+        FROM el GROUP BY d
+    )
+    SELECT e.vec_id, e.d,
+           floor((e.xq * m.n - m.sx)
+                 / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS w
+    FROM el e JOIN mom m ON m.d = e.d
+    WHERE e.vec_id < {WHITEN_PROBES}
+      AND m.n * m.sxx - m.sx * m.sx > 0
+    """,
+)
+def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension whitening, fit -> apply (the standardization pass
+    ANN/PCA pipelines run before quantization; the APPLY half of the
+    q_embed_pca_cov fit story): exact BIGINT per-dim moments (n, Sx,
+    Sxx) over ten-thousandth-quantized elements, then the whitened
+    value (x - mean)/std computed division-free as
+    (n*x - Sx) / sqrt(n*Sxx - Sx^2) — integer numerator, one sqrt and
+    one IEEE division on identical inputs in both engines, portably
+    rounded. The gate pins the whitened planes of {p} probe vectors
+    (the application itself, not just the fitted parameters);
+    zero-variance dimensions are excluded by the var > 0 guard rather
+    than emitting an engine-dependent inf.
+
+    Scale: the moment fit is one map-side-combinable agg to a 64-row
+    grid; the apply is a broadcast of that grid back onto the scan.
+    BIGINT headroom: n*Sxx <= n^2 * Q^2 binds at n ~ 3e5 vectors (the
+    q_embed_pca_cov ceiling — same fix there: sample the fit or
+    promote the moments to DECIMAL(38,0))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "vec_id",
+        "d",
+        F.floor(F.col("x") * 10000 + F.lit(0.5)).cast("long").alias("xq"),
+    )
+    mom = el.groupBy("d").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+    )
+    var = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    w = (F.col("xq") * F.col("n") - F.col("sx")) / F.sqrt(
+        var.cast("double")
+    )
+    return (
+        el.filter(F.col("vec_id") < WHITEN_PROBES)
+        .join(F.broadcast(mom), "d")
+        .filter(var > 0)
+        .select("vec_id", "d", round_agg(w).alias("w"))
+    )
+
+
+q_embed_whiten.__doc__ = q_embed_whiten.__doc__.format(p=WHITEN_PROBES)

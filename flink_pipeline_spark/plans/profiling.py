@@ -1217,3 +1217,104 @@ def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_distinct")
         ).alias("rel_err"),
     )
+
+
+# --------------------------------------------------- CUSUM drift alarm
+CUSUM_Q = 10**6  # rate fixed-point scale
+CUSUM_SLACK_Q = 10_000  # k: ignore drifts below +1% absolute
+CUSUM_H_Q = 30_000  # h: alarm at 3% accumulated excess (fixture-calibrated mix)
+
+
+@register(
+    "q_error_rate_cusum",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // {DAY_S} AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errs
+        FROM events GROUP BY 1
+    ), g AS (
+        SELECT CAST(sum(errs) * {CUSUM_Q} // sum(n) AS BIGINT) AS p0q
+        FROM d
+    ), seq AS (
+        SELECT day, CAST(errs * {CUSUM_Q} // n AS BIGINT) AS xq,
+               row_number() OVER (ORDER BY day) AS rn,
+               g.p0q
+        FROM d CROSS JOIN g
+    ), c(rn, day, xq, s) AS (
+        SELECT rn, day, xq,
+               greatest(CAST(0 AS BIGINT),
+                        xq - p0q - {CUSUM_SLACK_Q})
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.rn, s.day, s.xq,
+               greatest(CAST(0 AS BIGINT),
+                        c.s + s.xq - s.p0q - {CUSUM_SLACK_Q})
+        FROM c JOIN seq s ON s.rn = c.rn + 1
+    )
+    SELECT day, xq AS rate_q, CAST(s AS BIGINT) AS cusum_q,
+           s > {CUSUM_H_Q} AS alarm
+    FROM c
+    """,
+)
+def q_error_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift alarm on the daily error rate (Page 1954
+    — the sequential change detector that catches SLOW drifts the
+    p-chart's per-day 3-sigma band never trips on): S_t = max(0,
+    S_(t-1) + x_t - p0 - k) with target p0 = the process's own global
+    rate, slack k = +1%, alarm at h = 5% accumulated excess. A run of
+    slightly-elevated days accumulates into an alarm; isolated spikes
+    decay back to zero — the complementary failure mode to
+    q_error_rate_control's band.
+
+    Portability: rates are floor-quantized integer millionths
+    (BIGINT), so the recursion is exact integer arithmetic — no float
+    ever accumulates. The recursion itself is inherently sequential:
+    DuckDB unrolls it as a recursive CTE; Spark runs it as ONE
+    applyInPandas pass over the (grid-sized) day table — the MMR
+    precedent: Python touches #days rows, never the event stream.
+
+    Scale: the fact scan reduces to the day grid map-side (the
+    p-chart plan); the sequential scan is O(#days) on one executor —
+    a monitoring series is grid-sized by construction at any corpus
+    size."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.expr(f"CAST(floor(unix_timestamp(ts)) AS BIGINT) div {DAY_S}").alias(
+            "day"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    g = d.agg(
+        F.expr(f"CAST(sum(errs) * {CUSUM_Q} div sum(n) AS BIGINT)").alias(
+            "p0q"
+        )
+    )
+    seq = d.crossJoin(F.broadcast(g)).select(
+        F.lit(0).alias("grp"),
+        "day",
+        F.expr(f"CAST(errs * {CUSUM_Q} div n AS BIGINT)").alias("xq"),
+        "p0q",
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        s = 0
+        out = []
+        for day, xq, p0q in zip(pdf["day"], pdf["xq"], pdf["p0q"]):
+            s = max(0, s + int(xq) - int(p0q) - CUSUM_SLACK_Q)
+            out.append((int(day), int(xq), s, s > CUSUM_H_Q))
+        return pd.DataFrame(
+            out, columns=["day", "rate_q", "cusum_q", "alarm"]
+        )
+
+    return seq.groupBy("grp").applyInPandas(
+        scan, schema="day BIGINT, rate_q BIGINT, cusum_q BIGINT, alarm BOOLEAN"
+    )

@@ -313,6 +313,8 @@ _ALLOWED_BNLJ = {
     "q_dedup_image_phash_recall",  # 1-row truth-denominator broadcast
     "q_dedup_embed_recall",  # composes the vetted IVF pair queries + 1-row denom
     "q_time_travel",         # 1-row corpus-midpoint scalar broadcast
+    "q_error_rate_cusum",    # 1-row global-rate scalar broadcast onto the day grid
+    "q_mine_hard_negatives", # broadcast anchor side, the q_sim_topk class
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
