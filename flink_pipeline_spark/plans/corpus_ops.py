@@ -987,3 +987,120 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_embed_whiten.__doc__ = q_embed_whiten.__doc__.format(p=WHITEN_PROBES)
+
+
+# --------------------------------------------- triangle census
+def _register_graph_triangles() -> None:
+    """Closure-registered: the oracle composes the registered MinHash
+    pair oracle as a CTE (the q_dedup_soft convention) so the triangle
+    census can never count a different graph than dedup dedups."""
+    oracle = f"""
+    WITH prs AS ({ORACLES["q_dedup_minhash"]}
+    ), e AS (
+        SELECT DISTINCT least(doc_a, doc_b) AS a,
+               greatest(doc_a, doc_b) AS b
+        FROM prs
+    ), deg AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        GROUP BY v
+    ), tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           agg.n_nodes, tri.n_triangles, agg.n_wedges,
+           CASE WHEN agg.n_wedges = 0 THEN 0.0
+                ELSE floor(3.0 * tri.n_triangles / agg.n_wedges
+                           * 10000 + 0.5) / 10000
+           END AS transitivity
+    FROM tri CROSS JOIN agg
+    """
+
+    @register("q_graph_triangles", oracle=oracle)
+    def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Triangle census + global transitivity of the verified
+        near-dup graph — the structure diagnostic that tells a dedup
+        pipeline whether its pair graph is clique-ish (true duplicate
+        families — high transitivity, so connected components are
+        safe) or chain-ish (transitive drift: A~B~C where A!~C — low
+        transitivity, where min-label clustering over-merges). The
+        companion reading to q_dedup_cluster_stats' size census.
+
+        Plan: edges canonicalized a<b, triangles via the standard
+        oriented two-join (e1(a,b) x e2(b,c) wedge, closed by
+        e3(a,c)) — ordering bounds each wedge to one orientation, so
+        no triangle is counted twice and no all-pairs appears; wedges
+        = sum over nodes of C(deg, 2) off a degree aggregate.
+        Transitivity = 3*triangles/wedges, one IEEE division.
+
+        Scale: wedge fan-out is sum(deg^2) — the same inverted-index
+        cost class as q_dedup_recall's exact truth, bounded here by
+        the verified graph's cliquish degree distribution; at crawl
+        scale the standard degree-ordered orientation (high-degree
+        endpoints first) caps the join's skew, which the a<b
+        canonicalization already approximates on id-clustered dup
+        families."""
+        d = load_table(spark, sf_dir, "documents")
+        sets = doc_shingles(d).persist()
+        pairs = verified_near_dups(
+            d, lsh_candidate_pairs(d, sets=sets), threshold=0.8, sets=sets
+        ).select("doc_a", "doc_b")
+        e = (
+            pairs.select(
+                F.least("doc_a", "doc_b").alias("a"),
+                F.greatest("doc_a", "doc_b").alias("b"),
+            )
+            .distinct()
+            .persist()
+        )
+        e.count()  # materialize, then release the shingle cache
+        sets.unpersist()
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").cast("long").alias("d"))
+        )
+        e1 = e.select(F.col("a"), F.col("b"))
+        e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+        tri = (
+            e1.join(e2, "b")
+            .join(
+                e3,
+                (F.col("ta") == F.col("a")) & (F.col("tc") == F.col("c")),
+                "left_semi",
+            )
+            .agg(F.count("*").cast("long").alias("n_triangles"))
+        )
+        agg = deg.agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+        )
+        edges_n = e.agg(F.count("*").cast("long").alias("n_edges"))
+        trans = F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+            round_agg(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
+            )
+        )
+        return (
+            edges_n.crossJoin(F.broadcast(agg))
+            .crossJoin(F.broadcast(tri))
+            .select(
+                "n_edges",
+                "n_nodes",
+                "n_triangles",
+                "n_wedges",
+                trans.alias("transitivity"),
+            )
+        )
+
+
+_register_graph_triangles()

@@ -2379,3 +2379,79 @@ def _register_dataset_card() -> None:
 
 
 _register_dataset_card()
+
+
+# ------------------------------------------- stratified eval split
+STRAT_EVAL_PCT = 10  # eval fraction in percent (exact floor allocation)
+
+
+@register(
+    "q_split_stratified",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {{h}}, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT source,
+           CAST(any_value(n) AS BIGINT) AS n_docs,
+           CAST(any_value(n) * {STRAT_EVAL_PCT} // 100 AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN rn <= n * {STRAT_EVAL_PCT} // 100
+                         THEN doc_id ELSE 0 END)
+                % 2147483647 AS BIGINT) AS eval_digest
+    FROM ranked GROUP BY source
+    """,
+)
+def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED eval split with exact floor allocation — the
+    per-source-proportional holdout q_train_split's global hash rule
+    only approximates (a small source can lose its entire eval
+    representation to hash variance; stratification guarantees every
+    source contributes floor(n_s * {pct}%) docs): rank each source's
+    docs by a salted deterministic hash (an unbiased, reproducible
+    shuffle within the stratum), take the first floor(n*{pct}/100).
+    The eval-membership digest (sum of selected doc_ids mod 2^31-1)
+    gates WHICH docs were selected, not just how many.
+
+    Scale: one window over the source partitioning — the exact
+    per-stratum quota needs a per-source rank by definition; at a
+    mega-source the q_source_cap two-phase local-prune bounds the
+    sort input exactly as the cap query does."""
+    from ..functions.portable import hash56
+
+    d = load_table(spark, sf_dir, "documents")
+    h = hash56(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id"))
+    ranked = d.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    is_eval = F.col("rn") <= F.expr(f"n * {STRAT_EVAL_PCT} div 100")
+    return ranked.groupBy("source").agg(
+        F.first("n").cast("long").alias("n_docs"),
+        F.expr(f"CAST(any_value(n) * {STRAT_EVAL_PCT} div 100 AS BIGINT)").alias(
+            "n_eval"
+        ),
+        (
+            F.sum(F.when(is_eval, F.col("doc_id")).otherwise(F.lit(0)))
+            % F.lit(2147483647)
+        )
+        .cast("long")
+        .alias("eval_digest"),
+    )
+
+
+q_split_stratified.__doc__ = q_split_stratified.__doc__.format(
+    pct=STRAT_EVAL_PCT
+)
+_STRAT = ORACLES["q_split_stratified"]
+from ..functions.portable import hash56_sql_duckdb as _h56d  # noqa: E402
+
+ORACLES["q_split_stratified"] = _STRAT.format(
+    h=_h56d("'strat:' || CAST(doc_id AS VARCHAR)")
+)

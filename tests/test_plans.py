@@ -315,6 +315,7 @@ _ALLOWED_BNLJ = {
     "q_time_travel",         # 1-row corpus-midpoint scalar broadcast
     "q_error_rate_cusum",    # 1-row global-rate scalar broadcast onto the day grid
     "q_mine_hard_negatives", # broadcast anchor side, the q_sim_topk class
+    "q_graph_triangles",     # two 1-row census-scalar broadcasts
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
