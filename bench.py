@@ -218,6 +218,14 @@ HEADLINE = [
     # capstone (composes dedup-apply + PII + KMV + Gopher per source)
     "q_distinct_kmv",
     "q_dataset_card",
+    # r9 final: the EWMA chart (grid-pandas sequential scan), the
+    # mixture interleave order (global training-order materialization),
+    # the triangle census (composed pair graph), and the stratified
+    # split (per-stratum window)
+    "q_error_rate_ewma",
+    "q_interleave_order",
+    "q_graph_triangles",
+    "q_split_stratified",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"

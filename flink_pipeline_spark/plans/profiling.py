@@ -1318,3 +1318,107 @@ def q_error_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("grp").applyInPandas(
         scan, schema="day BIGINT, rate_q BIGINT, cusum_q BIGINT, alarm BOOLEAN"
     )
+
+
+# ----------------------------------------------- EWMA control chart
+EWMA_NUM = 2  # alpha = NUM/DEN = 0.2 as an exact integer ratio
+EWMA_DEN = 10
+EWMA_H_Q = 7_000  # alarm when |z - p0| > 0.7% (fixture-calibrated mix)
+
+
+@register(
+    "q_error_rate_ewma",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // {DAY_S} AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errs
+        FROM events GROUP BY 1
+    ), g AS (
+        SELECT CAST(sum(errs) * {CUSUM_Q} // sum(n) AS BIGINT) AS p0q
+        FROM d
+    ), seq AS (
+        SELECT day, CAST(errs * {CUSUM_Q} // n AS BIGINT) AS xq,
+               row_number() OVER (ORDER BY day) AS rn,
+               g.p0q
+        FROM d CROSS JOIN g
+    ), c(rn, day, xq, p0q, z) AS (
+        SELECT rn, day, xq, p0q,
+               CAST(({EWMA_NUM} * xq + ({EWMA_DEN} - {EWMA_NUM}) * p0q)
+                    // {EWMA_DEN} AS BIGINT)
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.rn, s.day, s.xq, s.p0q,
+               CAST(({EWMA_NUM} * s.xq + ({EWMA_DEN} - {EWMA_NUM}) * c.z)
+                    // {EWMA_DEN} AS BIGINT)
+        FROM c JOIN seq s ON s.rn = c.rn + 1
+    )
+    SELECT day, xq AS rate_q, CAST(z AS BIGINT) AS ewma_q,
+           abs(z - p0q) > {EWMA_H_Q} AS alarm
+    FROM c
+    """,
+)
+def q_error_rate_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart on the daily error rate (Roberts 1959 — the
+    third member of the monitoring family: the p-chart catches single
+    out-of-band days, CUSUM catches slow one-sided drifts, EWMA
+    catches sustained small shifts in EITHER direction with geometric
+    forgetting): z_t = alpha*x_t + (1-alpha)*z_(t-1), alpha = 1/5 as
+    the exact integer ratio {num}/{den}, seeded at the process's own
+    global rate; a day alarms when |z - p0| exceeds {h} millionths.
+    All arithmetic is floor-quantized integer millionths — the
+    recursion never touches a float, so both engines walk the
+    identical trajectory (the q_error_rate_cusum discipline; DuckDB
+    unrolls a recursive CTE, Spark runs one applyInPandas scan over
+    the grid-sized day table).
+
+    Scale: the fact scan reduces map-side to the day grid; the
+    sequential pass is O(#days) — grid-sized at any corpus size."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.expr(f"CAST(floor(unix_timestamp(ts)) AS BIGINT) div {DAY_S}").alias(
+            "day"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    g = d.agg(
+        F.expr(f"CAST(sum(errs) * {CUSUM_Q} div sum(n) AS BIGINT)").alias(
+            "p0q"
+        )
+    )
+    seq = d.crossJoin(F.broadcast(g)).select(
+        F.lit(0).alias("grp"),
+        "day",
+        F.expr(f"CAST(errs * {CUSUM_Q} div n AS BIGINT)").alias("xq"),
+        "p0q",
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        z = None
+        out = []
+        for day, xq, p0q in zip(pdf["day"], pdf["xq"], pdf["p0q"]):
+            prev = int(p0q) if z is None else z
+            # floor division matches DuckDB // on the same integers
+            num = EWMA_NUM * int(xq) + (EWMA_DEN - EWMA_NUM) * prev
+            z = num // EWMA_DEN
+            out.append((int(day), int(xq), z, abs(z - int(p0q)) > EWMA_H_Q))
+        return pd.DataFrame(
+            out, columns=["day", "rate_q", "ewma_q", "alarm"]
+        )
+
+    return seq.groupBy("grp").applyInPandas(
+        scan, schema="day BIGINT, rate_q BIGINT, ewma_q BIGINT, alarm BOOLEAN"
+    )
+
+
+q_error_rate_ewma.__doc__ = q_error_rate_ewma.__doc__.format(
+    num=EWMA_NUM, den=EWMA_DEN, h=EWMA_H_Q
+)

@@ -2455,3 +2455,98 @@ from ..functions.portable import hash56_sql_duckdb as _h56d  # noqa: E402
 ORACLES["q_split_stratified"] = _STRAT.format(
     h=_h56d("'strat:' || CAST(doc_id AS VARCHAR)")
 )
+
+
+@register(
+    "q_interleave_order",
+    oracle=f"""
+    WITH srcs AS (
+        SELECT source, dense_rank() OVER (ORDER BY source) AS sidx
+        FROM (SELECT DISTINCT source FROM documents)
+    ), ranked AS (
+        SELECT d.doc_id, d.source, s.sidx,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY {{h}}, d.doc_id) AS rn
+        FROM documents d JOIN srcs s ON s.source = d.source
+    ), ordered AS (
+        SELECT doc_id, source,
+               row_number() OVER (ORDER BY rn, sidx) AS pos
+        FROM ranked
+    ), runs AS (
+        SELECT source, pos,
+               pos - row_number() OVER (
+                   PARTITION BY source ORDER BY pos) AS island
+        FROM ordered
+    ), runlen AS (
+        SELECT source, CAST(max(c) AS BIGINT) AS max_run
+        FROM (SELECT source, island, count(*) AS c
+              FROM runs GROUP BY source, island)
+        GROUP BY source
+    )
+    SELECT o.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(o.pos) AS BIGINT) AS first_pos,
+           CAST(max(o.pos) AS BIGINT) AS last_pos,
+           CAST(any_value(r.max_run) AS BIGINT) AS max_run
+    FROM ordered o JOIN runlen r ON r.source = o.source
+    GROUP BY o.source
+    """,
+)
+def q_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin MIXTURE INTERLEAVE for training order — the
+    complement of q_train_shuffle_order's within-shard shuffle: docs
+    are consumed lowest-per-source-rank first (rank = salted hash, a
+    reproducible within-source shuffle), rotating through sources, so
+    no long same-source run ever reaches the trainer (long runs
+    correlate consecutive gradients toward one domain). The gate pins
+    per-source counts, first/last global positions, AND the maximum
+    consecutive same-source run — 1 on this corpus until sources start
+    exhausting, the measurable interleaving guarantee.
+
+    Scale: the global position is one total order by (per-source
+    rank, source index) — materializing a training ORDER is the op's
+    entire purpose, and production writes it as range-partitioned
+    sorted shards (the q_train_shards layout) rather than one sort on
+    one machine; the run-length audit is the gaps-and-islands idiom
+    on per-source windows."""
+    from ..functions.portable import hash56
+
+    d = load_table(spark, sf_dir, "documents")
+    sidx = F.dense_rank().over(Window.orderBy("source"))
+    srcs = d.select("source").distinct().select("source", sidx.alias("sidx"))
+    h = hash56(F.concat(F.lit("ilv:"), F.col("doc_id").cast("string")))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id"))
+    )
+    ranked = (
+        d.select("doc_id", "source", h.alias("hh"))
+        .join(F.broadcast(srcs), "source")
+        .select("doc_id", "source", "sidx", rn.alias("rn"))
+    )
+    pos = F.row_number().over(Window.orderBy("rn", "sidx"))
+    ordered = ranked.select("doc_id", "source", pos.alias("pos"))
+    island = F.col("pos") - F.row_number().over(
+        Window.partitionBy("source").orderBy("pos")
+    )
+    runs = ordered.select("source", "pos", island.alias("island"))
+    runlen = (
+        runs.groupBy("source", "island")
+        .agg(F.count("*").alias("c"))
+        .groupBy("source")
+        .agg(F.max("c").cast("long").alias("max_run"))
+    )
+    stats = ordered.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("pos").cast("long").alias("first_pos"),
+        F.max("pos").cast("long").alias("last_pos"),
+    )
+    return stats.join(runlen, "source").select(
+        "source", "n_docs", "first_pos", "last_pos", "max_run"
+    )
+
+
+_ILV = ORACLES["q_interleave_order"]
+ORACLES["q_interleave_order"] = _ILV.format(
+    h=_h56d("'ilv:' || CAST(d.doc_id AS VARCHAR)")
+)

@@ -316,6 +316,7 @@ _ALLOWED_BNLJ = {
     "q_error_rate_cusum",    # 1-row global-rate scalar broadcast onto the day grid
     "q_mine_hard_negatives", # broadcast anchor side, the q_sim_topk class
     "q_graph_triangles",     # two 1-row census-scalar broadcasts
+    "q_error_rate_ewma",     # 1-row global-rate scalar broadcast (the CUSUM class)
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
