@@ -226,6 +226,8 @@ HEADLINE = [
     "q_interleave_order",
     "q_graph_triangles",
     "q_split_stratified",
+    # r9 final: image dedup shipped end-to-end (pairs -> CC -> keeper)
+    "q_dedup_image_apply",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"

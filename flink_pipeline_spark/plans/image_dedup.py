@@ -410,3 +410,62 @@ def q_dedup_image_phash_incremental(
         "hamming",
         F.col("dup_of").isNotNull().alias("is_dup"),
     )
+
+
+@register(
+    "q_dedup_image_apply",
+    oracle=f"""
+    WITH RECURSIVE {_PHASH_CTE}, {_PAIRS_SQL.replace(
+        f"SELECT file_a, file_b, hamming FROM ham WHERE hamming <= {MAX_HAMMING}",
+        f", prs AS (SELECT file_a, file_b FROM ham"
+        f" WHERE hamming <= {MAX_HAMMING})",
+    )}, edges AS (
+        SELECT file_a AS src, file_b AS dst FROM prs
+        UNION ALL
+        SELECT file_b, file_a FROM prs
+    ), nodes AS (
+        SELECT DISTINCT src AS id FROM edges
+    ), reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src
+    ), clust AS (
+        SELECT id AS file, min(r) AS keeper FROM reach GROUP BY id
+    )
+    SELECT b.file, coalesce(c.keeper, b.file) AS keeper,
+           coalesce(c.keeper, b.file) <> b.file AS is_dup
+    FROM (SELECT DISTINCT file FROM bands) b
+    LEFT JOIN clust c ON c.file = b.file
+    """,
+)
+def q_dedup_image_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup APPLIED end-to-end — pairs -> connected components
+    -> keeper, the same shipped shape as the text family's
+    q_dedup_apply: perceptual pair graph (q_dedup_image_phash) ->
+    cluster via the SAME hybrid connected_components operator text
+    dedup uses (min-label + star hand-off; lexicographic min filename
+    is the deterministic keeper) -> every image stamped with its
+    keeper and a drop decision. Fixture reading: the a-family
+    (base/bright/noise) collapses onto ph_a.ppm; everything else
+    keeps itself.
+
+    Scale: the pair graph is band-blocked (never all-pairs), the CC
+    operator is the O(log n)-round hybrid probed to 100k-link chains
+    (SCALING.md), and the keeper join is component-sized — identical
+    cost profile to the text apply. Note string keys are fine at
+    fixture scale; a web-scale image corpus would map file ids to
+    BIGINT first (the PageRank lesson, SCALING.md r8j)."""
+    from ..operators.llm import connected_components
+
+    pairs = q_dedup_image_phash(spark, sf_dir).select(
+        F.col("file_a").alias("doc_a"), F.col("file_b").alias("doc_b")
+    )
+    clusters = connected_components(pairs).select(
+        F.col("doc_id").alias("file"), F.col("cluster_id").alias("keeper")
+    )
+    files = ahash_bands(_load_phash_files(spark)).select("file").distinct()
+    return files.join(clusters, "file", "left").select(
+        "file",
+        F.coalesce("keeper", "file").alias("keeper"),
+        (F.coalesce("keeper", "file") != F.col("file")).alias("is_dup"),
+    )
