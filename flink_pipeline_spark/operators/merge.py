@@ -57,9 +57,22 @@ def merge_into(
         F.lit(True).alias("__b_present"),
         *[F.col(c).alias(f"__b_{c}") for c in payload],
     )
+    # loud-failure guard (ADVICE r9): a misspelled or null op would
+    # otherwise be silently treated as keep-base / discarded — a
+    # malformed CDC feed must fail the job, not merge wrong
+    op_ok = F.col(op_col).isin(*MERGE_OPS)
+    op_checked = F.when(op_ok, F.col(op_col)).otherwise(
+        F.raise_error(
+            F.format_string(
+                "merge_into: op %s not in %s",
+                F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                F.lit(str(MERGE_OPS)),
+            )
+        )
+    )
     c = changes.select(
         *keys,
-        F.col(op_col).alias("__op"),
+        op_checked.alias("__op"),
         *[F.col(col).alias(f"__c_{col}") for col in payload],
     )
     joined = b.join(c, list(keys), "full_outer")

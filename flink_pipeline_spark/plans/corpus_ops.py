@@ -1052,15 +1052,20 @@ def _register_graph_triangles() -> None:
         pairs = verified_near_dups(
             d, lsh_candidate_pairs(d, sets=sets), threshold=0.8, sets=sets
         ).select("doc_a", "doc_b")
+        # eager localCheckpoint instead of persist: the edge frame is
+        # referenced by three downstream joins, and the query returns
+        # only 1-row aggregates — a persist here would outlive the
+        # return and accumulate across a full-surface sweep (ADVICE
+        # r9). Checkpointing cuts the LSH lineage, so the shingle
+        # cache can be released immediately and no cache entry leaks.
         e = (
             pairs.select(
                 F.least("doc_a", "doc_b").alias("a"),
                 F.greatest("doc_a", "doc_b").alias("b"),
             )
             .distinct()
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        e.count()  # materialize, then release the shingle cache
         sets.unpersist()
         deg = (
             e.select(F.col("a").alias("v"))

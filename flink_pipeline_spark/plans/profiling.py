@@ -1263,7 +1263,7 @@ def q_error_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the sequential change detector that catches SLOW drifts the
     p-chart's per-day 3-sigma band never trips on): S_t = max(0,
     S_(t-1) + x_t - p0 - k) with target p0 = the process's own global
-    rate, slack k = +1%, alarm at h = 5% accumulated excess. A run of
+    rate, slack k = +1%, alarm at h = 3% accumulated excess. A run of
     slightly-elevated days accumulates into an alarm; isolated spikes
     decay back to zero — the complementary failure mode to
     q_error_rate_control's band.

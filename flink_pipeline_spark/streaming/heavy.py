@@ -40,10 +40,30 @@ from __future__ import annotations
 
 import os
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def partition_ids(spark, path: str) -> list[int]:
+    """List the ``batch_id=N`` partition ids under ``path`` via the
+    Hadoop FS API (local and HDFS alike) — a driver-side listing, no
+    Spark job. Missing root maps to []."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    out: list[int] = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            out.append(int(name.split("=", 1)[1]))
+        except ValueError:
+            continue
+    return out
 
 
 class HeavyHitterMonitor:
@@ -62,28 +82,28 @@ class HeavyHitterMonitor:
         self, spark, kind: str, schema: str, batch_id: int
     ) -> DataFrame:
         """The newest partition strictly BEFORE ``batch_id`` (the
-        summary is a snapshot, not an append-only log). Only a missing
-        path maps to empty — any other read failure re-raises (the
-        streaming/dedup.py ADVICE-r7 contract)."""
-        try:
-            df = spark.read.parquet(self._path(kind))
-        except AnalysisException as e:
-            cond = (
-                e.getCondition()
-                if hasattr(e, "getCondition")
-                else getattr(e, "getErrorClass", lambda: None)()
-            )
-            if cond == "PATH_NOT_FOUND" or "Path does not exist" in str(e):
-                return spark.createDataFrame([], schema)
-            raise
-        prior = df.filter(F.col("batch_id") < batch_id)
-        latest = prior.agg(F.max("batch_id").alias("mb"))
-        return (
-            prior.join(
-                F.broadcast(latest), prior.batch_id == F.col("mb")
-            )
-            .drop("batch_id", "mb")
-        )
+        summary is a snapshot, not an append-only log). A missing or
+        empty store maps to empty; a store whose surviving partitions
+        are ALL >= ``batch_id`` raises — pruning keeps only the latest
+        and one prior snapshot, so the requested history no longer
+        exists, and an empty frame would silently misreport it as
+        "nothing seen yet" (ADVICE r9). The partition is selected by a
+        driver-side FS listing (no historical-partition scan) and read
+        directly, so this method never races its own prune; EXTERNAL
+        concurrent readers listing the store root must tolerate pruned
+        partitions (set spark.sql.files.ignoreMissingFiles for
+        monitor reads)."""
+        bids = partition_ids(spark, self._path(kind))
+        prior = [b for b in bids if b < batch_id]
+        if not prior:
+            if bids:
+                raise ValueError(
+                    f"{kind}: no snapshot before batch {batch_id} "
+                    f"survives pruning (have {sorted(bids)})"
+                )
+            return spark.createDataFrame([], schema)
+        part = os.path.join(self._path(kind), f"batch_id={max(prior)}")
+        return spark.read.schema(schema).parquet(part)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession

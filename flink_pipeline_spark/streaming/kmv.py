@@ -22,10 +22,11 @@ from __future__ import annotations
 
 import os
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from .heavy import partition_ids
 
 KMV_K = 64  # must match plans/profiling.KMV_K (asserted in tests)
 _2_56 = 72057594037927936.0
@@ -43,23 +44,24 @@ class KMVMonitor:
         return os.path.join(self.store_dir, "sketch")
 
     def _read_latest(self, spark, batch_id: int) -> DataFrame:
-        try:
-            df = spark.read.parquet(self._path())
-        except AnalysisException as e:
-            cond = (
-                e.getCondition()
-                if hasattr(e, "getCondition")
-                else getattr(e, "getErrorClass", lambda: None)()
-            )
-            if cond == "PATH_NOT_FOUND" or "Path does not exist" in str(e):
-                return spark.createDataFrame([], "source STRING, h BIGINT")
-            raise
-        prior = df.filter(F.col("batch_id") < batch_id)
-        latest = prior.agg(F.max("batch_id").alias("mb"))
-        return (
-            prior.join(F.broadcast(latest), prior.batch_id == F.col("mb"))
-            .drop("batch_id", "mb")
-        )
+        """Latest sketch partition strictly BEFORE ``batch_id``.
+        Missing/empty store -> empty; a store whose surviving
+        partitions are all >= ``batch_id`` raises — the requested
+        history was pruned, and an empty sketch would silently
+        misreport it (ADVICE r9, streaming/heavy.py contract).
+        External concurrent readers of the store root must tolerate
+        pruned partitions (spark.sql.files.ignoreMissingFiles)."""
+        bids = partition_ids(spark, self._path())
+        prior = [b for b in bids if b < batch_id]
+        if not prior:
+            if bids:
+                raise ValueError(
+                    f"kmv sketch: no snapshot before batch {batch_id} "
+                    f"survives pruning (have {sorted(bids)})"
+                )
+            return spark.createDataFrame([], "source STRING, h BIGINT")
+        part = os.path.join(self._path(), f"batch_id={max(prior)}")
+        return spark.read.schema("source STRING, h BIGINT").parquet(part)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         from ..plans.profiling import gram3_hashes
