@@ -1977,3 +1977,175 @@ def kmeans_refine(
     return cents.select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
     )
+
+
+# ---------------------------------------------------------------------------
+# Navigable-small-world (NSW) graph index — batch build + beam search
+# ---------------------------------------------------------------------------
+
+
+def nsw_graph(
+    emb: DataFrame,
+    centroids: DataFrame,
+    deg: int,
+    max_cell: int = MAX_IVF_CELL,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(src, dst): a degree-bounded navigable proximity graph — the
+    batch construction of the NSW/HNSW index family (Malkov et al.;
+    the production ANN default FAISS-HNSW/DiskANN serves from). Each
+    node links to its ``deg`` nearest candidates by EXACT quantized
+    squared L2, with candidates drawn from the multiprobe IVF
+    cell-blocked generator (the cosine_pairs_ivf machinery, minus the
+    similarity threshold — neighbor selection wants each node's
+    nearest candidates regardless of absolute similarity), then edges
+    are symmetrized: a link kept by either endpoint is navigable from
+    both — the NSW bidirectional-link rule, so per-node degree is
+    bounded by 2*deg.
+
+    Scale: candidate work is the capped-cell pair join (never
+    all-pairs, O(sum min(cell, max_cell)^2) compares); the top-deg
+    selection is a per-src window over candidate lists already bounded
+    by the cell cap; the output is <= 2*deg rows per node — the
+    linear-size index a 100 TB corpus can actually persist. Production
+    builds would iterate (NN-descent: re-generate candidates from the
+    current graph's 2-hop neighborhood and re-select) — each round is
+    exactly this function's join+window shape over the previous
+    adjacency.
+
+    The symmetrize step makes hub nodes: a node may be SELECTED by
+    arbitrarily many others, so adopted in-links are unbounded. The
+    final shrink (HNSW's neighbor-list truncation) re-prunes every
+    node's merged edge list back to its 2*deg nearest -- the graph
+    comes out directed, which beam search is indifferent to, and the
+    per-node degree bound that makes the index linear-size holds
+    unconditionally."""
+    base = (
+        ivf_assign_multi(emb, centroids, nprobe)
+        if nprobe > 1
+        else ivf_assign(emb, centroids)
+    )
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    assigned = base.withColumn(
+        "sub",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(max_cell)).cast("bigint"),
+    )
+    e = emb.select("vec_id", "embedding").join(assigned, "vec_id")
+    a = e.select(
+        "cell",
+        "sub",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = e.select(
+        "cell",
+        "sub",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    # multiprobe can emit a pair via two shared cells with an identical
+    # BIGINT distance — distinct is an exact dedup
+    cand = (
+        a.join(b, ["cell", "sub"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr(SQDIST_Q_SQL.format(a="ea", b="eb")).alias("dist_q"),
+        )
+        .distinct()
+    )
+    sym = cand.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "dist_q"
+    ).unionByName(
+        cand.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "dist_q"
+        )
+    )
+    wk = Window.partitionBy("src").orderBy("dist_q", "dst")
+    kept = (
+        sym.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= deg)
+        .select("src", "dst", "dist_q")
+    )
+    # bidirectional-link adoption, then the HNSW shrink: dedup the
+    # (both-endpoints-kept) doubles exactly on the symmetric BIGINT
+    # distance, re-rank per node, truncate at 2*deg
+    und = kept.unionByName(
+        kept.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "dist_q"
+        )
+    ).distinct()
+    return (
+        und.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 2 * deg)
+        .select("src", "dst")
+    )
+
+
+def nsw_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    adj: DataFrame,
+    k: int = 3,
+    beam: int = 8,
+    hops: int = 3,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, dist_q): greedy beam search over
+    an nsw_graph adjacency — ``hops`` expansion rounds from a fixed
+    entry point (the corpus' minimum vec_id), each round expanding the
+    current beam's out-edges, exact-scoring the candidates (quantized
+    squared L2) and keeping the best ``beam``. The beam is MONOTONE:
+    every round's candidate set contains the previous beam, so the
+    final beam is exactly the best ``beam`` nodes ever visited and the
+    trajectory is deterministic end-to-end (BIGINT distances, vec_id
+    tiebreaks) — the property that lets the DuckDB oracle unroll the
+    identical rounds (the q_sim_kmeans/BPE discipline).
+
+    Scale: per query the search touches O(beam * 2*deg * hops) nodes —
+    independent of corpus size, the whole point of a graph index. The
+    frontier frames are (n_queries x beam)-row tiny and BROADCAST onto
+    the adjacency and corpus scans; at serving scale the adjacency is
+    a key-partitioned lookup table and each round is one pruned
+    point-lookup join. The corpus never shuffles."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    entry = emb.agg(F.min("vec_id").alias("node"))
+
+    def score(cand: DataFrame) -> DataFrame:
+        return (
+            emb.join(F.broadcast(cand), F.col("vec_id") == F.col("node"))
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "node",
+                F.expr(SQDIST_Q_SQL.format(a="eq", b="embedding")).alias(
+                    "dist_q"
+                ),
+            )
+        )
+
+    wb = Window.partitionBy("query_id").orderBy("dist_q", "node")
+    cur = score(q.select("query_id").crossJoin(F.broadcast(entry)))
+    for _ in range(hops):
+        nbrs = adj.join(
+            F.broadcast(cur.select("query_id", "node")),
+            F.col("src") == F.col("node"),
+        ).select("query_id", F.col("dst").alias("node"))
+        cand = cur.select("query_id", "node").unionByName(nbrs).distinct()
+        cur = (
+            score(cand)
+            .withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") <= beam)
+            .drop("rn")
+        )
+    wr = Window.partitionBy("query_id").orderBy("dist_q", "node")
+    return (
+        cur.filter(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("node").alias("neighbor_id"), "rank", "dist_q"
+        )
+    )

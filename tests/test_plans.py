@@ -317,6 +317,8 @@ _ALLOWED_BNLJ = {
     "q_mine_hard_negatives", # broadcast anchor side, the q_sim_topk class
     "q_graph_triangles",     # two 1-row census-scalar broadcasts
     "q_error_rate_ewma",     # 1-row global-rate scalar broadcast (the CUSUM class)
+    # r10: same vetted classes
+    "q_sim_nsw_topk",        # 1-row entry-point broadcast onto the query set
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.

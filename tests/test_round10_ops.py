@@ -1,0 +1,125 @@
+"""Round-10 operator tests: NSW graph-index ANN (build + beam
+search), pinned by independent Python re-implementation of the whole
+deterministic trajectory — the BPE/kmeans test discipline."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from flink_pipeline_spark.operators.llm import nsw_graph, nsw_search
+from flink_pipeline_spark.plans.llm_ops import (
+    EMBED_MULTI_MAX_CELL,
+    EMBED_PAIR_NPROBE,
+    IVF_SEED_CENTROIDS,
+    NSW_BEAM,
+    NSW_DEG,
+    NSW_HOPS,
+    PQ_QUERY_MAX,
+    q_sim_nsw_topk,
+)
+from flink_pipeline_spark.catalog import load_table
+
+SMALL_SF = "/root/testdata/sf0.001"
+
+
+def _adj(spark):
+    emb = load_table(spark, SMALL_SF, "embeddings")
+    return nsw_graph(
+        emb,
+        emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+        deg=NSW_DEG,
+        max_cell=EMBED_MULTI_MAX_CELL,
+        nprobe=EMBED_PAIR_NPROBE,
+    )
+
+
+def test_nsw_graph_degree_bounded_no_self_loops(spark):
+    """The HNSW shrink makes the degree bound unconditional: every
+    node keeps <= 2*deg out-edges (hub nodes adopted by many others
+    get truncated back), no self-loops, and the graph is non-trivial
+    (hubs DO exist pre-shrink, so some node must sit at the bound —
+    otherwise the shrink is dead code and the test is vacuous)."""
+    edges = {(r.src, r.dst) for r in _adj(spark).collect()}
+    assert edges, "graph is empty"
+    assert all(s != d for s, d in edges)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    assert max(deg.values()) <= 2 * NSW_DEG
+    assert max(deg.values()) == 2 * NSW_DEG
+
+
+def _seq_dot(a, b):
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def _dist_q(a, b):
+    # mirrors SQDIST_Q_SQL's evaluation order exactly:
+    # (dot(a,a) - 2*dot(a,b) + dot(b,b)), each dot a sequential fold
+    return int(
+        math.floor(
+            ((_seq_dot(a, a) - 2 * _seq_dot(a, b)) + _seq_dot(b, b)) * 10000
+            + 0.5
+        )
+    )
+
+
+def test_nsw_beam_trajectory_matches_python_reimplementation(spark):
+    """Collect the adjacency and vectors once, then replay the ENTIRE
+    beam search — entry point, every expansion round, every (dist,
+    node) tie-break, the final top-3 — in plain Python and require the
+    engine's output to match row-for-row."""
+    emb = load_table(spark, SMALL_SF, "embeddings")
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    adj_df = _adj(spark).localCheckpoint(eager=True)
+    nbrs = {}
+    for r in adj_df.collect():
+        nbrs.setdefault(r.src, []).append(r.dst)
+
+    entry = min(vecs)
+    expect = []
+    for qid in sorted(v for v in vecs if v < PQ_QUERY_MAX):
+        eq = vecs[qid]
+        beam = {entry}
+        for _ in range(NSW_HOPS):
+            cand = set(beam)
+            for n in beam:
+                cand.update(nbrs.get(n, ()))
+            scored = sorted((_dist_q(eq, vecs[n]), n) for n in cand)
+            beam = {n for _, n in scored[:NSW_BEAM]}
+        final = sorted(
+            (_dist_q(eq, vecs[n]), n) for n in beam if n != qid
+        )[:3]
+        expect.extend(
+            (qid, n, rank + 1, d) for rank, (d, n) in enumerate(final)
+        )
+
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.dist_q)
+        for r in nsw_search(
+            emb,
+            emb.filter(F.col("vec_id") < PQ_QUERY_MAX),
+            adj_df,
+            k=3,
+            beam=NSW_BEAM,
+            hops=NSW_HOPS,
+        ).collect()
+    )
+    assert got == sorted(expect)
+
+
+def test_nsw_topk_shape(spark):
+    """Registered query: exactly 3 ranked neighbors per query, no
+    self-matches, ranks contiguous from 1."""
+    rows = q_sim_nsw_topk(spark, SMALL_SF).collect()
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == set(range(PQ_QUERY_MAX))
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
