@@ -67,6 +67,7 @@ from ..operators.llm import (
     topk_neighbors_ivf2,
     topk_neighbors_l2,
     verified_near_dups,
+    with_norm,
 )
 from ..operators.multimodal import resize_payload, sample_frames, to_multimodal
 from ..operators.topk import rank_after_topk
@@ -980,6 +981,215 @@ def q_dedup_embed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # All three embed pair oracles are registered now — compose the audit.
 _register_embed_dedup_recall()
+
+
+EMBED_SAMPLE_ANCHORS = 64  # fixed-size anchor sample for the scale audit
+
+
+def _register_embed_dedup_recall_sampled() -> None:
+    """The 100 TB face of q_dedup_embed_recall: that audit's docstring
+    prescribes 'run the truth on a sample at scale' — this registers
+    the prescription as its own green-gated query instead of a
+    documented exemption (r9 verdict item 2)."""
+    ivf_sql = ORACLES["q_dedup_embed_ivf"]
+    mp_sql = ORACLES["q_dedup_embed_ivf_multiprobe"]
+    cos_q = (
+        "floor("
+        + _COS_DUCK.format(a="a.embedding", b="b.embedding")
+        + " * 10000 + 0.5) / 10000"
+    )
+    restrict = """
+    {m}_s AS (
+        SELECT DISTINCT vec_a, vec_b FROM {m}_r p
+        WHERE p.vec_a IN (SELECT vec_id FROM anchors)
+           OR p.vec_b IN (SELECT vec_id FROM anchors)
+    )"""
+    hits = """
+    {m}_h AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_method,
+               CAST(coalesce(sum(CASE WHEN t.vec_a IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+        FROM {m}_s p LEFT JOIN truth t
+          ON p.vec_a = t.vec_a AND p.vec_b = t.vec_b
+    )"""
+    row = (
+        "SELECT '{m}' AS method, na.n_anchors, d.n_truth, h.n_method, "
+        "h.hits, CASE WHEN d.n_truth = 0 THEN 0.0 ELSE "
+        + round_sql("h.hits::DOUBLE / d.n_truth")
+        + " END AS recall, CASE WHEN h.n_method = 0 THEN 0.0 ELSE "
+        + round_sql("h.hits::DOUBLE / h.n_method")
+        + " END AS prec FROM {m}_h h CROSS JOIN denom d CROSS JOIN na"
+    )
+    oracle = (
+        f"WITH ivf_r AS ({ivf_sql}),\n"
+        f" mp_r AS ({mp_sql}),\n"
+        f""" anchors AS (
+        SELECT vec_id FROM (
+            SELECT vec_id FROM embeddings
+            ORDER BY {hash56_sql_duckdb('vec_id')}, vec_id
+            LIMIT {EMBED_SAMPLE_ANCHORS}
+        ) t
+    ), truth AS (
+        SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+               greatest(a.vec_id, b.vec_id) AS vec_b
+        FROM anchors an
+        JOIN embeddings a ON a.vec_id = an.vec_id
+        JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE {cos_q} >= {EMBED_PAIR_TAU}
+    ), cos_s AS (SELECT vec_a, vec_b FROM truth
+    ), denom AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth
+    ), na AS (SELECT CAST(count(*) AS BIGINT) AS n_anchors FROM anchors),"""
+        + restrict.format(m="ivf")
+        + ","
+        + restrict.format(m="mp")
+        + ","
+        + ",".join(hits.format(m=m) for m in ("cos", "ivf", "mp"))
+        + "\n"
+        + " UNION ALL ".join(
+            row.format(m=m) for m in ("cos", "ivf", "mp")
+        )
+    )
+
+    @register("q_dedup_embed_recall_sampled", oracle=oracle)
+    def q_dedup_embed_recall_sampled(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Sampled-truth embedding dedup recall — the audit that STAYS
+        runnable at 100 TB. q_dedup_embed_recall's exact truth is
+        O(n^2) by design (priced, and exempted from the 48x probe);
+        here ground truth is restricted to pairs touching a FIXED
+        {EMBED_SAMPLE_ANCHORS}-anchor sample chosen deterministically
+        by md5-hash order of vec_id (a tamper-proof 'random' sample
+        both engines derive identically; fixed ABSOLUTE size, so truth
+        cost is O(n * s) = linear in the corpus, not a fixed fraction
+        whose cost would still be quadratic). Each audited method's
+        pair set is restricted to the same touching-the-sample domain,
+        so recall/precision are estimated on an identically-distributed
+        subspace of the pair population; the exact method's restricted
+        row is the 1.0/1.0 control. At fixture scale the estimate's
+        fidelity is itself measured: tests pin the sampled rows
+        against the full-truth audit's rows (estimator-vs-truth, the
+        KMV discipline applied to a recall audit).
+
+        Scale: anchors = a TakeOrdered top-s by hash (map-side
+        partial top-s, no global sort); truth = broadcast-anchor pass
+        over the corpus (one scan, no shuffle of the corpus); method
+        restriction = two broadcast semi-joins. The quadratic stage is
+        gone — the 48x probe completes (SCALING.md r10)."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        anchors = (
+            emb.select("vec_id", hash56(F.col("vec_id")).alias("h"))
+            .orderBy("h", "vec_id")
+            .limit(EMBED_SAMPLE_ANCHORS)
+            .select("vec_id")
+        )
+        e = with_norm(emb)
+        an = e.join(F.broadcast(anchors), "vec_id").select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("ea"),
+            F.col("norm").alias("na"),
+        )
+        b = e.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("embedding").alias("eb"),
+            F.col("norm").alias("nb"),
+        )
+        # dot/norm/divide are all exactly symmetric in IEEE (element
+        # products commute; fold order is the element order), so the
+        # canonicalized pair dedups exactly under DISTINCT
+        cos = F.expr(DOT_SQL.format(a="ea", b="eb")) / (
+            F.col("na") * F.col("nb")
+        )
+        truth = (
+            b.join(F.broadcast(an), F.col("b_id") != F.col("a_id"))
+            .select(
+                F.least("a_id", "b_id").alias("vec_a"),
+                F.greatest("a_id", "b_id").alias("vec_b"),
+                round_agg(cos).alias("cos"),
+            )
+            .filter(F.col("cos") >= EMBED_PAIR_TAU)
+            .select("vec_a", "vec_b")
+            .distinct()
+            .persist()
+        )
+        denom = truth.agg(F.count("*").cast("long").alias("n_truth"))
+        n_anch = anchors.agg(
+            F.count("*").cast("long").alias("n_anchors")
+        )
+
+        def restrict_m(m: DataFrame) -> DataFrame:
+            pa = m.join(
+                F.broadcast(anchors.withColumnRenamed("vec_id", "vec_a")),
+                "vec_a",
+                "left_semi",
+            )
+            pb = m.join(
+                F.broadcast(anchors.withColumnRenamed("vec_id", "vec_b")),
+                "vec_b",
+                "left_semi",
+            )
+            return (
+                pa.select("vec_a", "vec_b")
+                .unionByName(pb.select("vec_a", "vec_b"))
+                .distinct()
+            )
+
+        def audit(m: DataFrame, name: str) -> DataFrame:
+            h = (
+                m.select("vec_a", "vec_b")
+                .join(
+                    truth.withColumn("hit", F.lit(1)),
+                    ["vec_a", "vec_b"],
+                    "left",
+                )
+                .agg(
+                    F.count("*").cast("long").alias("n_method"),
+                    F.coalesce(F.sum("hit"), F.lit(0))
+                    .cast("long")
+                    .alias("hits"),
+                )
+            )
+            recall = F.when(F.col("n_truth") == 0, F.lit(0.0)).otherwise(
+                round_agg(F.col("hits").cast("double") / F.col("n_truth"))
+            )
+            prec = F.when(F.col("n_method") == 0, F.lit(0.0)).otherwise(
+                round_agg(F.col("hits").cast("double") / F.col("n_method"))
+            )
+            return (
+                h.crossJoin(F.broadcast(denom))
+                .crossJoin(F.broadcast(n_anch))
+                .select(
+                    F.lit(name).alias("method"),
+                    "n_anchors",
+                    "n_truth",
+                    "n_method",
+                    "hits",
+                    recall.alias("recall"),
+                    prec.alias("prec"),
+                )
+            )
+
+        return (
+            audit(truth, "cos")
+            .unionByName(
+                audit(restrict_m(q_dedup_embed_ivf(spark, sf_dir)), "ivf")
+            )
+            .unionByName(
+                audit(
+                    restrict_m(q_dedup_embed_ivf_multiprobe(spark, sf_dir)),
+                    "mp",
+                )
+            )
+        )
+
+    q_dedup_embed_recall_sampled.__doc__ = (
+        q_dedup_embed_recall_sampled.__doc__.format(
+            EMBED_SAMPLE_ANCHORS=EMBED_SAMPLE_ANCHORS
+        )
+    )
+
+
+_register_embed_dedup_recall_sampled()
 
 
 # ---------------------------------------------------------------------------

@@ -319,6 +319,7 @@ _ALLOWED_BNLJ = {
     "q_error_rate_ewma",     # 1-row global-rate scalar broadcast (the CUSUM class)
     # r10: same vetted classes
     "q_sim_nsw_topk",        # 1-row entry-point broadcast onto the query set
+    "q_dedup_embed_recall_sampled",  # two 1-row denominator broadcasts
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.

@@ -113,6 +113,38 @@ def test_nsw_beam_trajectory_matches_python_reimplementation(spark):
     assert got == sorted(expect)
 
 
+def test_sampled_recall_tracks_full_audit(spark):
+    """Estimator-vs-truth for the recall audit itself: the fixed-
+    anchor sampled audit (linear cost, 48x-probeable) must read
+    within a tight band of the full O(n^2)-truth audit, preserve the
+    method ordering (multiprobe recovers boundary pairs), and keep
+    the restricted exact row as a 1.0/1.0 control."""
+    from flink_pipeline_spark.plans.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    full = {
+        r.method: r
+        for r in QUERIES["q_dedup_embed_recall"](spark, SF_DIR).collect()
+    }
+    samp = {
+        r.method: r
+        for r in QUERIES["q_dedup_embed_recall_sampled"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert samp["cos"].recall == 1.0 and samp["cos"].prec == 1.0
+    assert 0 < samp["cos"].n_truth < full["cosine"].n_truth
+    for s_m, f_m in (("ivf", "ivf"), ("mp", "ivf_multiprobe")):
+        assert abs(samp[s_m].recall - full[f_m].recall) <= 0.1, (
+            s_m,
+            samp[s_m].recall,
+            full[f_m].recall,
+        )
+        assert samp[s_m].prec == full[f_m].prec == 1.0
+    assert samp["mp"].recall >= samp["ivf"].recall
+
+
 def test_nsw_topk_shape(spark):
     """Registered query: exactly 3 ranked neighbors per query, no
     self-matches, ranks contiguous from 1."""
