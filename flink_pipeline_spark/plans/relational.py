@@ -686,6 +686,16 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the base)."""
     from ..operators.merge import merge_into
 
+    v1, _ = _snapshot_versions(spark, sf_dir)
+    merged = merge_into(v1, cdc_changes(spark, sf_dir), ["doc_id"])
+    return merged.select("doc_id", "source", F.md5("text").alias("digest"))
+
+
+def cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, op, source, text): the insert/update/delete change set
+    between the simulated v1 and v2 snapshots — q_cdc_apply's feed,
+    shared with the streaming deployment form (streaming/merge.py) so
+    the stream==batch equivalence tests exercise the identical feed."""
     v1, v2 = _snapshot_versions(spark, sf_dir)
     a = v1.select("doc_id", F.md5("text").alias("dg_a"))
     b = v2.select(
@@ -694,7 +704,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("txt_b"),
         F.md5("text").alias("dg_b"),
     )
-    changes = (
+    return (
         a.join(b, "doc_id", "full_outer")
         .select(
             "doc_id",
@@ -707,5 +717,3 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("op").isNotNull())
     )
-    merged = merge_into(v1, changes, ["doc_id"])
-    return merged.select("doc_id", "source", F.md5("text").alias("digest"))

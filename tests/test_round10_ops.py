@@ -155,3 +155,101 @@ def test_nsw_topk_shape(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     assert set(by_q) == set(range(PQ_QUERY_MAX))
     assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply (the eighth deployment form)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_fixture(spark):
+    from flink_pipeline_spark.plans.relational import (
+        _snapshot_versions,
+        cdc_changes,
+    )
+
+    v1, _ = _snapshot_versions(spark, SMALL_SF)
+    ch = cdc_changes(spark, SMALL_SF).withColumn("seq", F.lit(0).cast("long"))
+    return v1, ch
+
+
+def _table_rows(mon, spark, after):
+    return sorted(
+        (r.doc_id, r.source, r.text)
+        for r in mon.table(spark, after).collect()
+    )
+
+
+def test_cdc_apply_stream_equals_batch(spark, tmp_path):
+    """Feeding the batch query's exact change set through the
+    foreachBatch merge sink in three micro-batches (split by doc_id
+    hash) yields the same final table as the one-shot batch merge —
+    stream==batch for the eighth deployment form."""
+    from flink_pipeline_spark.operators.merge import merge_into
+    from flink_pipeline_spark.streaming.merge import CDCApplyMonitor
+
+    v1, ch = _cdc_fixture(spark)
+    mon = CDCApplyMonitor(str(tmp_path / "store"), keys=["doc_id"])
+    mon.init(v1)
+    for i in range(3):
+        mon(ch.filter(F.col("doc_id") % 3 == i), i)
+    got = _table_rows(mon, spark, 2)
+    want = sorted(
+        (r.doc_id, r.source, r.text)
+        for r in merge_into(v1, ch.drop("seq"), ["doc_id"]).collect()
+    )
+    assert got == want and got, "stream table diverged from batch merge"
+
+
+def test_cdc_apply_crash_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch re-reads latest-strictly-before and
+    re-derives the identical snapshot instead of double-applying."""
+    from flink_pipeline_spark.streaming.merge import CDCApplyMonitor
+
+    v1, ch = _cdc_fixture(spark)
+    mon = CDCApplyMonitor(str(tmp_path / "store"), keys=["doc_id"])
+    mon.init(v1)
+    mon(ch.filter(F.col("doc_id") % 2 == 0), 0)
+    mon(ch.filter(F.col("doc_id") % 2 == 1), 1)
+    after = _table_rows(mon, spark, 1)
+    mon(ch.filter(F.col("doc_id") % 2 == 1), 1)  # crash replay
+    assert _table_rows(mon, spark, 1) == after
+
+
+def test_cdc_apply_intra_batch_compaction_and_guards(spark, tmp_path):
+    """Last image per key wins within a batch (seq order); reading
+    pruned history raises; an uninitialized store raises."""
+    import pytest
+
+    from flink_pipeline_spark.streaming.merge import CDCApplyMonitor
+
+    base = spark.createDataFrame(
+        [(1, "keep"), (2, "gone")], "doc_id LONG, text STRING"
+    )
+    ch = spark.createDataFrame(
+        [
+            (1, "update", "first", 1),
+            (1, "update", "last", 2),
+            (2, "delete", None, 1),
+            (3, "insert", "new", 1),
+        ],
+        "doc_id LONG, op STRING, text STRING, seq LONG",
+    )
+    mon = CDCApplyMonitor(str(tmp_path / "store"), keys=["doc_id"])
+    with pytest.raises(ValueError, match="init"):
+        mon(ch, 0)
+    mon.init(base)
+    mon(ch, 0)
+    assert _table_rows_simple(mon, spark, 0) == [(1, "last"), (3, "new")]
+    # advance twice so batch_id=-1 and 0 are pruned, then read history
+    empty = ch.filter(F.col("doc_id") < 0)
+    mon(empty, 1)
+    mon(empty, 2)
+    with pytest.raises(ValueError, match="no snapshot"):
+        mon.table(spark, -1)
+
+
+def _table_rows_simple(mon, spark, after):
+    return sorted(
+        (r.doc_id, r.text) for r in mon.table(spark, after).collect()
+    )
