@@ -21,6 +21,8 @@ from ..catalog import load_table
 from ..functions.portable import (
     epoch_s_sql_duckdb,
     hash56,
+    hash56_sql_duckdb,
+    hash56_sql_spark,
     money_sum,
     money_sum_sql,
     round_agg,
@@ -1217,6 +1219,156 @@ def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_distinct")
         ).alias("rel_err"),
     )
+
+
+# -------------------------------------- mergeable quantile sketch
+QSK_K = 256  # sketch size (bottom-k by hash tag)
+QSK_PERMILLE = (500, 900, 990)  # audited quantiles (p50/p90/p99)
+
+
+def price_tags(li: DataFrame) -> DataFrame:
+    """(val, h): every lineitem extended price tagged with the
+    portable 56-bit hash of its (orderkey, linenumber) row identity —
+    the shared unit of the quantile sketch. Both the batch query
+    (q_quantile_sketch) and the streaming monitor
+    (streaming/quantile.py) build their sketches from THIS function,
+    so the two deployments cannot fork (the gram3_hashes
+    convention)."""
+    return li.select(
+        F.col("l_extendedprice").cast("double").alias("val"),
+        F.expr(
+            hash56_sql_spark(
+                "concat(CAST(l_orderkey AS STRING), ':',"
+                " CAST(l_linenumber AS STRING))"
+            )
+        ).alias("h"),
+    )
+
+
+_QSK_TAG_DUCK = hash56_sql_duckdb(
+    "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+)
+
+
+@register(
+    "q_quantile_sketch",
+    oracle=f"""
+    WITH rows_t AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS val,
+               {_QSK_TAG_DUCK} AS h
+        FROM lineitem
+    ), samp AS (
+        SELECT val, h, row_number() OVER (ORDER BY val, h) AS rn
+        FROM (SELECT val, h FROM rows_t ORDER BY h, val LIMIT {QSK_K}) s
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rows_t
+    ), kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM samp
+    ), cum AS (
+        SELECT val, sum(c) OVER (ORDER BY val) AS cum FROM (
+            SELECT val, CAST(count(*) AS BIGINT) AS c
+            FROM rows_t GROUP BY val) g
+    ), qs AS (SELECT unnest({list(QSK_PERMILLE)}) AS permille
+    ), grid AS (
+        SELECT CAST(q.permille AS BIGINT) AS permille, tot.n, kk.k,
+               CAST((tot.n * q.permille + 999) // 1000 AS BIGINT) AS r_exact,
+               CAST((kk.k * q.permille + 999) // 1000 AS BIGINT) AS r_est
+        FROM qs q CROSS JOIN tot CROSS JOIN kk
+    ), est AS (
+        SELECT g.permille, s.val AS est
+        FROM grid g JOIN samp s ON s.rn = g.r_est
+    ), ex AS (
+        SELECT g.permille, min(c.val) AS exact
+        FROM grid g JOIN cum c ON c.cum >= g.r_exact
+        GROUP BY g.permille
+    )
+    SELECT g.permille, g.n, g.k, e.est, x.exact,
+           {round_sql('abs(e.est - x.exact) / x.exact')} AS rel_err
+    FROM grid g JOIN est e USING (permille) JOIN ex x USING (permille)
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch — the second statistic a 100 TB
+    profiler streams, built with the KMV discipline applied to
+    quantiles (bottom-k sampling by random hash tags, Cohen & Kaplan's
+    bottom-k sample): every row gets a deterministic 56-bit tag from
+    its row identity, the sketch is the {{k}} rows with the SMALLEST
+    tags, and the q-quantile estimate is the ceil(q*k)-th order
+    statistic of the sample. The merge rule is EXACT — union the
+    sketches, keep the k smallest tags again (the k smallest of a
+    union are the k smallest of the merged per-part bottom-k sets) —
+    so sketches from any sharding merge to the bit-identical global
+    sketch; the streaming monitor (streaming/quantile.py) is
+    pytest-pinned to that property. Ranks use pure integer arithmetic
+    ((n*permille + 999) div 1000), and estimates/exacts are SELECTED
+    raw values, never interpolated floats — the whole row replays
+    bit-identically in DuckDB (why not engine-native
+    approx_percentile/quantile sketches: their register layouts
+    differ, so outputs can never hash-match, and t-digest/GK merges
+    are order-dependent — not exactly mergeable).
+
+    Per-quantile rows carry the exact order statistic and the
+    relative error — the audit convention: the sketch is only
+    shippable because its error is measured, not assumed (p50/p90
+    land within ~1/sqrt(k); the p99 row shows tail degradation at
+    k={{k}}).
+
+    Scale: the sketch build IS Spark's TakeOrdered (per-partition
+    bottom-k, then a k-row merge — no corpus shuffle, the mergeable
+    property executed physically). The EXACT stage is the audit: a
+    per-value count aggregate plus one running-sum window over
+    distinct values (single-partition by necessity — a global order
+    statistic is a global property; production runs the audit on a
+    shard sample and ships only the sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = price_tags(li)
+    sample = rows.orderBy("h", "val").limit(QSK_K)
+    ws = Window.orderBy("val", "h")
+    samp = sample.select(
+        "val", F.row_number().over(ws).alias("rn")
+    )
+    n1 = rows.agg(F.count("*").cast("long").alias("n"))
+    k1 = sample.agg(F.count("*").cast("long").alias("k"))
+    vals = rows.groupBy("val").agg(F.count("*").cast("long").alias("c"))
+    wv = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select("val", F.sum("c").over(wv).alias("cum"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in QSK_PERMILLE])).alias("pm")
+    ).select(F.col("pm").cast("long").alias("permille"))
+    grid = (
+        qs.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(k1))
+        .select(
+            "permille",
+            "n",
+            "k",
+            F.expr("(n * permille + 999) div 1000").alias("r_exact"),
+            F.expr("(k * permille + 999) div 1000").alias("r_est"),
+        )
+    )
+    est = grid.join(
+        F.broadcast(samp), F.col("rn") == F.col("r_est")
+    ).select("permille", F.col("val").alias("est"))
+    ex = (
+        cum.join(F.broadcast(grid), F.col("cum") >= F.col("r_exact"))
+        .groupBy("permille")
+        .agg(F.min("val").alias("exact"))
+    )
+    return (
+        grid.join(F.broadcast(est), "permille")
+        .join(F.broadcast(ex), "permille")
+        .select(
+            "permille",
+            "n",
+            "k",
+            "est",
+            "exact",
+            round_agg(
+                F.abs(F.col("est") - F.col("exact")) / F.col("exact")
+            ).alias("rel_err"),
+        )
+    )
+
+
+q_quantile_sketch.__doc__ = q_quantile_sketch.__doc__.format(k=QSK_K)
 
 
 # --------------------------------------------------- CUSUM drift alarm

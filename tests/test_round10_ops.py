@@ -20,6 +20,9 @@ from flink_pipeline_spark.plans.llm_ops import (
     q_sim_nsw_topk,
 )
 from flink_pipeline_spark.catalog import load_table
+from flink_pipeline_spark.plans import query_fns
+
+QUERIES_R10 = query_fns()
 
 SMALL_SF = "/root/testdata/sf0.001"
 
@@ -253,3 +256,76 @@ def _table_rows_simple(mon, spark, after):
     return sorted(
         (r.doc_id, r.text) for r in mon.table(spark, after).collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (batch + streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_stream_equals_batch_sketch(spark, tmp_path):
+    """Exact mergeability, deployed: three hash-split micro-batches
+    through the monitor produce the bit-identical sketch — and
+    therefore bit-identical quantile estimates — as the one-shot
+    bottom-k over the concatenated rows (the KMV stream==batch
+    discipline applied to quantiles)."""
+    from flink_pipeline_spark.plans.profiling import (
+        QSK_K,
+        QSK_PERMILLE,
+        price_tags,
+    )
+    from flink_pipeline_spark.streaming.quantile import (
+        QSK_K as QSK_K_STREAM,
+        QuantileMonitor,
+    )
+
+    assert QSK_K_STREAM == QSK_K
+    li = load_table(spark, SMALL_SF, "lineitem")
+    mon = QuantileMonitor(str(tmp_path / "store"))
+    for i in range(3):
+        mon(li.filter(F.col("l_orderkey") % 3 == i), i)
+    got_sketch = sorted(
+        (r.h, r.val) for r in mon.sketch(spark, 2).collect()
+    )
+    want_sketch = sorted(
+        (r.h, r.val)
+        for r in price_tags(li).orderBy("h", "val").limit(QSK_K).collect()
+    )
+    assert got_sketch == want_sketch and len(got_sketch) == QSK_K
+    got_est = {
+        r.permille: (r.k, r.est)
+        for r in mon.estimates(spark, 2).collect()
+    }
+    batch = {
+        r.permille: (r.k, r.est)
+        for r in QUERIES_R10["q_quantile_sketch"](spark, SMALL_SF).collect()
+    }
+    assert set(got_est) == set(p for p in QSK_PERMILLE)
+    assert got_est == batch and len(batch) == 3
+
+
+def test_quantile_stream_crash_replay(spark, tmp_path):
+    """A replayed batch reads latest-strictly-before and re-derives
+    the identical sketch partition."""
+    from flink_pipeline_spark.streaming.quantile import QuantileMonitor
+
+    li = load_table(spark, SMALL_SF, "lineitem")
+    mon = QuantileMonitor(str(tmp_path / "store"))
+    mon(li.filter(F.col("l_orderkey") % 2 == 0), 0)
+    mon(li.filter(F.col("l_orderkey") % 2 == 1), 1)
+    before = sorted((r.h, r.val) for r in mon.sketch(spark, 1).collect())
+    mon(li.filter(F.col("l_orderkey") % 2 == 1), 1)  # replay
+    after = sorted((r.h, r.val) for r in mon.sketch(spark, 1).collect())
+    assert before == after
+
+
+def test_quantile_sketch_error_bounds(spark):
+    """The audit columns stay honest at fixture scale: every
+    registered quantile's sampled estimate lands within 10% of the
+    exact order statistic (k=256 => ~1/sqrt(k) ~ 6% stderr on the
+    rank; the sf0.001 draw reads 5.9% at p50 — inside one stderr)."""
+    rows = QUERIES_R10["q_quantile_sketch"](spark, SMALL_SF).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.rel_err <= 0.10, (r.permille, r.rel_err)
+        assert r.k <= 256 and r.n > 0
