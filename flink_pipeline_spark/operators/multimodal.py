@@ -518,6 +518,60 @@ def ahash_bands(files: DataFrame) -> DataFrame:
     return files.select("file", "content").mapInPandas(enc, schema=AHASH_SCHEMA)
 
 
+def dhash_bands(files: DataFrame) -> DataFrame:
+    """Per-image 64-bit difference hash (dHash), emitted as 4
+    pigeonhole band keys — ahash_bands' gradient sibling (the other
+    classic perceptual hash family): over the SAME integer-exact 8x8
+    cell-sum grid, bit (r, c) is 1 iff cell[r][c] > cell[r][(c+1) % 8]
+    (row-wise horizontal gradient with wraparound, which keeps the
+    hash at exactly 64 bits without the classic 9-column resample —
+    the wraparound bit compares last to first column). Cell c
+    (row-major) contributes bit (c % 16) of band c // 16, the ahash
+    band layout, so the blocking/verify machinery is shared verbatim.
+
+    Gradients see what means do not: a local perturbation that leaves
+    the global mean almost unchanged (aHash's blind spot — the
+    fixture's moderate-noise variant flips 5 aHash bits) moves few
+    cell ORDER relations, so dHash keeps such pairs inside the
+    lossless blocking radius; conversely dHash is exactly invariant
+    to clip-free brightness shift AND positive contrast scaling
+    (order relations survive both). Scale shape identical to
+    ahash_bands: one Arrow pass, 4 fixed rows per image, no
+    shuffle."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        g8 = AHASH_GRID
+        for pdf in batches:
+            rows = []
+            for file, content in zip(pdf["file"], pdf["content"]):
+                w, h, px = _parse_p6(file, bytes(content))
+                if w % g8 or h % g8:
+                    raise ValueError(
+                        f"{file}: {w}x{h} not divisible into an "
+                        f"{g8}x{g8} dHash grid — resize first"
+                    )
+                rgb = px.reshape(h, w, 3)
+                gray = (
+                    rgb[:, :, 0] * LUMA_WEIGHTS[0]
+                    + rgb[:, :, 1] * LUMA_WEIGHTS[1]
+                    + rgb[:, :, 2] * LUMA_WEIGHTS[2]
+                )
+                bh, bw = h // g8, w // g8
+                cells = gray.reshape(g8, bh, g8, bw).sum(axis=(1, 3))
+                bits = (cells > np.roll(cells, -1, axis=1)).astype(
+                    np.int64
+                ).ravel()
+                for blk in range(AHASH_BANDS):
+                    seg = bits[blk * 16 : (blk + 1) * 16]
+                    key = int((seg << np.arange(16, dtype=np.int64)).sum())
+                    rows.append((file, blk, key))
+            yield pd.DataFrame(rows, columns=["file", "blk", "key"])
+
+    return files.select("file", "content").mapInPandas(enc, schema=AHASH_SCHEMA)
+
+
 GRAY_SCHEMA = "file STRING, width BIGINT, height BIGINT, p BIGINT, g BIGINT"
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.portable import round_agg, round_sql
-from ..operators.multimodal import ahash_bands, gray_pixels
+from ..operators.multimodal import ahash_bands, dhash_bands, gray_pixels
 from .registry import register
 
 PHASH_DIR = os.path.abspath(
@@ -106,28 +106,60 @@ _PHASH_CTE = f"""b AS (
         FROM bits GROUP BY 1, 2
     )"""
 
-_PAIRS_SQL = f"""bucket AS (
-        SELECT blk, key FROM bands GROUP BY blk, key
+def _pairs_sql(bands: str = "bands", p: str = "") -> str:
+    """Band-blocked pair generation + exact Hamming verify over a
+    named band CTE — parameterized so the aHash and dHash methods
+    replay through IDENTICAL blocking/cap/verify text (``p`` prefixes
+    the intermediate CTE names to keep a multi-method oracle's
+    namespace disjoint)."""
+    return f"""{p}bucket AS (
+        SELECT blk, key FROM {bands} GROUP BY blk, key
         HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
-    ), cand AS (
+    ), {p}cand AS (
         SELECT DISTINCT a.file AS file_a, b.file AS file_b
-        FROM bands a
-        JOIN bands b ON a.blk = b.blk AND a.key = b.key
+        FROM {bands} a
+        JOIN {bands} b ON a.blk = b.blk AND a.key = b.key
                     AND a.file < b.file
-        JOIN bucket k ON a.blk = k.blk AND a.key = k.key
-    ), ham AS (
+        JOIN {p}bucket k ON a.blk = k.blk AND a.key = k.key
+    ), {p}ham AS (
         SELECT c.file_a, c.file_b,
                CAST(sum(bit_count(xor(ka.key, kb.key))) AS BIGINT)
                  AS hamming
-        FROM cand c
-        JOIN bands ka ON ka.file = c.file_a
-        JOIN bands kb ON kb.file = c.file_b AND kb.blk = ka.blk
+        FROM {p}cand c
+        JOIN {bands} ka ON ka.file = c.file_a
+        JOIN {bands} kb ON kb.file = c.file_b AND kb.blk = ka.blk
         GROUP BY 1, 2
     )
-    SELECT file_a, file_b, hamming FROM ham WHERE hamming <= {MAX_HAMMING}"""
+    SELECT file_a, file_b, hamming FROM {p}ham WHERE hamming <= {MAX_HAMMING}"""
+
+
+_PAIRS_SQL = _pairs_sql()
+
+# dHash band CTEs chained onto _PHASH_CTE's cell grid: row-wise
+# horizontal gradient with wraparound (bit c = 1 iff cell c beats its
+# right neighbour in the same row), the byte-level replay of
+# operators/multimodal.dhash_bands
+_DHASH_CTE = """dbits AS (
+        SELECT a.file, a.c,
+               CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        FROM cell a JOIN cell b
+          ON b.file = a.file
+         AND b.c = (a.c // 8) * 8 + ((a.c % 8) + 1) % 8
+    ), dbands AS (
+        SELECT file, c // 16 AS blk,
+               CAST(sum(bit << (c % 16)) AS BIGINT) AS key
+        FROM dbits GROUP BY 1, 2
+    )"""
 
 
 def _load_phash_files(spark: SparkSession) -> DataFrame:
+    # self-heal confs + ship the package (catalog hook): these queries
+    # read fixtures, not sf tables, so load_table's hook never runs —
+    # a bare driver session running an image query FIRST would
+    # otherwise hit ModuleNotFoundError in the mapInPandas workers
+    from ..catalog import _ensure_session_conf
+
+    _ensure_session_conf(spark)
     df = spark.read.format("binaryFile").load(
         os.path.join(PHASH_DIR, "*.ppm")
     )
@@ -162,7 +194,12 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     65536 keys/band holds bucket occupancy sub-linear until ~10^6
     images/band-key — past that, widen the hash (pHash-DCT, 256 bits)
     exactly as SIMHASH_BITS replaced the calib width."""
-    bands = ahash_bands(_load_phash_files(spark))
+    return _band_pairs(ahash_bands(_load_phash_files(spark)))
+
+
+def _band_pairs(bands: DataFrame) -> DataFrame:
+    """Shared blocking/cap/verify over a (file, blk, key) band frame —
+    the Spark twin of _pairs_sql, used by both hash methods."""
     buckets = (
         bands.groupBy("blk", "key")
         .agg(F.collect_list("file").alias("ms"))
@@ -199,13 +236,59 @@ q_dedup_image_phash.__doc__ = q_dedup_image_phash.__doc__.format(
 
 
 @register(
+    "q_dedup_image_dhash",
+    oracle=f"WITH {_PHASH_CTE}, {_DHASH_CTE}, {_pairs_sql('dbands', 'd')}",
+)
+def q_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs under the GRADIENT hash (dHash,
+    operators/multimodal.dhash_bands): same integer-exact cell grid,
+    same pigeonhole blocking, cap, and bit_count verify as
+    q_dedup_image_phash — only the bit rule changes (cell beats its
+    right neighbour, wraparound, vs cell beats the global mean).
+
+    What the second method buys, pinned by the fixture corpus: the
+    moderate-noise variant that flips 5 aHash bits (MISSED at the
+    lossless-3 radius) flips only 1 dHash bit — local perturbations
+    barely move cell ORDER relations even when they move cell-vs-mean
+    comparisons — so dHash emits (ph_b, ph_b_noise) at hamming 1
+    while remaining exactly invariant to the clip-free brightness
+    shift (hamming 0). The per-method rows in
+    q_dedup_image_phash_recall price the difference against the same
+    pixel truth, mirroring how the text audit compares
+    MinHash/SimHash.
+
+    Scale: identical to the aHash path — 4 fixed rows per image,
+    (blk, key) equi-join blocking, capped buckets."""
+    return _band_pairs(dhash_bands(_load_phash_files(spark)))
+
+
+_RECALL_HITS = """
+    {m}_h AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_method,
+               CAST(coalesce(sum(CASE WHEN t.file_a IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS hits
+        FROM {m}_m m LEFT JOIN truth t
+          ON m.file_a = t.file_a AND m.file_b = t.file_b
+    )"""
+
+_RECALL_ROW = (
+    "SELECT '{name}' AS method, d.n_truth, h.n_method, h.hits, "
+    + round_sql("h.hits::DOUBLE / d.n_truth")
+    + " AS recall, CASE WHEN h.n_method = 0 THEN 0.0 ELSE "
+    + round_sql("h.hits::DOUBLE / h.n_method")
+    + " END AS prec FROM {m}_h h CROSS JOIN denom d"
+)
+
+
+@register(
     "q_dedup_image_phash_recall",
     oracle=f"""
-    WITH {_PHASH_CTE}, {_PAIRS_SQL.replace(
-        f"SELECT file_a, file_b, hamming FROM ham WHERE hamming <= {MAX_HAMMING}",
-        f", method AS (SELECT file_a, file_b FROM ham"
-        f" WHERE hamming <= {MAX_HAMMING})",
-    )}, co AS (
+    WITH {_PHASH_CTE}, {_DHASH_CTE}, a_m AS (
+        WITH {_pairs_sql("bands", "")}
+    ), d_m AS (
+        WITH {_pairs_sql("dbands", "d")}
+    ), co AS (
         SELECT a.file AS file_a, b.file AS file_b,
                CAST(sum(abs(a.g - b.g)) AS BIGINT) AS dist
         FROM g a JOIN g b ON a.p = b.p AND a.file < b.file
@@ -214,44 +297,39 @@ q_dedup_image_phash.__doc__ = q_dedup_image_phash.__doc__.format(
         SELECT file_a, file_b FROM co WHERE dist <= {TRUTH_SUM}
     ), denom AS (
         SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth
-    ), hits AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_method,
-               CAST(coalesce(sum(CASE WHEN t.file_a IS NOT NULL
-                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
-                 AS hits
-        FROM method m LEFT JOIN truth t
-          ON m.file_a = t.file_a AND m.file_b = t.file_b
-    )
-    SELECT 'ahash' AS method, d.n_truth, h.n_method, h.hits,
-           {round_sql('h.hits::DOUBLE / d.n_truth')} AS recall,
-           CASE WHEN h.n_method = 0 THEN 0.0
-                ELSE {round_sql('h.hits::DOUBLE / h.n_method')}
-           END AS prec
-    FROM hits h CROSS JOIN denom d
+    ),{_RECALL_HITS.format(m="a")},{_RECALL_HITS.format(m="d")}
+    {_RECALL_ROW.format(name="ahash", m="a")}
+    UNION ALL {_RECALL_ROW.format(name="dhash", m="d")}
     """,
 )
 def q_dedup_image_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall/precision audit of the image perceptual near-dup against
+    """PER-METHOD recall/precision audit of the image perceptual
+    near-dup family (aHash mean-hash vs dHash gradient-hash) against
     EXACT per-pixel gray distance ground truth (the q_dedup_recall
-    convention extended to the image modality): truth pairs are those
-    with sum |gray_a - gray_b| <= {ts} over aligned pixels; the method
-    is the registered q_dedup_image_phash pair set.
+    convention extended to the image modality, one row per method the
+    way the text audit compares MinHash/SimHash): truth pairs are
+    those with sum |gray_a - gray_b| <= {ts} over aligned pixels; the
+    methods are the registered q_dedup_image_phash and
+    q_dedup_image_dhash pair sets.
 
-    Both misses are measured honestly on the engineered corpus:
-    recall < 1 because the moderate-noise variant flips ~5 bits
-    (outside the lossless-3 blocking guarantee) while staying inside
-    pixel truth, and precision < 1 because the brightness-shifted
-    variant is hash-IDENTICAL while 16 gray levels from truth —
-    perceptual invariance and pixel distance deliberately disagree,
-    exactly as SimHash-vs-Jaccard does in the text audit.
+    The corpus pins an instructive split. ahash: recall 0.5 (the
+    moderate-noise variant flips 5 mean-bits — outside the lossless-3
+    blocking radius — while staying inside pixel truth), precision
+    0.33 (the brightness shift is hash-IDENTICAL while 16 gray levels
+    from truth — perceptual invariance and pixel distance
+    deliberately disagree). dhash: recall 1.0 (the same perturbation
+    flips only ONE gradient bit — cell order relations barely move),
+    precision 0.5 (it still emits the brightness pair, sharing
+    aHash's deliberate truth disagreement). The method delta is the
+    audit's finding: gradients dominate means on local noise at
+    identical cost.
 
     Scale: the truth side explodes pixels into rows (gray_pixels) and
     equi-joins on pixel index + dims — the audit path, priced for
-    fixtures; the method side stays on the 4-rows-per-image scale
+    fixtures; both method sides stay on the 4-rows-per-image scale
     path. The 1-row denominator broadcast is the vetted source-mix
     gate."""
     files = _load_phash_files(spark)
-    method = q_dedup_image_phash(spark, sf_dir).select("file_a", "file_b")
     gp = gray_pixels(files)
     a = gp.select(
         F.col("file").alias("file_a"), "width", "height", "p",
@@ -270,25 +348,30 @@ def q_dedup_image_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("file_a", "file_b")
     )
     denom = truth.agg(F.count("*").cast("long").alias("n_truth"))
-    h = (
-        method.join(truth.withColumn("hit", F.lit(1)), ["file_a", "file_b"], "left")
-        .agg(
+
+    def audit(method: DataFrame, name: str) -> DataFrame:
+        h = method.select("file_a", "file_b").join(
+            truth.withColumn("hit", F.lit(1)), ["file_a", "file_b"], "left"
+        ).agg(
             F.count("*").cast("long").alias("n_method"),
             F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("hits"),
         )
-    )
-    prec = F.when(F.col("n_method") == 0, F.lit(0.0)).otherwise(
-        round_agg(F.col("hits").cast("double") / F.col("n_method"))
-    )
-    return h.crossJoin(F.broadcast(denom)).select(
-        F.lit("ahash").alias("method"),
-        F.col("n_truth"),
-        "n_method",
-        "hits",
-        round_agg(F.col("hits").cast("double") / F.col("n_truth")).alias(
-            "recall"
-        ),
-        prec.alias("prec"),
+        prec = F.when(F.col("n_method") == 0, F.lit(0.0)).otherwise(
+            round_agg(F.col("hits").cast("double") / F.col("n_method"))
+        )
+        return h.crossJoin(F.broadcast(denom)).select(
+            F.lit(name).alias("method"),
+            F.col("n_truth"),
+            "n_method",
+            "hits",
+            round_agg(
+                F.col("hits").cast("double") / F.col("n_truth")
+            ).alias("recall"),
+            prec.alias("prec"),
+        )
+
+    return audit(q_dedup_image_phash(spark, sf_dir), "ahash").unionByName(
+        audit(q_dedup_image_dhash(spark, sf_dir), "dhash")
     )
 
 

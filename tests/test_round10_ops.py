@@ -329,3 +329,65 @@ def test_quantile_sketch_error_bounds(spark):
     for r in rows:
         assert r.rel_err <= 0.10, (r.permille, r.rel_err)
         assert r.k <= 256 and r.n > 0
+
+
+# ---------------------------------------------------------------------------
+# dHash (gradient) image near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_pairs_pin_the_engineered_corpus(spark):
+    """dHash emits the brightness pair at hamming 0 (order relations
+    survive a clip-free uniform shift exactly), the boundary-noise
+    pair at 1 (vs aHash's 2), and RECOVERS the moderate-noise pair at
+    1 — the pair aHash misses at 5 bits."""
+    got = {
+        (r.file_a, r.file_b): r.hamming
+        for r in QUERIES_R10["q_dedup_image_dhash"](spark, SMALL_SF).collect()
+    }
+    assert got == {
+        ("ph_a.ppm", "ph_a_bright.ppm"): 0,
+        ("ph_a.ppm", "ph_a_noise.ppm"): 1,
+        ("ph_a_bright.ppm", "ph_a_noise.ppm"): 1,
+        ("ph_b.ppm", "ph_b_noise.ppm"): 1,
+    }
+
+
+def test_dhash_matches_python_reimplementation(spark):
+    """Independent Python recomputation of every fixture's dHash band
+    keys from raw bytes — wraparound gradient rule, band packing."""
+    import re
+
+    import numpy as np
+
+    from flink_pipeline_spark.operators.multimodal import dhash_bands
+    from flink_pipeline_spark.plans.image_dedup import (
+        PHASH_DIR,
+        _load_phash_files,
+    )
+
+    got = {
+        (r.file, r.blk): r.key
+        for r in dhash_bands(_load_phash_files(spark)).collect()
+    }
+    import glob
+    import os
+
+    expect = {}
+    for path in glob.glob(os.path.join(PHASH_DIR, "*.ppm")):
+        b = open(path, "rb").read()
+        m = re.compile(rb"^P6\n(\d+) (\d+)\n(\d+)\n").match(b)
+        w, h = int(m.group(1)), int(m.group(2))
+        px = np.frombuffer(b, dtype=np.uint8, offset=m.end()).astype(
+            np.int64
+        )
+        rgb = px.reshape(h, w, 3)
+        gray = rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114
+        cells = gray.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+        bits = (cells > np.roll(cells, -1, axis=1)).astype(int).ravel()
+        for blk in range(4):
+            seg = bits[blk * 16 : (blk + 1) * 16]
+            expect[(os.path.basename(path), blk)] = int(
+                (seg * (1 << np.arange(16))).sum()
+            )
+    assert got == expect

@@ -33,13 +33,23 @@ def test_phash_pairs_pin_the_engineered_corpus(spark):
 
 
 def test_phash_recall_reads_both_failure_modes(spark):
-    """recall < 1 (moderate noise flips ~5 bits, outside the blocking
-    guarantee) AND precision < 1 (brightness shift is hash-identical
-    but 16 gray levels from pixel truth)."""
-    [row] = q_dedup_image_phash_recall(spark, SF_DIR).collect()
-    assert (row.n_truth, row.n_method, row.hits) == (2, 3, 1)
-    assert row.recall == 0.5
-    assert row.prec == 0.3333
+    """Per-method rows (r10): ahash reads recall < 1 (moderate noise
+    flips ~5 mean-bits, outside the blocking guarantee) AND precision
+    < 1 (brightness shift is hash-identical but 16 gray levels from
+    pixel truth); dhash recovers the noise pair (1 gradient bit) for
+    recall 1.0 while sharing the deliberate brightness disagreement
+    (precision 0.5)."""
+    rows = {
+        r.method: r
+        for r in q_dedup_image_phash_recall(spark, SF_DIR).collect()
+    }
+    a, d = rows["ahash"], rows["dhash"]
+    assert (a.n_truth, a.n_method, a.hits) == (2, 3, 1)
+    assert a.recall == 0.5
+    assert a.prec == 0.3333
+    assert (d.n_truth, d.n_method, d.hits) == (2, 4, 2)
+    assert d.recall == 1.0
+    assert d.prec == 0.5
 
 
 def test_ahash_rejects_non_grid_dims(spark):
