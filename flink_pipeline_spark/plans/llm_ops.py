@@ -9,6 +9,7 @@ engine-specific.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -3321,6 +3322,215 @@ def q_bpe_round2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_after_topk(pc2, BPE_TOP_PAIRS, "cnt", "tiekey").select(
         "lsym", "rsym", "cnt", "rank"
     )
+
+
+UNIGRAM_MAX_PIECE = 4   # seed substrings up to this length
+UNIGRAM_SEED_MULTI = 24  # multi-char seed pieces kept (chars always kept)
+UNIGRAM_TOP = 20         # M-step rows emitted
+UNIGRAM_SCALE = 1_000_000  # log-prob fixed-point scale (micro-nats)
+
+
+def _register_unigram_em() -> None:
+    """Closure-registered so the oracle composes the shared seed-vocab
+    CTEs and the EXACT brute-force E-step (enumerate every vocab
+    segmentation recursively, argmax) against the Spark side's linear
+    Viterbi DP — the engine runs the O(len * max_piece) algorithm, the
+    oracle the O(compositions) definition, and the hash gate proves
+    them equal (the BPE-family discipline, strengthened: the oracle is
+    a different ALGORITHM for the same function)."""
+    oracle = f"""
+    WITH RECURSIVE w AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), wf AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS wf
+        FROM w WHERE len(word) >= 1 GROUP BY word
+    ), subs AS (
+        SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece, wf
+        FROM (SELECT word, wf, unnest(range(1, len(word) + 1)) AS i
+              FROM wf) t
+        CROSS JOIN range(1, {UNIGRAM_MAX_PIECE + 1}) r(l)
+        WHERE i + l <= len(word) + 1
+    ), sc AS (
+        SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt FROM subs GROUP BY piece
+    ), multi AS (
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+            FROM sc WHERE len(piece) >= 2
+        ) t WHERE rn <= {UNIGRAM_SEED_MULTI}
+    ), vocab AS (
+        SELECT piece, cnt FROM sc WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM multi
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab
+    ), vs AS (
+        SELECT piece,
+               CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE))
+                          * {UNIGRAM_SCALE} + 0.5) AS BIGINT) AS s
+        FROM vocab CROSS JOIN tot
+    ), paths(word, wf, pos, score, seg) AS (
+        SELECT word, wf, 0, CAST(0 AS BIGINT), '' FROM wf
+        UNION ALL
+        SELECT p.word, p.wf, p.pos + len(v.piece), p.score + v.s,
+               CASE WHEN p.seg = '' THEN v.piece
+                    ELSE p.seg || chr(31) || v.piece END
+        FROM paths p JOIN vs v
+          ON p.pos + len(v.piece) <= len(p.word)
+         AND substr(p.word, CAST(p.pos + 1 AS INT), len(v.piece)) = v.piece
+    ), best AS (
+        SELECT word, wf, seg FROM (
+            SELECT word, wf, seg,
+                   row_number() OVER (
+                       PARTITION BY word ORDER BY score DESC, seg) AS rn
+            FROM paths WHERE pos = len(word)
+        ) t WHERE rn = 1
+    ), used AS (
+        SELECT unnest(string_split(seg, chr(31))) AS piece, wf FROM best
+    ), newc AS (
+        SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt FROM used GROUP BY piece
+    )
+    SELECT piece, cnt, rank FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece) AS rank
+        FROM newc
+    ) t WHERE rank <= {UNIGRAM_TOP}
+    """
+
+    @register("q_unigram_em", oracle=oracle)
+    def q_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Unigram-LM tokenizer training, one EM round (Kudo 2018 —
+        the SentencePiece unigram model, the OTHER production
+        tokenizer family next to BPE): seed a substring vocabulary
+        (every character, plus the top-{UNIGRAM_SEED_MULTI}
+        corpus-weighted substrings of length 2..{UNIGRAM_MAX_PIECE}),
+        score each piece with its fixed-point log-probability
+        (micro-nats, the surprisal convention — the ONE transcendental
+        is quantized per piece before any comparison, so the DP runs
+        in exact BIGINT arithmetic), E-step: Viterbi-segment every
+        word TYPE (max total score, lexicographically-smallest
+        segmentation on ties), M-step: re-estimate piece counts from
+        the chosen segmentations, emit the top-{UNIGRAM_TOP}. A full
+        trainer iterates this round and prunes the vocab by
+        likelihood loss; each iteration is exactly this query's
+        shape.
+
+        The oracle runs a DIFFERENT algorithm for the same function:
+        it enumerates EVERY vocab segmentation of every word via a
+        recursive CTE (exact brute force — fixture words are <= 8
+        chars, so compositions stay tiny) and takes the same
+        (score, seg) argmax; the hash gate proves the linear DP and
+        the exponential definition agree on every word type.
+
+        Scale — the BPE trick again: everything runs on the
+        Zipf-bounded word-TYPE table, never the corpus stream. The
+        substring fan-out is O(type chars x {UNIGRAM_MAX_PIECE});
+        Viterbi is ONE Arrow-batched pandas pass over the type table
+        (Python touches #types rows — the CUSUM grid discipline) with
+        the tiny scored vocab shipped as a broadcast 1-row column;
+        the M-step is a type-table explode + weighted agg."""
+        d = load_table(spark, sf_dir, "documents")
+        wf = (
+            d.select(F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.length("word") >= 1)
+            .groupBy("word")
+            .agg(F.count("*").cast("long").alias("wf"))
+        )
+        subs = wf.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(word)),"
+                    " i -> transform("
+                    f" sequence(1, least({UNIGRAM_MAX_PIECE},"
+                    "            length(word) - i + 1)),"
+                    "  l -> substring(word, i, l))))"
+                )
+            ).alias("piece"),
+            "wf",
+        )
+        sc = subs.groupBy("piece").agg(
+            F.sum("wf").cast("long").alias("cnt")
+        )
+        chars = sc.filter(F.length("piece") == 1)
+        multi = (
+            sc.filter(F.length("piece") >= 2)
+            .orderBy(F.col("cnt").desc(), "piece")
+            .limit(UNIGRAM_SEED_MULTI)
+        )
+        vocab = chars.unionByName(multi)
+        tot = vocab.agg(F.sum("cnt").cast("long").alias("t"))
+        vs = vocab.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            F.floor(
+                F.log(
+                    F.col("cnt").cast("double") / F.col("t").cast("double")
+                )
+                * F.lit(UNIGRAM_SCALE)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("s"),
+        )
+        vrow = vs.agg(
+            F.collect_list(F.struct("piece", "s")).alias("vocab")
+        )
+
+        from pyspark.sql.functions import pandas_udf
+
+        max_piece = UNIGRAM_MAX_PIECE
+
+        @pandas_udf("string")
+        def viterbi(words: pd.Series, vocabs: pd.Series) -> pd.Series:
+            out = []
+            table = None
+            for w, v in zip(words, vocabs):
+                if table is None:
+                    table = {r["piece"]: int(r["s"]) for r in v}
+                n = len(w)
+                best: list = [(0, "")] + [None] * n
+                for i in range(1, n + 1):
+                    cand = None
+                    for j in range(1, min(max_piece, i) + 1):
+                        piece = w[i - j : i]
+                        s = table.get(piece)
+                        prev = best[i - j]
+                        if s is None or prev is None:
+                            continue
+                        seg = (
+                            piece
+                            if not prev[1]
+                            else prev[1] + "\x1f" + piece
+                        )
+                        c = (prev[0] + s, seg)
+                        if (
+                            cand is None
+                            or c[0] > cand[0]
+                            or (c[0] == cand[0] and c[1] < cand[1])
+                        ):
+                            cand = c
+                    best[i] = cand
+                out.append(best[n][1])
+            return pd.Series(out)
+
+        segged = wf.crossJoin(F.broadcast(vrow)).select(
+            "wf", viterbi("word", "vocab").alias("seg")
+        )
+        used = segged.select(
+            F.explode(F.split("seg", "\x1f")).alias("piece"), "wf"
+        )
+        newc = used.groupBy("piece").agg(
+            F.sum("wf").cast("long").alias("cnt")
+        )
+        return rank_after_topk(newc, UNIGRAM_TOP, "cnt", "piece")
+
+    q_unigram_em.__doc__ = q_unigram_em.__doc__.format(
+        UNIGRAM_SEED_MULTI=UNIGRAM_SEED_MULTI,
+        UNIGRAM_MAX_PIECE=UNIGRAM_MAX_PIECE,
+        UNIGRAM_TOP=UNIGRAM_TOP,
+    )
+
+
+_register_unigram_em()
 
 
 VOCAB_K = 10  # top-K vocabulary size (fixture-calibrated so OOV is nonzero)

@@ -391,3 +391,82 @@ def test_dhash_matches_python_reimplementation(spark):
                 (seg * (1 << np.arange(16))).sum()
             )
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer round (q_unigram_em)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_em_matches_bruteforce_python(spark):
+    """Full-round recomputation in plain Python — seed vocab from
+    scratch, EXHAUSTIVE segmentation enumeration (not Viterbi) for
+    the E-step argmax, M-step counts — pinned row-for-row against the
+    registered query (the BPE-family test discipline)."""
+    import math
+    from collections import Counter
+
+    from flink_pipeline_spark.plans.llm_ops import (
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_SCALE,
+        UNIGRAM_SEED_MULTI,
+        UNIGRAM_TOP,
+    )
+
+    docs = load_table(spark, SMALL_SF, "documents").select("text").collect()
+    wf = Counter()
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                wf[w] += 1
+    # seed vocab: all chars + top multi-char substrings by weighted count
+    sub = Counter()
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for L in range(1, min(UNIGRAM_MAX_PIECE, len(w) - i) + 1):
+                sub[w[i : i + L]] += f
+    chars = {p: c for p, c in sub.items() if len(p) == 1}
+    multi = dict(
+        sorted(
+            ((p, c) for p, c in sub.items() if len(p) >= 2),
+            key=lambda x: (-x[1], x[0]),
+        )[:UNIGRAM_SEED_MULTI]
+    )
+    vocab = {**chars, **multi}
+    total = sum(vocab.values())
+    score = {
+        p: int(math.floor(math.log(c / total) * UNIGRAM_SCALE + 0.5))
+        for p, c in vocab.items()
+    }
+
+    def all_segs(w):
+        if not w:
+            yield 0, []
+            return
+        for L in range(1, min(UNIGRAM_MAX_PIECE, len(w)) + 1):
+            p = w[:L]
+            if p in score:
+                for s, rest in all_segs(w[L:]):
+                    yield score[p] + s, [p] + rest
+
+    newc = Counter()
+    for w, f in wf.items():
+        # max score; tie -> lexicographically SMALLEST joined seg
+        cands = list(all_segs(w))
+        top = max(s for s, _ in cands)
+        seg = min("\x1f".join(p) for s, p in cands if s == top)
+        for p in seg.split("\x1f"):
+            newc[p] += f
+    expect = sorted(
+        ((p, c) for p, c in newc.items()), key=lambda x: (-x[1], x[0])
+    )[:UNIGRAM_TOP]
+    expect = [
+        (p, c, i + 1) for i, (p, c) in enumerate(expect)
+    ]
+    got = [
+        (r.piece, r.cnt, r.rank)
+        for r in QUERIES_R10["q_unigram_em"](spark, SMALL_SF)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
