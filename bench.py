@@ -228,6 +228,15 @@ HEADLINE = [
     "q_split_stratified",
     # r9 final: image dedup shipped end-to-end (pairs -> CC -> keeper)
     "q_dedup_image_apply",
+    # r10: NSW graph-index ANN (build + beam), the sampled-truth
+    # embedding recall audit (the linear-cost 100 TB face of the
+    # O(n^2) full audit), the mergeable bottom-k quantile sketch,
+    # the dHash gradient image method, and the unigram-LM EM round
+    "q_sim_nsw_topk",
+    "q_dedup_embed_recall_sampled",
+    "q_quantile_sketch",
+    "q_dedup_image_dhash",
+    "q_unigram_em",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"

@@ -600,6 +600,7 @@ def test_ann_recall_bounds_and_exact_selfcheck(spark):
         "rerank",
         "gexp",
         "bin",
+        "nsw",
     }
     # exact re-rank can only fix misrankings inside the ADC shortlist,
     # never lose them: its recall dominates the ivfpq row's
