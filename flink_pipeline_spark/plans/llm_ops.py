@@ -640,7 +640,13 @@ def _register_embed_dedup_recall() -> None:
         truth = (
             q_dedup_embed_cosine(spark, sf_dir)
             .select("vec_a", "vec_b")
-            .persist()
+            # eager localCheckpoint, not persist (r10, the triangles
+            # ADVICE-r9 class): four consumers — the control row's
+            # method side, the denominator, and both hit joins — but
+            # the returned rows are 1-row aggregates, so a persist
+            # would leak past the return; the checkpoint pays the
+            # O(n^2) truth exactly once and caches nothing
+            .localCheckpoint(eager=True)
         )
         denom = truth.agg(F.count("*").cast("long").alias("n_truth"))
 
@@ -1111,7 +1117,13 @@ def _register_embed_dedup_recall_sampled() -> None:
             .filter(F.col("cos") >= EMBED_PAIR_TAU)
             .select("vec_a", "vec_b")
             .distinct()
-            .persist()
+            # eager localCheckpoint, not persist: three audit branches
+            # reference the truth frame but the returned rows are
+            # 1-row aggregates — a persist would outlive the return
+            # and accumulate across a full-surface sweep (the
+            # triangles ADVICE-r9 class); checkpointing cuts the
+            # lineage at O(n*s) cost paid once
+            .localCheckpoint(eager=True)
         )
         denom = truth.agg(F.count("*").cast("long").alias("n_truth"))
         n_anch = anchors.agg(

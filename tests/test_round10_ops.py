@@ -470,3 +470,23 @@ def test_unigram_em_matches_bruteforce_python(spark):
         .collect()
     ]
     assert got == expect
+
+
+def test_merge_into_rejects_unknown_op(spark):
+    """ADVICE r9: a misspelled op must fail the job loudly, not merge
+    wrong (silently keep-base for present keys / discard for absent)."""
+    import pytest
+
+    from flink_pipeline_spark.operators.merge import merge_into
+
+    base = spark.createDataFrame([(1, "a")], "k LONG, v STRING")
+    bad = spark.createDataFrame(
+        [(1, "upsert", "x")], "k LONG, op STRING, v STRING"
+    )
+    with pytest.raises(Exception, match="merge_into: op"):
+        merge_into(base, bad, ["k"]).collect()
+    nul = spark.createDataFrame(
+        [(2, None, "y")], "k LONG, op STRING, v STRING"
+    )
+    with pytest.raises(Exception, match="merge_into: op"):
+        merge_into(base, nul, ["k"]).collect()
