@@ -237,6 +237,7 @@ HEADLINE = [
     "q_quantile_sketch",
     "q_dedup_image_dhash",
     "q_unigram_em",
+    "q_sim_nsw_descent",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"

@@ -2062,15 +2062,22 @@ def nsw_graph(
             F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "dist_q"
         )
     )
+    return _nsw_shrink(sym, deg)
+
+
+def _nsw_shrink(sym: DataFrame, deg: int) -> DataFrame:
+    """Per-node top-deg selection, bidirectional-link adoption, HNSW
+    shrink to 2*deg — over a scored (src, dst, dist_q) candidate
+    frame. Shared by the round-0 build (nsw_graph) and the NN-descent
+    refinement (nsw_descent) so the selection rule cannot fork. The
+    union dedups the both-endpoints-kept doubles exactly on the
+    symmetric BIGINT distance."""
     wk = Window.partitionBy("src").orderBy("dist_q", "dst")
     kept = (
         sym.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= deg)
         .select("src", "dst", "dist_q")
     )
-    # bidirectional-link adoption, then the HNSW shrink: dedup the
-    # (both-endpoints-kept) doubles exactly on the symmetric BIGINT
-    # distance, re-rank per node, truncate at 2*deg
     und = kept.unionByName(
         kept.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "dist_q"
@@ -2081,6 +2088,45 @@ def nsw_graph(
         .filter(F.col("rn") <= 2 * deg)
         .select("src", "dst")
     )
+
+
+def nsw_descent(emb: DataFrame, adj: DataFrame, deg: int) -> DataFrame:
+    """(src, dst): ONE NN-descent refinement round (Dong et al.,
+    WWW 2011) over an nsw_graph adjacency — the iterate the round-0
+    build's docstring promises: each node's candidate set becomes its
+    current out-neighbors PLUS their out-neighbors (a neighbor of my
+    neighbor is likely my neighbor — the principle that converges
+    k-NN graphs without all-pairs), every candidate is exact-scored
+    in quantized squared L2, and the same select/adopt/shrink rule
+    re-derives a degree-bounded graph.
+
+    Scale: the 2-hop fan-out is n x (2*deg)^2 rows — LINEAR in the
+    corpus at fixed degree; scoring joins the candidate list to the
+    vector table twice (key-partitioned equi-joins); selection is the
+    same per-src window as round 0. Production iterates until the
+    edge-change rate drops below a threshold; every round is exactly
+    this function's shape."""
+    hop2 = adj.alias("a").join(
+        adj.alias("b"), F.col("a.dst") == F.col("b.src")
+    ).select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+    cand = (
+        adj.select("src", "dst")
+        .unionByName(hop2)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("es"))
+    eb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("ed"))
+    scored = (
+        cand.join(ea, "src")
+        .join(eb, "dst")
+        .select(
+            "src",
+            "dst",
+            F.expr(SQDIST_Q_SQL.format(a="es", b="ed")).alias("dist_q"),
+        )
+    )
+    return _nsw_shrink(scored, deg)
 
 
 def nsw_search(

@@ -57,6 +57,7 @@ from ..operators.llm import (
     knn_classify,
     label_centroids_long,
     kmeans_refine,
+    nsw_descent,
     nsw_graph,
     nsw_search,
     ivfpq_topk,
@@ -2312,34 +2313,38 @@ NSW_BEAM = 8  # beam width during search
 NSW_HOPS = 3  # expansion rounds (fixed unroll — the kmeans/BPE discipline)
 
 
-def _register_nsw():
-    """Closure-registered so the oracle can unroll the deterministic
-    beam trajectory round by round with the shared constants — the
-    q_sim_kmeans/BPE convention for iterative operators."""
-    dist_qm = _DISTQ_DUCK.format(a="q.eq", b="m.embedding")
-    beam_cte = f"""
-    c{{i}} AS (
-        SELECT query_id, node FROM b{{j}}
-        UNION
-        SELECT b.query_id, a.dst AS node
-        FROM b{{j}} b JOIN adj a ON a.src = b.node
-    ), b{{i}} AS (
-        SELECT query_id, node, dist_q FROM (
-            SELECT s.query_id, s.node, s.dist_q,
+def _nsw_shrink_sql(cand: str, p: str) -> str:
+    """kept/und/adj CTE text — per-node top-deg selection,
+    bidirectional adoption, HNSW shrink to 2*deg — over a
+    (src, dst, dist_q) candidate CTE. Shared by the round-0 build and
+    the NN-descent refinement so the selection rule cannot fork."""
+    return f"""{p}kept AS (
+        SELECT src, dst, dist_q FROM (
+            SELECT src, dst, dist_q,
                    row_number() OVER (
-                       PARTITION BY s.query_id
-                       ORDER BY s.dist_q, s.node) AS rn
-            FROM (SELECT c.query_id, c.node, {dist_qm} AS dist_q
-                  FROM c{{i}} c
-                  JOIN qs q ON q.query_id = c.query_id
-                  JOIN embeddings m ON m.vec_id = c.node) s
-        ) t WHERE rn <= {NSW_BEAM}
+                       PARTITION BY src ORDER BY dist_q, dst) AS rn
+            FROM {cand}
+        ) t WHERE rn <= {NSW_DEG}
+    ), {p}und AS (
+        SELECT DISTINCT src, dst, dist_q FROM (
+            SELECT src, dst, dist_q FROM {p}kept
+            UNION ALL
+            SELECT dst AS src, src AS dst, dist_q FROM {p}kept
+        ) u
+    ), {p}adj AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (
+                       PARTITION BY src ORDER BY dist_q, dst) AS rn
+            FROM {p}und
+        ) t WHERE rn <= {2 * NSW_DEG}
     )"""
-    rounds = "".join(
-        "," + beam_cte.format(i=i, j=i - 1) for i in range(1, NSW_HOPS + 1)
-    )
-    oracle = f"""
-    WITH assigned AS (
+
+
+_NSW_DISTQM = _DISTQ_DUCK.format(a="q.eq", b="m.embedding")
+
+# round-0 graph: multiprobe capped-cell candidates -> select/shrink
+_NSW_GRAPH_SQL = f"""assigned AS (
 {_assign_duck(f"embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}", "c.vec_id",
               "c.embedding", rn=f"<= {EMBED_PAIR_NPROBE}")}
     ), subbed AS (
@@ -2359,42 +2364,67 @@ def _register_nsw():
         SELECT vec_a AS src, vec_b AS dst, dist_q FROM cand
         UNION ALL
         SELECT vec_b AS src, vec_a AS dst, dist_q FROM cand
-    ), kept AS (
-        SELECT src, dst, dist_q FROM (
-            SELECT src, dst, dist_q,
-                   row_number() OVER (
-                       PARTITION BY src ORDER BY dist_q, dst) AS rn
-            FROM sym
-        ) t WHERE rn <= {NSW_DEG}
-    ), und AS (
-        SELECT DISTINCT src, dst, dist_q FROM (
-            SELECT src, dst, dist_q FROM kept
-            UNION ALL
-            SELECT dst AS src, src AS dst, dist_q FROM kept
-        ) u
-    ), adj AS (
-        SELECT src, dst FROM (
-            SELECT src, dst,
-                   row_number() OVER (
-                       PARTITION BY src ORDER BY dist_q, dst) AS rn
-            FROM und
-        ) t WHERE rn <= {2 * NSW_DEG}
-    ), qs AS (
+    ), {_nsw_shrink_sql("sym", "")}"""
+
+_NSW_QS_ENTRY_SQL = f"""qs AS (
         SELECT vec_id AS query_id, embedding AS eq
         FROM embeddings WHERE vec_id < {PQ_QUERY_MAX}
     ), entry AS (
         SELECT min(vec_id) AS node FROM embeddings
-    ), b0 AS (
-        SELECT q.query_id, e.node, {dist_qm} AS dist_q
+    )"""
+
+
+def _nsw_beam_sql(adj: str, p: str) -> str:
+    """b0..bH beam-unroll CTE text over adjacency CTE ``adj`` (the
+    kmeans/BPE trajectory-unroll convention), names prefixed by ``p``
+    so two searches can share one oracle namespace."""
+    beam_cte = f"""
+    {p}c{{i}} AS (
+        SELECT query_id, node FROM {p}b{{j}}
+        UNION
+        SELECT b.query_id, a.dst AS node
+        FROM {p}b{{j}} b JOIN {adj} a ON a.src = b.node
+    ), {p}b{{i}} AS (
+        SELECT query_id, node, dist_q FROM (
+            SELECT s.query_id, s.node, s.dist_q,
+                   row_number() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY s.dist_q, s.node) AS rn
+            FROM (SELECT c.query_id, c.node, {_NSW_DISTQM} AS dist_q
+                  FROM {p}c{{i}} c
+                  JOIN qs q ON q.query_id = c.query_id
+                  JOIN embeddings m ON m.vec_id = c.node) s
+        ) t WHERE rn <= {NSW_BEAM}
+    )"""
+    b0 = f"""{p}b0 AS (
+        SELECT q.query_id, e.node, {_NSW_DISTQM} AS dist_q
         FROM qs q CROSS JOIN entry e JOIN embeddings m ON m.vec_id = e.node
-    ){rounds}
+    )"""
+    return b0 + "".join(
+        "," + beam_cte.format(i=i, j=i - 1) for i in range(1, NSW_HOPS + 1)
+    )
+
+
+def _nsw_final_sql(b_last: str) -> str:
+    return f"""
     SELECT query_id, neighbor_id, rank, dist_q FROM (
         SELECT query_id, node AS neighbor_id, dist_q,
                row_number() OVER (
                    PARTITION BY query_id ORDER BY dist_q, node) AS rank
-        FROM b{NSW_HOPS} WHERE node <> query_id
+        FROM {b_last} WHERE node <> query_id
     ) t WHERE rank <= 3
     """
+
+
+def _register_nsw():
+    """Closure-registered so the oracle can unroll the deterministic
+    beam trajectory round by round with the shared constants — the
+    q_sim_kmeans/BPE convention for iterative operators."""
+    oracle = (
+        f"\n    WITH {_NSW_GRAPH_SQL}, {_NSW_QS_ENTRY_SQL}, "
+        + _nsw_beam_sql("adj", "")
+        + _nsw_final_sql(f"b{NSW_HOPS}")
+    )
 
     @register("q_sim_nsw_topk", oracle=oracle)
     def q_sim_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2457,6 +2487,82 @@ def _register_nsw():
 
 
 q_sim_nsw_topk = _register_nsw()
+
+
+def _register_nsw_descent():
+    """Same composed oracle pieces as q_sim_nsw_topk, plus the 2-hop
+    candidate CTEs and a second select/shrink pass — both graphs and
+    both beam unrolls share ONE set of text builders, so the rounds
+    cannot fork."""
+    oracle = (
+        f"""
+    WITH {_NSW_GRAPH_SQL}, hop2 AS (
+        SELECT a.src, b.dst FROM adj a JOIN adj b ON a.dst = b.src
+    ), dc AS (
+        SELECT c.src, c.dst,
+               {_DISTQ_DUCK.format(a='sa.embedding', b='sb.embedding')}
+                 AS dist_q
+        FROM (SELECT DISTINCT src, dst FROM (
+                  SELECT src, dst FROM adj
+                  UNION ALL
+                  SELECT src, dst FROM hop2) u
+              WHERE src <> dst) c
+        JOIN embeddings sa ON sa.vec_id = c.src
+        JOIN embeddings sb ON sb.vec_id = c.dst
+    ), {_nsw_shrink_sql("dc", "d")}, {_NSW_QS_ENTRY_SQL}, """
+        + _nsw_beam_sql("dadj", "d")
+        + _nsw_final_sql(f"db{NSW_HOPS}")
+    )
+
+    @register("q_sim_nsw_descent", oracle=oracle)
+    def q_sim_nsw_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """NSW search over the NN-DESCENT-refined graph (Dong et al.,
+        WWW 2011) — the iterate q_sim_nsw_topk's build docstring
+        promises: round 1 re-draws every node's candidates from its
+        current neighbors' neighbors (the transitivity principle that
+        converges k-NN graphs without all-pairs), exact-rescores, and
+        re-applies the identical select/adopt/shrink rule; the beam
+        search is byte-identical to round 0's, only the adjacency
+        differs. The `nsw2` row in q_ann_recall prices what one
+        refinement round buys over the IVF-candidate round-0 graph at
+        the same serving cost (the pq_trained-vs-pq convention: same
+        truth, isolated training delta) — and on these fixtures the
+        measured delta is ZERO (nsw2 == nsw at every SF), the same
+        honest null q_sim_graph_expand reads and for the same reason:
+        isotropic random vectors have no neighborhood transitivity
+        for the 2-hop candidate draw to exploit (a neighbor's
+        neighbor is no closer than a random node), so descent
+        re-selects essentially the round-0 edges. The row is kept
+        visible on purpose: on real model embeddings the descent
+        delta is where NN-descent's convergence shows, and this is
+        the measurement that would show it.
+
+        Scale: the 2-hop candidate fan-out is n x (2*deg)^2 — linear
+        at fixed degree — and scoring is two key-partitioned
+        equi-joins against the vector table; nothing quadratic
+        appears in either round."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        adj0 = nsw_graph(
+            emb,
+            emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+            deg=NSW_DEG,
+            max_cell=EMBED_MULTI_MAX_CELL,
+            nprobe=EMBED_PAIR_NPROBE,
+        ).localCheckpoint(eager=True)
+        adj1 = nsw_descent(emb, adj0, NSW_DEG).localCheckpoint(eager=True)
+        return nsw_search(
+            emb,
+            emb.filter(F.col("vec_id") < PQ_QUERY_MAX),
+            adj1,
+            k=3,
+            beam=NSW_BEAM,
+            hops=NSW_HOPS,
+        )
+
+    return q_sim_nsw_descent
+
+
+q_sim_nsw_descent = _register_nsw_descent()
 
 
 # ---------------------------------------------------------------------------
@@ -2713,6 +2819,7 @@ def _register_ann_recall() -> None:
     gexp_sql = ORACLES["q_sim_graph_expand"]
     bin_sql = ORACLES["q_sim_binary_topk"]
     nsw_sql = ORACLES["q_sim_nsw_topk"]
+    nsw2_sql = ORACLES["q_sim_nsw_descent"]
     oracle = (
         f"WITH exact_r AS ({exact_sql}),\n"
         f" exact_q AS (SELECT * FROM exact_r WHERE query_id < {PQ_QUERY_MAX}),\n"
@@ -2729,6 +2836,7 @@ def _register_ann_recall() -> None:
         f" gexp_q AS ({gexp_sql}),\n"
         f" bin_q AS ({bin_sql}),\n"
         f" nsw_q AS ({nsw_sql}),\n"
+        f" nsw2_q AS ({nsw2_sql}),\n"
         + denom_cte.format(m="ivf", truth="exact_q") + ",\n"
         + denom_cte.format(m="pq", truth="exact_l2") + ",\n"
         + denom_cte.format(m="sq", truth="exact_dot") + ",\n"
@@ -2739,6 +2847,7 @@ def _register_ann_recall() -> None:
         + denom_cte.format(m="gexp", truth="exact_l2") + ",\n"
         + denom_cte.format(m="bin", truth="exact_dot") + ",\n"
         + denom_cte.format(m="nsw", truth="exact_l2") + ",\n"
+        + denom_cte.format(m="nsw2", truth="exact_l2") + ",\n"
         + hits_cte.format(m="ivf", truth="exact_q") + ",\n"
         + hits_cte.format(m="pq", truth="exact_l2") + ",\n"
         + hits_cte.format(m="sq", truth="exact_dot") + ",\n"
@@ -2748,7 +2857,8 @@ def _register_ann_recall() -> None:
         + hits_cte.format(m="rerank", truth="exact_l2") + ",\n"
         + hits_cte.format(m="gexp", truth="exact_l2") + ",\n"
         + hits_cte.format(m="bin", truth="exact_dot") + ",\n"
-        + hits_cte.format(m="nsw", truth="exact_l2") + "\n"
+        + hits_cte.format(m="nsw", truth="exact_l2") + ",\n"
+        + hits_cte.format(m="nsw2", truth="exact_l2") + "\n"
         + row.format(m="ivf")
         + " UNION ALL "
         + row.format(m="pq")
@@ -2768,6 +2878,8 @@ def _register_ann_recall() -> None:
         + row.format(m="bin")
         + " UNION ALL "
         + row.format(m="nsw")
+        + " UNION ALL "
+        + row.format(m="nsw2")
     )
 
     @register("q_ann_recall", oracle=oracle)
@@ -2856,6 +2968,10 @@ def _register_ann_recall() -> None:
         # navigable graph recovers where gexp's borrowed dedup graph
         # measured zero
         nw = q_sim_nsw_topk(spark, sf_dir)
+        # the NN-descent-refined graph, same truth: (nsw2 - nsw) is
+        # exactly what one refinement round buys at identical search
+        # cost (the pq_trained-vs-pq convention)
+        nw2 = q_sim_nsw_descent(spark, sf_dir)
 
         def audit(m: DataFrame, name: str, truth: DataFrame) -> DataFrame:
             denom = truth.agg(
@@ -2889,6 +3005,7 @@ def _register_ann_recall() -> None:
             .unionByName(audit(ge, "gexp", exact_l2))
             .unionByName(audit(bq, "bin", exact_dot))
             .unionByName(audit(nw, "nsw", exact_l2))
+            .unionByName(audit(nw2, "nsw2", exact_l2))
         )
 
 

