@@ -238,6 +238,7 @@ HEADLINE = [
     "q_dedup_image_dhash",
     "q_unigram_em",
     "q_sim_nsw_descent",
+    "q_sim_hnsw_topk",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"

@@ -2129,35 +2129,36 @@ def nsw_descent(emb: DataFrame, adj: DataFrame, deg: int) -> DataFrame:
     return _nsw_shrink(scored, deg)
 
 
-def nsw_search(
+def nsw_beam(
     emb: DataFrame,
     queries: DataFrame,
     adj: DataFrame,
-    k: int = 3,
     beam: int = 8,
     hops: int = 3,
+    entries: DataFrame | None = None,
+    entry_from: DataFrame | None = None,
 ) -> DataFrame:
-    """(query_id, neighbor_id, rank, dist_q): greedy beam search over
-    an nsw_graph adjacency — ``hops`` expansion rounds from a fixed
-    entry point (the corpus' minimum vec_id), each round expanding the
-    current beam's out-edges, exact-scoring the candidates (quantized
-    squared L2) and keeping the best ``beam``. The beam is MONOTONE:
-    every round's candidate set contains the previous beam, so the
-    final beam is exactly the best ``beam`` nodes ever visited and the
-    trajectory is deterministic end-to-end (BIGINT distances, vec_id
-    tiebreaks) — the property that lets the DuckDB oracle unroll the
-    identical rounds (the q_sim_kmeans/BPE discipline).
+    """(query_id, node, dist_q): the final beam after ``hops``
+    monotone expansion rounds over ``adj`` — the search primitive
+    nsw_search ranks and the HNSW hierarchy chains (layer k's best
+    beam node seeds layer k-1). Seeding: ``entries`` is an explicit
+    per-query (query_id, node) frame (the HNSW descent hand-off);
+    otherwise every query starts at the min vec_id of ``entry_from``
+    (a layer's member frame), defaulting to the whole corpus.
 
-    Scale: per query the search touches O(beam * 2*deg * hops) nodes —
-    independent of corpus size, the whole point of a graph index. The
-    frontier frames are (n_queries x beam)-row tiny and BROADCAST onto
-    the adjacency and corpus scans; at serving scale the adjacency is
-    a key-partitioned lookup table and each round is one pruned
-    point-lookup join. The corpus never shuffles."""
+    The beam is MONOTONE: every round's candidate set contains the
+    previous beam, so the final beam is exactly the best ``beam``
+    nodes ever visited and the trajectory is deterministic end-to-end
+    (BIGINT distances, vec_id tiebreaks) — the property that lets the
+    DuckDB oracle unroll identical rounds.
+
+    Scale: per query the search touches O(beam * 2*deg * hops) nodes
+    — independent of corpus size. Frontier frames are tiny and
+    BROADCAST onto the adjacency and corpus scans; the corpus never
+    shuffles."""
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
     )
-    entry = emb.agg(F.min("vec_id").alias("node"))
 
     def score(cand: DataFrame) -> DataFrame:
         return (
@@ -2172,8 +2173,14 @@ def nsw_search(
             )
         )
 
+    if entries is None:
+        src = emb if entry_from is None else entry_from
+        entry = src.agg(F.min("vec_id").alias("node"))
+        seed = q.select("query_id").crossJoin(F.broadcast(entry))
+    else:
+        seed = entries.select("query_id", "node")
     wb = Window.partitionBy("query_id").orderBy("dist_q", "node")
-    cur = score(q.select("query_id").crossJoin(F.broadcast(entry)))
+    cur = score(seed)
     for _ in range(hops):
         nbrs = adj.join(
             F.broadcast(cur.select("query_id", "node")),
@@ -2186,6 +2193,25 @@ def nsw_search(
             .filter(F.col("rn") <= beam)
             .drop("rn")
         )
+    return cur
+
+
+def nsw_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    adj: DataFrame,
+    k: int = 3,
+    beam: int = 8,
+    hops: int = 3,
+    entries: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, dist_q): greedy beam search over
+    an nsw_graph adjacency — nsw_beam ranked to the final top-``k``
+    (self-matches excluded). See nsw_beam for the seeding, monotone-
+    beam, and scale properties."""
+    cur = nsw_beam(
+        emb, queries, adj, beam=beam, hops=hops, entries=entries
+    )
     wr = Window.partitionBy("query_id").orderBy("dist_q", "node")
     return (
         cur.filter(F.col("node") != F.col("query_id"))

@@ -57,6 +57,7 @@ from ..operators.llm import (
     knn_classify,
     label_centroids_long,
     kmeans_refine,
+    nsw_beam,
     nsw_descent,
     nsw_graph,
     nsw_search,
@@ -2374,10 +2375,12 @@ _NSW_QS_ENTRY_SQL = f"""qs AS (
     )"""
 
 
-def _nsw_beam_sql(adj: str, p: str) -> str:
+def _nsw_beam_sql(adj: str, p: str, b0: str | None = None) -> str:
     """b0..bH beam-unroll CTE text over adjacency CTE ``adj`` (the
     kmeans/BPE trajectory-unroll convention), names prefixed by ``p``
-    so two searches can share one oracle namespace."""
+    so several searches can share one oracle namespace. ``b0``
+    overrides the seed CTE body (the HNSW per-query descent hand-off);
+    default = every query at the global ``entry`` node."""
     beam_cte = f"""
     {p}c{{i}} AS (
         SELECT query_id, node FROM {p}b{{j}}
@@ -2396,13 +2399,52 @@ def _nsw_beam_sql(adj: str, p: str) -> str:
                   JOIN embeddings m ON m.vec_id = c.node) s
         ) t WHERE rn <= {NSW_BEAM}
     )"""
-    b0 = f"""{p}b0 AS (
-        SELECT q.query_id, e.node, {_NSW_DISTQM} AS dist_q
-        FROM qs q CROSS JOIN entry e JOIN embeddings m ON m.vec_id = e.node
+    if b0 is None:
+        b0 = f"""SELECT q.query_id, e.node, {_NSW_DISTQM} AS dist_q
+        FROM qs q CROSS JOIN entry e JOIN embeddings m ON m.vec_id = e.node"""
+    seed = f"""{p}b0 AS (
+        {b0}
     )"""
-    return b0 + "".join(
+    return seed + "".join(
         "," + beam_cte.format(i=i, j=i - 1) for i in range(1, NSW_HOPS + 1)
     )
+
+
+def _nsw_graph_sql_for(vtab: str, p: str) -> str:
+    """The whole graph build (multiprobe assign -> capped sub-split ->
+    within-cell candidates -> select/adopt/shrink) over an arbitrary
+    (vec_id, embedding) CTE ``vtab`` — the layer-parameterized form
+    the HNSW hierarchy composes twice. Centroids stay the shared
+    vec_id < {IVF_SEED}-of-the-full-corpus seed set on every layer
+    (the quantizer is corpus property, not a layer property)."""
+    return f"""{p}assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.vec_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY floor({_COS_DUCK.format(a='e.embedding', b='c.embedding')}
+                                      * 10000 + 0.5) / 10000 DESC,
+                                c.vec_id) AS rn
+            FROM {vtab} e JOIN embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}
+        ) t WHERE rn <= {EMBED_PAIR_NPROBE}
+    ), {p}subbed AS (
+        SELECT vec_id, cell,
+               CAST(floor((row_number() OVER (PARTITION BY cell ORDER BY vec_id)
+                           - 1) / {EMBED_MULTI_MAX_CELL}) AS BIGINT) AS sub
+        FROM {p}assigned
+    ), {p}gmembers AS (
+        SELECT em.vec_id, em.embedding, a.cell, a.sub
+        FROM {vtab} em JOIN {p}subbed a ON a.vec_id = em.vec_id
+    ), {p}gcand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_DISTQ_DUCK.format(a='a.embedding', b='b.embedding')} AS dist_q
+        FROM {p}gmembers a JOIN {p}gmembers b
+          ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+    ), {p}gsym AS (
+        SELECT vec_a AS src, vec_b AS dst, dist_q FROM {p}gcand
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst, dist_q FROM {p}gcand
+    ), {_nsw_shrink_sql(f"{p}gsym", p)}"""
 
 
 def _nsw_final_sql(b_last: str) -> str:
@@ -2563,6 +2605,125 @@ def _register_nsw_descent():
 
 
 q_sim_nsw_descent = _register_nsw_descent()
+
+
+HNSW_L1_MOD = 8  # layer-1 keeps vec_ids with hash56 % 8 == 0 (~1/8)
+
+
+def _register_hnsw():
+    """Two-layer HNSW (Malkov & Yashunin 2018): a sparse upper layer
+    (deterministic ~1/{mod} hash sample — HNSW's geometric layer
+    assignment, one level deep) is beam-searched first to find each
+    query a GOOD base-layer entry point; the base-layer beam then
+    starts there instead of at the one global entry. Both layer
+    graphs, both beam unrolls, and the final ranking compose the SAME
+    text builders as q_sim_nsw_topk."""
+    l1 = f"""l1v AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE {hash56_sql_duckdb('vec_id')} % {HNSW_L1_MOD} = 0
+    )"""
+    hand_off = f"""e0 AS (
+        SELECT query_id, node FROM (
+            SELECT query_id, node,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_q, node) AS rn
+            FROM ub{NSW_HOPS}
+        ) t WHERE rn = 1
+    )"""
+    b0_base = f"""SELECT q.query_id, e.node, {_NSW_DISTQM} AS dist_q
+        FROM qs q JOIN e0 e ON e.query_id = q.query_id
+        JOIN embeddings m ON m.vec_id = e.node"""
+    oracle = (
+        f"""
+    WITH {l1}, {_nsw_graph_sql_for("l1v", "u")}, {_nsw_graph_sql_for("embeddings", "z")}, {_NSW_QS_ENTRY_SQL}, uentry AS (
+        SELECT min(vec_id) AS node FROM l1v
+    ), """
+        + _nsw_beam_sql(
+            "uadj",
+            "u",
+            b0=f"""SELECT q.query_id, e.node, {_NSW_DISTQM} AS dist_q
+        FROM qs q CROSS JOIN uentry e JOIN embeddings m ON m.vec_id = e.node""",
+        )
+        + f", {hand_off}, "
+        + _nsw_beam_sql("zadj", "z", b0=b0_base)
+        + _nsw_final_sql(f"zb{NSW_HOPS}")
+    )
+
+    @register("q_sim_hnsw_topk", oracle=oracle)
+    def q_sim_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Two-layer HNSW search (Malkov & Yashunin 2018 — the
+        hierarchy that turns NSW into the production default): layer 1
+        is a deterministic ~1/{mod} hash sample of the corpus with its
+        own degree-bounded proximity graph (same build rule, same
+        shared centroids — HNSW's geometric layer assignment cut at
+        one level); each query first beam-searches layer 1 from its
+        min-vec_id entry, and the BEST layer-1 node found becomes that
+        query's base-layer entry point — the descent hand-off that
+        fixes single-global-entry NSW's weakness (a far-away entry
+        wastes the whole hop budget crossing the graph; the upper
+        layer crosses it in coarse strides over 1/{mod} of the
+        nodes). The base-layer beam is otherwise byte-identical to
+        q_sim_nsw_topk's; the `hnsw` row in q_ann_recall prices what
+        the hierarchy buys at the same per-layer budget.
+
+        Scale: the layer-1 graph is 1/{mod} of the base index (HNSW's
+        geometric memory overhead); layer-1 search touches
+        O(beam * deg * hops) nodes like any beam, and the hand-off is
+        a 1-row-per-query frame — the whole hierarchy adds one tiny
+        broadcast join to the serving path. Everything else inherits
+        the base machinery's shapes."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        seeds = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+        queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
+        sub = emb.filter(
+            hash56(F.col("vec_id")) % HNSW_L1_MOD == 0
+        ).select("vec_id", "embedding")
+        adj1 = nsw_graph(
+            sub,
+            seeds,
+            deg=NSW_DEG,
+            max_cell=EMBED_MULTI_MAX_CELL,
+            nprobe=EMBED_PAIR_NPROBE,
+        ).localCheckpoint(eager=True)
+        adj0 = nsw_graph(
+            emb,
+            seeds,
+            deg=NSW_DEG,
+            max_cell=EMBED_MULTI_MAX_CELL,
+            nprobe=EMBED_PAIR_NPROBE,
+        ).localCheckpoint(eager=True)
+        beam1 = nsw_beam(
+            emb,
+            queries,
+            adj1,
+            beam=NSW_BEAM,
+            hops=NSW_HOPS,
+            entry_from=sub,
+        )
+        wq = Window.partitionBy("query_id").orderBy("dist_q", "node")
+        entries0 = (
+            beam1.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "node")
+        )
+        return nsw_search(
+            emb,
+            queries,
+            adj0,
+            k=3,
+            beam=NSW_BEAM,
+            hops=NSW_HOPS,
+            entries=entries0,
+        )
+
+    q_sim_hnsw_topk.__doc__ = q_sim_hnsw_topk.__doc__.format(
+        mod=HNSW_L1_MOD
+    )
+    return q_sim_hnsw_topk
+
+
+q_sim_hnsw_topk = _register_hnsw()
 
 
 # ---------------------------------------------------------------------------
@@ -2820,6 +2981,7 @@ def _register_ann_recall() -> None:
     bin_sql = ORACLES["q_sim_binary_topk"]
     nsw_sql = ORACLES["q_sim_nsw_topk"]
     nsw2_sql = ORACLES["q_sim_nsw_descent"]
+    hnsw_sql = ORACLES["q_sim_hnsw_topk"]
     oracle = (
         f"WITH exact_r AS ({exact_sql}),\n"
         f" exact_q AS (SELECT * FROM exact_r WHERE query_id < {PQ_QUERY_MAX}),\n"
@@ -2837,6 +2999,7 @@ def _register_ann_recall() -> None:
         f" bin_q AS ({bin_sql}),\n"
         f" nsw_q AS ({nsw_sql}),\n"
         f" nsw2_q AS ({nsw2_sql}),\n"
+        f" hnsw_q AS ({hnsw_sql}),\n"
         + denom_cte.format(m="ivf", truth="exact_q") + ",\n"
         + denom_cte.format(m="pq", truth="exact_l2") + ",\n"
         + denom_cte.format(m="sq", truth="exact_dot") + ",\n"
@@ -2848,6 +3011,7 @@ def _register_ann_recall() -> None:
         + denom_cte.format(m="bin", truth="exact_dot") + ",\n"
         + denom_cte.format(m="nsw", truth="exact_l2") + ",\n"
         + denom_cte.format(m="nsw2", truth="exact_l2") + ",\n"
+        + denom_cte.format(m="hnsw", truth="exact_l2") + ",\n"
         + hits_cte.format(m="ivf", truth="exact_q") + ",\n"
         + hits_cte.format(m="pq", truth="exact_l2") + ",\n"
         + hits_cte.format(m="sq", truth="exact_dot") + ",\n"
@@ -2858,7 +3022,8 @@ def _register_ann_recall() -> None:
         + hits_cte.format(m="gexp", truth="exact_l2") + ",\n"
         + hits_cte.format(m="bin", truth="exact_dot") + ",\n"
         + hits_cte.format(m="nsw", truth="exact_l2") + ",\n"
-        + hits_cte.format(m="nsw2", truth="exact_l2") + "\n"
+        + hits_cte.format(m="nsw2", truth="exact_l2") + ",\n"
+        + hits_cte.format(m="hnsw", truth="exact_l2") + "\n"
         + row.format(m="ivf")
         + " UNION ALL "
         + row.format(m="pq")
@@ -2880,6 +3045,8 @@ def _register_ann_recall() -> None:
         + row.format(m="nsw")
         + " UNION ALL "
         + row.format(m="nsw2")
+        + " UNION ALL "
+        + row.format(m="hnsw")
     )
 
     @register("q_ann_recall", oracle=oracle)
@@ -2972,6 +3139,9 @@ def _register_ann_recall() -> None:
         # exactly what one refinement round buys at identical search
         # cost (the pq_trained-vs-pq convention)
         nw2 = q_sim_nsw_descent(spark, sf_dir)
+        # the two-layer hierarchy, same truth: (hnsw - nsw) is what a
+        # per-query descent entry point buys at the same base budget
+        hn = q_sim_hnsw_topk(spark, sf_dir)
 
         def audit(m: DataFrame, name: str, truth: DataFrame) -> DataFrame:
             denom = truth.agg(
@@ -3006,6 +3176,7 @@ def _register_ann_recall() -> None:
             .unionByName(audit(bq, "bin", exact_dot))
             .unionByName(audit(nw, "nsw", exact_l2))
             .unionByName(audit(nw2, "nsw2", exact_l2))
+            .unionByName(audit(hn, "hnsw", exact_l2))
         )
 
 

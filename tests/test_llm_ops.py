@@ -602,6 +602,7 @@ def test_ann_recall_bounds_and_exact_selfcheck(spark):
         "bin",
         "nsw",
         "nsw2",
+        "hnsw",
     }
     # exact re-rank can only fix misrankings inside the ADC shortlist,
     # never lose them: its recall dominates the ivfpq row's

@@ -323,6 +323,7 @@ _ALLOWED_BNLJ = {
     "q_quantile_sketch",     # 1-row (n, k) totals broadcast onto the 3-row grid
     "q_unigram_em",          # 1-row vocab-total + 1-row scored-vocab broadcasts
     "q_sim_nsw_descent",     # 1-row entry-point broadcast (the nsw class)
+    "q_sim_hnsw_topk",       # 1-row layer-1 entry broadcast (the nsw class)
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.

@@ -538,3 +538,75 @@ def test_nsw_descent_matches_python_reimplementation(spark):
     for s, _ in got:
         deg[s] = deg.get(s, 0) + 1
     assert max(deg.values()) <= 2 * NSW_DEG
+
+
+def test_hnsw_trajectory_matches_python_reimplementation(spark):
+    """Replay the ENTIRE two-layer search in plain Python: layer-1
+    graph over the hash-sampled subset, layer-1 beam from the
+    subset's min vec_id, per-query hand-off (best layer-1 node,
+    self allowed), base-layer beam from the hand-off, final top-3.
+    Also pins the hierarchy's point: the hand-off entry is never
+    FARTHER from the query than the layer-1 entry it descended from
+    (monotone beam)."""
+    from flink_pipeline_spark.operators.llm import nsw_graph
+    from flink_pipeline_spark.plans.llm_ops import HNSW_L1_MOD
+
+    emb = load_table(spark, SMALL_SF, "embeddings")
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    import hashlib
+
+    def h56(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:14], 16)
+
+    sub_ids = sorted(v for v in vecs if h56(v) % HNSW_L1_MOD == 0)
+    assert sub_ids, "layer-1 sample empty"
+    seeds = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+    sub = emb.filter(F.col("vec_id").isin(sub_ids)).select(
+        "vec_id", "embedding"
+    )
+    adj1 = nsw_graph(
+        sub, seeds, deg=NSW_DEG, max_cell=EMBED_MULTI_MAX_CELL,
+        nprobe=EMBED_PAIR_NPROBE,
+    ).localCheckpoint(eager=True)
+    adj0 = _adj(spark).localCheckpoint(eager=True)
+    n1 = {}
+    for r in adj1.collect():
+        n1.setdefault(r.src, []).append(r.dst)
+    n0 = {}
+    for r in adj0.collect():
+        n0.setdefault(r.src, []).append(r.dst)
+
+    def beam_run(eq, nbrs, start, rounds, width):
+        beam = {start}
+        for _ in range(rounds):
+            cand = set(beam)
+            for n in beam:
+                cand.update(nbrs.get(n, ()))
+            scored = sorted((_dist_q(eq, vecs[n]), n) for n in cand)
+            beam = {n for _, n in scored[:width]}
+        return beam
+
+    entry1 = min(sub_ids)
+    expect = []
+    for qid in sorted(v for v in vecs if v < PQ_QUERY_MAX):
+        eq = vecs[qid]
+        b1 = beam_run(eq, n1, entry1, NSW_HOPS, NSW_BEAM)
+        e0 = min((_dist_q(eq, vecs[n]), n) for n in b1)[1]
+        # the hierarchy's payoff, stated as the monotone-beam
+        # invariant: the hand-off start is at least as close as the
+        # layer-1 entry it descended from (the beam visited entry1,
+        # so its best member can only be closer)
+        assert _dist_q(eq, vecs[e0]) <= _dist_q(eq, vecs[entry1])
+        b0 = beam_run(eq, n0, e0, NSW_HOPS, NSW_BEAM)
+        final = sorted(
+            (_dist_q(eq, vecs[n]), n) for n in b0 if n != qid
+        )[:3]
+        expect.extend(
+            (qid, n, rank + 1, d) for rank, (d, n) in enumerate(final)
+        )
+
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.dist_q)
+        for r in QUERIES_R10["q_sim_hnsw_topk"](spark, SMALL_SF).collect()
+    )
+    assert got == sorted(expect)
