@@ -2344,29 +2344,6 @@ def _nsw_shrink_sql(cand: str, p: str) -> str:
 
 _NSW_DISTQM = _DISTQ_DUCK.format(a="q.eq", b="m.embedding")
 
-# round-0 graph: multiprobe capped-cell candidates -> select/shrink
-_NSW_GRAPH_SQL = f"""assigned AS (
-{_assign_duck(f"embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}", "c.vec_id",
-              "c.embedding", rn=f"<= {EMBED_PAIR_NPROBE}")}
-    ), subbed AS (
-        SELECT vec_id, cell,
-               CAST(floor((row_number() OVER (PARTITION BY cell ORDER BY vec_id)
-                           - 1) / {EMBED_MULTI_MAX_CELL}) AS BIGINT) AS sub
-        FROM assigned
-    ), members AS (
-        SELECT em.vec_id, em.embedding, a.cell, a.sub
-        FROM embeddings em JOIN subbed a ON a.vec_id = em.vec_id
-    ), cand AS (
-        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {_DISTQ_DUCK.format(a='a.embedding', b='b.embedding')} AS dist_q
-        FROM members a JOIN members b
-          ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
-    ), sym AS (
-        SELECT vec_a AS src, vec_b AS dst, dist_q FROM cand
-        UNION ALL
-        SELECT vec_b AS src, vec_a AS dst, dist_q FROM cand
-    ), {_nsw_shrink_sql("sym", "")}"""
-
 _NSW_QS_ENTRY_SQL = f"""qs AS (
         SELECT vec_id AS query_id, embedding AS eq
         FROM embeddings WHERE vec_id < {PQ_QUERY_MAX}
@@ -2445,6 +2422,12 @@ def _nsw_graph_sql_for(vtab: str, p: str) -> str:
         UNION ALL
         SELECT vec_b AS src, vec_a AS dst, dist_q FROM {p}gcand
     ), {_nsw_shrink_sql(f"{p}gsym", p)}"""
+
+
+# round-0 graph over the full corpus — the SAME layer-parameterized
+# builder the HNSW hierarchy composes, instantiated at layer 0 (one
+# source of truth for the build rule)
+_NSW_GRAPH_SQL = _nsw_graph_sql_for("embeddings", "")
 
 
 def _nsw_final_sql(b_last: str) -> str:
