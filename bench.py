@@ -231,7 +231,8 @@ HEADLINE = [
     # r10: NSW graph-index ANN (build + beam), the sampled-truth
     # embedding recall audit (the linear-cost 100 TB face of the
     # O(n^2) full audit), the mergeable bottom-k quantile sketch,
-    # the dHash gradient image method, and the unigram-LM EM round
+    # the dHash gradient image method, the unigram-LM EM round, the
+    # NN-descent refinement round, and the two-layer HNSW hierarchy
     "q_sim_nsw_topk",
     "q_dedup_embed_recall_sampled",
     "q_quantile_sketch",

@@ -2105,7 +2105,19 @@ def nsw_descent(emb: DataFrame, adj: DataFrame, deg: int) -> DataFrame:
     vector table twice (key-partitioned equi-joins); selection is the
     same per-src window as round 0. Production iterates until the
     edge-change rate drops below a threshold; every round is exactly
-    this function's shape."""
+    this function's shape.
+
+    Candidates are canonicalized to UNDIRECTED (least, greatest)
+    pairs and scored ONCE before symmetrizing — nsw_graph's rule.
+    Scoring each direction separately would evaluate SQDIST_Q_SQL's
+    float fold in two different summation orders ((A-2C)+B vs
+    (B-2C)+A), and at a quantization boundary dist_q(s,d) could
+    differ from dist_q(d,s) — then _nsw_shrink's exact-distance
+    dedup fails and one neighbor occupies two of a node's 2*deg
+    slots (ADVICE r10). One score per pair makes the distance
+    symmetric by construction, and symmetrizing the candidate set
+    also matches NN-descent's actual rule (Dong et al. draw from
+    in- AND out-neighborhoods)."""
     hop2 = adj.alias("a").join(
         adj.alias("b"), F.col("a.dst") == F.col("b.src")
     ).select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
@@ -2113,20 +2125,31 @@ def nsw_descent(emb: DataFrame, adj: DataFrame, deg: int) -> DataFrame:
         adj.select("src", "dst")
         .unionByName(hop2)
         .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("vec_a"),
+            F.greatest("src", "dst").alias("vec_b"),
+        )
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("es"))
-    eb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("ed"))
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("es"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ed"))
     scored = (
-        cand.join(ea, "src")
-        .join(eb, "dst")
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
-            "src",
-            "dst",
+            "vec_a",
+            "vec_b",
             F.expr(SQDIST_Q_SQL.format(a="es", b="ed")).alias("dist_q"),
         )
     )
-    return _nsw_shrink(scored, deg)
+    sym = scored.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "dist_q"
+    ).unionByName(
+        scored.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "dist_q"
+        )
+    )
+    return _nsw_shrink(sym, deg)
 
 
 def nsw_beam(

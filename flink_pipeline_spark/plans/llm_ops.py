@@ -2524,17 +2524,22 @@ def _register_nsw_descent():
     WITH {_NSW_GRAPH_SQL}, hop2 AS (
         SELECT a.src, b.dst FROM adj a JOIN adj b ON a.dst = b.src
     ), dc AS (
-        SELECT c.src, c.dst,
+        SELECT c.vec_a, c.vec_b,
                {_DISTQ_DUCK.format(a='sa.embedding', b='sb.embedding')}
                  AS dist_q
-        FROM (SELECT DISTINCT src, dst FROM (
+        FROM (SELECT DISTINCT least(src, dst) AS vec_a,
+                     greatest(src, dst) AS vec_b FROM (
                   SELECT src, dst FROM adj
                   UNION ALL
                   SELECT src, dst FROM hop2) u
               WHERE src <> dst) c
-        JOIN embeddings sa ON sa.vec_id = c.src
-        JOIN embeddings sb ON sb.vec_id = c.dst
-    ), {_nsw_shrink_sql("dc", "d")}, {_NSW_QS_ENTRY_SQL}, """
+        JOIN embeddings sa ON sa.vec_id = c.vec_a
+        JOIN embeddings sb ON sb.vec_id = c.vec_b
+    ), dsym AS (
+        SELECT vec_a AS src, vec_b AS dst, dist_q FROM dc
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst, dist_q FROM dc
+    ), {_nsw_shrink_sql("dsym", "d")}, {_NSW_QS_ENTRY_SQL}, """
         + _nsw_beam_sql("dadj", "d")
         + _nsw_final_sql(f"db{NSW_HOPS}")
     )

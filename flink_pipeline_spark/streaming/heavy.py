@@ -66,6 +66,32 @@ def partition_ids(spark, path: str) -> list[int]:
     return out
 
 
+def prune_partitions(spark, path: str, keep_from: int) -> None:
+    """Delete ``batch_id=B`` partitions under ``path`` with
+    B < ``keep_from`` via the Hadoop FS API (local and HDFS alike).
+    The one snapshot-prune rule every monitor shares (ADVICE r10:
+    previously triplicated verbatim across heavy/merge/quantile/kmv,
+    where a future fix to prune semantics could silently fork):
+    pruning to ``batch_id - 1`` after a successful write keeps the
+    latest snapshot plus one prior, which preserves crash-replay — a
+    replayed batch N still reads latest-strictly-before-N."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid < keep_from:
+            fs.delete(st.getPath(), True)
+
+
 class HeavyHitterMonitor:
     """foreachBatch sink: maintain a k-counter Misra-Gries summary of
     ``key_col`` frequencies across all batches seen so far."""
@@ -87,20 +113,30 @@ class HeavyHitterMonitor:
         are ALL >= ``batch_id`` raises — pruning keeps only the latest
         and one prior snapshot, so the requested history no longer
         exists, and an empty frame would silently misreport it as
-        "nothing seen yet" (ADVICE r9). The partition is selected by a
-        driver-side FS listing (no historical-partition scan) and read
-        directly, so this method never races its own prune; EXTERNAL
-        concurrent readers listing the store root must tolerate pruned
-        partitions (set spark.sql.files.ignoreMissingFiles for
-        monitor reads)."""
+        "nothing seen yet" (ADVICE r9). Batch 0 nuance (ADVICE r10):
+        a replayed batch 0 legitimately has no prior snapshot, and a
+        non-empty store would trip the raise — safe because Structured
+        Streaming never replays batch 0 after batch 1 commits (the
+        checkpoint advances only on commit), so surviving partitions
+        at batch 0 can only mean the store dir is being REUSED by a
+        new stream, which gets its own distinct error. The partition
+        is selected by a driver-side FS listing (no historical-
+        partition scan) and read directly, so this method never races
+        its own prune; EXTERNAL concurrent readers listing the store
+        root must tolerate pruned partitions (set
+        spark.sql.files.ignoreMissingFiles for monitor reads)."""
         bids = partition_ids(spark, self._path(kind))
         prior = [b for b in bids if b < batch_id]
         if not prior:
             if bids:
-                raise ValueError(
-                    f"{kind}: no snapshot before batch {batch_id} "
-                    f"survives pruning (have {sorted(bids)})"
+                hint = (
+                    "store already populated at batch 0 — a new "
+                    "stream must start from a fresh store dir"
+                    if batch_id == 0
+                    else f"no snapshot before batch {batch_id} "
+                    "survives pruning"
                 )
+                raise ValueError(f"{kind}: {hint} (have {sorted(bids)})")
             return spark.createDataFrame([], schema)
         part = os.path.join(self._path(kind), f"batch_id={max(prior)}")
         return spark.read.schema(schema).parquet(part)
@@ -174,23 +210,7 @@ class HeavyHitterMonitor:
         self._prune_before(spark, "meta", batch_id - 1)
 
     def _prune_before(self, spark, kind: str, keep_from: int) -> None:
-        """Delete ``batch_id=B`` partitions with B < ``keep_from`` via
-        the Hadoop FS API (works for local paths and HDFS alike)."""
-        jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(self._path(kind))
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(root):
-            return
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not name.startswith("batch_id="):
-                continue
-            try:
-                bid = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if bid < keep_from:
-                fs.delete(st.getPath(), True)
+        prune_partitions(spark, self._path(kind), keep_from)
 
     def summary(self, spark, after_batch_id: int) -> DataFrame:
         """The summary as of AFTER ``after_batch_id`` (key, est)."""

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.merge import merge_into
-from .heavy import partition_ids
+from .heavy import partition_ids, prune_partitions
 
 
 class CDCApplyMonitor:
@@ -112,23 +112,7 @@ class CDCApplyMonitor:
         self._prune_before(spark, batch_id - 1)
 
     def _prune_before(self, spark, keep_from: int) -> None:
-        """streaming/heavy.py convention: the base is a snapshot; one
-        prior partition is kept for crash-replay reads."""
-        jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(self._path())
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(root):
-            return
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not name.startswith("batch_id="):
-                continue
-            try:
-                bid = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if bid < keep_from:
-                fs.delete(st.getPath(), True)
+        prune_partitions(spark, self._path(), keep_from)
 
     def table(self, spark, after_batch_id: int) -> DataFrame:
         """The merged base as of AFTER ``after_batch_id`` (lazy)."""

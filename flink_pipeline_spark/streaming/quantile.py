@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .heavy import partition_ids
+from .heavy import partition_ids, prune_partitions
 
 QSK_K = 256  # must match plans/profiling.QSK_K (asserted in tests)
 
@@ -49,9 +49,16 @@ class QuantileMonitor:
         prior = [b for b in bids if b < batch_id]
         if not prior:
             if bids:
+                # batch-0 nuance: see streaming/heavy.py _read_latest
+                hint = (
+                    "store already populated at batch 0 — a new "
+                    "stream must start from a fresh store dir"
+                    if batch_id == 0
+                    else f"no snapshot before batch {batch_id} "
+                    "survives pruning"
+                )
                 raise ValueError(
-                    f"quantile sketch: no snapshot before batch "
-                    f"{batch_id} survives pruning (have {sorted(bids)})"
+                    f"quantile sketch: {hint} (have {sorted(bids)})"
                 )
             return spark.createDataFrame([], "val DOUBLE, h BIGINT")
         part = os.path.join(self._path(), f"batch_id={max(prior)}")
@@ -71,23 +78,7 @@ class QuantileMonitor:
         self._prune_before(spark, batch_id - 1)
 
     def _prune_before(self, spark, keep_from: int) -> None:
-        """streaming/kmv.py convention: the sketch is a snapshot; one
-        prior partition is kept for crash-replay reads."""
-        jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(self._path())
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(root):
-            return
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not name.startswith("batch_id="):
-                continue
-            try:
-                bid = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if bid < keep_from:
-                fs.delete(st.getPath(), True)
+        prune_partitions(spark, self._path(), keep_from)
 
     def sketch(self, spark, after_batch_id: int) -> DataFrame:
         """The (val, h) sketch as of AFTER ``after_batch_id``."""

@@ -319,7 +319,11 @@ _ALLOWED_BNLJ = {
     "q_error_rate_ewma",     # 1-row global-rate scalar broadcast (the CUSUM class)
     # r10: same vetted classes
     "q_sim_nsw_topk",        # 1-row entry-point broadcast onto the query set
-    "q_dedup_embed_recall_sampled",  # two 1-row denominator broadcasts
+    # the dominant BNLJ here is the 64-anchor x corpus NON-EQUI
+    # broadcast join building the sampled truth — linear-but-large
+    # O(n*s) by design, not just scalar gates — plus two 1-row
+    # denominator broadcasts (ADVICE r10: name what the lint exempts)
+    "q_dedup_embed_recall_sampled",
     "q_quantile_sketch",     # 1-row (n, k) totals broadcast onto the 3-row grid
     "q_unigram_em",          # 1-row vocab-total + 1-row scored-vocab broadcasts
     "q_sim_nsw_descent",     # 1-row entry-point broadcast (the nsw class)

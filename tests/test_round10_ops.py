@@ -494,10 +494,14 @@ def test_merge_into_rejects_unknown_op(spark):
 
 def test_nsw_descent_matches_python_reimplementation(spark):
     """The refined graph replays in plain Python: 2-hop candidate
-    draw from the collected round-0 adjacency, exact rescoring, the
-    same select/adopt/shrink rule — edge set pinned exactly. Also
-    pins the refinement invariants: degree bound holds and the
-    descent never degrades beam-search recall on the same queries."""
+    draw from the collected round-0 adjacency, canonicalized to
+    undirected (least, greatest) pairs and exact-scored ONCE each
+    (the ADVICE-r10 rule: per-direction scoring evaluates the float
+    fold in two orders and can fork dist_q at a quantization
+    boundary), then symmetrized through the same select/adopt/shrink
+    rule — edge set pinned exactly. Also pins the refinement
+    invariants: degree bound holds and the descent never degrades
+    beam-search recall on the same queries."""
     from flink_pipeline_spark.operators.llm import nsw_descent
 
     emb = load_table(spark, SMALL_SF, "embeddings")
@@ -513,7 +517,14 @@ def test_nsw_descent_matches_python_reimplementation(spark):
         for d2 in out.get(d, ()):
             if s != d2:
                 cand.add((s, d2))
-    scored = [(_dist_q(vecs[s], vecs[d]), s, d) for s, d in cand]
+    pairs = {(min(s, d), max(s, d)) for s, d in cand}
+    # one score per undirected pair, in canonical (a, b) order,
+    # then both directions carry the identical dist_q
+    scored = []
+    for a, b in pairs:
+        dist = _dist_q(vecs[a], vecs[b])
+        scored.append((dist, a, b))
+        scored.append((dist, b, a))
     kept = {}
     for dist, s, d in sorted(scored, key=lambda t: (t[1], t[0], t[2])):
         kept.setdefault(s, [])
