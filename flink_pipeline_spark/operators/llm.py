@@ -1990,6 +1990,7 @@ def nsw_graph(
     deg: int,
     max_cell: int = MAX_IVF_CELL,
     nprobe: int = 2,
+    keep_dist: bool = False,
 ) -> DataFrame:
     """(src, dst): a degree-bounded navigable proximity graph — the
     batch construction of the NSW/HNSW index family (Malkov et al.;
@@ -2019,7 +2020,13 @@ def nsw_graph(
     node's merged edge list back to its 2*deg nearest -- the graph
     comes out directed, which beam search is indifferent to, and the
     per-node degree bound that makes the index linear-size holds
-    unconditionally."""
+    unconditionally.
+
+    ``keep_dist=True`` returns (src, dst, dist_q) instead of
+    (src, dst) — the SCORED adjacency a persisted index store needs:
+    incremental inserts re-prune touched nodes' edge lists by
+    distance, so a store that dropped dist_q would have to re-score
+    every stored edge on every insert batch."""
     base = (
         ivf_assign_multi(emb, centroids, nprobe)
         if nprobe > 1
@@ -2062,10 +2069,10 @@ def nsw_graph(
             F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "dist_q"
         )
     )
-    return _nsw_shrink(sym, deg)
+    return _nsw_shrink(sym, deg, keep_dist=keep_dist)
 
 
-def _nsw_shrink(sym: DataFrame, deg: int) -> DataFrame:
+def _nsw_shrink(sym: DataFrame, deg: int, keep_dist: bool = False) -> DataFrame:
     """Per-node top-deg selection, bidirectional-link adoption, HNSW
     shrink to 2*deg — over a scored (src, dst, dist_q) candidate
     frame. Shared by the round-0 build (nsw_graph) and the NN-descent
@@ -2083,10 +2090,82 @@ def _nsw_shrink(sym: DataFrame, deg: int) -> DataFrame:
             F.col("dst").alias("src"), F.col("src").alias("dst"), "dist_q"
         )
     ).distinct()
+    cols = ["src", "dst", "dist_q"] if keep_dist else ["src", "dst"]
     return (
         und.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= 2 * deg)
-        .select("src", "dst")
+        .select(*cols)
+    )
+
+
+def nsw_insert(
+    emb_idx: DataFrame,
+    adj_scored: DataFrame,
+    arrivals: DataFrame,
+    deg: int,
+    beam: int = 8,
+    hops: int = 3,
+) -> DataFrame:
+    """(src, dst, dist_q): the SCORED adjacency after inserting
+    ``arrivals`` (vec_id, embedding) into an existing NSW graph — the
+    HNSW insert rule (Malkov & Yashunin 2018, Alg. 1) expressed as
+    dataflow, and the operation that makes a persisted index SERVABLE:
+    production builds once, then folds arriving vectors in per batch
+    instead of rebuilding (the q_dedup_incremental pattern for
+    graphs).
+
+    Each arrival beam-searches the CURRENT graph exactly like a query
+    (nsw_beam: entry at the indexed corpus' min vec_id, ``hops``
+    monotone rounds, exact BIGINT-quantized L2), links to its final
+    beam's ``deg`` nearest nodes, and hands each linked node the
+    reverse edge (the bidirectional-link rule). Touched nodes' merged
+    edge lists are then re-pruned to their 2*deg nearest — nsw_graph's
+    shrink, applied to the union — so the per-node degree bound that
+    keeps the index linear-size holds across any number of insert
+    batches. Reverse edges reuse the arrival beam's dist_q (scored
+    once per undirected pair, so the distance is symmetric by
+    construction — the NN-descent ADVICE-r10 rule).
+
+    Arrivals deliberately do NOT link to each other within a batch
+    (the incremental-store convention shared with streaming image
+    dedup: a batch self-links next round, when its members are part
+    of the indexed corpus); their beams see only ``emb_idx``.
+
+    Scale: per arrival the beam touches O(beam * 2*deg * hops) nodes
+    independent of corpus size; new edges are <= 2*deg rows per
+    arrival; the re-shrink is one per-src window over the stored
+    adjacency union the new edges — linear in index size, zero
+    all-pairs anywhere."""
+    q = arrivals.select("vec_id", "embedding")
+    final_beam = nsw_beam(
+        emb_idx,
+        q,
+        adj_scored.select("src", "dst"),
+        beam=beam,
+        hops=hops,
+        entry_from=emb_idx,
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist_q", "node")
+    links = (
+        final_beam.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= deg)
+        .select(
+            F.col("query_id").alias("src"),
+            F.col("node").alias("dst"),
+            "dist_q",
+        )
+    )
+    rev = links.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "dist_q"
+    )
+    merged = adj_scored.select("src", "dst", "dist_q").unionByName(
+        links
+    ).unionByName(rev)
+    wk = Window.partitionBy("src").orderBy("dist_q", "dst")
+    return (
+        merged.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 2 * deg)
+        .select("src", "dst", "dist_q")
     )
 
 

@@ -60,6 +60,7 @@ from ..operators.llm import (
     nsw_beam,
     nsw_descent,
     nsw_graph,
+    nsw_insert,
     nsw_search,
     ivfpq_topk,
     pq_codebook_from,
@@ -2314,11 +2315,14 @@ NSW_BEAM = 8  # beam width during search
 NSW_HOPS = 3  # expansion rounds (fixed unroll — the kmeans/BPE discipline)
 
 
-def _nsw_shrink_sql(cand: str, p: str) -> str:
+def _nsw_shrink_sql(cand: str, p: str, keep_dist: bool = False) -> str:
     """kept/und/adj CTE text — per-node top-deg selection,
     bidirectional adoption, HNSW shrink to 2*deg — over a
     (src, dst, dist_q) candidate CTE. Shared by the round-0 build and
-    the NN-descent refinement so the selection rule cannot fork."""
+    the NN-descent refinement so the selection rule cannot fork.
+    ``keep_dist`` keeps dist_q on the final adjacency (the persisted-
+    index store form, mirroring operators nsw_graph's flag)."""
+    dcol = ", dist_q" if keep_dist else ""
     return f"""{p}kept AS (
         SELECT src, dst, dist_q FROM (
             SELECT src, dst, dist_q,
@@ -2333,8 +2337,8 @@ def _nsw_shrink_sql(cand: str, p: str) -> str:
             SELECT dst AS src, src AS dst, dist_q FROM {p}kept
         ) u
     ), {p}adj AS (
-        SELECT src, dst FROM (
-            SELECT src, dst,
+        SELECT src, dst{dcol} FROM (
+            SELECT src, dst, dist_q,
                    row_number() OVER (
                        PARTITION BY src ORDER BY dist_q, dst) AS rn
             FROM {p}und
@@ -2352,12 +2356,16 @@ _NSW_QS_ENTRY_SQL = f"""qs AS (
     )"""
 
 
-def _nsw_beam_sql(adj: str, p: str, b0: str | None = None) -> str:
+def _nsw_beam_sql(
+    adj: str, p: str, b0: str | None = None, qs: str = "qs"
+) -> str:
     """b0..bH beam-unroll CTE text over adjacency CTE ``adj`` (the
     kmeans/BPE trajectory-unroll convention), names prefixed by ``p``
     so several searches can share one oracle namespace. ``b0``
     overrides the seed CTE body (the HNSW per-query descent hand-off);
-    default = every query at the global ``entry`` node."""
+    default = every query at the global ``entry`` node. ``qs`` names
+    the (query_id, eq) query-set CTE — the insert form beams the
+    ARRIVING vectors, not the audit query set."""
     beam_cte = f"""
     {p}c{{i}} AS (
         SELECT query_id, node FROM {p}b{{j}}
@@ -2372,13 +2380,13 @@ def _nsw_beam_sql(adj: str, p: str, b0: str | None = None) -> str:
                        ORDER BY s.dist_q, s.node) AS rn
             FROM (SELECT c.query_id, c.node, {_NSW_DISTQM} AS dist_q
                   FROM {p}c{{i}} c
-                  JOIN qs q ON q.query_id = c.query_id
+                  JOIN {qs} q ON q.query_id = c.query_id
                   JOIN embeddings m ON m.vec_id = c.node) s
         ) t WHERE rn <= {NSW_BEAM}
     )"""
     if b0 is None:
         b0 = f"""SELECT q.query_id, e.node, {_NSW_DISTQM} AS dist_q
-        FROM qs q CROSS JOIN entry e JOIN embeddings m ON m.vec_id = e.node"""
+        FROM {qs} q CROSS JOIN entry e JOIN embeddings m ON m.vec_id = e.node"""
     seed = f"""{p}b0 AS (
         {b0}
     )"""
@@ -2387,13 +2395,15 @@ def _nsw_beam_sql(adj: str, p: str, b0: str | None = None) -> str:
     )
 
 
-def _nsw_graph_sql_for(vtab: str, p: str) -> str:
+def _nsw_graph_sql_for(vtab: str, p: str, keep_dist: bool = False) -> str:
     """The whole graph build (multiprobe assign -> capped sub-split ->
     within-cell candidates -> select/adopt/shrink) over an arbitrary
     (vec_id, embedding) CTE ``vtab`` — the layer-parameterized form
     the HNSW hierarchy composes twice. Centroids stay the shared
     vec_id < {IVF_SEED}-of-the-full-corpus seed set on every layer
-    (the quantizer is corpus property, not a layer property)."""
+    (the quantizer is corpus property, not a layer property).
+    ``keep_dist`` keeps dist_q on the final adjacency (the persisted-
+    index store form)."""
     return f"""{p}assigned AS (
         SELECT vec_id, cell FROM (
             SELECT e.vec_id, c.vec_id AS cell,
@@ -2421,7 +2431,7 @@ def _nsw_graph_sql_for(vtab: str, p: str) -> str:
         SELECT vec_a AS src, vec_b AS dst, dist_q FROM {p}gcand
         UNION ALL
         SELECT vec_b AS src, vec_a AS dst, dist_q FROM {p}gcand
-    ), {_nsw_shrink_sql(f"{p}gsym", p)}"""
+    ), {_nsw_shrink_sql(f"{p}gsym", p, keep_dist=keep_dist)}"""
 
 
 # round-0 graph over the full corpus — the SAME layer-parameterized
@@ -2712,6 +2722,121 @@ def _register_hnsw():
 
 
 q_sim_hnsw_topk = _register_hnsw()
+
+
+# arrivals for the incremental-insert form: a deterministic ~1/8 hash
+# split (disjoint from layer-1's residue-0 sample so the two
+# deterministic subsets don't degenerate into the same vectors)
+NSW_ARRIVAL_MOD = 8
+NSW_ARRIVAL_REM = 5
+
+
+def _register_nsw_insert():
+    """Base graph over the hash-complement corpus, one nsw_insert
+    round folding the arrival slice in, then the standard audit-query
+    beam search over the UPDATED graph — every stage composes the
+    shared text builders (graph build, beam unroll, final rank), plus
+    the insert-specific link/merge/re-prune CTEs mirroring
+    operators/llm.py nsw_insert line by line."""
+    h = hash56_sql_duckdb("vec_id")
+    ib0 = f"""SELECT q.query_id, e.node, {_NSW_DISTQM} AS dist_q
+        FROM iqs q CROSS JOIN ientry e JOIN embeddings m ON m.vec_id = e.node"""
+    oracle = (
+        f"""
+    WITH basev AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE {h} % {NSW_ARRIVAL_MOD} <> {NSW_ARRIVAL_REM}
+    ), arrv AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE {h} % {NSW_ARRIVAL_MOD} = {NSW_ARRIVAL_REM}
+    ), {_nsw_graph_sql_for("basev", "", keep_dist=True)}, iqs AS (
+        SELECT vec_id AS query_id, embedding AS eq FROM arrv
+    ), ientry AS (
+        SELECT min(vec_id) AS node FROM basev
+    ), """
+        + _nsw_beam_sql("adj", "i", b0=ib0, qs="iqs")
+        + f""", ilinks AS (
+        SELECT query_id AS src, node AS dst, dist_q FROM (
+            SELECT query_id, node, dist_q,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_q, node) AS rn
+            FROM ib{NSW_HOPS}
+        ) t WHERE rn <= {NSW_DEG}
+    ), imerged AS (
+        SELECT src, dst, dist_q FROM adj
+        UNION ALL
+        SELECT src, dst, dist_q FROM ilinks
+        UNION ALL
+        SELECT dst AS src, src AS dst, dist_q FROM ilinks
+    ), nadj AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (
+                       PARTITION BY src ORDER BY dist_q, dst) AS rn
+            FROM imerged
+        ) t WHERE rn <= {2 * NSW_DEG}
+    ), {_NSW_QS_ENTRY_SQL}, """
+        + _nsw_beam_sql("nadj", "n")
+        + _nsw_final_sql(f"nb{NSW_HOPS}")
+    )
+
+    @register("q_sim_nsw_insert", oracle=oracle)
+    def q_sim_nsw_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental NSW insert (Malkov & Yashunin 2018, Alg. 1 —
+        the operation that turns a built graph index into a SERVABLE
+        one): the corpus is split by deterministic hash into an
+        indexed base (~7/8) and an arrival slice (~1/8); the base
+        graph is built once (the standard capped-cell candidate join),
+        then every arrival beam-searches the CURRENT graph like a
+        query, links to its final beam's {deg} nearest nodes, hands
+        each linked node the reverse edge, and touched edge lists are
+        re-pruned to 2*{deg} — no rebuild anywhere. The audit query
+        set then searches the UPDATED graph; a production pipeline
+        runs exactly this fold per ingestion batch against the
+        persisted adjacency (streaming/ann_index.py is this query's
+        continuous twin, stream==batch pinned).
+
+        Scale: per arrival the beam touches O(beam * 2*deg * hops)
+        nodes independent of corpus size; new edges are <= 2*{deg}
+        rows per arrival; the re-prune is one per-src window over
+        index ∪ new edges — linear in index size. The alternative a
+        naive deployment ships — rebuild per batch — is the entire
+        build cost again per trigger; the insert fold is what makes
+        the 100 TB serving story real. Reference contract:
+        workflow.py's per-record transform slots cannot express a
+        stateful index update; this is engine-level capability."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        is_arr = (
+            hash56(F.col("vec_id")) % NSW_ARRIVAL_MOD == NSW_ARRIVAL_REM
+        )
+        base = emb.filter(~is_arr).select("vec_id", "embedding")
+        arrivals = emb.filter(is_arr).select("vec_id", "embedding")
+        adj0 = nsw_graph(
+            base,
+            emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+            deg=NSW_DEG,
+            max_cell=EMBED_MULTI_MAX_CELL,
+            nprobe=EMBED_PAIR_NPROBE,
+            keep_dist=True,
+        ).localCheckpoint(eager=True)
+        adj1 = nsw_insert(
+            base, adj0, arrivals, deg=NSW_DEG, beam=NSW_BEAM, hops=NSW_HOPS
+        ).localCheckpoint(eager=True)
+        return nsw_search(
+            emb,
+            emb.filter(F.col("vec_id") < PQ_QUERY_MAX),
+            adj1.select("src", "dst"),
+            k=3,
+            beam=NSW_BEAM,
+            hops=NSW_HOPS,
+        )
+
+    q_sim_nsw_insert.__doc__ = q_sim_nsw_insert.__doc__.format(deg=NSW_DEG)
+    return q_sim_nsw_insert
+
+
+q_sim_nsw_insert = _register_nsw_insert()
 
 
 # ---------------------------------------------------------------------------
