@@ -2298,6 +2298,43 @@ def nsw_beam(
     return cur
 
 
+def hnsw_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    adj0: DataFrame,
+    adj1: DataFrame,
+    l1_members: DataFrame,
+    k: int = 3,
+    beam: int = 8,
+    hops: int = 3,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, dist_q): two-layer HNSW search
+    (Malkov & Yashunin 2018) — layer-1 beam from the sparse layer's
+    min-vec_id entry, per-query hand-off of the best layer-1 node
+    found, base-layer beam seeded there, final top-k. ONE
+    implementation shared by the build-per-run audit query
+    (q_sim_hnsw_topk) and the persisted-index serving path
+    (streaming/ann_index.py), so the search rule cannot fork between
+    the benchmarked form and the deployed form.
+
+    Scale: both beams touch O(beam * 2*deg * hops) nodes per query
+    independent of corpus size; the hand-off is a 1-row-per-query
+    frame — the hierarchy adds one tiny broadcast join to the
+    serving path."""
+    beam1 = nsw_beam(
+        emb, queries, adj1, beam=beam, hops=hops, entry_from=l1_members
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist_q", "node")
+    entries0 = (
+        beam1.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "node")
+    )
+    return nsw_search(
+        emb, queries, adj0, k=k, beam=beam, hops=hops, entries=entries0
+    )
+
+
 def nsw_search(
     emb: DataFrame,
     queries: DataFrame,

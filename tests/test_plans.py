@@ -328,6 +328,9 @@ _ALLOWED_BNLJ = {
     "q_unigram_em",          # 1-row vocab-total + 1-row scored-vocab broadcasts
     "q_sim_nsw_descent",     # 1-row entry-point broadcast (the nsw class)
     "q_sim_hnsw_topk",       # 1-row layer-1 entry broadcast (the nsw class)
+    # r11: same vetted classes
+    "q_sim_nsw_insert",      # 1-row entry broadcasts x2 (insert + audit beams)
+    "q_sim_hnsw_search",     # 1-row layer entry broadcasts over the STORED graph
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.

@@ -1,0 +1,300 @@
+"""Round-11 operator tests: the persisted ANN index serving form —
+incremental insert (nsw_insert pinned by Python re-implementation),
+the ANNIndexMonitor store (stream==batch for the TENTH deployment
+form, crash-replay idempotence, loud-fail guards), and the serving
+query's build-once/search-only contract."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_pipeline_spark.catalog import load_table
+from flink_pipeline_spark.operators.llm import (
+    hnsw_search,
+    nsw_graph,
+    nsw_insert,
+)
+from flink_pipeline_spark.plans.llm_ops import (
+    EMBED_MULTI_MAX_CELL,
+    EMBED_PAIR_NPROBE,
+    HNSW_L1_MOD,
+    IVF_SEED_CENTROIDS,
+    NSW_ARRIVAL_MOD,
+    NSW_ARRIVAL_REM,
+    NSW_BEAM,
+    NSW_DEG,
+    NSW_HOPS,
+    PQ_QUERY_MAX,
+)
+from flink_pipeline_spark.streaming.ann_index import ANNIndexMonitor
+
+SMALL_SF = "/root/testdata/sf0.001"
+
+
+def _seq_dot(a, b):
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def _dist_q(a, b):
+    return int(
+        math.floor(
+            ((_seq_dot(a, a) - 2 * _seq_dot(a, b)) + _seq_dot(b, b)) * 10000
+            + 0.5
+        )
+    )
+
+
+def _split(spark):
+    from flink_pipeline_spark.functions.portable import hash56
+
+    emb = load_table(spark, SMALL_SF, "embeddings")
+    is_arr = hash56(F.col("vec_id")) % NSW_ARRIVAL_MOD == NSW_ARRIVAL_REM
+    base = emb.filter(~is_arr).select("vec_id", "embedding")
+    arrivals = emb.filter(is_arr).select("vec_id", "embedding")
+    return emb, base, arrivals
+
+
+def _base_adj(spark, base, emb):
+    return nsw_graph(
+        base,
+        emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+        deg=NSW_DEG,
+        max_cell=EMBED_MULTI_MAX_CELL,
+        nprobe=EMBED_PAIR_NPROBE,
+        keep_dist=True,
+    ).localCheckpoint(eager=True)
+
+
+def _py_insert(vecs, adj_scored, arrival_ids, deg, beam, hops):
+    """Plain-Python nsw_insert: per-arrival monotone beam from the
+    indexed corpus' min vec_id, top-deg links, reverse edges, global
+    2*deg re-prune — the operator's exact selection rules."""
+    out = {}
+    for s, d, q in adj_scored:
+        out.setdefault(s, []).append(d)
+    idx_ids = sorted({v for v in vecs} - set(arrival_ids))
+    entry = min(idx_ids)
+    links = []
+    for a in sorted(arrival_ids):
+        cur = {entry: _dist_q(vecs[a], vecs[entry])}
+        beam_set = sorted(cur.items(), key=lambda kv: (kv[1], kv[0]))[:beam]
+        for _ in range(hops):
+            cand = {n for n, _ in beam_set}
+            for n, _ in beam_set:
+                cand.update(out.get(n, ()))
+            scored = sorted(
+                ((_dist_q(vecs[a], vecs[n]), n) for n in cand),
+                key=lambda t: (t[0], t[1]),
+            )[:beam]
+            beam_set = [(n, dq) for dq, n in scored]
+        for n, dq in beam_set[:deg]:
+            links.append((a, n, dq))
+    merged = list(adj_scored)
+    for a, n, dq in links:
+        merged.append((a, n, dq))
+        merged.append((n, a, dq))
+    final = {}
+    for s, d, dq in sorted(merged, key=lambda t: (t[0], t[2], t[1])):
+        final.setdefault(s, [])
+        if len(final[s]) < 2 * deg:
+            final[s].append((s, d, dq))
+    return sorted(e for lst in final.values() for e in lst)
+
+
+def test_nsw_insert_matches_python_reimplementation(spark):
+    """The updated scored adjacency replays in plain Python — the
+    q_sim_nsw_descent test discipline applied to the insert fold."""
+    emb, base, arrivals = _split(spark)
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    arr_ids = [r.vec_id for r in arrivals.collect()]
+    assert arr_ids, "arrival split is empty — fixture hash drifted"
+    adj0 = _base_adj(spark, base, emb)
+    adj0_rows = [(r.src, r.dst, r.dist_q) for r in adj0.collect()]
+    expect = _py_insert(
+        vecs, adj0_rows, arr_ids, NSW_DEG, NSW_BEAM, NSW_HOPS
+    )
+    got = sorted(
+        (r.src, r.dst, r.dist_q)
+        for r in nsw_insert(
+            base, adj0, arrivals, deg=NSW_DEG, beam=NSW_BEAM, hops=NSW_HOPS
+        ).collect()
+    )
+    assert got == expect
+    # insert invariants: every arrival is linked, degree bound holds
+    srcs = {s for s, _, _ in got}
+    assert set(arr_ids) <= srcs
+    deg = {}
+    for s, _, _ in got:
+        deg[s] = deg.get(s, 0) + 1
+    assert max(deg.values()) <= 2 * NSW_DEG
+
+
+def _mon(tmp_path, name="store"):
+    return ANNIndexMonitor(
+        str(tmp_path / name),
+        deg=NSW_DEG,
+        beam=NSW_BEAM,
+        hops=NSW_HOPS,
+        l1_mod=HNSW_L1_MOD,
+        max_cell=EMBED_MULTI_MAX_CELL,
+        nprobe=EMBED_PAIR_NPROBE,
+    )
+
+
+def _adj_rows(mon, spark, after):
+    return sorted(
+        (r.layer, r.src, r.dst, r.dist_q)
+        for r in mon._read_adj(spark, after + 1).collect()
+    )
+
+
+def _search_rows(mon, spark, queries, after):
+    return sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.dist_q)
+        for r in mon.search(spark, queries, after).collect()
+    )
+
+
+def test_ann_index_stream_equals_batch(spark, tmp_path):
+    """Feeding the arrival slice through the foreachBatch insert sink
+    in three micro-batches (split by vec_id mod 3) yields the same
+    final adjacency — layer by layer — and the same served search
+    results as folding nsw_insert over the same three groups in batch
+    order: stream==batch for the tenth deployment form."""
+    emb, base, arrivals = _split(spark)
+    seeds = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+    queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
+
+    mon = _mon(tmp_path)
+    mon.init(base, seeds)
+    for i in range(3):
+        mon(arrivals.filter(F.col("vec_id") % 3 == i), i)
+
+    # batch twin: the same operator folds, applied sequentially
+    from flink_pipeline_spark.functions.portable import hash56
+
+    def l1(df):
+        return df.filter(hash56(F.col("vec_id")) % HNSW_L1_MOD == 0)
+
+    kw = dict(deg=NSW_DEG, beam=NSW_BEAM, hops=NSW_HOPS)
+    gkw = dict(
+        deg=NSW_DEG,
+        max_cell=EMBED_MULTI_MAX_CELL,
+        nprobe=EMBED_PAIR_NPROBE,
+        keep_dist=True,
+    )
+    a0 = nsw_graph(base, seeds, **gkw).localCheckpoint(eager=True)
+    a1 = nsw_graph(l1(base), seeds, **gkw).localCheckpoint(eager=True)
+    idx = base
+    for i in range(3):
+        grp = arrivals.filter(F.col("vec_id") % 3 == i)
+        a0 = nsw_insert(idx, a0, grp, **kw).localCheckpoint(eager=True)
+        a1 = nsw_insert(
+            l1(idx), a1, l1(grp), **kw
+        ).localCheckpoint(eager=True)
+        idx = idx.unionByName(grp).localCheckpoint(eager=True)
+
+    want_adj = sorted(
+        [(0, r.src, r.dst, r.dist_q) for r in a0.collect()]
+        + [(1, r.src, r.dst, r.dist_q) for r in a1.collect()]
+    )
+    assert _adj_rows(mon, spark, 2) == want_adj and want_adj
+
+    want_search = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.dist_q)
+        for r in hnsw_search(
+            idx,
+            queries,
+            a0.select("src", "dst"),
+            a1.select("src", "dst"),
+            l1_members=l1(idx),
+            k=3,
+            beam=NSW_BEAM,
+            hops=NSW_HOPS,
+        ).collect()
+    )
+    got_search = _search_rows(mon, spark, queries, 2)
+    assert got_search == want_search and got_search
+
+
+def test_ann_index_crash_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch re-reads strictly-before state and
+    re-derives the identical adjacency snapshot and vector log
+    instead of double-linking."""
+    emb, base, arrivals = _split(spark)
+    seeds = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+    queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
+    mon = _mon(tmp_path)
+    mon.init(base, seeds)
+    mon(arrivals.filter(F.col("vec_id") % 2 == 0), 0)
+    mon(arrivals.filter(F.col("vec_id") % 2 == 1), 1)
+    adj_after = _adj_rows(mon, spark, 1)
+    search_after = _search_rows(mon, spark, queries, 1)
+    mon(arrivals.filter(F.col("vec_id") % 2 == 1), 1)  # crash replay
+    assert _adj_rows(mon, spark, 1) == adj_after
+    assert _search_rows(mon, spark, queries, 1) == search_after
+
+
+def test_ann_index_guards(spark, tmp_path):
+    """Uninitialized store raises on insert AND search; reading
+    pruned adjacency history raises; the vector log is never pruned."""
+    emb, base, arrivals = _split(spark)
+    seeds = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+    mon = _mon(tmp_path)
+    with pytest.raises(ValueError, match="init"):
+        mon(arrivals, 0)
+    with pytest.raises(ValueError, match="init"):
+        mon.search(spark, emb.limit(1), -1)
+    mon.init(base, seeds)
+    empty = arrivals.filter(F.col("vec_id") < 0)
+    mon(empty, 0)
+    mon(empty, 1)
+    mon(empty, 2)
+    # batch_id=-1 and 0 adjacency snapshots are pruned now
+    with pytest.raises(ValueError, match="no adjacency snapshot"):
+        mon._read_adj(spark, 0)
+    # the vector log keeps every partition (it IS the index's storage)
+    from flink_pipeline_spark.streaming.heavy import partition_ids
+
+    assert sorted(partition_ids(spark, mon._path("vecs"))) == [-1, 0, 1, 2]
+
+
+def test_hnsw_store_serves_without_rebuilding(spark):
+    """Second call of the serving query must READ the published
+    store, not rebuild it: the store's adjacency file mtimes are
+    unchanged across calls, and the served rows equal the
+    build-per-run audit query's."""
+    from flink_pipeline_spark.plans.llm_ops import (
+        HNSW_INDEX_CACHE,
+        _hnsw_store_key,
+        q_sim_hnsw_search,
+        q_sim_hnsw_topk,
+    )
+
+    first = sorted(
+        map(tuple, q_sim_hnsw_search(spark, SMALL_SF).collect())
+    )
+    store = os.path.join(HNSW_INDEX_CACHE, _hnsw_store_key(SMALL_SF))
+    stamp = {
+        p: os.path.getmtime(os.path.join(r, p))
+        for r, _, fs in os.walk(os.path.join(store, "adj"))
+        for p in fs
+    }
+    second = sorted(
+        map(tuple, q_sim_hnsw_search(spark, SMALL_SF).collect())
+    )
+    stamp2 = {
+        p: os.path.getmtime(os.path.join(r, p))
+        for r, _, fs in os.walk(os.path.join(store, "adj"))
+        for p in fs
+    }
+    assert stamp == stamp2, "serving query rebuilt a published store"
+    want = sorted(map(tuple, q_sim_hnsw_topk(spark, SMALL_SF).collect()))
+    assert first == second == want and first
