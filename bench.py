@@ -240,6 +240,13 @@ HEADLINE = [
     "q_unigram_em",
     "q_sim_nsw_descent",
     "q_sim_hnsw_topk",
+    # r11: the ANN serving split — q_sim_hnsw_topk prices BUILD (both
+    # layer graphs per run); q_sim_hnsw_search prices SERVING (beam
+    # probes over the persisted store: the warm-up sweep publishes the
+    # store once, the timed repeats never rebuild); q_sim_nsw_insert
+    # prices the per-batch incremental fold between them
+    "q_sim_hnsw_search",
+    "q_sim_nsw_insert",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"

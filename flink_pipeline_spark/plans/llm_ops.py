@@ -2322,7 +2322,13 @@ def _nsw_shrink_sql(cand: str, p: str, keep_dist: bool = False) -> str:
     (src, dst, dist_q) candidate CTE. Shared by the round-0 build and
     the NN-descent refinement so the selection rule cannot fork.
     ``keep_dist`` keeps dist_q on the final adjacency (the persisted-
-    index store form, mirroring operators nsw_graph's flag)."""
+    index store form, mirroring operators nsw_graph's flag).
+
+    The adjacency is MATERIALIZED: every beam hop references it, and
+    DuckDB re-evaluates a plain CTE per reference — the whole graph
+    build re-ran up to 9x in the multi-beam audits (272 s -> 4.8 s
+    for q_ann_hnsw_beam once materialized). Spark's localCheckpoint
+    on the Spark side is the same decision."""
     dcol = ", dist_q" if keep_dist else ""
     return f"""{p}kept AS (
         SELECT src, dst, dist_q FROM (
@@ -2337,7 +2343,7 @@ def _nsw_shrink_sql(cand: str, p: str, keep_dist: bool = False) -> str:
             UNION ALL
             SELECT dst AS src, src AS dst, dist_q FROM {p}kept
         ) u
-    ), {p}adj AS (
+    ), {p}adj AS MATERIALIZED (
         SELECT src, dst{dcol} FROM (
             SELECT src, dst, dist_q,
                    row_number() OVER (
@@ -2358,7 +2364,11 @@ _NSW_QS_ENTRY_SQL = f"""qs AS (
 
 
 def _nsw_beam_sql(
-    adj: str, p: str, b0: str | None = None, qs: str = "qs"
+    adj: str,
+    p: str,
+    b0: str | None = None,
+    qs: str = "qs",
+    beam: int = NSW_BEAM,
 ) -> str:
     """b0..bH beam-unroll CTE text over adjacency CTE ``adj`` (the
     kmeans/BPE trajectory-unroll convention), names prefixed by ``p``
@@ -2366,7 +2376,8 @@ def _nsw_beam_sql(
     overrides the seed CTE body (the HNSW per-query descent hand-off);
     default = every query at the global ``entry`` node. ``qs`` names
     the (query_id, eq) query-set CTE — the insert form beams the
-    ARRIVING vectors, not the audit query set."""
+    ARRIVING vectors, not the audit query set. ``beam`` parameterizes
+    the width (the serving knob the beam-sensitivity audit sweeps)."""
     beam_cte = f"""
     {p}c{{i}} AS (
         SELECT query_id, node FROM {p}b{{j}}
@@ -2383,7 +2394,7 @@ def _nsw_beam_sql(
                   FROM {p}c{{i}} c
                   JOIN {qs} q ON q.query_id = c.query_id
                   JOIN embeddings m ON m.vec_id = c.node) s
-        ) t WHERE rn <= {NSW_BEAM}
+        ) t WHERE rn <= {beam}
     )"""
     if b0 is None:
         b0 = f"""SELECT q.query_id, e.node, {_NSW_DISTQM} AS dist_q
@@ -2768,7 +2779,7 @@ def _register_nsw_insert():
         SELECT src, dst, dist_q FROM ilinks
         UNION ALL
         SELECT dst AS src, src AS dst, dist_q FROM ilinks
-    ), nadj AS (
+    ), nadj AS MATERIALIZED (
         SELECT src, dst FROM (
             SELECT src, dst,
                    row_number() OVER (
@@ -3145,6 +3156,21 @@ q_select_mmr.__doc__ = q_select_mmr.__doc__.format(
 )
 
 
+# exact squared-L2 ground truth over the audit query set — shared by
+# q_ann_recall and the hnsw beam-width sensitivity audit (one truth
+# text, so the two audits cannot score against diverging baselines)
+_EXACT_L2_TRUTH_SQL = f"""
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DISTQ_DUCK.format(a='q.embedding', b='e.embedding')},
+                                e.vec_id) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < {PQ_QUERY_MAX}
+        ) t WHERE rank <= 3"""
+
+
 def _register_ann_recall() -> None:
     """Registered via a closure so the oracle can COMPOSE the already-
     registered exact / IVF / PQ search oracles as CTEs — one source of
@@ -3165,16 +3191,7 @@ def _register_ann_recall() -> None:
     # normalized, so cosine truth for the L2-ranked PQ path conflated
     # metric mismatch with quantization loss; now the PQ row isolates
     # pure quantization error).
-    exact_l2_sql = f"""
-        SELECT query_id, neighbor_id, rank FROM (
-            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY {_DISTQ_DUCK.format(a='q.embedding', b='e.embedding')},
-                                e.vec_id) AS rank
-            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-            WHERE q.vec_id < {PQ_QUERY_MAX}
-        ) t WHERE rank <= 3"""
+    exact_l2_sql = _EXACT_L2_TRUTH_SQL
     exact_dot_sql = f"""
         SELECT query_id, neighbor_id, rank FROM (
             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -3212,9 +3229,9 @@ def _register_ann_recall() -> None:
     hnsw_sql = ORACLES["q_sim_hnsw_topk"]
     oracle = (
         f"WITH exact_r AS ({exact_sql}),\n"
-        f" exact_q AS (SELECT * FROM exact_r WHERE query_id < {PQ_QUERY_MAX}),\n"
-        f" exact_l2 AS ({exact_l2_sql}),\n"
-        f" exact_dot AS ({exact_dot_sql}),\n"
+        f" exact_q AS MATERIALIZED (SELECT * FROM exact_r WHERE query_id < {PQ_QUERY_MAX}),\n"
+        f" exact_l2 AS MATERIALIZED ({exact_l2_sql}),\n"
+        f" exact_dot AS MATERIALIZED ({exact_dot_sql}),\n"
         f" ivf_r AS ({ivf_sql}),\n"
         f" ivf_q AS (SELECT * FROM ivf_r WHERE query_id < {PQ_QUERY_MAX}),\n"
         f" pq_q AS ({pq_sql}),\n"
@@ -3409,6 +3426,158 @@ def _register_ann_recall() -> None:
 
 
 _register_ann_recall()
+
+
+HNSW_BEAMS = (4, 8, 16)  # the serving-knob sweep: half / default / double
+
+
+def _register_hnsw_beam_audit() -> None:
+    """HNSW beam-width sensitivity audit (r10 verdict ask #6): the
+    recall-vs-cost curve of the SERVING knob, measured the way the
+    per-method rows priced the hash families. Graphs are built once;
+    only the two beam widths vary per row."""
+    l1 = f"""l1v AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE {hash56_sql_duckdb('vec_id')} % {HNSW_L1_MOD} = 0
+    )"""
+    head = (
+        f"\n    WITH {l1}, {_nsw_graph_sql_for('l1v', 'u')}, "
+        f"{_nsw_graph_sql_for('embeddings', 'z')}, {_NSW_QS_ENTRY_SQL}, "
+        """uentry AS (
+        SELECT min(vec_id) AS node FROM l1v
+    ), exact_l2 AS MATERIALIZED ("""
+        + _EXACT_L2_TRUTH_SQL
+        + """
+    ), td AS MATERIALIZED (
+        SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq,
+               CAST(max(rank) AS BIGINT) AS k FROM exact_l2
+    )"""
+    )
+    parts = [head]
+    rows = []
+    for b in HNSW_BEAMS:
+        up, zp = f"u{b}", f"z{b}"
+        b0_u = f"""SELECT q.query_id, e.node, {_NSW_DISTQM} AS dist_q
+        FROM qs q CROSS JOIN uentry e JOIN embeddings m ON m.vec_id = e.node"""
+        parts.append(_nsw_beam_sql("uadj", up, b0=b0_u, beam=b))
+        parts.append(f"""e{b} AS (
+        SELECT query_id, node FROM (
+            SELECT query_id, node,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_q, node) AS rn
+            FROM {up}b{NSW_HOPS}
+        ) t WHERE rn = 1
+    )""")
+        b0_z = f"""SELECT q.query_id, e.node, {_NSW_DISTQM} AS dist_q
+        FROM qs q JOIN e{b} e ON e.query_id = q.query_id
+        JOIN embeddings m ON m.vec_id = e.node"""
+        parts.append(_nsw_beam_sql("zadj", zp, b0=b0_z, beam=b))
+        parts.append(f"""res{b} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, node AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY dist_q, node) AS rank
+            FROM {zp}b{NSW_HOPS} WHERE node <> query_id
+        ) t WHERE rank <= 3
+    )""")
+        parts.append(f"""h{b} AS (
+        SELECT CAST(coalesce(sum(
+                   CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+               ), 0) AS BIGINT) AS hits
+        FROM res{b} r LEFT JOIN exact_l2 e
+          ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+    )""")
+        rows.append(
+            f"SELECT 'hnsw_b{b}' AS method, d.nq AS n_queries, h.hits, "
+            + round_sql("h.hits::DOUBLE / (d.k * d.nq)")
+            + f" AS recall FROM h{b} h CROSS JOIN td d"
+        )
+    oracle = ", ".join(parts) + "\n    " + " UNION ALL ".join(rows)
+
+    @register("q_ann_hnsw_beam", oracle=oracle)
+    def q_ann_hnsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Beam-width sensitivity of two-layer HNSW search: recall@3
+        vs exact squared-L2 truth at beam {beams} — the serving
+        knob's measured recall-vs-cost curve (per-query search cost
+        is LINEAR in beam width: O(beam * 2*deg * hops) candidate
+        scores, so each row's marginal recall prices exactly what
+        doubling the budget buys; the way per-method rows priced the
+        hash dedup families, r10 ask #6). Both layer graphs are built
+        ONCE and shared across the sweep — only the search differs,
+        so the rows isolate the knob and nothing else. An operator of
+        the persisted store reads this audit to pick the beam its SLA
+        affords — and the measured curve is NOT monotone (sf0.01:
+        b4 0.5833 > b8 = b16 0.4167): within one layer a wider beam's
+        visited set strictly contains a narrower one's, but the
+        HIERARCHY couples the layers — a wider layer-1 beam can hand
+        off a different (distance-better) entry node whose base-layer
+        NEIGHBORHOOD navigates worse on isotropic fixtures. The audit
+        keeps that honest instead of assuming the knob's textbook
+        shape; on real (clustered) embeddings the coupling weakens
+        and the curve typically flattens upward.
+
+        Scale: the sweep multiplies only the per-query beam frames
+        (broadcast, O(beam * deg) rows each) — the corpus-sized build
+        is shared and the truth is the audit-set brute force the
+        recall family already prices."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        seeds = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+        queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
+        sub = emb.filter(
+            hash56(F.col("vec_id")) % HNSW_L1_MOD == 0
+        ).select("vec_id", "embedding")
+        gkw = dict(
+            deg=NSW_DEG,
+            max_cell=EMBED_MULTI_MAX_CELL,
+            nprobe=EMBED_PAIR_NPROBE,
+        )
+        adj1 = nsw_graph(sub, seeds, **gkw).localCheckpoint(eager=True)
+        adj0 = nsw_graph(emb, seeds, **gkw).localCheckpoint(eager=True)
+        truth = topk_neighbors_l2(emb, queries, k=3).localCheckpoint(
+            eager=True
+        )
+        denom = truth.agg(
+            F.countDistinct("query_id").cast("long").alias("nq"),
+            F.max("rank").cast("long").alias("k"),
+        )
+        pairs = truth.select("query_id", "neighbor_id").withColumn(
+            "hit", F.lit(1)
+        )
+        out = None
+        for b in HNSW_BEAMS:
+            res = hnsw_search(
+                emb,
+                queries,
+                adj0,
+                adj1,
+                l1_members=sub,
+                k=3,
+                beam=b,
+                hops=NSW_HOPS,
+            )
+            h = res.join(
+                F.broadcast(pairs), ["query_id", "neighbor_id"], "left"
+            ).agg(
+                F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("hits")
+            )
+            row = h.crossJoin(F.broadcast(denom)).select(
+                F.lit(f"hnsw_b{b}").alias("method"),
+                F.col("nq").alias("n_queries"),
+                "hits",
+                round_agg(
+                    F.col("hits").cast("double") / (F.col("k") * F.col("nq"))
+                ).alias("recall"),
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
+    q_ann_hnsw_beam.__doc__ = q_ann_hnsw_beam.__doc__.format(
+        beams="/".join(str(b) for b in HNSW_BEAMS)
+    )
+
+
+_register_hnsw_beam_audit()
 
 
 @register(
