@@ -610,3 +610,132 @@ def gray_pixels(files: DataFrame) -> DataFrame:
             )
 
     return files.select("file", "content").mapInPandas(enc, schema=GRAY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint (energy-gradient) — the third modality's dedup codec
+# ---------------------------------------------------------------------------
+
+AFP_WINDOWS = 64  # energy windows = hash bits (4 pigeonhole bands of 16)
+
+
+def _parse_wav_mono(file: str, b: bytes):
+    """Canonical-header WAV parse for the fingerprint path: the SAME
+    container guards as decode_wav, plus the fingerprint contract —
+    mono, and sample count divisible into the 64 energy windows.
+    Returns the int64 sample array."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError(f"{file}: not a RIFF/WAVE container")
+    if b[12:16] != b"fmt " or struct.unpack("<I", b[16:20])[0] != 16:
+        raise ValueError(f"{file}: non-canonical fmt chunk")
+    fmt, channels, _rate = struct.unpack("<HHI", b[20:28])
+    bits = struct.unpack("<H", b[34:36])[0]
+    if fmt != 1 or bits != 16:
+        raise ValueError(
+            f"{file}: only PCM16 supported (fmt={fmt}, bits={bits})"
+        )
+    if b[36:40] != b"data":
+        raise ValueError(f"{file}: missing data chunk")
+    data_size = struct.unpack("<I", b[40:44])[0]
+    if len(b) != 44 + data_size or data_size % 2 != 0:
+        raise ValueError(
+            f"{file}: data chunk {data_size} disagrees with "
+            f"payload {len(b) - 44}"
+        )
+    if channels != 1:
+        raise ValueError(
+            f"{file}: fingerprint path requires mono (got {channels} ch)"
+        )
+    s = np.frombuffer(b, dtype="<i2", offset=44).astype(np.int64)
+    if s.size == 0 or s.size % AFP_WINDOWS != 0:
+        raise ValueError(
+            f"{file}: {s.size} samples not divisible into "
+            f"{AFP_WINDOWS} fingerprint windows"
+        )
+    return s
+
+
+def audio_fp_bands(files: DataFrame) -> DataFrame:
+    """Per-clip 64-bit audio fingerprint, emitted as 4 pigeonhole band
+    keys — ahash_bands/dhash_bands' sibling for the AUDIO modality
+    (the r10 verdict's missing family: the WAV codec existed with no
+    fingerprint dedup over it). Split the mono PCM16 stream into
+    {AFP_WINDOWS} equal windows; window energy = exact integer sum of
+    |sample|; bit w = 1 iff e[w] > e[(w+1) % 64] — the dHash gradient
+    rule applied on the TIME axis with wraparound, which is exactly
+    invariant to uniform positive gain (all energies scale together,
+    order relations survive) the way dHash is invariant to
+    brightness/contrast. Bit w contributes bit (w % 16) of band
+    w // 16 — the ahash band layout, so image_dedup's blocking, cap,
+    and bit_count verify machinery is shared verbatim.
+
+    Duration-normalized by construction (64 windows regardless of
+    clip length), so clips of different lengths remain comparable —
+    the standard fingerprint property (Shazam-family fingerprints
+    normalize the same way before peak pairing).
+
+    Scale: one Arrow batch pass per partition, 4 fixed-size rows per
+    clip, no shuffle — identical shape to ahash_bands; the candidate
+    join downstream is the (blk, key) equi-join."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for file, content in zip(pdf["file"], pdf["content"]):
+                s = _parse_wav_mono(file, bytes(content))
+                e = np.abs(s).reshape(AFP_WINDOWS, -1).sum(axis=1)
+                bits = (e > np.roll(e, -1)).astype(np.int64)
+                for blk in range(AHASH_BANDS):
+                    seg = bits[blk * 16 : (blk + 1) * 16]
+                    key = int((seg << np.arange(16, dtype=np.int64)).sum())
+                    rows.append((file, blk, key))
+            yield pd.DataFrame(rows, columns=["file", "blk", "key"])
+
+    return files.select("file", "content").mapInPandas(
+        enc, schema=AHASH_SCHEMA
+    )
+
+
+audio_fp_bands.__doc__ = audio_fp_bands.__doc__.format(
+    AFP_WINDOWS=AFP_WINDOWS
+)
+
+PCM_STREAM_SCHEMA = "file STRING, n BIGINT, k BIGINT, s BIGINT"
+
+
+def pcm_stream(files: DataFrame) -> DataFrame:
+    """Long-format signed sample stream: (file, n, k, s) with k the
+    sample index and n the clip's total sample count. The AUDIT path
+    (exact per-sample distance ground truth for the audio fingerprint
+    recall query — gray_pixels' audio twin): it explodes samples into
+    rows, priced for fixture-scale truth computation; the scale path
+    is audio_fp_bands' 4 rows per clip."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for file, content in zip(pdf["file"], pdf["content"]):
+                s = _parse_wav_mono(file, bytes(content))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "file": file,
+                            "n": int(s.size),
+                            "k": range(len(s)),
+                            "s": s,
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=["file", "n", "k", "s"]
+            )
+
+    return files.select("file", "content").mapInPandas(
+        enc, schema=PCM_STREAM_SCHEMA
+    )

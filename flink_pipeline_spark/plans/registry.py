@@ -84,6 +84,7 @@ def _load_all() -> None:
         aggregates,
         analytics,
         analytics_shapes,
+        audio_dedup,
         corpus_ops,
         image_dedup,
         joins,

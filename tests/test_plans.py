@@ -331,6 +331,8 @@ _ALLOWED_BNLJ = {
     # r11: same vetted classes
     "q_sim_nsw_insert",      # 1-row entry broadcasts x2 (insert + audit beams)
     "q_sim_hnsw_search",     # 1-row layer entry broadcasts over the STORED graph
+    "q_ann_hnsw_beam",       # 1-row entry + denominator broadcasts x3 beams
+    "q_dedup_audio_fp_recall",  # 1-row truth-denominator broadcast
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.

@@ -298,3 +298,76 @@ def test_hnsw_store_serves_without_rebuilding(spark):
     assert stamp == stamp2, "serving query rebuilt a published store"
     want = sorted(map(tuple, q_sim_hnsw_topk(spark, SMALL_SF).collect()))
     assert first == second == want and first
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup family (q_dedup_audio_fp)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fp_bands_matches_python_reimplementation(spark):
+    """Recompute every fixture's energy-gradient fingerprint from raw
+    WAV bytes in plain Python/numpy (struct parse, |sample| window
+    sums, wraparound gradient bits, 16-bit band packing) and pin the
+    operator's band keys exactly — the dHash test discipline applied
+    to the audio modality."""
+    import glob
+    import struct
+
+    import numpy as np
+
+    from flink_pipeline_spark.operators.multimodal import audio_fp_bands
+    from flink_pipeline_spark.plans.audio_dedup import (
+        AFP_DIR,
+        _load_afp_files,
+    )
+
+    got = {
+        (r.file, r.blk): r.key
+        for r in audio_fp_bands(_load_afp_files(spark)).collect()
+    }
+    expect = {}
+    paths = sorted(glob.glob(os.path.join(AFP_DIR, "*.wav")))
+    assert paths, "audio_fp fixture corpus missing"
+    for path in paths:
+        b = open(path, "rb").read()
+        assert b[:4] == b"RIFF" and b[36:40] == b"data"
+        assert struct.unpack("<HH", b[20:24]) == (1, 1)  # PCM, mono
+        s = np.frombuffer(b, dtype="<i2", offset=44).astype(np.int64)
+        e = np.abs(s).reshape(64, -1).sum(axis=1)
+        bits = (e > np.roll(e, -1)).astype(np.int64)
+        for blk in range(4):
+            seg = bits[blk * 16 : (blk + 1) * 16]
+            expect[(os.path.basename(path), blk)] = int(
+                (seg * (1 << np.arange(16))).sum()
+            )
+    assert got == expect
+
+
+def test_audio_fp_fixture_story_pinned(spark):
+    """The engineered corpus' readings stay exactly the story the
+    docstrings tell: gain pair at hamming 0, small noise at 2 (plus
+    its transitive gain companion), moderate noise absent (flips 5),
+    and the recall row reads (n_truth=2, n_method=3, hits=1,
+    recall=0.5, prec=0.3333)."""
+    from flink_pipeline_spark.plans import query_fns
+
+    qs = query_fns()
+    pairs = {
+        (r.file_a, r.file_b): r.hamming
+        for r in qs["q_dedup_audio_fp"](spark, SMALL_SF).collect()
+    }
+    assert pairs == {
+        ("afp_a.wav", "afp_a_gain.wav"): 0,
+        ("afp_a.wav", "afp_a_noise.wav"): 2,
+        ("afp_a_gain.wav", "afp_a_noise.wav"): 2,
+    }
+    row = qs["q_dedup_audio_fp_recall"](spark, SMALL_SF).collect()[0]
+    assert (
+        row.method,
+        row.n_truth,
+        row.n_method,
+        row.hits,
+        row.recall,
+        row.prec,
+    ) == ("afp", 2, 3, 1, 0.5, 0.3333)
