@@ -371,3 +371,107 @@ def test_audio_fp_fixture_story_pinned(spark):
         row.recall,
         row.prec,
     ) == ("afp", 2, 3, 1, 0.5, 0.3333)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM prune round (q_unigram_prune)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_prune_matches_bruteforce_python(spark):
+    """Full prune-round recomputation in plain Python — seed vocab
+    from scratch, EXHAUSTIVE segmentation enumeration for the full
+    scores AND every loss-if-removed probe, likelihood-loss prune,
+    round-2 E+M — pinned row-for-row against the registered query
+    (the q_unigram_em test discipline extended to the iterate). Also
+    pins the prune's point: at least one seed piece with nonzero
+    corpus frequency is dropped for carrying zero likelihood loss."""
+    import math
+    from collections import Counter
+
+    from flink_pipeline_spark.plans import query_fns
+    from flink_pipeline_spark.plans.llm_ops import (
+        UNIGRAM_KEEP,
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_SCALE,
+        UNIGRAM_SEED_MULTI,
+        UNIGRAM_TOP,
+    )
+
+    docs = load_table(spark, SMALL_SF, "documents").select("text").collect()
+    wf = Counter()
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                wf[w] += 1
+    sub = Counter()
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for ln in range(1, min(UNIGRAM_MAX_PIECE, len(w) - i) + 1):
+                sub[w[i : i + ln]] += f
+    chars = {p: c for p, c in sub.items() if len(p) == 1}
+    multi = dict(
+        sorted(
+            ((p, c) for p, c in sub.items() if len(p) >= 2),
+            key=lambda x: (-x[1], x[0]),
+        )[:UNIGRAM_SEED_MULTI]
+    )
+
+    def scores(vocab):
+        total = sum(vocab.values())
+        return {
+            p: int(math.floor(math.log(c / total) * UNIGRAM_SCALE + 0.5))
+            for p, c in vocab.items()
+        }
+
+    def all_segs(w, score):
+        if not w:
+            yield 0, []
+            return
+        for ln in range(1, min(UNIGRAM_MAX_PIECE, len(w)) + 1):
+            p = w[:ln]
+            if p in score:
+                for s, rest in all_segs(w[ln:], score):
+                    yield score[p] + s, [p] + rest
+
+    score1 = scores({**chars, **multi})
+    s_full = {w: max(s for s, _ in all_segs(w, score1)) for w in wf}
+    loss = {}
+    for p in multi:
+        tot = 0
+        for w, f in wf.items():
+            s_wo = max(
+                s for s, seg in all_segs(w, score1) if p not in seg
+            )
+            tot += f * (s_full[w] - s_wo)
+        loss[p] = tot
+    kept = [
+        p
+        for p, _ in sorted(loss.items(), key=lambda x: (-x[1], x[0]))[
+            :UNIGRAM_KEEP
+        ]
+    ]
+    # the prune's point, pinned: a frequent-but-cheap piece drops
+    dropped = set(multi) - set(kept)
+    assert dropped and any(loss[p] == 0 for p in dropped)
+
+    vocab2 = {**chars, **{p: multi[p] for p in kept}}
+    score2 = scores(vocab2)
+    newc = Counter()
+    for w, f in wf.items():
+        cands = list(all_segs(w, score2))
+        top = max(s for s, _ in cands)
+        seg = min("\x1f".join(p) for s, p in cands if s == top)
+        for p in seg.split("\x1f"):
+            newc[p] += f
+    expect = sorted(
+        ((p, c) for p, c in newc.items()), key=lambda x: (-x[1], x[0])
+    )[:UNIGRAM_TOP]
+    expect = [(p, c, i + 1) for i, (p, c) in enumerate(expect)]
+    got = [
+        (r.piece, r.cnt, r.rank)
+        for r in query_fns()["q_unigram_prune"](spark, SMALL_SF)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
