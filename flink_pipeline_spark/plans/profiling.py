@@ -559,6 +559,145 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Two-sample KS decision: c(alpha) for alpha = 0.05 (the classic
+# Smirnov asymptotic critical value; reject iff D > c * sqrt((n+m)/(n*m)))
+KS_C_ALPHA = 1.358
+
+# Shared statistic/threshold texts (identical IEEE op sequence both
+# engines): D and its critical value quantized to BIGINT
+# hundred-millionths, the PSI convention. The only non-arithmetic op
+# is sqrt — IEEE correctly-rounded and deterministic in both engines
+# (the portable.py exemption), so unlike the ln-carrying PSI terms
+# these rows carry NO ulp caveat at all.
+_KS_D_SQL = (
+    "CAST(floor(CAST(d_num AS DOUBLE)"
+    " / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE))"
+    " * 100000000 + 0.5) AS BIGINT)"
+)
+_KS_T_SQL = (
+    f"CAST(floor({KS_C_ALPHA}"
+    " * sqrt((CAST(nr AS DOUBLE) + CAST(nc AS DOUBLE))"
+    "        / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)))"
+    " * 100000000 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "q_drift_ks",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               CAST(floor(value / {PSI_BUCKET_WIDTH}) AS BIGINT) AS bucket,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+        FROM events
+    ), cnt AS (
+        SELECT event_type, bucket,
+               CAST(sum(is_ref) AS BIGINT) AS n_ref_b,
+               CAST(sum(1 - is_ref) AS BIGINT) AS n_cur_b
+        FROM b GROUP BY event_type, bucket
+    ), cum AS (
+        SELECT event_type, bucket,
+               CAST(sum(n_ref_b) OVER w AS BIGINT) AS cum_ref,
+               CAST(sum(n_cur_b) OVER w AS BIGINT) AS cum_cur
+        FROM cnt
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), tot AS (
+        SELECT event_type,
+               CAST(sum(n_ref_b) AS BIGINT) AS nr,
+               CAST(sum(n_cur_b) AS BIGINT) AS nc
+        FROM cnt GROUP BY event_type
+    ), dstat AS (
+        SELECT c.event_type, t.nr, t.nc,
+               CAST(max(abs(c.cum_ref * t.nc - c.cum_cur * t.nr))
+                    AS BIGINT) AS d_num
+        FROM cum c JOIN tot t USING (event_type)
+        GROUP BY c.event_type, t.nr, t.nc
+    )
+    SELECT event_type, nr AS n_ref, nc AS n_cur,
+           {_KS_D_SQL} AS d_q,
+           {_KS_T_SQL} AS thresh_q,
+           CAST(CASE WHEN {_KS_D_SQL} > {_KS_T_SQL}
+                     THEN 1 ELSE 0 END AS BIGINT) AS drifted
+    FROM dstat
+    """,
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift DECISION between the PSI
+    cohorts (r10 verdict Missing #4 — the monitoring family had
+    p-chart/CUSUM/EWMA/PSI but no two-sample test with a threshold):
+    per event type, D = max over bucket boundaries of
+    |ECDF_ref - ECDF_cur| computed on the SAME fixed-width buckets as
+    q_drift_psi, against the Smirnov critical value
+    c(0.05) * sqrt((nr+nc)/(nr*nc)) — the standard gate a pipeline
+    runs before a mixture change ships: PSI describes the shift's
+    size, KS DECIDES at a significance level.
+
+    Exactness: the D numerator is the EXACT BIGINT
+    max |cum_ref * nc - cum_cur * nr| (cross-multiplied ECDFs — no
+    division until the final quantize), and both D and the threshold
+    quantize to hundred-millionths through a shared expression text;
+    the only transcendental-adjacent op is sqrt, which is IEEE
+    correctly-rounded in both engines — these rows carry no ulp
+    caveat. The in-row `drifted` flag compares the two quantized
+    BIGINTs, so the decision itself is pure integer.
+
+    Scale — the PSI discipline exactly: the corpus reduces map-side
+    to #types x #buckets integer cells; the ECDF window, the max, and
+    the decision all run on that tiny grid."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.floor(F.col("value") / PSI_BUCKET_WIDTH)
+        .cast("long")
+        .alias("bucket"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("is_ref"),
+    )
+    cnt = b.groupBy("event_type", "bucket").agg(
+        F.sum("is_ref").cast("long").alias("n_ref_b"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur_b"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.select(
+        "event_type",
+        "bucket",
+        F.sum("n_ref_b").over(w).cast("long").alias("cum_ref"),
+        F.sum("n_cur_b").over(w).cast("long").alias("cum_cur"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("n_ref_b").cast("long").alias("nr"),
+        F.sum("n_cur_b").cast("long").alias("nc"),
+    )
+    dstat = (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "nr", "nc")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_ref") * F.col("nc")
+                    - F.col("cum_cur") * F.col("nr")
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    return dstat.select(
+        "event_type",
+        F.col("nr").alias("n_ref"),
+        F.col("nc").alias("n_cur"),
+        F.expr(_KS_D_SQL).alias("d_q"),
+        F.expr(_KS_T_SQL).alias("thresh_q"),
+        (F.expr(_KS_D_SQL) > F.expr(_KS_T_SQL))
+        .cast("long")
+        .alias("drifted"),
+    )
+
+
 # Equi-depth histogram: EQD_BUCKETS buckets of ~equal row count, the
 # quantile-boundary twin of q_histogram's fixed-width buckets.
 EQD_BUCKETS = 4
