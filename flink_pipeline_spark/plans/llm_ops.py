@@ -2903,6 +2903,30 @@ def _hnsw_monitor(store_dir: str):
     )
 
 
+def _hnsw_store_dir(sf_dir: str) -> str:
+    """Resolved store path for ``sf_dir``'s persisted index. The key
+    folds in the corpus parquet's FILE IDENTITY (names, sizes,
+    mtimes — a pure driver-side listing, no Spark job): a path alone
+    is not an identity — probe corpora are REGENERATED in place under
+    version markers, and a regenerated corpus must never be served a
+    stale index (the r8 probe-marker hazard). A content-identical
+    rewrite costs one spurious rebuild; a content-changed rewrite can
+    never serve stale."""
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = []
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    key = _hnsw_store_key(sf_dir + "\x00" + "|".join(parts))
+    return os.path.join(HNSW_INDEX_CACHE, key)
+
+
 def hnsw_store_for(spark: SparkSession, sf_dir: str):
     """The persisted HNSW index monitor for ``sf_dir``, building and
     atomically publishing the store on first use (two concurrent
@@ -2911,7 +2935,7 @@ def hnsw_store_for(spark: SparkSession, sf_dir: str):
     import os
     import shutil
 
-    store = os.path.join(HNSW_INDEX_CACHE, _hnsw_store_key(sf_dir))
+    store = _hnsw_store_dir(sf_dir)
     if not os.path.isdir(os.path.join(store, "adj", "batch_id=-1")):
         emb = load_table(spark, sf_dir, "embeddings")
         tmp = f"{store}.build.{os.getpid()}"

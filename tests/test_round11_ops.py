@@ -272,8 +272,7 @@ def test_hnsw_store_serves_without_rebuilding(spark):
     unchanged across calls, and the served rows equal the
     build-per-run audit query's."""
     from flink_pipeline_spark.plans.llm_ops import (
-        HNSW_INDEX_CACHE,
-        _hnsw_store_key,
+        _hnsw_store_dir,
         q_sim_hnsw_search,
         q_sim_hnsw_topk,
     )
@@ -281,7 +280,7 @@ def test_hnsw_store_serves_without_rebuilding(spark):
     first = sorted(
         map(tuple, q_sim_hnsw_search(spark, SMALL_SF).collect())
     )
-    store = os.path.join(HNSW_INDEX_CACHE, _hnsw_store_key(SMALL_SF))
+    store = _hnsw_store_dir(SMALL_SF)
     stamp = {
         p: os.path.getmtime(os.path.join(r, p))
         for r, _, fs in os.walk(os.path.join(store, "adj"))
