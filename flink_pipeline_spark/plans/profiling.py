@@ -14,7 +14,7 @@ functions/portable.py) so the driver's value hash matches DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1713,3 +1713,137 @@ def q_error_rate_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_error_rate_ewma.__doc__ = q_error_rate_ewma.__doc__.format(
     num=EWMA_NUM, den=EWMA_DEN, h=EWMA_H_Q
 )
+
+
+# -------------------------------------------------- Count-Min sketch
+CM_D = 4     # hash rows (depth): overestimate needs a collision in ALL rows
+CM_W = 16    # buckets per row (width) — fixture-small so collisions occur
+CM_PROBES = 10  # point-queried tokens (the exact top-CM_PROBES by count)
+
+
+def cm_bucket_array() -> Column:
+    """Array of the CM_D bucket ids of the string column ``tok`` —
+    bucket of row d is hash56('d:' || tok) % CM_W. The ONE Spark
+    expression for Count-Min cell addressing: the grid build
+    (cm_cells), the batch point query (q_freq_cm) and the streaming
+    monitor (streaming/cm.py) all fan tokens out through THIS
+    function, so the sketch's hash family cannot fork between
+    deployments (the gram3_hashes convention)."""
+    return F.array(
+        *[
+            F.pmod(
+                hash56(F.concat(F.lit(f"{d}:"), F.col("tok"))), F.lit(CM_W)
+            )
+            for d in range(CM_D)
+        ]
+    )
+
+
+def cm_cells(docs: DataFrame) -> DataFrame:
+    """(tok, d, bucket): every token occurrence fanned out to its CM_D
+    Count-Min cells. groupBy(d, bucket) over this frame IS the sketch."""
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    return toks.select("tok", F.posexplode(cm_bucket_array()).alias("d", "bucket"))
+
+
+@register(
+    "q_freq_cm",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), cells AS (
+        SELECT t.tok, r.d,
+               {hash56_sql_duckdb("CAST(r.d AS VARCHAR) || ':' || t.tok")}
+                   % {CM_W} AS bucket
+        FROM toks t CROSS JOIN range(0, {CM_D}) r(d)
+    ), grid AS (
+        SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY d, bucket
+    ), exact AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM toks GROUP BY tok
+    ), probes AS (
+        SELECT tok, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, tok LIMIT {CM_PROBES}
+    ), pc AS (
+        SELECT p.tok, p.exact_cnt, r.d,
+               {hash56_sql_duckdb("CAST(r.d AS VARCHAR) || ':' || p.tok")}
+                   % {CM_W} AS bucket
+        FROM probes p CROSS JOIN range(0, {CM_D}) r(d)
+    ), est AS (
+        SELECT pc.tok, min(pc.exact_cnt) AS exact_cnt,
+               min(g.cnt) AS cm_estimate
+        FROM pc JOIN grid g ON g.d = pc.d AND g.bucket = pc.bucket
+        GROUP BY pc.tok
+    )
+    SELECT tok, exact_cnt, cm_estimate,
+           cm_estimate - exact_cnt AS overestimate,
+           {round_sql("(cm_estimate - exact_cnt)::DOUBLE / exact_cnt")}
+               AS rel_err
+    FROM est
+    """,
+)
+def q_freq_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN point-frequency sketch (Cormode & Muthukrishnan 2005)
+    with a measured-overestimate audit — the third member of the
+    mergeable-sketch family (KMV = distinct counts, bottom-k = 
+    quantiles, CM = point frequencies): every token occurrence
+    increments {d} grid cells (row d's bucket = hash56('d:'||tok) %
+    {w}), a token's frequency estimate is the MIN over its {d} cells,
+    and for the exact top-{p} tokens the exact count, the estimate,
+    the overestimate (>= 0 ALWAYS — Count-Min never undercounts, each
+    cell upper-bounds every member) and the relative error ride along
+    in the row. The audit convention: the sketch is only shippable
+    because its error is measured at this (d={d}, w={w}) geometry,
+    not assumed. The grid is deliberately narrow on the fixture's
+    31-type vocabulary so collisions — and therefore nonzero measured
+    overestimates — actually occur; a production width is sized
+    w = ceil(e/epsilon).
+
+    MERGEABLE: the grid is a plain per-cell sum, so sketch(A ++ B) =
+    sketch(A) + sketch(B) cell-wise — EXACT merge, the property the
+    streaming deployment (streaming/cm.py) pins stream==batch
+    bit-identically.
+
+    Scale: the grid agg is map-side-combinable and shuffles at most
+    {d}x{w} rows per partition REGARDLESS of vocabulary size (the
+    q_heavy_hitters phase-1 discipline — this is the sketch that
+    design reduces at a batch engine); the probe side is a fixed
+    {p}-row TakeOrdered broadcast. The exact-count pass is the AUDIT
+    — production ships the grid alone and answers point queries from
+    {d} lookups."""
+    d = load_table(spark, sf_dir, "documents")
+    grid = (
+        cm_cells(d)
+        .groupBy("d", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    probes = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "tok")
+        .limit(CM_PROBES)
+    )
+    pc = probes.select(
+        "tok", "exact_cnt", F.posexplode(cm_bucket_array()).alias("d", "bucket")
+    )
+    est = (
+        pc.join(F.broadcast(grid), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.min("exact_cnt").alias("exact_cnt"),
+            F.min("cnt").alias("cm_estimate"),
+        )
+    )
+    over = F.col("cm_estimate") - F.col("exact_cnt")
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "cm_estimate",
+        over.alias("overestimate"),
+        round_agg(over.cast("double") / F.col("exact_cnt")).alias("rel_err"),
+    )
+
+
+q_freq_cm.__doc__ = q_freq_cm.__doc__.format(d=CM_D, w=CM_W, p=CM_PROBES)

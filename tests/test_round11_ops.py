@@ -474,3 +474,110 @@ def test_unigram_prune_matches_bruteforce_python(spark):
         .collect()
     ]
     assert got == expect
+
+
+def test_streaming_cm_equals_batch_sketch(spark, tmp_path):
+    """Count-Min mergeability, deployed through a REAL stream: two
+    document micro-batches (maxFilesPerTrigger=1) summed into the
+    persisted grid equal the batch cm_cells grid over the concatenated
+    corpus bit-for-bit, and the monitor's point estimates equal the
+    registered q_freq_cm's cm_estimate column for the same probe set
+    — cell-wise addition is an EXACT merge, so stream == batch."""
+    from flink_pipeline_spark.plans.profiling import (
+        CM_D,
+        CM_W,
+        cm_cells,
+        q_freq_cm,
+    )
+    from flink_pipeline_spark.streaming.cm import CM_D as SD
+    from flink_pipeline_spark.streaming.cm import CM_W as SW
+    from flink_pipeline_spark.streaming.cm import CMMonitor, start_cm_stream
+
+    assert (CM_D, CM_W) == (SD, SW)
+
+    d = spark.read.parquet(SMALL_SF + "/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src = tmp_path / "src"
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+    schema = spark.read.parquet(str(src / "b1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    mon = CMMonitor(str(tmp_path / "store"))
+    q = start_cm_stream(stream, mon)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    streamed_grid = sorted(
+        (r.d, r.bucket, r.cnt)
+        for r in mon._read_latest(spark, 2).collect()
+    )
+    batch_grid = sorted(
+        (r.d, r.bucket, r.cnt)
+        for r in cm_cells(d)
+        .groupBy("d", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .collect()
+    )
+    assert streamed_grid == batch_grid
+
+    batch_dir = tmp_path / "sf"
+    d.write.parquet(str(batch_dir / "documents.parquet"))
+    batch = {
+        r.tok: r.cm_estimate
+        for r in q_freq_cm(spark, str(batch_dir)).collect()
+    }
+    probe = spark.createDataFrame(
+        [(t,) for t in sorted(batch)], "tok STRING"
+    )
+    streamed = {
+        r.tok: r.cm_estimate
+        for r in mon.estimates(spark, 1, probe).collect()
+    }
+    assert streamed == batch
+
+
+def test_streaming_cm_replay_idempotent(spark, tmp_path):
+    """Crash-replay of the newest batch reproduces the same grid —
+    batch_id=N overwrite partitions make the sum idempotent."""
+    from flink_pipeline_spark.streaming.cm import CMMonitor
+
+    d = spark.read.parquet(SMALL_SF + "/documents.parquet")
+    b1 = d.filter(F.col("doc_id") % 3 == 0)
+    b2 = d.filter(F.col("doc_id") % 3 == 1)
+    probe = spark.createDataFrame([("row",), ("scan",)], "tok STRING")
+    mon = CMMonitor(str(tmp_path / "store"))
+    mon(b1, 0)
+    mon(b2, 1)
+    first = sorted(
+        (r.tok, r.cm_estimate)
+        for r in mon.estimates(spark, 1, probe).collect()
+    )
+    mon(b2, 1)  # crash-replay
+    second = sorted(
+        (r.tok, r.cm_estimate)
+        for r in mon.estimates(spark, 1, probe).collect()
+    )
+    assert first == second
+
+
+def test_streaming_cm_store_reuse_raises(spark, tmp_path):
+    """A new stream pointed at a populated store loud-fails at batch 0
+    instead of silently double-counting (the heavy.py contract)."""
+    from flink_pipeline_spark.streaming.cm import CMMonitor
+
+    d = spark.read.parquet(SMALL_SF + "/documents.parquet")
+    mon = CMMonitor(str(tmp_path / "store"))
+    mon(d.limit(5), 0)
+    mon(d.limit(5), 1)
+    with pytest.raises(ValueError, match="already populated"):
+        mon(d.limit(5), 0)
