@@ -1256,12 +1256,11 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
 
 
-@register(
-    "q_sim_ivf_topk",
-    oracle=f"""
-    WITH assigned AS (
-{_SEED_ASSIGN_DUCK}
-    ), probes AS (
+# The ONE DuckDB text for the per-query centroid ranking (probe the 2
+# best of the 8 seed cells) — shared by the flat IVF search, the
+# filtered search, and the filtered-recall audit so the probe choice
+# cannot fork between them.
+_IVF_PROBES_DUCK = f"""
         SELECT query_id, cell FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS cell,
                    row_number() OVER (
@@ -1271,9 +1270,17 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 c.vec_id) AS rn
             FROM embeddings q JOIN embeddings c ON c.vec_id < {IVF_SEED_CENTROIDS}
             WHERE q.vec_id < 5
-        ) t WHERE rn <= 2
-    )
-    SELECT query_id, neighbor_id, rank, cos FROM (
+        ) t WHERE rn <= 2"""
+
+
+def _ivf_topk_select_duck(member_pred: str = "") -> str:
+    """The IVF probed-search SELECT (expects CTEs ``assigned`` and
+    ``probes`` in scope). ``member_pred`` is an extra predicate on the
+    scored cell members (``m``) — the attribute-constrained
+    ("filtered") search restricts candidates INSIDE the probed cells
+    with it, which is exactly where a production vector store applies
+    metadata filters."""
+    return f"""SELECT query_id, neighbor_id, rank, cos FROM (
         SELECT p.query_id, m.vec_id AS neighbor_id,
                floor({_COS_DUCK.format(a='q.embedding', b='m.embedding')} * 10000 + 0.5)
                  / 10000 AS cos,
@@ -1285,8 +1292,19 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN embeddings q ON q.vec_id = p.query_id
         JOIN assigned a ON a.cell = p.cell
         JOIN embeddings m ON m.vec_id = a.vec_id
-        WHERE m.vec_id <> p.query_id
-    ) t WHERE rank <= 3
+        WHERE m.vec_id <> p.query_id{member_pred}
+    ) t WHERE rank <= 3"""
+
+
+@register(
+    "q_sim_ivf_topk",
+    oracle=f"""
+    WITH assigned AS (
+{_SEED_ASSIGN_DUCK}
+    ), probes AS (
+{_IVF_PROBES_DUCK}
+    )
+    {_ivf_topk_select_duck()}
     """,
 )
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1304,6 +1322,205 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         nprobe=2,
     )
+
+
+FILT_LABEL = 3  # the metadata predicate of the filtered-ANN family
+
+
+@register(
+    "q_sim_filtered_topk",
+    oracle=f"""
+    WITH assigned AS (
+{_SEED_ASSIGN_DUCK}
+    ), probes AS (
+{_IVF_PROBES_DUCK}
+    )
+    {_ivf_topk_select_duck(f" AND m.label = {FILT_LABEL}")}
+    """,
+)
+def q_sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED (attribute-constrained) ANN search — the production
+    vector-store feature every retrieval stack needs: top-3 cosine
+    neighbors for each query (vec_id<5) among ONLY the corpus vectors
+    satisfying a metadata predicate (label = {label}, ~10% of the
+    corpus), found through the IVF index. The filter is applied
+    INSIDE the probed cells (pre-filtering): the quantizer assignment
+    is per-vector, so restricting the indexed corpus before the probe
+    join is exactly equivalent to filtering the full index's cell
+    members — the query plans the same broadcast-probe scan as
+    q_sim_ivf_topk with the label predicate pushed into the parquet
+    scan, and recall vs the exact FILTERED truth is bounded only by
+    the quantizer (measured in q_ann_filtered_recall, next to the
+    post-filter strategy it beats).
+
+    Scale: identical to q_sim_ivf_topk — per-query work is O(probed
+    cell members that pass the filter); the predicate prunes BEFORE
+    scoring, so a selective filter makes the search cheaper, not
+    slower. Contrast post-filtering (q_ann_filtered_recall's 'post'
+    row), which searches the unfiltered index and discards non-matching
+    results AFTER truncating to k — recall collapses with selectivity
+    while cost stays full."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_neighbors_ivf(
+        emb.filter(F.col("label") == FILT_LABEL),
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+        k=3,
+        nprobe=2,
+    )
+
+
+q_sim_filtered_topk.__doc__ = q_sim_filtered_topk.__doc__.format(
+    label=FILT_LABEL
+)
+
+
+@register(
+    "q_ann_filtered_recall",
+    oracle=f"""
+    WITH assigned AS (
+{_SEED_ASSIGN_DUCK}
+    ), probes AS (
+{_IVF_PROBES_DUCK}
+    ), pre AS (
+    {_ivf_topk_select_duck(f" AND m.label = {FILT_LABEL}")}
+    ), post AS (
+        SELECT f.query_id, f.neighbor_id FROM (
+        {_ivf_topk_select_duck()}
+        ) f JOIN embeddings n ON n.vec_id = f.neighbor_id
+        WHERE n.label = {FILT_LABEL}
+    ), truth AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY floor({_COS_DUCK.format(a='q.embedding', b='e.embedding')}
+                                      * 10000 + 0.5) / 10000 DESC,
+                                e.vec_id) AS rank
+            FROM embeddings q JOIN embeddings e
+              ON e.vec_id <> q.vec_id AND e.label = {FILT_LABEL}
+            WHERE q.vec_id < 5
+        ) t WHERE rank <= 3
+    ), m AS (
+        SELECT 'pre' AS method, query_id, neighbor_id FROM pre
+        UNION ALL
+        SELECT 'post', query_id, neighbor_id FROM post
+        UNION ALL
+        SELECT 'exact', query_id, neighbor_id FROM truth
+    ), counts AS (
+        SELECT m.method,
+               CAST(count(*) AS BIGINT) AS n_method,
+               CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM m LEFT JOIN truth t
+          ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+        GROUP BY m.method
+    ), grid AS (
+        SELECT unnest(['exact', 'pre', 'post']) AS method
+    ), tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+    SELECT g.method, tt.n_truth,
+           CAST(coalesce(c.n_method, 0) AS BIGINT) AS n_method,
+           CAST(coalesce(c.hits, 0) AS BIGINT) AS hits,
+           {round_sql('coalesce(c.hits, 0)::DOUBLE / tt.n_truth')} AS recall,
+           CASE WHEN coalesce(c.n_method, 0) = 0 THEN 0.0
+                ELSE {round_sql('c.hits::DOUBLE / c.n_method')} END AS prec
+    FROM grid g LEFT JOIN counts c ON c.method = g.method
+    CROSS JOIN tt
+    """,
+)
+def q_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision audit of the two FILTERED-ANN strategies vs
+    the exact filtered truth (brute-force top-3 cosine among label =
+    {label} vectors) — the audit that decides HOW a metadata filter
+    composes with a vector index:
+
+      'pre'   — filter inside the probed cells (q_sim_filtered_topk):
+                candidates are restricted BEFORE the top-k truncation,
+                so recall is bounded only by the quantizer.
+      'post'  — the classic mistake this row prices: search the
+                UNFILTERED index top-3, then discard non-matching
+                results. With a ~10%-selective predicate most of the
+                k slots are spent on non-qualifying neighbors, so
+                n_method and recall collapse (precision stays high —
+                what survives was verified).
+      'exact' — the truth itself, the recall=1 control row.
+
+    Scale: the truth stage is queries x filtered-corpus (broadcast
+    query side — the q_sim_topk shape, linear in the corpus); both
+    method stages compose the registered searches; the hit join and
+    rollup run on <= 3k rows. The denominator is a 1-row broadcast
+    (audit convention)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+    filt = emb.filter(F.col("label") == FILT_LABEL)
+    truth = (
+        topk_neighbors(filt, queries, k=3)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    pre = q_sim_filtered_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    post = (
+        topk_neighbors_ivf(emb, queries, cents, k=3, nprobe=2)
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .filter(F.col("label") == FILT_LABEL)
+        .select("query_id", "neighbor_id")
+    )
+    m = (
+        pre.withColumn("method", F.lit("pre"))
+        .unionByName(post.withColumn("method", F.lit("post")))
+        .unionByName(truth.withColumn("method", F.lit("exact")))
+    )
+    hit = truth.withColumn("is_hit", F.lit(1))
+    counts = (
+        m.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count("*").cast("long").alias("n_method"),
+            F.sum(F.coalesce(F.col("is_hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [("exact",), ("pre",), ("post",)], "method STRING"
+    )
+    tt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    return (
+        grid.join(counts, "method", "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "method",
+            "n_truth",
+            F.coalesce(F.col("n_method"), F.lit(0))
+            .cast("long")
+            .alias("n_method"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            round_agg(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.col("n_truth")
+            ).alias("recall"),
+            F.when(
+                F.coalesce(F.col("n_method"), F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                round_agg(
+                    F.col("hits").cast("double") / F.col("n_method")
+                )
+            )
+            .alias("prec"),
+        )
+    )
+
+
+q_ann_filtered_recall.__doc__ = q_ann_filtered_recall.__doc__.format(
+    label=FILT_LABEL
+)
 
 
 # Integer-quantized squared L2 (DuckDB side of operators/llm.SQDIST_Q_SQL):

@@ -333,6 +333,7 @@ _ALLOWED_BNLJ = {
     "q_sim_hnsw_search",     # 1-row layer entry broadcasts over the STORED graph
     "q_ann_hnsw_beam",       # 1-row entry + denominator broadcasts x3 beams
     "q_dedup_audio_fp_recall",  # 1-row truth-denominator broadcast
+    "q_ann_filtered_recall",  # 1-row truth-denominator broadcast
     # the dominant BNLJ is the |word types| x SEED_MULTI loss-probe
     # grid (instr-filtered — non-equi by nature), bounded at
     # |types| x 24 and corpus-independent, plus the unigram family's

@@ -581,3 +581,32 @@ def test_streaming_cm_store_reuse_raises(spark, tmp_path):
     mon(d.limit(5), 1)
     with pytest.raises(ValueError, match="already populated"):
         mon(d.limit(5), 0)
+
+
+def test_filtered_ann_pre_beats_post_and_pushes_filter(spark):
+    """The filtered-ANN audit's story, pinned: the exact control row
+    is perfect, in-index pre-filtering dominates search-then-discard
+    post-filtering on recall (the ~10%-selective label eats most of
+    post's k slots), and the label predicate reaches the parquet scan
+    (PushedFilters) — the filter prunes BEFORE scoring."""
+    from flink_pipeline_spark.plans.llm_ops import (
+        FILT_LABEL,
+        q_ann_filtered_recall,
+        q_sim_filtered_topk,
+    )
+
+    rows = {
+        r.method: r for r in q_ann_filtered_recall(spark, SMALL_SF).collect()
+    }
+    assert set(rows) == {"exact", "pre", "post"}
+    assert rows["exact"].recall == 1.0 and rows["exact"].prec == 1.0
+    assert rows["pre"].recall > rows["post"].recall
+    assert rows["post"].n_method < rows["pre"].n_method
+
+    plan = (
+        q_sim_filtered_topk(spark, SMALL_SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert f"EqualTo(label,{FILT_LABEL})" in plan
