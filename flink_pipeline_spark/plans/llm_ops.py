@@ -4514,14 +4514,15 @@ def _register_unigram_em() -> None:
 _register_unigram_em()
 
 
-def _register_unigram_prune() -> None:
-    """The SentencePiece iterate the EM round's docstring promises
-    (r10 verdict Missing #3): likelihood-loss pruning + a second E+M
-    round, unrolled the way q_bpe_round2_pairs unrolls BPE. The
-    oracle again runs a DIFFERENT algorithm: exhaustive recursive-CTE
-    segmentation enumeration for BOTH rounds and for every
-    loss-if-removed probe."""
-    oracle = f"""
+# Shared DuckDB CTE chain of the pruned-vocabulary round: seed vocab,
+# exhaustive loss-if-removed probes, bottom-half prune, round-2
+# rescore, and the exhaustive-enumeration round-2 E-step (``best2`` =
+# every word TYPE's argmax segmentation under the PRUNED vocab). Both
+# the prune round's M-step (q_unigram_prune) and the encoder's
+# fertility rollup (q_unigram_encode) append to THIS text, so the
+# trainer the encoder applies is the registered trainer by
+# construction.
+_UNIGRAM2_CTES = f"""
     WITH RECURSIVE w AS (
         SELECT unnest(string_split(text, ' ')) AS word FROM documents
     ), wf AS (
@@ -4608,7 +4609,17 @@ def _register_unigram_prune() -> None:
                        PARTITION BY word ORDER BY score DESC, seg) AS rn
             FROM paths2 WHERE pos = len(word)
         ) t WHERE rn = 1
-    ), used2 AS (
+    )"""
+
+
+def _register_unigram_prune() -> None:
+    """The SentencePiece iterate the EM round's docstring promises
+    (r10 verdict Missing #3): likelihood-loss pruning + a second E+M
+    round, unrolled the way q_bpe_round2_pairs unrolls BPE. The
+    oracle again runs a DIFFERENT algorithm: exhaustive recursive-CTE
+    segmentation enumeration for BOTH rounds and for every
+    loss-if-removed probe."""
+    oracle = f"""{_UNIGRAM2_CTES}, used2 AS (
         SELECT unnest(string_split(seg, chr(31))) AS piece, wf FROM best2
     ), newc2 AS (
         SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt
@@ -4649,53 +4660,7 @@ def _register_unigram_prune() -> None:
         Scale — the BPE/EM discipline: everything runs on the
         Zipf-bounded word-TYPE table; Python touches the type table
         and the loss grid, never the corpus stream."""
-        wf, chars, multi = _unigram_seed(spark, sf_dir)
-        vs = _unigram_vs(chars.unionByName(multi))
-        vrow = vs.agg(
-            F.collect_list(F.struct("piece", "s")).alias("vocab")
-        )
-        viterbi, viterbi_score = _unigram_viterbi_udfs(UNIGRAM_MAX_PIECE)
-        base = wf.crossJoin(F.broadcast(vrow)).select(
-            "word",
-            "wf",
-            viterbi_score("word", "vocab", F.lit("")).alias("s_full"),
-        )
-        grid = (
-            wf.crossJoin(
-                F.broadcast(multi.select(F.col("piece").alias("mpiece")))
-            )
-            .filter(F.instr("word", F.col("mpiece")) > 0)
-            .crossJoin(F.broadcast(vrow))
-            .select(
-                "mpiece",
-                "word",
-                "wf",
-                viterbi_score("word", "vocab", "mpiece").alias("s_wo"),
-            )
-        )
-        loss = (
-            grid.join(base.select("word", "s_full"), "word")
-            .groupBy("mpiece")
-            .agg(
-                F.sum(F.col("wf") * (F.col("s_full") - F.col("s_wo")))
-                .cast("long")
-                .alias("loss")
-            )
-        )
-        kept = (
-            loss.orderBy(F.col("loss").desc(), "mpiece")
-            .limit(UNIGRAM_KEEP)
-            .select(F.col("mpiece").alias("piece"))
-        )
-        vocab2 = chars.unionByName(
-            multi.join(kept, "piece", "left_semi")
-        )
-        vrow2 = _unigram_vs(vocab2).agg(
-            F.collect_list(F.struct("piece", "s")).alias("vocab")
-        )
-        segged = wf.crossJoin(F.broadcast(vrow2)).select(
-            "wf", viterbi("word", "vocab").alias("seg")
-        )
+        segged = _unigram_pruned_seg(spark, sf_dir)
         used = segged.select(
             F.explode(F.split("seg", "\x1f")).alias("piece"), "wf"
         )
@@ -4709,7 +4674,138 @@ def _register_unigram_prune() -> None:
     )
 
 
+def _unigram_pruned_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, wf, seg): every word TYPE Viterbi-segmented under the
+    PRUNED round-2 vocabulary — the full trainer iterate (seed ->
+    score -> exact loss-if-removed prune -> re-normalize -> E-step).
+    The shared builder both q_unigram_prune's M-step and
+    q_unigram_encode's fertility rollup consume, so the vocabulary the
+    encoder applies IS the registered trainer's (the _unigram_seed
+    convention, one level up)."""
+    wf, chars, multi = _unigram_seed(spark, sf_dir)
+    vs = _unigram_vs(chars.unionByName(multi))
+    vrow = vs.agg(
+        F.collect_list(F.struct("piece", "s")).alias("vocab")
+    )
+    viterbi, viterbi_score = _unigram_viterbi_udfs(UNIGRAM_MAX_PIECE)
+    base = wf.crossJoin(F.broadcast(vrow)).select(
+        "word",
+        "wf",
+        viterbi_score("word", "vocab", F.lit("")).alias("s_full"),
+    )
+    grid = (
+        wf.crossJoin(
+            F.broadcast(multi.select(F.col("piece").alias("mpiece")))
+        )
+        .filter(F.instr("word", F.col("mpiece")) > 0)
+        .crossJoin(F.broadcast(vrow))
+        .select(
+            "mpiece",
+            "word",
+            "wf",
+            viterbi_score("word", "vocab", "mpiece").alias("s_wo"),
+        )
+    )
+    loss = (
+        grid.join(base.select("word", "s_full"), "word")
+        .groupBy("mpiece")
+        .agg(
+            F.sum(F.col("wf") * (F.col("s_full") - F.col("s_wo")))
+            .cast("long")
+            .alias("loss")
+        )
+    )
+    kept = (
+        loss.orderBy(F.col("loss").desc(), "mpiece")
+        .limit(UNIGRAM_KEEP)
+        .select(F.col("mpiece").alias("piece"))
+    )
+    vocab2 = chars.unionByName(
+        multi.join(kept, "piece", "left_semi")
+    )
+    vrow2 = _unigram_vs(vocab2).agg(
+        F.collect_list(F.struct("piece", "s")).alias("vocab")
+    )
+    return wf.crossJoin(F.broadcast(vrow2)).select(
+        "word", "wf", viterbi("word", "vocab").alias("seg")
+    )
+
+
 _register_unigram_prune()
+
+
+@register(
+    "q_unigram_encode",
+    oracle=f"""{_UNIGRAM2_CTES}, wsrc AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+              FROM documents) t
+        WHERE len(word) >= 1
+        GROUP BY source, word
+    ), enc AS (
+        SELECT word,
+               CAST(len(string_split(seg, chr(31))) AS BIGINT) AS n_piece
+        FROM best2
+    ), bysrc AS (
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS n_words,
+               CAST(sum(n * len(word)) AS BIGINT) AS n_chars,
+               CAST(sum(n * n_piece) AS BIGINT) AS n_tokens
+        FROM wsrc JOIN enc USING (word)
+        GROUP BY source
+    )
+    SELECT source, n_words, n_chars, n_tokens,
+           {round_sql('n_chars::DOUBLE / n_tokens')} AS compression
+    FROM bysrc
+    """,
+)
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM ENCODING — the consumer half of the unigram trainer,
+    completing the tokenizer-family symmetry (BPE: train
+    q_bpe_merge_pairs -> iterate q_bpe_round2_pairs -> encode
+    q_bpe_encode; unigram: EM q_unigram_em -> prune q_unigram_prune ->
+    THIS): re-run the full trainer iterate (seed, exact
+    likelihood-loss prune, round-2 rescore), Viterbi-segment every
+    word TYPE under the final vocabulary, and report per-source
+    corpus compression (chars per piece) — the fertility statistic
+    that decides whether a tokenizer ships, directly comparable to
+    q_bpe_encode's number for the SAME corpus at the same
+    type-table discipline.
+
+    The segmentation comes from the shared _unigram_pruned_seg
+    builder (the registered prune round's own E-step), so the encoder
+    can never apply a vocabulary the trainer did not produce; the
+    oracle appends the fertility rollup to the SAME exhaustive
+    recursive-CTE chain the prune oracle uses.
+
+    Scale: the corpus is touched exactly once (one explode into
+    per-(source, word) counts); training and encoding run on the
+    Zipf-bounded word-TYPE table inside one Arrow batch; the final
+    join keys corpus counts to the type-table-sized encoding frame."""
+    d = load_table(spark, sf_dir, "documents")
+    cw = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    enc = _unigram_pruned_seg(spark, sf_dir).select(
+        "word", F.size(F.split("seg", "\x1f")).cast("long").alias("n_piece")
+    )
+    bysrc = cw.join(enc, "word").groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.sum(F.col("n") * F.length("word")).cast("long").alias("n_chars"),
+        F.sum(F.col("n") * F.col("n_piece")).cast("long").alias("n_tokens"),
+    )
+    return bysrc.select(
+        "source",
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        round_agg(
+            F.col("n_chars").cast("double") / F.col("n_tokens")
+        ).alias("compression"),
+    )
 
 
 VOCAB_K = 10  # top-K vocabulary size (fixture-calibrated so OOV is nonzero)

@@ -610,3 +610,23 @@ def test_filtered_ann_pre_beats_post_and_pushes_filter(spark):
         .toString()
     )
     assert f"EqualTo(label,{FILT_LABEL})" in plan
+
+
+def test_unigram_encode_coverage_and_fertility_bounds(spark):
+    """The encoder's segmentations must CONCATENATE back to their
+    words (the char-seeded vocab's coverage guarantee — no word is
+    unsegmentable after the prune), and the per-source fertility obeys
+    the hard bounds n_words <= n_tokens <= n_chars (every word is at
+    least one piece, every piece at least one char)."""
+    from flink_pipeline_spark.plans.llm_ops import (
+        _unigram_pruned_seg,
+        q_unigram_encode,
+    )
+
+    segs = _unigram_pruned_seg(spark, SMALL_SF).collect()
+    assert segs
+    assert all(r.seg.replace("\x1f", "") == r.word for r in segs)
+
+    for r in q_unigram_encode(spark, SMALL_SF).collect():
+        assert r.n_words <= r.n_tokens <= r.n_chars
+        assert r.compression > 1.0
