@@ -247,6 +247,17 @@ HEADLINE = [
     # prices the per-batch incremental fold between them
     "q_sim_hnsw_search",
     "q_sim_nsw_insert",
+    # r11 continued: the audio fingerprint near-dup pair query (the
+    # third modality's dedup), the two-sample KS drift decision, the
+    # unigram prune+encode trainer rounds, the Count-Min frequency
+    # sketch, and the filtered-ANN search + its pre/post recall audit
+    "q_dedup_audio_fp",
+    "q_drift_ks",
+    "q_unigram_prune",
+    "q_unigram_encode",
+    "q_freq_cm",
+    "q_sim_filtered_topk",
+    "q_ann_filtered_recall",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"
