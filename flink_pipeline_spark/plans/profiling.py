@@ -1721,18 +1721,20 @@ CM_W = 16    # buckets per row (width) — fixture-small so collisions occur
 CM_PROBES = 10  # point-queried tokens (the exact top-CM_PROBES by count)
 
 
-def cm_bucket_array() -> Column:
+def cm_bucket_array(w: int = CM_W) -> Column:
     """Array of the CM_D bucket ids of the string column ``tok`` —
-    bucket of row d is hash56('d:' || tok) % CM_W. The ONE Spark
+    bucket of row d is hash56('d:' || tok) % w. The ONE Spark
     expression for Count-Min cell addressing: the grid build
-    (cm_cells), the batch point query (q_freq_cm) and the streaming
-    monitor (streaming/cm.py) all fan tokens out through THIS
-    function, so the sketch's hash family cannot fork between
-    deployments (the gram3_hashes convention)."""
+    (cm_cells), the batch point query (q_freq_cm), the width audit
+    (q_freq_cm_width) and the streaming monitor (streaming/cm.py) all
+    fan tokens out through THIS function, so the sketch's hash family
+    cannot fork between deployments (the gram3_hashes convention).
+    The row hash is width-independent (same 56-bit value, different
+    modulus), the standard CM construction."""
     return F.array(
         *[
             F.pmod(
-                hash56(F.concat(F.lit(f"{d}:"), F.col("tok"))), F.lit(CM_W)
+                hash56(F.concat(F.lit(f"{d}:"), F.col("tok"))), F.lit(w)
             )
             for d in range(CM_D)
         ]
@@ -1847,3 +1849,125 @@ def q_freq_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_freq_cm.__doc__ = q_freq_cm.__doc__.format(d=CM_D, w=CM_W, p=CM_PROBES)
+
+
+CM_WIDTHS = (8, 16, 64)  # audited sketch widths (epsilon = e/w each)
+
+
+@register(
+    "q_freq_cm_width",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), widths AS (
+        SELECT unnest({list(CM_WIDTHS)}) AS w
+    ), cells AS (
+        SELECT ws.w, t.tok, r.d,
+               {hash56_sql_duckdb("CAST(r.d AS VARCHAR) || ':' || t.tok")}
+                   % ws.w AS bucket
+        FROM toks t CROSS JOIN range(0, {CM_D}) r(d) CROSS JOIN widths ws
+    ), grid AS (
+        SELECT w, d, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY w, d, bucket
+    ), exact AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM toks GROUP BY tok
+    ), probes AS (
+        SELECT tok, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, tok LIMIT {CM_PROBES}
+    ), pc AS (
+        SELECT ws.w, p.tok, p.exact_cnt, r.d,
+               {hash56_sql_duckdb("CAST(r.d AS VARCHAR) || ':' || p.tok")}
+                   % ws.w AS bucket
+        FROM probes p CROSS JOIN range(0, {CM_D}) r(d) CROSS JOIN widths ws
+    ), est AS (
+        SELECT pc.w, pc.tok, min(pc.exact_cnt) AS exact_cnt,
+               min(g.cnt) AS cm_estimate
+        FROM pc JOIN grid g
+          ON g.w = pc.w AND g.d = pc.d AND g.bucket = pc.bucket
+        GROUP BY pc.w, pc.tok
+    )
+    SELECT CAST(w AS BIGINT) AS w,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN cm_estimate = exact_cnt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact,
+           CAST(sum(cm_estimate - exact_cnt) AS BIGINT) AS sum_overestimate,
+           {round_sql("max((cm_estimate - exact_cnt)::DOUBLE / exact_cnt)")}
+               AS max_rel_err
+    FROM est GROUP BY w
+    """,
+)
+def q_freq_cm_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min WIDTH-sensitivity audit — the serving knob priced the
+    way q_ann_hnsw_beam prices beam width: the same {d}-row sketch
+    built at widths {ws}, point-queried with the same exact top-{p}
+    probe set, one row per width with how many probes come back exact,
+    the total and the worst relative overestimate. Doubling w halves
+    the expected collision mass (epsilon = e/w); the audit MEASURES
+    where that curve flattens on this corpus instead of assuming it —
+    the number that decides how much memory the production sketch
+    actually buys down.
+
+    All widths share one corpus pass: every token fans out to
+    {d} x len(widths) (w, d, bucket) cells in a single generator
+    projection (the row hash is width-independent — same 56-bit
+    value, different modulus), and the combined grid agg still
+    shuffles at most {d} x sum(widths) rows per partition.
+
+    Scale: identical discipline to q_freq_cm — vocabulary-independent
+    grid shuffle, fixed probe broadcast, the exact pass is the audit."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(w).alias("w"),
+                F.lit(di).alias("d"),
+                F.pmod(
+                    hash56(F.concat(F.lit(f"{di}:"), F.col("tok"))),
+                    F.lit(w),
+                ).alias("bucket"),
+            )
+            for w in CM_WIDTHS
+            for di in range(CM_D)
+        ]
+    )
+    cells = toks.select(F.explode(entries).alias("e")).select(
+        "e.w", "e.d", "e.bucket"
+    )
+    grid = cells.groupBy("w", "d", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    probes = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "tok")
+        .limit(CM_PROBES)
+    )
+    pc = probes.select(
+        "tok", "exact_cnt", F.explode(entries).alias("e")
+    ).select("tok", "exact_cnt", "e.w", "e.d", "e.bucket")
+    est = (
+        pc.join(F.broadcast(grid), ["w", "d", "bucket"])
+        .groupBy("w", "tok")
+        .agg(
+            F.min("exact_cnt").alias("exact_cnt"),
+            F.min("cnt").alias("cm_estimate"),
+        )
+    )
+    over = F.col("cm_estimate") - F.col("exact_cnt")
+    return est.groupBy(F.col("w").cast("long").alias("w")).agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum(F.when(over == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(over).cast("long").alias("sum_overestimate"),
+        round_agg(
+            F.max(over.cast("double") / F.col("exact_cnt"))
+        ).alias("max_rel_err"),
+    )
+
+
+q_freq_cm_width.__doc__ = q_freq_cm_width.__doc__.format(
+    d=CM_D, ws=list(CM_WIDTHS), p=CM_PROBES
+)
