@@ -256,6 +256,7 @@ HEADLINE = [
     "q_unigram_prune",
     "q_unigram_encode",
     "q_freq_cm",
+    "q_freq_cm_width",
     "q_sim_filtered_topk",
     "q_ann_filtered_recall",
 ]
