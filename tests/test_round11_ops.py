@@ -630,3 +630,50 @@ def test_unigram_encode_coverage_and_fertility_bounds(spark):
     for r in q_unigram_encode(spark, SMALL_SF).collect():
         assert r.n_words <= r.n_tokens <= r.n_chars
         assert r.compression > 1.0
+
+
+def test_drift_ks_matches_bruteforce_python(spark):
+    """From-scratch Python recomputation of the KS decision row: raw
+    events -> per-type ref/cur bucket counts -> exact cross-multiplied
+    ECDF numerator -> quantized D and Smirnov threshold -> integer
+    drifted flag. Pins the grid math independently of both engines
+    (the CUSUM/EWMA brute-force convention)."""
+    import math as m
+
+    from flink_pipeline_spark.plans.profiling import (
+        KS_C_ALPHA,
+        PSI_BUCKET_WIDTH,
+        q_drift_ks,
+    )
+
+    rows = spark.read.parquet(SMALL_SF + "/events.parquet").select(
+        "event_type", "user_id", "value"
+    ).collect()
+    per: dict = {}
+    for r in rows:
+        b = m.floor(float(r.value) / PSI_BUCKET_WIDTH)
+        is_ref = int(r.user_id) % 2 == 0
+        per.setdefault(r.event_type, {}).setdefault(b, [0, 0])[
+            0 if is_ref else 1
+        ] += 1
+    expect = {}
+    for et, buckets in per.items():
+        nr = sum(v[0] for v in buckets.values())
+        nc = sum(v[1] for v in buckets.values())
+        cr = cc = 0
+        d_num = 0
+        for b in sorted(buckets):
+            cr += buckets[b][0]
+            cc += buckets[b][1]
+            d_num = max(d_num, abs(cr * nc - cc * nr))
+        d_q = m.floor(d_num / (nr * nc) * 100000000 + 0.5)
+        t_q = m.floor(
+            KS_C_ALPHA * m.sqrt((nr + nc) / (nr * nc)) * 100000000 + 0.5
+        )
+        expect[et] = (nr, nc, d_q, t_q, d_q > t_q)
+
+    got = {
+        r.event_type: (r.n_ref, r.n_cur, r.d_q, r.thresh_q, r.drifted)
+        for r in q_drift_ks(spark, SMALL_SF).collect()
+    }
+    assert got == expect
