@@ -334,11 +334,16 @@ _ALLOWED_BNLJ = {
     "q_ann_hnsw_beam",       # 1-row entry + denominator broadcasts x3 beams
     "q_dedup_audio_fp_recall",  # 1-row truth-denominator broadcast
     "q_ann_filtered_recall",  # 1-row truth-denominator broadcast
+    "q_sim_filtered_topk",   # the q_sim_ivf_topk class: corpus x 8-row
+                             # centroid quantizer broadcast + k-row
+                             # query probe rank (filter only shrinks it)
     # the dominant BNLJ is the |word types| x SEED_MULTI loss-probe
     # grid (instr-filtered — non-equi by nature), bounded at
     # |types| x 24 and corpus-independent, plus the unigram family's
     # 1-row scored-vocab broadcasts
     "q_unigram_prune",
+    "q_unigram_encode",      # same vetted loss-probe grid (composes the
+                             # pruned-vocab builder) + 1-row vocab broadcasts
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
