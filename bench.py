@@ -259,6 +259,7 @@ HEADLINE = [
     "q_freq_cm_width",
     "q_sim_filtered_topk",
     "q_ann_filtered_recall",
+    "q_drift_embed",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"

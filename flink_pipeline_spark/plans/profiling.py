@@ -1971,3 +1971,145 @@ def q_freq_cm_width(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_freq_cm_width.__doc__ = q_freq_cm_width.__doc__.format(
     d=CM_D, ws=list(CM_WIDTHS), p=CM_PROBES
 )
+
+
+# -------------------------------------------- embedding drift screen
+EDRIFT_Q = 1_000_000       # t-statistic fixed-point scale (millionths)
+EDRIFT_RAW_Q = 1_960_000   # z(alpha=0.05, two-sided) = 1.96
+EDRIFT_BONF_Q = 3_290_500  # z(alpha=0.05/64, two-sided) = 3.2905
+
+# The ONE text for the per-dimension two-sample t statistic, shared
+# verbatim by Spark selectExpr and the DuckDB oracle: inputs are the
+# EXACT BIGINT moments (nr, nc, sr, sc, ssr, ssc in ten-thousandths
+# units), so both engines run the identical sequence of IEEE double
+# ops (+, -, *, /, sqrt — all correctly rounded, no ulp caveat).
+# Degenerate pooled variance (all-constant dimension) yields NULL
+# rather than a division blowup.
+_EDRIFT_T_SQL = f"""CAST(CASE WHEN
+      ((CAST(ssr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / nr)
+       + (CAST(ssc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / nc)) <= 0
+    THEN NULL
+    ELSE floor(
+      abs(CAST(sr AS DOUBLE) / nr - CAST(sc AS DOUBLE) / nc)
+      / sqrt(
+          ((CAST(ssr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / nr)
+           + (CAST(ssc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / nc))
+          / (nr + nc - 2)
+          * (1.0 / nr + 1.0 / nc))
+      * {EDRIFT_Q} + 0.5)
+    END AS BIGINT)"""
+
+_EDRIFT_MEAN_R = (
+    "floor(CAST(sr AS DOUBLE) / nr / 10000.0 * 10000 + 0.5) / 10000"
+)
+_EDRIFT_MEAN_C = (
+    "floor(CAST(sc AS DOUBLE) / nc / 10000.0 * 10000 + 0.5) / 10000"
+)
+
+
+@register(
+    "q_drift_embed",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               unnest(range(len(embedding))) AS pos,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                   AS x
+        FROM embeddings
+    ), q AS (
+        SELECT CAST(pos AS BIGINT) AS pos,
+               CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref,
+               CAST(floor(x * 10000 + 0.5) AS BIGINT) AS xq
+        FROM e
+    ), m AS (
+        SELECT pos,
+               CAST(sum(is_ref) AS BIGINT) AS nr,
+               CAST(sum(1 - is_ref) AS BIGINT) AS nc,
+               CAST(sum(CASE WHEN is_ref = 1 THEN xq ELSE 0 END)
+                    AS BIGINT) AS sr,
+               CAST(sum(CASE WHEN is_ref = 0 THEN xq ELSE 0 END)
+                    AS BIGINT) AS sc,
+               CAST(sum(CASE WHEN is_ref = 1 THEN xq * xq ELSE 0 END)
+                    AS BIGINT) AS ssr,
+               CAST(sum(CASE WHEN is_ref = 0 THEN xq * xq ELSE 0 END)
+                    AS BIGINT) AS ssc
+        FROM q GROUP BY pos
+    )
+    SELECT pos, nr AS n_ref, nc AS n_cur,
+           {_EDRIFT_MEAN_R} AS mean_ref,
+           {_EDRIFT_MEAN_C} AS mean_cur,
+           {_EDRIFT_T_SQL} AS t_q,
+           coalesce({_EDRIFT_T_SQL} > {EDRIFT_RAW_Q}, FALSE)
+               AS drifted_raw,
+           coalesce({_EDRIFT_T_SQL} > {EDRIFT_BONF_Q}, FALSE)
+               AS drifted_bonf
+    FROM m
+    """,
+)
+def q_drift_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING (feature) drift screen — the monitoring family
+    extended to the embedding modality: per dimension, a two-sample
+    t statistic between the even/odd-vec_id cohorts (the PSI cohort
+    convention) with TWO decision thresholds: the raw per-dimension
+    z=1.96 gate, and the Bonferroni-corrected z=3.2905 gate for 64
+    simultaneous dimensions. The pair is the audit's point: on iid
+    fixtures ~5% of 64 raw gates false-alarm by construction
+    (multiple testing — measured 2-4 across the SFs), while the
+    corrected gate is near-silent (0-1) — a monitoring stack that
+    alerts per-dimension at alpha=0.05 pages its on-call weekly on
+    noise; this row family prices that.
+
+    Exactness — the q_embed_dim_stats discipline: elements quantize
+    to BIGINT ten-thousandths BEFORE aggregation, so all six moments
+    (nr, nc, sr, sc, ssr, ssc) are exact integer sums with no
+    float-order hazard at any scale; the t statistic derives from
+    those integers through ONE shared SQL text of +,-,*,/,sqrt
+    (IEEE correctly-rounded — no ulp caveat), quantized to millionths
+    before the integer threshold compare. All-constant dimensions
+    yield t_q NULL, flags false.
+
+    Scale: one posexplode (rows x dims, linear, no shuffle of
+    vectors) into a map-side-combinable agg keyed by dimension index
+    — the merge side is exactly |dims| cells; the t math runs on the
+    64-row grid."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        F.col("pos").cast("long").alias("pos"),
+        F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0).alias("is_ref"),
+        F.floor(F.col("xf").cast("double") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+    )
+    m = e.groupBy("pos").agg(
+        F.sum("is_ref").cast("long").alias("nr"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("nc"),
+        F.sum(F.when(F.col("is_ref") == 1, F.col("xq")).otherwise(0))
+        .cast("long")
+        .alias("sr"),
+        F.sum(F.when(F.col("is_ref") == 0, F.col("xq")).otherwise(0))
+        .cast("long")
+        .alias("sc"),
+        F.sum(
+            F.when(F.col("is_ref") == 1, F.col("xq") * F.col("xq")).otherwise(0)
+        )
+        .cast("long")
+        .alias("ssr"),
+        F.sum(
+            F.when(F.col("is_ref") == 0, F.col("xq") * F.col("xq")).otherwise(0)
+        )
+        .cast("long")
+        .alias("ssc"),
+    )
+    return m.selectExpr(
+        "pos",
+        "nr AS n_ref",
+        "nc AS n_cur",
+        f"{_EDRIFT_MEAN_R} AS mean_ref",
+        f"{_EDRIFT_MEAN_C} AS mean_cur",
+        f"{_EDRIFT_T_SQL} AS t_q",
+        f"coalesce({_EDRIFT_T_SQL} > {EDRIFT_RAW_Q}, FALSE) AS drifted_raw",
+        f"coalesce({_EDRIFT_T_SQL} > {EDRIFT_BONF_Q}, FALSE)"
+        " AS drifted_bonf",
+    )

@@ -677,3 +677,63 @@ def test_drift_ks_matches_bruteforce_python(spark):
         for r in q_drift_ks(spark, SMALL_SF).collect()
     }
     assert got == expect
+
+
+def test_drift_embed_matches_bruteforce_python(spark):
+    """From-scratch Python recomputation of the per-dimension
+    two-sample t screen: quantized elements -> exact integer moments
+    -> pooled-variance t -> quantized thresholds. Also pins the
+    multiple-testing story: the Bonferroni gate never flags more than
+    the raw gate, and raw false alarms stay in the expected ~5% band."""
+    import math as m
+
+    from flink_pipeline_spark.plans.profiling import (
+        EDRIFT_BONF_Q,
+        EDRIFT_Q,
+        EDRIFT_RAW_Q,
+        q_drift_embed,
+    )
+
+    rows = spark.read.parquet(SMALL_SF + "/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+    mom: dict = {}
+    for r in rows:
+        ref = int(r.vec_id) % 2 == 0
+        for pos, x in enumerate(r.embedding):
+            xq = m.floor(float(x) * 10000 + 0.5)
+            st = mom.setdefault(pos, [0, 0, 0, 0, 0, 0])
+            if ref:
+                st[0] += 1
+                st[2] += xq
+                st[4] += xq * xq
+            else:
+                st[1] += 1
+                st[3] += xq
+                st[5] += xq * xq
+    expect = {}
+    for pos, (nr, nc, sr, sc, ssr, ssc) in mom.items():
+        pooled = (ssr - sr * sr / nr) + (ssc - sc * sc / nc)
+        if pooled <= 0:
+            tq = None
+        else:
+            t = abs(sr / nr - sc / nc) / m.sqrt(
+                pooled / (nr + nc - 2) * (1.0 / nr + 1.0 / nc)
+            )
+            tq = m.floor(t * EDRIFT_Q + 0.5)
+        expect[pos] = (
+            nr,
+            nc,
+            tq,
+            bool(tq is not None and tq > EDRIFT_RAW_Q),
+            bool(tq is not None and tq > EDRIFT_BONF_Q),
+        )
+
+    got = {
+        r.pos: (r.n_ref, r.n_cur, r.t_q, r.drifted_raw, r.drifted_bonf)
+        for r in q_drift_embed(spark, SMALL_SF).collect()
+    }
+    assert got == expect
+    n_raw = sum(1 for v in got.values() if v[3])
+    n_bonf = sum(1 for v in got.values() if v[4])
+    assert n_bonf <= n_raw <= 10
