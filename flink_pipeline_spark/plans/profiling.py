@@ -1918,15 +1918,15 @@ def q_freq_cm_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid shuffle, fixed probe broadcast, the exact pass is the audit."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    # every (w, d) cell address comes from cm_bucket_array(w) — the ONE
+    # addressing function its docstring promises, so the hash family
+    # cannot fork between the audit and the sketch (ADVICE r11)
     entries = F.array(
         *[
             F.struct(
                 F.lit(w).alias("w"),
                 F.lit(di).alias("d"),
-                F.pmod(
-                    hash56(F.concat(F.lit(f"{di}:"), F.col("tok"))),
-                    F.lit(w),
-                ).alias("bucket"),
+                cm_bucket_array(w)[di].alias("bucket"),
             )
             for w in CM_WIDTHS
             for di in range(CM_D)

@@ -25,10 +25,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.profiling import CM_D, CM_W  # noqa: F401  (one source of truth)
 from .heavy import partition_ids, prune_partitions
-
-CM_D = 4   # must match plans/profiling.CM_D (asserted in tests)
-CM_W = 16  # must match plans/profiling.CM_W (asserted in tests)
 
 
 class CMMonitor:

@@ -333,17 +333,27 @@ _ALLOWED_BNLJ = {
     "q_sim_hnsw_search",     # 1-row layer entry broadcasts over the STORED graph
     "q_ann_hnsw_beam",       # 1-row entry + denominator broadcasts x3 beams
     "q_dedup_audio_fp_recall",  # 1-row truth-denominator broadcast
-    "q_ann_filtered_recall",  # 1-row truth-denominator broadcast
-    "q_sim_filtered_topk",   # the q_sim_ivf_topk class: corpus x 8-row
-                             # centroid quantizer broadcast + k-row
-                             # query probe rank (filter only shrinks it)
+}
+# r11 entries, tightened per ADVICE r11: instead of a blanket
+# exemption, each query carries the MAXIMUM number of BNLJ nodes its
+# vetted plan contains — a regression that introduces an additional
+# (possibly unbounded) nested-loop join anywhere in these queries
+# trips the gate even though the query is "allowed".
+_BNLJ_MAX = {
+    "q_ann_filtered_recall": 5,  # 2 vetted IVF searches (2 each: probe
+                                 # rank + query broadcast) + truth +
+                                 # 1-row denominator broadcast
+    "q_sim_filtered_topk": 2,    # the q_sim_ivf_topk class: 8-row
+                                 # centroid quantizer broadcast + k-row
+                                 # query probe rank (filter only shrinks)
     # the dominant BNLJ is the |word types| x SEED_MULTI loss-probe
     # grid (instr-filtered — non-equi by nature), bounded at
     # |types| x 24 and corpus-independent, plus the unigram family's
     # 1-row scored-vocab broadcasts
-    "q_unigram_prune",
-    "q_unigram_encode",      # same vetted loss-probe grid (composes the
-                             # pruned-vocab builder) + 1-row vocab broadcasts
+    "q_unigram_prune": 12,
+    "q_unigram_encode": 12,       # same vetted loss-probe grid (composes
+                                 # the pruned-vocab builder) + 1-row
+                                 # vocab broadcasts
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
@@ -371,7 +381,13 @@ def test_registry_wide_no_cartesian_no_row_python(spark):
             offenders["CartesianProduct"].append(name)
         if "BatchEvalPython" in plan and name not in _ALLOWED_ROW_PYTHON:
             offenders["BatchEvalPython"].append(name)
-        if "BroadcastNestedLoopJoin" in plan and name not in _ALLOWED_BNLJ:
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        if n_bnlj and name in _BNLJ_MAX:
+            if n_bnlj > _BNLJ_MAX[name]:
+                offenders["BroadcastNestedLoopJoin"].append(
+                    f"{name} ({n_bnlj} > max {_BNLJ_MAX[name]})"
+                )
+        elif n_bnlj and name not in _ALLOWED_BNLJ:
             offenders["BroadcastNestedLoopJoin"].append(name)
     assert not any(offenders.values()), offenders
 
