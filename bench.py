@@ -260,6 +260,20 @@ HEADLINE = [
     "q_sim_filtered_topk",
     "q_ann_filtered_recall",
     "q_drift_embed",
+    # r12: the ANN delete lifecycle (batch compaction, its
+    # rebuild-equivalence audit, and the store-served two-layer form),
+    # filtered search over the persisted graph index, the compressed
+    # (IVFADC) serving split vs the build-per-run rerank, the
+    # multivariate drift projection gate, and the video frame-fp
+    # near-dup family (fourth modality)
+    "q_sim_nsw_delete",
+    "q_ann_delete_recall",
+    "q_sim_hnsw_delete",
+    "q_sim_hnsw_filtered",
+    "q_sim_ivfpq_serve",
+    "q_drift_projection",
+    "q_dedup_video_fp",
+    "q_dedup_video_fp_recall",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"

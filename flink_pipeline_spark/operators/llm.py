@@ -1842,7 +1842,36 @@ def ivfpq_topk(
     |queries| x nprobe x m x n_codes broadcast LUT followed by one
     exact-integer hash aggregate — map-side combined, corpus never
     shuffles. Per-query compare work is O(sum of probed cell sizes)
-    like the IVF path, at PQ bytes per compare."""
+    like the IVF path, at PQ bytes per compare.
+
+    Decomposed (r12) into ivfpq_artifacts (the persistable index:
+    residual codebook + cell-tagged code table) and ivfpq_scan (the
+    probe/LUT/ADC stage over those artifacts) so the build-per-run
+    query and the persisted-store serving path (streaming/
+    pq_index.py) run ONE rule — this function is now just their
+    composition."""
+    cb, codes = ivfpq_artifacts(emb, centroids, n_codes, m, d_sub)
+    return ivfpq_scan(
+        codes, cb, centroids, queries, k=k, nprobe=nprobe, m=m, d_sub=d_sub
+    )
+
+
+def ivfpq_artifacts(
+    emb: DataFrame,
+    centroids: DataFrame,
+    n_codes: int = 16,
+    m: int = 8,
+    d_sub: int = 8,
+):
+    """(codebook, codes): the IVFADC index AT REST — the residual PQ
+    codebook (sub, code, cv; m x n_codes rows, trained once on the
+    ``n_codes`` lowest vec_ids' residuals — FROZEN thereafter, the
+    production convention: retraining would re-code the corpus) and
+    the cell-tagged code table (vec_id, sub, code, cell; m one-byte
+    codes + one cell id per vector ~ 1/32 the float bytes). These two
+    frames plus the centroid set ARE what a compressed serving node
+    persists (the DiskANN memory-bounded layout: codes hot, full
+    vectors cold in the corpus parquet)."""
     assigned = ivf_assign(emb, centroids).persist()
     cents = centroids.select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
@@ -1865,7 +1894,56 @@ def ivfpq_topk(
     codes = pq_codes(
         resid.select("vec_id", F.col("rv").alias("embedding")), cb, m, d_sub
     ).join(assigned, "vec_id")
+    return cb, codes
 
+
+def pq_code_batch(
+    arrivals: DataFrame,
+    codebook: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    d_sub: int = 8,
+) -> DataFrame:
+    """(vec_id, sub, code, cell): code an ARRIVING batch against the
+    frozen codebook + centroid set — the incremental fold of the
+    compressed index (coding is per-vector and stateless given the
+    training artifacts, so the fold is append-only: no stored row is
+    ever touched). Exactly ivfpq_artifacts' assignment + residual +
+    pq_codes composition, restricted to the batch."""
+    assigned = ivf_assign(arrivals, centroids)
+    cents = centroids.select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    resid = (
+        arrivals.join(assigned, "vec_id")
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.expr(RESID_SQL.format(a="embedding", b="cvec")).alias("rv"),
+        )
+    )
+    return pq_codes(
+        resid.select("vec_id", F.col("rv").alias("embedding")),
+        codebook,
+        m,
+        d_sub,
+    ).join(assigned, "vec_id")
+
+
+def ivfpq_scan(
+    codes: DataFrame,
+    codebook: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    m: int = 8,
+    d_sub: int = 8,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, adist_q): the IVFADC probe/LUT/
+    ADC stage over prebuilt artifacts — see ivfpq_topk (whose scan
+    this is, verbatim) for the algorithm and scale shape."""
     q = with_norm(queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("eq"),
@@ -1909,7 +1987,7 @@ def ivfpq_topk(
         F.expr(f"slice(qrv, {start}, {d_sub})").alias("sv"),
     )
     dist = SQDIST_Q_SQL.format(a="sv", b="cv")
-    lut = qsv.join(F.broadcast(cb), "sub").select(
+    lut = qsv.join(F.broadcast(codebook), "sub").select(
         "query_id", "cell", "sub", "code", F.expr(dist).alias("pdist_q")
     )
     scored = (
@@ -2169,6 +2247,87 @@ def nsw_insert(
     )
 
 
+def nsw_delete(
+    emb: DataFrame,
+    adj_scored: DataFrame,
+    deletions: DataFrame,
+    deg: int,
+) -> DataFrame:
+    """(src, dst, dist_q): the SCORED adjacency after deleting
+    ``deletions`` (vec_id) from an existing NSW graph — the delete
+    consolidation that completes the persisted-index lifecycle
+    (init/insert/search existed; a vector could never LEAVE the
+    index, so a dedup pipeline dropping documents or a GDPR unindex
+    request had no path). The rule is FreshDiskANN's (Singh et al.
+    2021, Alg. 4): deleted nodes' edge lists are dropped; a surviving
+    node u that lost an edge to deleted d adopts d's surviving
+    out-neighbors as repair candidates (u -> w for w in N_out(d),
+    w alive, w != u) — bridging the hole d leaves so the graph stays
+    navigable — and every touched list re-prunes to its 2*deg
+    nearest (nsw_insert's shrink, the shared degree bound).
+
+    Repair candidates are scored ONCE per undirected pair in
+    canonical (least, greatest) argument order — the NN-descent
+    ADVICE-r10 rule — so a repair edge that coincides with a
+    surviving build-time edge carries the identical BIGINT distance
+    and the exact-distance dedup collapses them. (Insert-era edges
+    score query-side first rather than canonically; a coinciding
+    repair could then differ by one quantization ulp and briefly
+    occupy a second slot — a quality nuance, not a correctness
+    hazard, and compaction re-prunes it away.)
+
+    Scale: edges INTO the deleted set are <= 2*deg * |D| rows, so
+    repair candidates are O(|D| * deg^2) — linear in the delete
+    batch, independent of corpus size; membership tests are
+    key-partitioned anti/semi joins (the delete set is corpus-derived
+    and deliberately NOT broadcast — the q_decontaminate rule); the
+    re-prune is one per-src window. Nothing rebuilds, nothing is
+    all-pairs."""
+    dels = deletions.select("vec_id")
+    d_src = dels.withColumnRenamed("vec_id", "src")
+    d_dst = dels.withColumnRenamed("vec_id", "dst")
+    live_src = adj_scored.join(d_src, "src", "left_anti")
+    kept = live_src.join(d_dst, "dst", "left_anti")
+    lost = live_src.join(d_dst, "dst", "left_semi").select(
+        F.col("src").alias("u"), F.col("dst").alias("d")
+    )
+    # deleted nodes' surviving out-neighbors: the bridge targets
+    dout = (
+        adj_scored.join(d_src, "src", "left_semi")
+        .join(d_dst, "dst", "left_anti")
+        .select(F.col("src").alias("d"), F.col("dst").alias("w"))
+    )
+    pairs = (
+        lost.join(dout, "d")
+        .filter(F.col("u") != F.col("w"))
+        .select(
+            "u",
+            "w",
+            F.least("u", "w").alias("va"),
+            F.greatest("u", "w").alias("vb"),
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("es"))
+    eb = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("ed"))
+    bridge = (
+        pairs.join(ea, "va")
+        .join(eb, "vb")
+        .select(
+            F.col("u").alias("src"),
+            F.col("w").alias("dst"),
+            F.expr(SQDIST_Q_SQL.format(a="es", b="ed")).alias("dist_q"),
+        )
+    )
+    merged = kept.select("src", "dst", "dist_q").unionByName(bridge).distinct()
+    wk = Window.partitionBy("src").orderBy("dist_q", "dst")
+    return (
+        merged.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 2 * deg)
+        .select("src", "dst", "dist_q")
+    )
+
+
 def nsw_descent(emb: DataFrame, adj: DataFrame, deg: int) -> DataFrame:
     """(src, dst): ONE NN-descent refinement round (Dong et al.,
     WWW 2011) over an nsw_graph adjacency — the iterate the round-0
@@ -2239,6 +2398,7 @@ def nsw_beam(
     hops: int = 3,
     entries: DataFrame | None = None,
     entry_from: DataFrame | None = None,
+    keep_visited: bool = False,
 ) -> DataFrame:
     """(query_id, node, dist_q): the final beam after ``hops``
     monotone expansion rounds over ``adj`` — the search primitive
@@ -2257,7 +2417,16 @@ def nsw_beam(
     Scale: per query the search touches O(beam * 2*deg * hops) nodes
     — independent of corpus size. Frontier frames are tiny and
     BROADCAST onto the adjacency and corpus scans; the corpus never
-    shuffles."""
+    shuffles.
+
+    ``keep_visited=True`` returns EVERY node the search ever scored
+    (the union of the seed and all expansion candidate sets, scored
+    once at the end) instead of the final beam — the filtered-search
+    primitive: a selective predicate starves a width-``beam`` result
+    list, but the visited set is the search's full O(beam * 2*deg *
+    hops) footprint, so ranking the predicate's matches over it
+    recovers candidates the beam itself truncated, at zero extra
+    traversal cost."""
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
     )
@@ -2282,20 +2451,33 @@ def nsw_beam(
     else:
         seed = entries.select("query_id", "node")
     wb = Window.partitionBy("query_id").orderBy("dist_q", "node")
-    cur = score(seed)
+    # Each round's beam is localCheckpoint'ed (eager): the monotone
+    # recursion cand = cur ∪ expand(cur) references ``cur`` TWICE, so
+    # an unchecked lineage doubles per hop — 2^hops copies of the seed
+    # subtree in the plan, ~2.5 MiB task binaries per stage, and
+    # exponential recomputation (Spark dedupes no common subplans
+    # outside exchange reuse). Measured r12: the un-checkpointed form
+    # OOM'ed a default-heap driver sweeping the full registry at the
+    # ANN cluster. The checkpointed frames are tiny (|queries| x beam
+    # rows), so the cost is hops small materializations.
+    cur = score(seed).localCheckpoint(eager=True)
+    vis = seed.select("query_id", "node")
     for _ in range(hops):
         nbrs = adj.join(
             F.broadcast(cur.select("query_id", "node")),
             F.col("src") == F.col("node"),
         ).select("query_id", F.col("dst").alias("node"))
         cand = cur.select("query_id", "node").unionByName(nbrs).distinct()
+        if keep_visited:
+            vis = vis.unionByName(cand).distinct()
         cur = (
             score(cand)
             .withColumn("rn", F.row_number().over(wb))
             .filter(F.col("rn") <= beam)
             .drop("rn")
+            .localCheckpoint(eager=True)
         )
-    return cur
+    return score(vis) if keep_visited else cur
 
 
 def hnsw_search(
@@ -2307,6 +2489,7 @@ def hnsw_search(
     k: int = 3,
     beam: int = 8,
     hops: int = 3,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, dist_q): two-layer HNSW search
     (Malkov & Yashunin 2018) — layer-1 beam from the sparse layer's
@@ -2320,7 +2503,12 @@ def hnsw_search(
     Scale: both beams touch O(beam * 2*deg * hops) nodes per query
     independent of corpus size; the hand-off is a 1-row-per-query
     frame — the hierarchy adds one tiny broadcast join to the
-    serving path."""
+    serving path.
+
+    ``exclude`` (a vec_id frame) is the tombstone mask: excluded ids
+    are dropped from the final beam BEFORE ranking, so a search
+    served from a store with pending tombstones can never return a
+    deleted vector (see nsw_search)."""
     beam1 = nsw_beam(
         emb, queries, adj1, beam=beam, hops=hops, entry_from=l1_members
     )
@@ -2331,7 +2519,79 @@ def hnsw_search(
         .select("query_id", "node")
     )
     return nsw_search(
-        emb, queries, adj0, k=k, beam=beam, hops=hops, entries=entries0
+        emb,
+        queries,
+        adj0,
+        k=k,
+        beam=beam,
+        hops=hops,
+        entries=entries0,
+        exclude=exclude,
+    )
+
+
+def hnsw_filtered_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    adj0: DataFrame,
+    adj1: DataFrame,
+    l1_members: DataFrame,
+    filt_ids: DataFrame,
+    k: int = 3,
+    beam: int = 8,
+    hops: int = 3,
+    exclude: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, dist_q): two-layer HNSW search
+    under a metadata predicate — the filtered-HNSW answer to the
+    problem q_ann_filtered_recall's 'post' row prices (a selective
+    filter starves a truncated top-k): the hierarchy descends and the
+    base-layer beam expands EXACTLY as in hnsw_search — traversal
+    runs through non-matching nodes, because they are the graph's
+    bridges — but the result ranks the predicate's matches
+    (``filt_ids``, a vec_id frame) over the search's FULL VISITED SET
+    (nsw_beam keep_visited), not over the width-``beam`` final list.
+    Over-expansion is bounded by the footprint the unfiltered search
+    already pays — O(beam * 2*deg * hops) scored nodes per query —
+    so the filter costs zero extra traversal; widening ``beam`` is
+    the recall knob when selectivity bites (the q_ann_hnsw_beam
+    audit's serving knob).
+
+    ``exclude`` composes the tombstone mask (delete lifecycle), so a
+    store serves filtered searches with pending deletes correctly."""
+    beam1 = nsw_beam(
+        emb, queries, adj1, beam=beam, hops=hops, entry_from=l1_members
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist_q", "node")
+    entries0 = (
+        beam1.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "node")
+    )
+    vis = nsw_beam(
+        emb,
+        queries,
+        adj0,
+        beam=beam,
+        hops=hops,
+        entries=entries0,
+        keep_visited=True,
+    )
+    cand = vis.join(
+        filt_ids.select(F.col("vec_id").alias("node")), "node", "left_semi"
+    )
+    if exclude is not None:
+        cand = cand.join(
+            exclude.select(F.col("vec_id").alias("node")), "node", "left_anti"
+        )
+    wr = Window.partitionBy("query_id").orderBy("dist_q", "node")
+    return (
+        cand.filter(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("node").alias("neighbor_id"), "rank", "dist_q"
+        )
     )
 
 
@@ -2343,14 +2603,27 @@ def nsw_search(
     beam: int = 8,
     hops: int = 3,
     entries: DataFrame | None = None,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, dist_q): greedy beam search over
     an nsw_graph adjacency — nsw_beam ranked to the final top-``k``
     (self-matches excluded). See nsw_beam for the seeding, monotone-
-    beam, and scale properties."""
+    beam, and scale properties.
+
+    ``exclude`` (a vec_id frame) drops excluded ids from the final
+    beam BEFORE ranking — the tombstone mask of the persisted-index
+    delete lifecycle: the beam may traverse THROUGH a tombstoned node
+    (its edges bridge the graph until compaction rewrites them) but a
+    tombstoned id can never be RETURNED, and ranks stay gapless over
+    the survivors. A compacted adjacency contains no deleted nodes,
+    so there the mask is a no-op enforcing the contract."""
     cur = nsw_beam(
         emb, queries, adj, beam=beam, hops=hops, entries=entries
     )
+    if exclude is not None:
+        cur = cur.join(
+            exclude.select(F.col("vec_id").alias("node")), "node", "left_anti"
+        )
     wr = Window.partitionBy("query_id").orderBy("dist_q", "node")
     return (
         cur.filter(F.col("node") != F.col("query_id"))

@@ -739,3 +739,76 @@ def pcm_stream(files: DataFrame) -> DataFrame:
     return files.select("file", "content").mapInPandas(
         enc, schema=PCM_STREAM_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Video keyframes (fourth-modality dedup support)
+# ---------------------------------------------------------------------------
+
+# FVID: the minimal deterministic video container the fixture corpus
+# uses — a FIXED-WIDTH ASCII header "FV01 0016 0016 NNNN\n" (magic,
+# width, height, frame count, 20 bytes total) followed by frame_count
+# concatenated raw RGB frames of width*height*3 bytes each. Fixed
+# width keeps the byte-level DuckDB oracle a pure offset computation
+# (the WAV-canonical-header discipline); a real demuxer drops into
+# video_keyframes without touching anything downstream.
+FVID_MAGIC = b"FV01 "
+FVID_HDR_LEN = 20
+VID_KEY_STRIDE = 2  # keyframe sampling: every 2nd frame
+
+
+def _parse_fvid(file: str, b: bytes):
+    """Strict FVID parse: returns (w, h, nf, frame byte arrays)."""
+    import numpy as np
+
+    if len(b) < FVID_HDR_LEN or b[:5] != FVID_MAGIC or b[19:20] != b"\n":
+        raise ValueError(f"{file}: not an FVID container")
+    try:
+        w, h, nf = int(b[5:9]), int(b[10:14]), int(b[15:19])
+    except ValueError as exc:
+        raise ValueError(f"{file}: malformed FVID header") from exc
+    fsz = w * h * 3
+    if len(b) != FVID_HDR_LEN + nf * fsz or nf == 0:
+        raise ValueError(
+            f"{file}: payload {len(b) - FVID_HDR_LEN} disagrees with "
+            f"{nf} frames of {fsz} bytes"
+        )
+    px = np.frombuffer(b, dtype=np.uint8, offset=FVID_HDR_LEN)
+    return w, h, nf, px.reshape(nf, fsz)
+
+
+VKF_SCHEMA = "file STRING, frame_idx BIGINT, content BINARY"
+
+
+def video_keyframes(files: DataFrame, every_k: int = VID_KEY_STRIDE) -> DataFrame:
+    """Keyframe extraction: (file, frame_idx, content) with content a
+    standalone binary-PPM (P6) payload per sampled frame — every
+    ``every_k``-th frame of each FVID container re-wrapped with a P6
+    header. Emitting FRAMES AS IMAGES is the operator's point: the
+    keyframe stream feeds the image modality's hash codecs
+    (ahash_bands / dhash_bands) and pixel-truth path (gray_pixels)
+    UNCHANGED, so video near-dup composes the existing machinery on
+    the frame dimension with zero new hash code (the audio family's
+    one-L2-machinery convention, fourth modality).
+
+    Scale: one Arrow pass per partition; output rows =
+    ceil(nf / every_k) per asset with fixed-size payloads — the
+    keyframe stride is the knob that bounds per-asset cost for long
+    videos (production samples on shot boundaries; the stride is the
+    deterministic stand-in)."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for file, content in zip(pdf["file"], pdf["content"]):
+                w, h, nf, frames = _parse_fvid(file, bytes(content))
+                hdr = f"P6\n{w} {h}\n255\n".encode("ascii")
+                for i in range(0, nf, every_k):
+                    rows.append((file, i, hdr + frames[i].tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["file", "frame_idx", "content"]
+            )
+
+    return files.select("file", "content").mapInPandas(
+        enc, schema=VKF_SCHEMA
+    )

@@ -1,0 +1,326 @@
+"""Filtered ANN over the GRAPH index — the serving feature completed
+across both index families (r11 verdict's #2 ask): q_sim_filtered_topk
+proved pre-filtering for IVF; here the persisted two-layer HNSW store
+serves predicate-constrained searches (q_sim_hnsw_filtered), and the
+q_ann_filtered_recall audit gains a 'graph' row next to pre/post/exact
+so the two strategies are priced against the same filtered truth.
+
+The filtered-HNSW problem: a selective predicate starves a truncated
+top-k (the 'post' collapse), and restricting the INDEX breaks the
+graph (non-matching nodes are its bridges). The production answer —
+traverse through everything, collect only matches, bound the
+over-expansion — is hnsw_filtered_search (operators/llm.py): the beam
+runs exactly as unfiltered, and the final ranking takes the
+predicate's matches over the search's full visited footprint, which
+the unfiltered search already paid to score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import hash56_sql_duckdb, round_agg, round_sql
+from ..operators.llm import topk_neighbors, topk_neighbors_ivf
+from .llm_ops import (
+    FILT_LABEL,
+    HNSW_L1_MOD,
+    IVF_SEED_CENTROIDS,
+    NSW_HOPS,
+    _COS_DUCK,
+    _IVF_PROBES_DUCK,
+    _NSW_DISTQM,
+    _SEED_ASSIGN_DUCK,
+    _ivf_topk_select_duck,
+    _nsw_beam_sql,
+    _nsw_graph_sql_for,
+    hnsw_store_for,
+    q_sim_filtered_topk,
+)
+from .registry import register
+
+# the filtered family's query set (vec_id < 5 — q_sim_filtered_topk's
+# convention, one more than the PQ/recall set)
+_FQS_SQL = """fqs AS (
+        SELECT vec_id AS query_id, embedding AS eq
+        FROM embeddings WHERE vec_id < 5
+    )"""
+
+
+def _visited_sql(p: str, qs: str) -> str:
+    """Scored visited-set CTE over a prefix-``p`` beam unroll: the
+    union of the seed and every expansion candidate set (the monotone
+    beam's full footprint), deduped then scored once — the DuckDB
+    mirror of nsw_beam(keep_visited=True)."""
+    unions = " UNION ALL ".join(
+        [f"SELECT query_id, node FROM {p}b0"]
+        + [
+            f"SELECT query_id, node FROM {p}c{i}"
+            for i in range(1, NSW_HOPS + 1)
+        ]
+    )
+    return f"""{p}vis AS (
+        SELECT c.query_id, c.node, {_NSW_DISTQM} AS dist_q
+        FROM (SELECT DISTINCT query_id, node FROM ({unions}) u) c
+        JOIN {qs} q ON q.query_id = c.query_id
+        JOIN embeddings m ON m.vec_id = c.node
+    )"""
+
+
+def _hnsw_filtered_with() -> str:
+    """WITH-fragment (no leading WITH): both layer graphs, the
+    layer-1 descent from the sparse layer's min entry, the per-query
+    hand-off, the base-layer beam with visited collection, and the
+    predicate-masked final ranking ``gfinal`` — all composed from the
+    shared builders, parameterized on the filtered query set."""
+    l1 = f"""l1v AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE {hash56_sql_duckdb('vec_id')} % {HNSW_L1_MOD} = 0
+    )"""
+    hand_off = f"""e0 AS (
+        SELECT query_id, node FROM (
+            SELECT query_id, node,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_q, node) AS rn
+            FROM ub{NSW_HOPS}
+        ) t WHERE rn = 1
+    )"""
+    b0_l1 = f"""SELECT q.query_id, e.node, {_NSW_DISTQM} AS dist_q
+        FROM fqs q CROSS JOIN uentry e JOIN embeddings m ON m.vec_id = e.node"""
+    b0_base = f"""SELECT q.query_id, e.node, {_NSW_DISTQM} AS dist_q
+        FROM fqs q JOIN e0 e ON e.query_id = q.query_id
+        JOIN embeddings m ON m.vec_id = e.node"""
+    return (
+        f"""{l1}, {_nsw_graph_sql_for("l1v", "u")},
+    {_nsw_graph_sql_for("embeddings", "z")}, {_FQS_SQL}, uentry AS (
+        SELECT min(vec_id) AS node FROM l1v
+    ), """
+        + _nsw_beam_sql("uadj", "u", b0=b0_l1, qs="fqs")
+        + f", {hand_off}, "
+        + _nsw_beam_sql("zadj", "z", b0=b0_base, qs="fqs")
+        + f""", {_visited_sql("z", "fqs")}, gfinal AS (
+        SELECT query_id, node AS neighbor_id, rank, dist_q FROM (
+            SELECT query_id, node, dist_q,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_q, node) AS rank
+            FROM zvis
+            WHERE node <> query_id
+              AND node IN (SELECT vec_id FROM embeddings
+                           WHERE label = {FILT_LABEL})
+        ) t WHERE rank <= 3
+    )"""
+    )
+
+
+@register(
+    "q_sim_hnsw_filtered",
+    oracle="\n    WITH "
+    + _hnsw_filtered_with()
+    + "\n    SELECT query_id, neighbor_id, rank, dist_q FROM gfinal\n    ",
+)
+def q_sim_hnsw_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED search SERVED FROM THE PERSISTED GRAPH INDEX — the
+    feature q_sim_filtered_topk provides for IVF, completed for the
+    HNSW store: top-3 neighbors among ONLY the label = {label}
+    vectors (~10% of the corpus), found by the standard two-layer
+    descent + base beam over the SHARED persisted store
+    (q_sim_hnsw_search's — no second index), with the final ranking
+    taken over the predicate's matches within the search's full
+    visited set rather than the truncated beam. Traversal is
+    untouched — non-matching nodes still bridge the graph (the
+    filtered-HNSW rule: restrict results, never the index) — so the
+    filter costs zero extra probes and recall degrades gracefully
+    with selectivity instead of collapsing (priced against pre/post/
+    exact in q_ann_filtered_recall's 'graph' row).
+
+    The predicate reaches the search as an id set (label pushed into
+    the corpus parquet scan, ids semi-joined against the visited
+    frame) — the store holds vectors only, so metadata filters
+    compose by vec_id, the vector-store convention.
+
+    Scale: identical footprint to q_sim_hnsw_search — O(beam *
+    2*deg * hops) scored nodes per query independent of corpus size;
+    the visited set is that same footprint retained instead of
+    truncated, so filtered serving is the unfiltered plan plus one
+    semi-join; widening the beam is the recall knob when selectivity
+    bites (q_ann_hnsw_beam's audited serving knob). Tombstones
+    compose (the delete lifecycle's mask rides the same path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mon = hnsw_store_for(spark, sf_dir)
+    return mon.search_filtered(
+        spark,
+        emb.filter(F.col("vec_id") < 5),
+        after_batch_id=-1,
+        filt_ids=emb.filter(F.col("label") == FILT_LABEL).select("vec_id"),
+    )
+
+
+q_sim_hnsw_filtered.__doc__ = q_sim_hnsw_filtered.__doc__.format(
+    label=FILT_LABEL
+)
+
+
+@register(
+    "q_ann_filtered_recall",
+    oracle=f"""
+    WITH assigned AS (
+{_SEED_ASSIGN_DUCK}
+    ), probes AS (
+{_IVF_PROBES_DUCK}
+    ), pre AS (
+    {_ivf_topk_select_duck(f" AND m.label = {FILT_LABEL}")}
+    ), post AS (
+        SELECT f.query_id, f.neighbor_id FROM (
+        {_ivf_topk_select_duck()}
+        ) f JOIN embeddings n ON n.vec_id = f.neighbor_id
+        WHERE n.label = {FILT_LABEL}
+    ), truth AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY floor({_COS_DUCK.format(a='q.embedding', b='e.embedding')}
+                                      * 10000 + 0.5) / 10000 DESC,
+                                e.vec_id) AS rank
+            FROM embeddings q JOIN embeddings e
+              ON e.vec_id <> q.vec_id AND e.label = {FILT_LABEL}
+            WHERE q.vec_id < 5
+        ) t WHERE rank <= 3
+    ), {_hnsw_filtered_with()}, m AS (
+        SELECT 'pre' AS method, query_id, neighbor_id FROM pre
+        UNION ALL
+        SELECT 'post', query_id, neighbor_id FROM post
+        UNION ALL
+        SELECT 'graph', query_id, neighbor_id FROM gfinal
+        UNION ALL
+        SELECT 'exact', query_id, neighbor_id FROM truth
+    ), counts AS (
+        SELECT m.method,
+               CAST(count(*) AS BIGINT) AS n_method,
+               CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM m LEFT JOIN truth t
+          ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+        GROUP BY m.method
+    ), grid AS (
+        SELECT unnest(['exact', 'pre', 'post', 'graph']) AS method
+    ), tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+    SELECT g.method, tt.n_truth,
+           CAST(coalesce(c.n_method, 0) AS BIGINT) AS n_method,
+           CAST(coalesce(c.hits, 0) AS BIGINT) AS hits,
+           {round_sql('coalesce(c.hits, 0)::DOUBLE / tt.n_truth')} AS recall,
+           CASE WHEN coalesce(c.n_method, 0) = 0 THEN 0.0
+                ELSE {round_sql('c.hits::DOUBLE / c.n_method')} END AS prec
+    FROM grid g LEFT JOIN counts c ON c.method = g.method
+    CROSS JOIN tt
+    """,
+)
+def q_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision audit of the THREE filtered-ANN strategies vs
+    the exact filtered truth (brute-force top-3 cosine among label =
+    {label} vectors) — the audit that decides HOW a metadata filter
+    composes with a vector index:
+
+      'pre'   — filter inside the probed IVF cells
+                (q_sim_filtered_topk): candidates restricted BEFORE
+                the top-k truncation; recall bounded only by the
+                quantizer.
+      'post'  — the classic mistake this row prices: search the
+                UNFILTERED index top-3, then discard non-matching
+                results. With a ~10%-selective predicate most k slots
+                go to non-qualifying neighbors — n_method and recall
+                collapse (precision stays high: what survives was
+                verified).
+      'graph' — filtered search over the PERSISTED HNSW store
+                (q_sim_hnsw_filtered): traversal unfiltered, matches
+                ranked over the search's full visited set — the
+                filtered-HNSW strategy, priced at the same ~10%
+                selectivity. Its recall is bounded by what the beam
+                VISITS (widen the beam to raise it — the
+                q_ann_hnsw_beam knob), where 'post' is bounded by
+                what the truncated top-k RETAINS.
+      'exact' — the truth itself, the recall=1 control row.
+
+    Scale: the truth stage is queries x filtered-corpus (broadcast
+    query side — the vetted linear audit class); method stages
+    compose the registered searches; the hit join and rollup run on
+    <= 4k rows; the denominator is a 1-row broadcast (audit
+    convention)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+    filt = emb.filter(F.col("label") == FILT_LABEL)
+    truth = (
+        topk_neighbors(filt, queries, k=3)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    pre = q_sim_filtered_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    post = (
+        topk_neighbors_ivf(emb, queries, cents, k=3, nprobe=2)
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .filter(F.col("label") == FILT_LABEL)
+        .select("query_id", "neighbor_id")
+    )
+    graph = q_sim_hnsw_filtered(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    m = (
+        pre.withColumn("method", F.lit("pre"))
+        .unionByName(post.withColumn("method", F.lit("post")))
+        .unionByName(graph.withColumn("method", F.lit("graph")))
+        .unionByName(truth.withColumn("method", F.lit("exact")))
+    )
+    hit = truth.withColumn("is_hit", F.lit(1))
+    counts = (
+        m.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count("*").cast("long").alias("n_method"),
+            F.sum(F.coalesce(F.col("is_hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [("exact",), ("pre",), ("post",), ("graph",)], "method STRING"
+    )
+    tt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    return (
+        grid.join(counts, "method", "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "method",
+            "n_truth",
+            F.coalesce(F.col("n_method"), F.lit(0))
+            .cast("long")
+            .alias("n_method"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            round_agg(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.col("n_truth")
+            ).alias("recall"),
+            F.when(
+                F.coalesce(F.col("n_method"), F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                round_agg(
+                    F.col("hits").cast("double") / F.col("n_method")
+                )
+            )
+            .alias("prec"),
+        )
+    )
+
+
+q_ann_filtered_recall.__doc__ = q_ann_filtered_recall.__doc__.format(
+    label=FILT_LABEL
+)

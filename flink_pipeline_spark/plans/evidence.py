@@ -44,7 +44,8 @@ FP_VERSION = 2  # v2 adds one-level operator-dependency sources
 
 
 def _own_source(fn) -> str:
-    try:
+    fn = inspect.unwrap(fn)  # the registry's hygiene wrapper is not
+    try:                     # part of any query's identity (r12)
         return inspect.getsource(fn)
     except (OSError, TypeError):  # dynamically defined fn: always "changed"
         return repr(fn)
@@ -58,6 +59,7 @@ def _dep_sources(fn) -> list[str]:
     its registered source or oracle, leaving green evidence stale and
     undetected. Not transitive — operator-internal helper churn is
     assumed to surface through the operator's own source."""
+    fn = inspect.unwrap(fn)
     try:
         names = sorted(set(fn.__code__.co_names))
     except AttributeError:

@@ -1375,152 +1375,10 @@ q_sim_filtered_topk.__doc__ = q_sim_filtered_topk.__doc__.format(
 )
 
 
-@register(
-    "q_ann_filtered_recall",
-    oracle=f"""
-    WITH assigned AS (
-{_SEED_ASSIGN_DUCK}
-    ), probes AS (
-{_IVF_PROBES_DUCK}
-    ), pre AS (
-    {_ivf_topk_select_duck(f" AND m.label = {FILT_LABEL}")}
-    ), post AS (
-        SELECT f.query_id, f.neighbor_id FROM (
-        {_ivf_topk_select_duck()}
-        ) f JOIN embeddings n ON n.vec_id = f.neighbor_id
-        WHERE n.label = {FILT_LABEL}
-    ), truth AS MATERIALIZED (
-        SELECT query_id, neighbor_id FROM (
-            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY floor({_COS_DUCK.format(a='q.embedding', b='e.embedding')}
-                                      * 10000 + 0.5) / 10000 DESC,
-                                e.vec_id) AS rank
-            FROM embeddings q JOIN embeddings e
-              ON e.vec_id <> q.vec_id AND e.label = {FILT_LABEL}
-            WHERE q.vec_id < 5
-        ) t WHERE rank <= 3
-    ), m AS (
-        SELECT 'pre' AS method, query_id, neighbor_id FROM pre
-        UNION ALL
-        SELECT 'post', query_id, neighbor_id FROM post
-        UNION ALL
-        SELECT 'exact', query_id, neighbor_id FROM truth
-    ), counts AS (
-        SELECT m.method,
-               CAST(count(*) AS BIGINT) AS n_method,
-               CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) AS hits
-        FROM m LEFT JOIN truth t
-          ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
-        GROUP BY m.method
-    ), grid AS (
-        SELECT unnest(['exact', 'pre', 'post']) AS method
-    ), tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
-    SELECT g.method, tt.n_truth,
-           CAST(coalesce(c.n_method, 0) AS BIGINT) AS n_method,
-           CAST(coalesce(c.hits, 0) AS BIGINT) AS hits,
-           {round_sql('coalesce(c.hits, 0)::DOUBLE / tt.n_truth')} AS recall,
-           CASE WHEN coalesce(c.n_method, 0) = 0 THEN 0.0
-                ELSE {round_sql('c.hits::DOUBLE / c.n_method')} END AS prec
-    FROM grid g LEFT JOIN counts c ON c.method = g.method
-    CROSS JOIN tt
-    """,
-)
-def q_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall/precision audit of the two FILTERED-ANN strategies vs
-    the exact filtered truth (brute-force top-3 cosine among label =
-    {label} vectors) — the audit that decides HOW a metadata filter
-    composes with a vector index:
-
-      'pre'   — filter inside the probed cells (q_sim_filtered_topk):
-                candidates are restricted BEFORE the top-k truncation,
-                so recall is bounded only by the quantizer.
-      'post'  — the classic mistake this row prices: search the
-                UNFILTERED index top-3, then discard non-matching
-                results. With a ~10%-selective predicate most of the
-                k slots are spent on non-qualifying neighbors, so
-                n_method and recall collapse (precision stays high —
-                what survives was verified).
-      'exact' — the truth itself, the recall=1 control row.
-
-    Scale: the truth stage is queries x filtered-corpus (broadcast
-    query side — the q_sim_topk shape, linear in the corpus); both
-    method stages compose the registered searches; the hit join and
-    rollup run on <= 3k rows. The denominator is a 1-row broadcast
-    (audit convention)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    cents = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
-    filt = emb.filter(F.col("label") == FILT_LABEL)
-    truth = (
-        topk_neighbors(filt, queries, k=3)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
-    pre = q_sim_filtered_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
-    post = (
-        topk_neighbors_ivf(emb, queries, cents, k=3, nprobe=2)
-        .join(
-            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
-            "neighbor_id",
-        )
-        .filter(F.col("label") == FILT_LABEL)
-        .select("query_id", "neighbor_id")
-    )
-    m = (
-        pre.withColumn("method", F.lit("pre"))
-        .unionByName(post.withColumn("method", F.lit("post")))
-        .unionByName(truth.withColumn("method", F.lit("exact")))
-    )
-    hit = truth.withColumn("is_hit", F.lit(1))
-    counts = (
-        m.join(hit, ["query_id", "neighbor_id"], "left")
-        .groupBy("method")
-        .agg(
-            F.count("*").cast("long").alias("n_method"),
-            F.sum(F.coalesce(F.col("is_hit"), F.lit(0)))
-            .cast("long")
-            .alias("hits"),
-        )
-    )
-    grid = spark.createDataFrame(
-        [("exact",), ("pre",), ("post",)], "method STRING"
-    )
-    tt = truth.agg(F.count("*").cast("long").alias("n_truth"))
-    return (
-        grid.join(counts, "method", "left")
-        .crossJoin(F.broadcast(tt))
-        .select(
-            "method",
-            "n_truth",
-            F.coalesce(F.col("n_method"), F.lit(0))
-            .cast("long")
-            .alias("n_method"),
-            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
-            round_agg(
-                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
-                / F.col("n_truth")
-            ).alias("recall"),
-            F.when(
-                F.coalesce(F.col("n_method"), F.lit(0)) == 0, F.lit(0.0)
-            )
-            .otherwise(
-                round_agg(
-                    F.col("hits").cast("double") / F.col("n_method")
-                )
-            )
-            .alias("prec"),
-        )
-    )
-
-
-q_ann_filtered_recall.__doc__ = q_ann_filtered_recall.__doc__.format(
-    label=FILT_LABEL
-)
+# q_ann_filtered_recall (the pre/post/exact filtered-ANN audit) moved to
+# plans/ann_filtered.py in r12, where it gains the 'graph' method row
+# (filtered search over the persisted HNSW index) — the hnsw text
+# builders it now composes are defined later in this module.
 
 
 # Integer-quantized squared L2 (DuckDB side of operators/llm.SQDIST_Q_SQL):
@@ -1876,6 +1734,35 @@ q_sim_ivf2_topk.__doc__ = q_sim_ivf2_topk.__doc__.format(s=IVF2_SUPERS)
 RERANK_SHORTLIST = 10
 
 
+def exact_rerank(emb: DataFrame, short: DataFrame, k: int = 3) -> DataFrame:
+    """(query_id, neighbor_id, rank, dist_q): exact full-vector
+    re-ranking of a (query_id, neighbor_id) shortlist — the second
+    stage of q_sim_ivfpq_rerank, factored out (r12) so the
+    build-per-run query and the persisted-store serving query
+    (q_sim_ivfpq_serve) run ONE rescoring rule. The shortlist
+    broadcasts against the corpus to fetch neighbor vectors
+    co-located with the scan; the final rank is a window over
+    <= shortlist rows per query."""
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    rescored = (
+        emb.join(F.broadcast(short), F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(SQDIST_Q_SQL.format(a="eq", b="embedding")).alias("dist_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_q", "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist_q")
+    )
+
+
 def _register_ivfpq_rerank() -> None:
     """Closure-registered so the oracle COMPOSES the registered IVFADC
     oracle as its shortlist CTE — widened from top-3 to the top-10
@@ -1930,24 +1817,7 @@ def _register_ivfpq_rerank() -> None:
             k=RERANK_SHORTLIST,
             nprobe=2,
         ).select("query_id", "neighbor_id")
-        q = emb.select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
-        )
-        rescored = (
-            emb.join(F.broadcast(short), F.col("vec_id") == F.col("neighbor_id"))
-            .join(F.broadcast(q), "query_id")
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.expr(SQDIST_Q_SQL.format(a="eq", b="embedding")).alias("dist_q"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy("dist_q", "neighbor_id")
-        return (
-            rescored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 3)
-            .select("query_id", "neighbor_id", "rank", "dist_q")
-        )
+        return exact_rerank(emb, short, k=3)
 
     return q_sim_ivfpq_rerank
 
@@ -3120,18 +2990,18 @@ def _hnsw_monitor(store_dir: str):
     )
 
 
-def _hnsw_store_dir(sf_dir: str) -> str:
-    """Resolved store path for ``sf_dir``'s persisted index. The key
-    folds in the corpus parquet's FILE IDENTITY (names, sizes,
-    mtimes — a pure driver-side listing, no Spark job): a path alone
-    is not an identity — probe corpora are REGENERATED in place under
-    version markers, and a regenerated corpus must never be served a
-    stale index (the r8 probe-marker hazard). A content-identical
-    rewrite costs one spurious rebuild; a content-changed rewrite can
-    never serve stale."""
+def corpus_file_identity(sf_dir: str, table: str = "embeddings") -> str:
+    """FILE IDENTITY of a corpus parquet (names, sizes, mtimes — a
+    pure driver-side listing, no Spark job): a path alone is not an
+    identity — probe corpora are REGENERATED in place under version
+    markers, and a regenerated corpus must never be served a stale
+    index (the r8 probe-marker hazard). A content-identical rewrite
+    costs one spurious rebuild; a content-changed rewrite can never
+    serve stale. Shared by every persisted-index cache key (HNSW,
+    post-delete, IVFPQ)."""
     import os
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     parts = []
     if os.path.isdir(src):
         for name in sorted(os.listdir(src)):
@@ -3140,7 +3010,18 @@ def _hnsw_store_dir(sf_dir: str) -> str:
     elif os.path.exists(src):
         st = os.stat(src)
         parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    key = _hnsw_store_key(sf_dir + "\x00" + "|".join(parts))
+    return "|".join(parts)
+
+
+def _hnsw_store_dir(sf_dir: str) -> str:
+    """Resolved store path for ``sf_dir``'s persisted index, keyed on
+    the corpus file identity (corpus_file_identity) plus the build
+    constants and operator sources (_hnsw_store_key)."""
+    import os
+
+    key = _hnsw_store_key(
+        sf_dir + "\x00" + corpus_file_identity(sf_dir)
+    )
     return os.path.join(HNSW_INDEX_CACHE, key)
 
 

@@ -2113,3 +2113,188 @@ def q_drift_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"coalesce({_EDRIFT_T_SQL} > {EDRIFT_BONF_Q}, FALSE)"
         " AS drifted_bonf",
     )
+
+
+# ------------------------------------- multivariate drift projection
+# one statistic, one gate: z(alpha=0.05, two-sided) — no multiple-
+# testing correction needed, which is this row's point vs q_drift_embed
+
+
+@register(
+    "q_drift_projection",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               unnest(range(len(embedding))) AS pos,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                   AS x
+        FROM embeddings
+    ), q AS (
+        SELECT CAST(pos AS BIGINT) AS pos, vec_id,
+               CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref,
+               CASE WHEN (vec_id // 2) % 2 = 0 THEN 1 ELSE 0 END
+                   AS is_train,
+               CAST(floor(x * 10000 + 0.5) AS BIGINT) AS xq
+        FROM e
+    ), w AS (
+        SELECT pos,
+               CAST(sum(CASE WHEN is_ref = 1 THEN xq ELSE 0 END)
+                    AS BIGINT) AS srt,
+               CAST(sum(CASE WHEN is_ref = 0 THEN xq ELSE 0 END)
+                    AS BIGINT) AS sct,
+               CAST(sum(is_ref) AS BIGINT) AS nrt,
+               CAST(sum(1 - is_ref) AS BIGINT) AS nct
+        FROM q WHERE is_train = 1 GROUP BY pos
+    ), dirs AS (
+        SELECT pos,
+               CASE WHEN srt * nct > sct * nrt THEN 1
+                    WHEN srt * nct < sct * nrt THEN -1
+                    ELSE 0 END AS sgn
+        FROM w
+    ), proj AS (
+        SELECT t.vec_id, t.is_ref,
+               CAST(sum(t.xq * d.sgn) AS BIGINT) AS pq
+        FROM q t JOIN dirs d ON d.pos = t.pos
+        WHERE t.is_train = 0
+        GROUP BY t.vec_id, t.is_ref
+    ), mm AS (
+        SELECT CAST(sum(is_ref) AS BIGINT) AS nr,
+               CAST(sum(1 - is_ref) AS BIGINT) AS nc,
+               CAST(sum(CASE WHEN is_ref = 1 THEN pq ELSE 0 END)
+                    AS BIGINT) AS sr,
+               CAST(sum(CASE WHEN is_ref = 0 THEN pq ELSE 0 END)
+                    AS BIGINT) AS sc,
+               CAST(sum(CASE WHEN is_ref = 1 THEN pq * pq ELSE 0 END)
+                    AS BIGINT) AS ssr,
+               CAST(sum(CASE WHEN is_ref = 0 THEN pq * pq ELSE 0 END)
+                    AS BIGINT) AS ssc
+        FROM proj
+    ), nd AS (
+        SELECT CAST(sum(abs(sgn)) AS BIGINT) AS n_dims_used FROM dirs
+    )
+    SELECT nr AS n_ref_test, nc AS n_cur_test, nd.n_dims_used,
+           {{_T}} AS t_q,
+           coalesce({{_T}} > {EDRIFT_RAW_Q}, FALSE) AS drifted
+    FROM mm CROSS JOIN nd
+    """.replace("{_T}", _EDRIFT_T_SQL),
+)
+def q_drift_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIVARIATE embedding drift gate — the closer q_drift_embed's
+    marginal screen needs: a correlated mean shift spread thinly
+    across dimensions (the realistic upstream-encoder-change
+    signature, ~delta/sqrt(p) per dim) stays under every per-dim
+    gate, while ONE statistic that aggregates the shift across
+    dimensions catches it at plain alpha=0.05 with no Bonferroni
+    price. The statistic is the split-sample PROJECTION two-sample t:
+
+      * each PSI cohort (even/odd vec_id) splits deterministically
+        into a TRAIN half and a TEST half ((vec_id div 2) % 2 — the
+        sample-splitting rule that keeps inference valid: the
+        direction is estimated on data the test never sees);
+      * the train halves estimate the shift direction as the SIGN of
+        the per-dimension mean difference (cross-multiplied exact
+        BIGINT compare — srt*nct vs sct*nrt, no division);
+      * every test vector projects onto that direction (an exact
+        BIGINT dot with a {{-1,0,1}} vector), and the projections get
+        the standard exact-moment two-sample t (the q_drift_embed
+        text, one shared SQL) against the single z=1.96 gate.
+
+    This is Hotelling-T-squared's job done portably: T^2 whitens by
+    the inverse pooled covariance, which no exact-integer bilateral
+    oracle can replay (the matrix inverse is iterative float); under
+    the isotropic-by-construction fixture covariance the most
+    powerful direction IS the mean difference, and the sign
+    quantization is the exact-arithmetic version of estimating it.
+    Power transfers because the projection SUMS p per-dim shifts of
+    size delta/sqrt(p) into one shift of size ~delta*sqrt(p)/sqrt(p)
+    = delta against a sqrt(p)-wide noise — the aggregation the
+    marginal screen structurally lacks (pytest-pinned: a thin shift
+    no Bonferroni per-dim gate sees trips this gate,
+    tests/test_round12_ops.py).
+
+    Exactness: elements quantize to BIGINT ten-thousandths before
+    any aggregation; direction signs, projections, and all six
+    projection moments are exact integer arithmetic; the t derives
+    through the ONE shared float text (_EDRIFT_T_SQL). BIGINT
+    headroom: |pq| <= dims * 10^4 * max|x|, so ssr holds to ~10^6
+    test vectors per cohort at unit-magnitude elements — past that,
+    promote the moments to DECIMAL(38,0) in both engines (the
+    q_embed_pca_cov convention, same asymmetric-overflow warning).
+
+    Scale: two passes over the exploded corpus (train-moment grid
+    agg, then the projection agg with the 64-row direction grid
+    BROADCAST onto it), both map-side combinable; everything after
+    is 1-row math. No vector ever shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0).alias("is_ref"),
+        F.when(F.expr("(vec_id div 2) % 2 = 0"), 1)
+        .otherwise(0)
+        .alias("is_train"),
+        F.floor(F.col("xf").cast("double") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+    )
+    w = (
+        e.filter(F.col("is_train") == 1)
+        .groupBy("pos")
+        .agg(
+            F.sum(F.when(F.col("is_ref") == 1, F.col("xq")).otherwise(0))
+            .cast("long")
+            .alias("srt"),
+            F.sum(F.when(F.col("is_ref") == 0, F.col("xq")).otherwise(0))
+            .cast("long")
+            .alias("sct"),
+            F.sum("is_ref").cast("long").alias("nrt"),
+            F.sum(1 - F.col("is_ref")).cast("long").alias("nct"),
+        )
+    )
+    dirs = w.select(
+        "pos",
+        F.when(F.col("srt") * F.col("nct") > F.col("sct") * F.col("nrt"), 1)
+        .when(F.col("srt") * F.col("nct") < F.col("sct") * F.col("nrt"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    proj = (
+        e.filter(F.col("is_train") == 0)
+        .join(F.broadcast(dirs), "pos")
+        .groupBy("vec_id", "is_ref")
+        .agg(
+            F.sum(F.col("xq") * F.col("sgn")).cast("long").alias("pq")
+        )
+    )
+    mm = proj.agg(
+        F.sum("is_ref").cast("long").alias("nr"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("nc"),
+        F.sum(F.when(F.col("is_ref") == 1, F.col("pq")).otherwise(0))
+        .cast("long")
+        .alias("sr"),
+        F.sum(F.when(F.col("is_ref") == 0, F.col("pq")).otherwise(0))
+        .cast("long")
+        .alias("sc"),
+        F.sum(
+            F.when(F.col("is_ref") == 1, F.col("pq") * F.col("pq")).otherwise(0)
+        )
+        .cast("long")
+        .alias("ssr"),
+        F.sum(
+            F.when(F.col("is_ref") == 0, F.col("pq") * F.col("pq")).otherwise(0)
+        )
+        .cast("long")
+        .alias("ssc"),
+    )
+    nd = dirs.agg(
+        F.sum(F.abs(F.col("sgn"))).cast("long").alias("n_dims_used")
+    )
+    return mm.crossJoin(F.broadcast(nd)).selectExpr(
+        "nr AS n_ref_test",
+        "nc AS n_cur_test",
+        "n_dims_used",
+        f"{_EDRIFT_T_SQL} AS t_q",
+        f"coalesce({_EDRIFT_T_SQL} > {EDRIFT_RAW_Q}, FALSE) AS drifted",
+    )

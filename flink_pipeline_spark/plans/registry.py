@@ -44,14 +44,63 @@ def _evidence_order(d: dict) -> dict:
     return dict(sorted(d.items(), key=lambda kv: rank.get(kv[0], len(rank))))
 
 
+_BOUNDARY_COUNT = 0
+
+
+def _boundary_hygiene(spark: SparkSession) -> None:
+    """Session hygiene at REGISTERED-QUERY entry — what keeps a driver
+    that runs the full surface in ONE long-lived session from drowning
+    in dead state: queries persist() frames for intra-query reuse, and
+    Spark's CacheManager holds them by STRONG reference forever (the
+    ContextCleaner never reclaims DataFrame persists), while
+    localCheckpoint blocks wait on BOTH collectors (the py4j proxy
+    must be GC'd Python-side before the JVM RDD becomes weakly
+    reachable). Measured without this: a default-heap (1g) bare
+    driver sweeping the full registry OOMs near query ~200 at the
+    largest graph build. Every entry clears the previous query's
+    cache entries (each registered query is self-contained by
+    contract — composed sub-queries are called through their module
+    attributes, NOT through this wrapped surface, so a parent's
+    persists are never cleared mid-query); every 8th entry also
+    nudges both garbage collectors for the checkpoint blocks."""
+    global _BOUNDARY_COUNT
+    _BOUNDARY_COUNT += 1
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass  # a stopped/remote context must never fail a query
+    if _BOUNDARY_COUNT % 8 == 0:
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
+
+def _boundary_wrap(fn: QueryFn) -> QueryFn:
+    import functools
+
+    @functools.wraps(fn)  # __wrapped__ lets evidence.py unwrap for
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:  # fingerprints
+        _boundary_hygiene(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` under ``name``; ``oracle`` is the DuckDB-ANSI SQL
-    equivalent (None => rows-only check for non-SQL-expressible ops)."""
+    equivalent (None => rows-only check for non-SQL-expressible ops).
+    The registry surface gets the hygiene-wrapped form; the module
+    attribute stays the raw function so query composition bypasses the
+    boundary (see _boundary_hygiene)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+        QUERIES[name] = _boundary_wrap(fn)
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -84,12 +133,15 @@ def _load_all() -> None:
         aggregates,
         analytics,
         analytics_shapes,
+        ann_delete,
+        ann_filtered,
         audio_dedup,
         corpus_ops,
         image_dedup,
         joins,
         llm_ops,
         pipeline_queries,
+        pq_serve,
         profiling,
         relational,
         sampling,
@@ -97,6 +149,7 @@ def _load_all() -> None:
         streaming_queries,
         training,
         udf_queries,
+        video_dedup,
         windows_sorts,
     )
 

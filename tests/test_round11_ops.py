@@ -587,21 +587,29 @@ def test_filtered_ann_pre_beats_post_and_pushes_filter(spark):
     """The filtered-ANN audit's story, pinned: the exact control row
     is perfect, in-index pre-filtering dominates search-then-discard
     post-filtering on recall (the ~10%-selective label eats most of
-    post's k slots), and the label predicate reaches the parquet scan
+    post's k slots), the graph strategy (r12: visited-set ranking
+    over the persisted HNSW store) returns a FULL result list where
+    post collapses, and the label predicate reaches the parquet scan
     (PushedFilters) — the filter prunes BEFORE scoring."""
+    from flink_pipeline_spark.plans.ann_filtered import (
+        q_ann_filtered_recall,
+    )
     from flink_pipeline_spark.plans.llm_ops import (
         FILT_LABEL,
-        q_ann_filtered_recall,
         q_sim_filtered_topk,
     )
 
     rows = {
         r.method: r for r in q_ann_filtered_recall(spark, SMALL_SF).collect()
     }
-    assert set(rows) == {"exact", "pre", "post"}
+    assert set(rows) == {"exact", "pre", "post", "graph"}
     assert rows["exact"].recall == 1.0 and rows["exact"].prec == 1.0
     assert rows["pre"].recall > rows["post"].recall
     assert rows["post"].n_method < rows["pre"].n_method
+    # the graph strategy never starves: it fills every k slot with a
+    # verified match (post cannot — non-matching results ate its list)
+    assert rows["graph"].n_method == rows["pre"].n_method
+    assert rows["graph"].recall >= rows["post"].recall
 
     plan = (
         q_sim_filtered_topk(spark, SMALL_SF)
