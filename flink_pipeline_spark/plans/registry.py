@@ -70,13 +70,15 @@ def _boundary_hygiene(spark: SparkSession) -> None:
     except Exception:
         pass  # a stopped/remote context must never fail a query
     if _BOUNDARY_COUNT % 8 == 0:
+        # Python-side collection only: dropping dead py4j proxies is
+        # what unblocks the ContextCleaner (the JVM collects on its
+        # own under heap pressure). A synchronous System.gc() here
+        # measurably polluted bench timings (multi-second full-GC
+        # pauses landing inside timed windows) without being needed
+        # once nsw_beam's lineage fix removed the task-binary blowup.
         import gc
 
         gc.collect()
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
 
 
 def _boundary_wrap(fn: QueryFn) -> QueryFn:
