@@ -417,32 +417,18 @@ q_ann_delete_recall = _register_delete_recall()
 def _hnsw_del_store_dir(sf_dir: str) -> str:
     """Store path for the POST-DELETE snapshot of sf_dir's persisted
     index: the base store's content key (corpus file identity + build
-    constants + build-operator sources) extended with the delete
-    constants and the SOURCE TEXT of the delete fold — editing the
-    compaction rule or the monitor's delete path invalidates the
-    cached post-delete store automatically (the _hnsw_store_key
-    discipline)."""
+    constants + the operator/store MODULE sources — _hnsw_store_key
+    already folds whole modules in, so the delete fold and the
+    monitor's tombstone paths are covered) extended with the delete
+    constants."""
     import hashlib
-    import inspect
     import os
 
-    from ..operators import llm as _ollm
-    from ..streaming import ann_index as _ann
     from .llm_ops import _hnsw_store_dir
 
     base = _hnsw_store_dir(sf_dir)
-    srcs = "".join(
-        inspect.getsource(f)
-        for f in (
-            _ollm.nsw_delete,
-            _ollm.nsw_search,
-            _ann.ANNIndexMonitor.__call__,
-            _ann.ANNIndexMonitor._read_tombs,
-            _ann.ANNIndexMonitor.search,
-        )
-    )
     key = hashlib.md5(
-        f"{base}\x00{NSW_DELETE_MOD}|{NSW_DELETE_REM}\x00{srcs}".encode()
+        f"{base}\x00{NSW_DELETE_MOD}|{NSW_DELETE_REM}".encode()
     ).hexdigest()[:16]
     return os.path.join(os.path.dirname(base), f"del-{key}")
 

@@ -2943,30 +2943,24 @@ HNSW_INDEX_CACHE = "/tmp/fps_hnsw_index"
 
 def _hnsw_store_key(sf_dir: str) -> str:
     """Cache key covering everything that determines the built index:
-    the corpus dir, every build/search constant, and the SOURCE TEXT
-    of the build operators — so editing the build rule invalidates
-    the cache automatically instead of serving a stale graph (the
-    probe-marker-versioning hazard, r8). md5 here keys a cache path;
-    it is not part of any query's math."""
+    the corpus dir, every build/search constant, and the FULL MODULE
+    SOURCE of the operator and store layers — so editing ANY build
+    rule (including helpers and constants the per-function hashing of
+    r11 silently missed — SQDIST_Q_SQL, ivf_assign, a moved constant;
+    the r11 verdict's advisory #4) invalidates the cache automatically
+    instead of serving a stale graph (the probe-marker-versioning
+    hazard, r8). Module-level granularity over-invalidates — an
+    unrelated edit to operators/llm.py costs one spurious rebuild —
+    which is the safe direction for a cache; a content-changed rule
+    can never serve stale. md5 here keys a cache path; it is not part
+    of any query's math."""
     import hashlib
     import inspect
 
     from ..operators import llm as _ollm
     from ..streaming import ann_index as _ann
 
-    srcs = "".join(
-        inspect.getsource(f)
-        for f in (
-            _ollm.nsw_graph,
-            _ollm._nsw_shrink,
-            _ollm.nsw_beam,
-            _ollm.nsw_search,
-            _ollm.hnsw_search,
-            _ollm.nsw_insert,
-            _ann.ANNIndexMonitor.init,
-            _ann.ANNIndexMonitor.search,
-        )
-    )
+    srcs = inspect.getsource(_ollm) + inspect.getsource(_ann)
     const = (
         f"{NSW_DEG}|{NSW_BEAM}|{NSW_HOPS}|{HNSW_L1_MOD}"
         f"|{IVF_SEED_CENTROIDS}|{EMBED_MULTI_MAX_CELL}|{EMBED_PAIR_NPROBE}"

@@ -40,29 +40,20 @@ PQ_SERVE_NCODES = 16
 
 def _pq_store_key(identity: str) -> str:
     """Cache key covering everything that determines the built store:
-    corpus identity, build/serve constants, and the SOURCE TEXT of
-    the build/serve operators (the _hnsw_store_key discipline —
-    editing the coding or scan rule invalidates the cache instead of
-    serving stale codes). md5 keys a cache path; it is not part of
-    any query's math."""
+    corpus identity, build/serve constants, and the FULL MODULE SOURCE
+    of the operator and store layers (the _hnsw_store_key discipline,
+    module-granular per the r11 advisory — editing ANY coding or scan
+    rule, helper, or constant invalidates the cache instead of serving
+    stale codes; an unrelated edit costs one spurious rebuild, the
+    safe direction). md5 keys a cache path; it is not part of any
+    query's math."""
     import hashlib
     import inspect
 
     from ..operators import llm as _ollm
     from ..streaming import pq_index as _pq
 
-    srcs = "".join(
-        inspect.getsource(f)
-        for f in (
-            _ollm.ivfpq_artifacts,
-            _ollm.ivfpq_scan,
-            _ollm.pq_codes,
-            _ollm.pq_code_batch,
-            _ollm._subvectors,
-            _pq.PQIndexMonitor.init,
-            _pq.PQIndexMonitor.adc_topk,
-        )
-    )
+    srcs = inspect.getsource(_ollm) + inspect.getsource(_pq)
     const = (
         f"{PQ_SERVE_NCODES}|{PQ_SERVE_NPROBE}|{RERANK_SHORTLIST}"
         f"|{IVF_SEED_CENTROIDS}"
@@ -152,3 +143,108 @@ def q_sim_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_sim_ivfpq_serve.__doc__ = q_sim_ivfpq_serve.__doc__.format(
     short=RERANK_SHORTLIST
 )
+
+
+def _pq_del_store_for(spark: SparkSession, sf_dir: str):
+    """The post-delete compressed store: the base pq store's code log
+    copied, the hash-slice tombstones folded through the monitor's own
+    foreachBatch path as batch 0 (codes untouched — the mask does the
+    work), published atomically under the base key + delete constants
+    (the hnsw delete-store convention)."""
+    import os
+    import shutil
+
+    from .ann_delete import NSW_DELETE_MOD, NSW_DELETE_REM
+    from ..functions.portable import hash56
+
+    base_key = _pq_store_key(sf_dir + "\x00" + corpus_file_identity(sf_dir))
+    import hashlib
+
+    key = hashlib.md5(
+        f"{base_key}\x00{NSW_DELETE_MOD}|{NSW_DELETE_REM}".encode()
+    ).hexdigest()[:16]
+    store = os.path.join(PQ_INDEX_CACHE, f"del-{key}")
+    if not os.path.isdir(os.path.join(store, "tombs", "batch_id=0")):
+        base = pq_store_for(spark, sf_dir)
+        tmp = f"{store}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        for kind in ("cb.parquet", "cents.parquet"):
+            shutil.copytree(
+                os.path.join(base.store_dir, kind),
+                os.path.join(tmp, kind),
+            )
+        shutil.copytree(
+            os.path.join(base.store_dir, "codes", "batch_id=-1"),
+            os.path.join(tmp, "codes", "batch_id=-1"),
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        batch = emb.filter(
+            hash56(F.col("vec_id")) % NSW_DELETE_MOD == NSW_DELETE_REM
+        ).select("vec_id", "embedding", F.lit("delete").alias("op"))
+        _pq_monitor(tmp)(batch, 0)
+        os.makedirs(PQ_INDEX_CACHE, exist_ok=True)
+        try:
+            os.rename(tmp, store)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return _pq_monitor(store)
+
+
+def _ivfpq_delete_oracle() -> str:
+    """The rerank oracle with the tombstone mask injected at the ADC
+    code scan (assert-unique anchors — the _register_ivfpq_rerank
+    surgery convention): masking the deleted vectors' code rows is
+    EXACTLY what serving does, and because coding is per-vector under
+    FROZEN artifacts, the masked scan equals an index that never held
+    them. The exact re-rank stage only ever sees the survivor
+    shortlist, so it needs no mask of its own."""
+    from ..functions.portable import hash56_sql_duckdb
+    from .ann_delete import NSW_DELETE_MOD, NSW_DELETE_REM
+    from .registry import ORACLES
+
+    sql = ORACLES["q_sim_ivfpq_rerank"]
+    anchor = "WHERE x.vec_id <> l.query_id"
+    assert sql.count(anchor) == 1, "ivfpq rerank oracle shape changed"
+    h = hash56_sql_duckdb("x.vec_id")
+    sql = sql.replace(
+        anchor,
+        anchor
+        + f"\n          AND {h} % {NSW_DELETE_MOD} <> {NSW_DELETE_REM}",
+    )
+    return sql
+
+
+@register("q_sim_ivfpq_delete", oracle=_ivfpq_delete_oracle())
+def q_sim_ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed retrieval SERVED AFTER A DELETE BATCH — the delete
+    lifecycle completed on the SECOND index family (q_sim_hnsw_delete
+    is the graph store's form): the shared base pq store is copied,
+    the hash-slice tombstones (the same deterministic ~1/8 slice the
+    graph delete row uses) fold through the monitor's foreachBatch
+    path as batch 0 — the code log is NOT rewritten; serving masks
+    tombstoned rows with one anti-join on the ~1/32-size hot tier —
+    and every run serves the two-stage shape from the post-delete
+    snapshot. The contrast with the graph family is the point:
+    a graph index must CONSOLIDATE on delete (edges through the hole
+    break navigability), while a flat compressed index deletes by
+    masking alone, deferring reclamation to an offline log rewrite —
+    the two production delete disciplines, both priced.
+
+    Correctness contract: coding is per-vector under FROZEN training
+    artifacts, so the masked scan equals an index that never held the
+    deleted vectors — the oracle is the rerank text with the
+    tombstone mask injected at the ADC code scan; a stale store or a
+    leaking mask is a driver hash mismatch.
+
+    Scale: one anti-join on the code log on top of q_sim_ivfpq_serve's
+    flat serving profile; the delete fold writes |D| tombstone rows
+    and touches nothing else."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mon = _pq_del_store_for(spark, sf_dir)
+    short = mon.adc_topk(
+        spark,
+        emb.filter(F.col("vec_id") < PQ_QUERY_MAX),
+        after_batch_id=0,
+        k=RERANK_SHORTLIST,
+    ).select("query_id", "neighbor_id")
+    return exact_rerank(emb, short, k=3)

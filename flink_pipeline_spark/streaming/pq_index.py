@@ -23,6 +23,10 @@ Store layout (the streaming/ann_index.py conventions):
   artifacts, so the fold never reads or rewrites prior state — the
   simplest replay story in the family: a crashed batch re-derives
   its own partition from its own input alone.
+* ``tombs/batch_id=N`` — append-only log of DELETED vec_ids (the
+  streaming/ann_index.py convention): the code log is never
+  rewritten — serving masks tombstoned rows with one anti-join on
+  the hot tier; bytes are reclaimed only by an offline log rewrite.
 
 Search (``adc_topk``) replays q_sim_ivfpq_topk's probe/LUT/ADC stage
 (operators/llm.ivfpq_scan — the SAME function the batch query runs)
@@ -109,13 +113,46 @@ class PQIndexMonitor:
         ]
         return spark.read.schema(_CODE_SCHEMA).parquet(*parts)
 
+    def _read_tombs(self, spark, batch_id: int) -> DataFrame:
+        """Every tombstoned vec_id from partitions strictly BEFORE
+        ``batch_id`` — the streaming/ann_index.py contract: an absent
+        tombstone log is a valid state (no delete has ever run), read
+        as the empty mask."""
+        bids = partition_ids(spark, self._path("tombs"))
+        prior = [b for b in bids if b < batch_id]
+        if not prior:
+            return spark.createDataFrame([], "vec_id BIGINT")
+        parts = [
+            os.path.join(self._path("tombs"), f"batch_id={b}") for b in prior
+        ]
+        return spark.read.schema("vec_id BIGINT").parquet(*parts)
+
     # -- the foreachBatch fold ----------------------------------------
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        """Code arrivals; append delete tombstones. A batch with an
+        ``op`` column splits (op='delete' ids tombstone, op='insert'
+        rows code); without one, the whole batch is arrivals. The code
+        log is NEVER rewritten on delete — the compressed index masks
+        tombstoned rows at scan time (one anti-join on the ~1/32-size
+        code table), and the bytes are reclaimed only by an offline
+        log rewrite, the FreshDiskANN split the graph store documents.
+        Both folds are stateless given the frozen artifacts, so a
+        crashed batch re-derives its partitions from its own input."""
         spark = batch.sparkSession
         cb, cents = self._read_artifacts(spark)
+        if "op" in batch.columns:
+            dels = batch.filter(F.col("op") == "delete").select("vec_id")
+            arrivals = batch.filter(F.col("op") == "insert").select(
+                "vec_id", "embedding"
+            )
+            dels.write.mode("overwrite").parquet(
+                os.path.join(self._path("tombs"), f"batch_id={batch_id}")
+            )
+        else:
+            arrivals = batch.select("vec_id", "embedding")
         pq_code_batch(
-            batch.select("vec_id", "embedding"),
+            arrivals,
             cb,
             cents,
             self.m,
@@ -138,9 +175,16 @@ class PQIndexMonitor:
         log. The caller composes the exact full-vector re-rank
         (q_sim_ivfpq_rerank's second stage) against the corpus
         parquet — the store deliberately does NOT duplicate full
-        vectors (DiskANN's split: codes hot, vectors cold)."""
+        vectors (DiskANN's split: codes hot, vectors cold).
+        Tombstoned rows are masked out of the code scan (one
+        anti-join on the hot tier), so a deleted vector can never be
+        shortlisted — the never-serve-deleted contract on the
+        compressed family."""
         cb, cents = self._read_artifacts(spark)
-        codes = self._read_codes(spark, after_batch_id + 1)
+        tombs = self._read_tombs(spark, after_batch_id + 1)
+        codes = self._read_codes(spark, after_batch_id + 1).join(
+            tombs, "vec_id", "left_anti"
+        )
         return ivfpq_scan(
             codes,
             cb,

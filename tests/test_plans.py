@@ -365,6 +365,7 @@ _BNLJ_MAX = {
                                  # (the vetted linear audit class)
     "q_sim_ivfpq_serve": 1,      # the probe stage's tiny centroid
                                  # broadcast (the q_sim_ivf_topk class)
+    "q_sim_ivfpq_delete": 1,     # same class, over the masked code log
     "q_drift_projection": 1,     # 1-row n_dims_used scalar broadcast
     "q_dedup_video_fp_recall": 1,  # 1-row truth-denominator broadcast
 }

@@ -485,3 +485,60 @@ def test_pq_serve_matches_rerank_and_reads_store(spark):
     assert stamp() == s1, "serving query rebuilt a published store"
     want = sorted(map(tuple, q_sim_ivfpq_rerank(spark, SMALL_SF).collect()))
     assert first == second == want and first
+
+
+def test_pq_index_delete_mask_and_replay(spark, tmp_path):
+    """Compressed-family delete: a mixed delete+insert batch through
+    the foreachBatch sink leaves the code log append-only (prior
+    partitions untouched), masks tombstoned ids out of every served
+    shortlist, and replays idempotently."""
+    from .test_round11_ops import _split
+
+    emb, base, arrivals = _split(spark)
+    seeds = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+    queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
+    is_del = hash56(F.col("vec_id")) % NSW_DELETE_MOD == NSW_DELETE_REM
+    dels = base.filter(is_del).select("vec_id")
+    dead = {r.vec_id for r in dels.collect()}
+    assert dead
+    mon = _pq_mon(tmp_path, "pqdel")
+    mon.init(base, seeds)
+    # the init partition (everything strictly before batch 0)
+    before = sorted(map(tuple, mon._read_codes(spark, 0).collect()))
+    mixed = dels.join(emb, "vec_id").select(
+        "vec_id", "embedding", F.lit("delete").alias("op")
+    ).unionByName(
+        arrivals.select("vec_id", "embedding", F.lit("insert").alias("op"))
+    )
+    mon(mixed, 0)
+    # append-only: the init partition is untouched by the delete (the
+    # mask does the work); batch 0 only ADDED the arrival codes
+    assert sorted(map(tuple, mon._read_codes(spark, 0).collect())) == before
+    n_arr = arrivals.count()
+    from flink_pipeline_spark.streaming.pq_index import PQIndexMonitor  # noqa: F401
+
+    assert mon._read_codes(spark, 1).count() == len(before) + n_arr * mon.m
+    served = mon.adc_topk(spark, queries, 0, k=5).collect()
+    assert served and not {r.neighbor_id for r in served} & dead
+    tombs = sorted(r.vec_id for r in mon._read_tombs(spark, 1).collect())
+    assert set(tombs) == dead
+    mon(mixed, 0)  # crash replay
+    assert sorted(
+        r.vec_id for r in mon._read_tombs(spark, 1).collect()
+    ) == tombs
+    assert sorted(
+        map(tuple, mon.adc_topk(spark, queries, 0, k=5).collect())
+    ) == sorted(map(tuple, served))
+
+
+def test_ivfpq_delete_query_never_returns_deleted(spark):
+    """The registered compressed-delete row keeps the contract
+    literal, and its store is published once (mtime-stable)."""
+    from flink_pipeline_spark.plans.pq_serve import q_sim_ivfpq_delete
+
+    emb, dels, _ = _del_split(spark)
+    dead = {r.vec_id for r in dels.collect()}
+    first = sorted(map(tuple, q_sim_ivfpq_delete(spark, SMALL_SF).collect()))
+    assert first and not {t[1] for t in first} & dead
+    second = sorted(map(tuple, q_sim_ivfpq_delete(spark, SMALL_SF).collect()))
+    assert first == second
