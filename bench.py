@@ -274,6 +274,25 @@ HEADLINE = [
     "q_drift_projection",
     "q_dedup_video_fp",
     "q_dedup_video_fp_recall",
+    # r13: the masked post-delete compressed serve (kept out of the
+    # r12 artifact only to match SCALING 12d; promoted per the r12
+    # verdict) NEXT TO its offline-rewrite twin — the pair prices the
+    # deferred-mask cost and what the compaction buys back; the
+    # dedup→unindex composition on both index families plus its
+    # keeper-recall audit; the MaxSim late-interaction retrieval pair;
+    # radius search on both families; and the drift-triggered index
+    # refresh
+    "q_sim_ivfpq_delete",
+    "q_sim_ivfpq_rewrite",
+    "q_dedup_unindex",
+    "q_dedup_unindex_pq",
+    "q_dedup_unindex_recall",
+    "q_sim_maxsim_topk",
+    "q_sim_maxsim_recall",
+    "q_sim_radius",
+    "q_sim_hnsw_radius",
+    "q_sim_radius_recall",
+    "q_ann_drift_refresh",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"

@@ -794,6 +794,68 @@ def topk_neighbors_ivf(
     )
 
 
+def radius_neighbors_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    radius_q: int,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(query_id, neighbor_id, dist_q): RADIUS (threshold) search over
+    the IVF index — every probed-cell member within quantized squared
+    L2 ``radius_q`` of the query, the vector-store query form top-k
+    cannot express ("all matches within distance r": dedup sweeps,
+    GDPR similarity holds, duplicate-claim verification). Each query
+    ranks the centroids on the portably rounded cosine, probes its
+    ``nprobe`` best cells, scores just those members in exact BIGINT
+    ten-thousandths squared L2, and keeps survivors under the
+    threshold. Recall vs the exact radius truth is bounded by the
+    quantizer exactly as in topk_neighbors_ivf (audited in
+    q_sim_radius_recall).
+
+    Scale: the cheapest search in the family — the probe table is
+    queries x nprobe rows BROADCAST onto the cell-pruned corpus scan,
+    the threshold is a pushed filter, and unlike top-k there is NO
+    per-query window at all: no shuffle touches the candidate rows.
+    Result size is data-dependent (the radius contract), so callers
+    own the downstream cap."""
+    assigned = ivf_assign(emb, centroids)
+    q = with_norm(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        F.col("norm").alias("nq"),
+    )
+    c = with_norm(centroids).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("ec"),
+        F.col("norm").alias("nc"),
+    )
+    qcos = F.expr(DOT_SQL.format(a="eq", b="ec")) / (F.col("nq") * F.col("nc"))
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("cell")
+    )
+    probes = (
+        q.join(F.broadcast(c))
+        .select("query_id", "cell", "eq", round_agg(qcos).alias("qcos"))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cell", "eq")
+    )
+    return (
+        emb.join(assigned, "vec_id")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(SQDIST_Q_SQL.format(a="eq", b="embedding")).alias(
+                "dist_q"
+            ),
+        )
+        .filter(F.col("dist_q") <= radius_q)
+    )
+
+
 def topk_neighbors_ivf2(
     emb: DataFrame,
     queries: DataFrame,

@@ -443,6 +443,7 @@ def hnsw_delete_store_for(spark: SparkSession, sf_dir: str):
     import os
     import shutil
 
+    from ..streaming.heavy import publish_store
     from .llm_ops import _hnsw_monitor, hnsw_store_for
 
     store = _hnsw_del_store_dir(sf_dir)
@@ -460,22 +461,20 @@ def hnsw_delete_store_for(spark: SparkSession, sf_dir: str):
             hash56(F.col("vec_id")) % NSW_DELETE_MOD == NSW_DELETE_REM
         ).select("vec_id", "embedding", F.lit("delete").alias("op"))
         _hnsw_monitor(tmp)(batch, 0)
-        os.makedirs(os.path.dirname(store), exist_ok=True)
-        try:
-            os.rename(tmp, store)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+        publish_store(tmp, store)
     return _hnsw_monitor(store)
 
 
-def _hnsw_delete_oracle_sql() -> str:
-    """The full two-layer post-delete unroll: both layer graphs
-    (scored), the shared tombstone slice, per-layer delete
-    consolidation, the layer-1 beam from the minimum SURVIVING
-    layer-1 member, the per-query hand-off, the base-layer beam over
-    the compacted base graph, and the survivor-masked final ranking
-    — every stage composed from the same text builders as
-    q_sim_hnsw_topk/q_sim_nsw_delete."""
+def _hnsw_delete_ctes(dels_sql: str) -> str:
+    """The WITH-body of the two-layer post-delete unroll: both layer
+    graphs (scored), the ``dels`` tombstone CTE (parameterized —
+    q_sim_hnsw_delete passes the hash slice, the dedup→unindex row
+    passes the dedup drop set), per-layer delete consolidation, the
+    layer-1 beam from the minimum SURVIVING layer-1 member, the
+    per-query hand-off, and the base-layer beam over the compacted
+    base graph (final CTE ``bb{hops}``). Factored out of the full
+    oracle (r13) so the unindex recall audit can compose the same
+    beams with its own truth/rollup tail."""
     l1 = f"""l1v AS (
         SELECT vec_id, embedding FROM embeddings
         WHERE {hash56_sql_duckdb('vec_id')} % {HNSW_L1_MOD} = 0
@@ -499,14 +498,27 @@ def _hnsw_delete_oracle_sql() -> str:
         FROM qs q JOIN e0 e ON e.query_id = q.query_id
         JOIN embeddings m ON m.vec_id = e.node"""
     return (
-        f"""
-    WITH {l1}, {_nsw_graph_sql_for("l1v", "u", keep_dist=True)},
-    {_nsw_graph_sql_for("embeddings", "z", keep_dist=True)}, {_dels_sql()},
+        f"""{l1}, {_nsw_graph_sql_for("l1v", "u", keep_dist=True)},
+    {_nsw_graph_sql_for("embeddings", "z", keep_dist=True)}, {dels_sql},
     {_nsw_delete_sql("uadj", "du")}, {_nsw_delete_sql("zadj", "dz")},
     {_NSW_QS_ENTRY_SQL}, {uentry}, """
         + _nsw_beam_sql("dudadj", "a", b0=b0_l1)
         + f", {hand_off}, "
         + _nsw_beam_sql("dzdadj", "b", b0=b0_base)
+    )
+
+
+def _hnsw_delete_oracle_sql() -> str:
+    """The full two-layer post-delete unroll: both layer graphs
+    (scored), the shared tombstone slice, per-layer delete
+    consolidation, the layer-1 beam from the minimum SURVIVING
+    layer-1 member, the per-query hand-off, the base-layer beam over
+    the compacted base graph, and the survivor-masked final ranking
+    — every stage composed from the same text builders as
+    q_sim_hnsw_topk/q_sim_nsw_delete."""
+    return (
+        "\n    WITH "
+        + _hnsw_delete_ctes(_dels_sql())
         + _final_survivor_sql(f"bb{NSW_HOPS}")
     )
 

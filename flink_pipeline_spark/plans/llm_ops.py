@@ -3027,18 +3027,17 @@ def hnsw_store_for(spark: SparkSession, sf_dir: str):
     import os
     import shutil
 
+    from ..streaming.heavy import publish_store
+
     store = _hnsw_store_dir(sf_dir)
     if not os.path.isdir(os.path.join(store, "adj", "batch_id=-1")):
         emb = load_table(spark, sf_dir, "embeddings")
         tmp = f"{store}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         _hnsw_monitor(tmp).init(
             emb, emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
         )
-        os.makedirs(HNSW_INDEX_CACHE, exist_ok=True)
-        try:
-            os.rename(tmp, store)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+        publish_store(tmp, store)
     return _hnsw_monitor(store)
 
 

@@ -1,0 +1,382 @@
+"""Multi-vector LATE-INTERACTION retrieval (MaxSim — the ColBERT
+scoring rule, Khattab & Zaharia, SIGIR 2020): r12 verdict's #4 ask.
+Every retrieval row so far scores one vector per item; the current
+production retrieval family keeps ONE VECTOR PER TOKEN and scores a
+(query, doc) pair as
+
+    MaxSim(Q, D) = sum over q in Q of  max over d in D of  sim(q, d)
+
+— the "late interaction": token-level granularity at scoring time
+without cross-encoder cost. Expressed on the existing embeddings
+fixture by grouping vec_ids into synthetic multi-vector docs
+(mdoc = vec_id div {toks} — {toks} token vectors per doc, the
+q_hybrid_retrieval synthetic-grouping convention).
+
+Two rows:
+
+* ``q_sim_maxsim_topk`` — the two-stage production shape: candidate
+  docs nominated by TOKEN-level IVF probes (each query token probes
+  its 2 best cells; any doc owning a probed-cell token is a
+  candidate — ColBERT's ANN-then-rerank serving layout), then EXACT
+  MaxSim on the candidate pairs only. Never all-pairs.
+* ``q_sim_maxsim_recall`` — the audit vs exact all-docs MaxSim truth:
+  what token-level candidate generation loses (a relevant doc is
+  missed only if NONE of its tokens lands in any probed cell — the
+  multi-vector recall advantage this row quantifies).
+
+Exactness: token sims are BIGINT ten-thousandths quantized dot
+products (the MMR rel_q convention), so per-token maxima and the
+MaxSim sum are exact integer arithmetic in both engines; candidate
+probe ranking is on the portably rounded cosine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.portable import round_agg, round_sql
+from ..operators.llm import DOT_SQL, ivf_assign
+from .llm_ops import (
+    IVF_SEED_CENTROIDS,
+    _COS_DUCK,
+    _DOT_DUCK,
+    _SEED_ASSIGN_DUCK,
+)
+from .registry import register
+
+MAXSIM_TOKS = 4    # token vectors per synthetic doc
+MAXSIM_QDOCS = 3   # query docs (mdoc < 3 -> vec_id < 12)
+MAXSIM_NPROBE = 2  # cells probed per query token
+
+_QTOK_MAX = MAXSIM_TOKS * MAXSIM_QDOCS
+
+# BIGINT ten-thousandths quantized dot — the one token-similarity text
+_SIM_Q_DUCK = (
+    "CAST(floor("
+    + _DOT_DUCK.format(a="{a}", b="{b}")
+    + " * 10000 + 0.5) AS BIGINT)"
+)
+_SIM_Q_SPARK = (
+    "CAST(floor(" + DOT_SQL.format(a="{a}", b="{b}") + " * 10000 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+_MAXSIM_CTES = f"""qt AS (
+        SELECT vec_id AS qtok, vec_id // {MAXSIM_TOKS} AS qdoc,
+               embedding AS eq
+        FROM embeddings WHERE vec_id < {_QTOK_MAX}
+    ), tprobes AS (
+        SELECT qtok, cell FROM (
+            SELECT q.qtok, c.vec_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.qtok
+                       ORDER BY floor({_COS_DUCK.format(a='q.eq',
+                                                        b='c.embedding')}
+                                      * 10000 + 0.5) / 10000 DESC,
+                                c.vec_id) AS rn
+            FROM qt q JOIN embeddings c
+              ON c.vec_id < {IVF_SEED_CENTROIDS}
+        ) t WHERE rn <= {MAXSIM_NPROBE}
+    ), cand AS (
+        SELECT DISTINCT q.qdoc, a.vec_id // {MAXSIM_TOKS} AS cdoc
+        FROM tprobes p
+        JOIN qt q ON q.qtok = p.qtok
+        JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id // {MAXSIM_TOKS} <> q.qdoc
+    )"""
+
+
+def _maxsim_score_sql(cand: str) -> str:
+    """sims/scored CTE text: exact MaxSim over a (qdoc, cdoc)
+    candidate CTE — one text shared by the two-stage row and the
+    recall audit's truth so the scoring rule cannot fork."""
+    return f"""sims_{cand} AS (
+        SELECT c.qdoc, c.cdoc, q.qtok,
+               max({_SIM_Q_DUCK.format(a='q.eq', b='d.embedding')})
+                   AS best_q
+        FROM {cand} c
+        JOIN qt q ON q.qdoc = c.qdoc
+        JOIN embeddings d ON d.vec_id // {MAXSIM_TOKS} = c.cdoc
+        GROUP BY c.qdoc, c.cdoc, q.qtok
+    ), scored_{cand} AS (
+        SELECT qdoc, cdoc, CAST(sum(best_q) AS BIGINT) AS maxsim_q
+        FROM sims_{cand} GROUP BY qdoc, cdoc
+    )"""
+
+
+def _maxsim_final_sql(cand: str) -> str:
+    return f"""
+    SELECT query_doc, doc_id, rank, maxsim_q FROM (
+        SELECT qdoc AS query_doc, cdoc AS doc_id, maxsim_q,
+               row_number() OVER (
+                   PARTITION BY qdoc
+                   ORDER BY maxsim_q DESC, cdoc) AS rank
+        FROM scored_{cand}
+    ) t WHERE rank <= 3
+    """
+
+
+def _maxsim_candidates(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(qdoc, cdoc) candidate pairs from token-level IVF probes — the
+    Spark twin of the tprobes/cand CTEs."""
+    from ..functions.portable import round_agg as _ra
+    from ..operators.llm import with_norm
+
+    cents = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+    qt = emb.filter(F.col("vec_id") < _QTOK_MAX).select(
+        F.col("vec_id").alias("qtok"),
+        F.expr(f"vec_id div {MAXSIM_TOKS}").alias("qdoc"),
+        F.col("embedding").alias("eq"),
+    )
+    q = with_norm(
+        qt.select(F.col("qtok").alias("vec_id"), F.col("eq").alias("embedding"))
+    ).select(
+        F.col("vec_id").alias("qtok"),
+        F.col("embedding").alias("eq"),
+        F.col("norm").alias("nq"),
+    )
+    c = with_norm(cents).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("ec"),
+        F.col("norm").alias("nc"),
+    )
+    qcos = F.expr(DOT_SQL.format(a="eq", b="ec")) / (
+        F.col("nq") * F.col("nc")
+    )
+    pw = Window.partitionBy("qtok").orderBy(F.col("qcos").desc(), "cell")
+    tprobes = (
+        q.join(F.broadcast(c))
+        .select("qtok", "cell", _ra(qcos).alias("qcos"))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= MAXSIM_NPROBE)
+        .select("qtok", "cell")
+    )
+    assigned = ivf_assign(emb, cents)
+    return (
+        tprobes.join(
+            qt.select("qtok", "qdoc"), "qtok"
+        )
+        .join(assigned, "cell")
+        .select(
+            "qdoc",
+            F.expr(f"vec_id div {MAXSIM_TOKS}").alias("cdoc"),
+        )
+        .filter(F.col("cdoc") != F.col("qdoc"))
+        .distinct()
+    )
+
+
+def _maxsim_score(emb: DataFrame, cand: DataFrame) -> DataFrame:
+    """(query_doc, doc_id, rank, maxsim_q): exact MaxSim over a
+    (qdoc, cdoc) candidate frame — the one Spark scoring rule (the
+    _maxsim_score_sql twin). The candidate frame broadcasts onto the
+    corpus scan to fetch doc tokens; query tokens are a tiny second
+    broadcast; the per-token max and the doc sum are one hash agg
+    each."""
+    qt = emb.filter(F.col("vec_id") < _QTOK_MAX).select(
+        F.col("vec_id").alias("qtok"),
+        F.expr(f"vec_id div {MAXSIM_TOKS}").alias("qdoc"),
+        F.col("embedding").alias("eq"),
+    )
+    dtoks = emb.select(
+        F.expr(f"vec_id div {MAXSIM_TOKS}").alias("cdoc"), "embedding"
+    )
+    sims = (
+        dtoks.join(F.broadcast(cand), "cdoc")
+        .join(F.broadcast(qt), "qdoc")
+        .select(
+            "qdoc",
+            "cdoc",
+            "qtok",
+            F.expr(_SIM_Q_SPARK.format(a="eq", b="embedding")).alias(
+                "sim_q"
+            ),
+        )
+        .groupBy("qdoc", "cdoc", "qtok")
+        .agg(F.max("sim_q").alias("best_q"))
+    )
+    scored = sims.groupBy("qdoc", "cdoc").agg(
+        F.sum("best_q").cast("long").alias("maxsim_q")
+    )
+    w = Window.partitionBy("qdoc").orderBy(
+        F.col("maxsim_q").desc(), "cdoc"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("qdoc").alias("query_doc"),
+            F.col("cdoc").alias("doc_id"),
+            "rank",
+            "maxsim_q",
+        )
+    )
+
+
+@register(
+    "q_sim_maxsim_topk",
+    oracle=f"""
+    WITH assigned AS ({_SEED_ASSIGN_DUCK}
+    ), {_MAXSIM_CTES}, {_maxsim_score_sql('cand')}
+    {_maxsim_final_sql('cand')}
+    """,
+)
+def q_sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-VECTOR late-interaction top-3 (ColBERT's MaxSim): each
+    synthetic doc holds {toks} token vectors; a (query, doc) pair
+    scores as the sum over query tokens of the best quantized dot
+    against ANY doc token. Two-stage serving, never all-pairs: query
+    TOKENS probe the IVF index (2 cells each — any doc owning a
+    probed-cell token is nominated), then exact MaxSim runs on the
+    nominated pairs only. This is the production multi-vector layout:
+    the token-level index prunes, the late interaction ranks.
+
+    Oracle replays probe choice, candidate nomination, per-token
+    maxima, and the sum bit-for-bit (rounded-cosine probe rank, BIGINT
+    ten-thousandths dots — exact integer max/sum in both engines).
+
+    Scale: candidate generation is the IVF probe plan at token
+    granularity (broadcast probes onto the cell-pruned scan); scoring
+    touches |cand| x {toks}^2 dots with the candidate and query-token
+    frames broadcast — the corpus never shuffles; per-token max and
+    the doc sum are map-side-combinable hash aggs. At 100 TB the
+    token index IS the existing IVF machinery — multi-vector adds a
+    div, not an index family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = _maxsim_candidates(spark, emb)
+    return _maxsim_score(emb, cand)
+
+
+q_sim_maxsim_topk.__doc__ = q_sim_maxsim_topk.__doc__.format(
+    toks=MAXSIM_TOKS
+)
+
+
+def _maxsim_recall_oracle() -> str:
+    all_cand = f"""allc AS (
+        SELECT DISTINCT q.qdoc, d.vec_id // {MAXSIM_TOKS} AS cdoc
+        FROM qt q CROSS JOIN embeddings d
+        WHERE d.vec_id // {MAXSIM_TOKS} <> q.qdoc
+    )"""
+    return f"""
+    WITH assigned AS ({_SEED_ASSIGN_DUCK}
+    ), {_MAXSIM_CTES}, {_maxsim_score_sql('cand')}, {all_cand},
+    {_maxsim_score_sql('allc')}, twostage AS (
+        SELECT qdoc, cdoc FROM (
+            SELECT qdoc, cdoc,
+                   row_number() OVER (
+                       PARTITION BY qdoc
+                       ORDER BY maxsim_q DESC, cdoc) AS rank
+            FROM scored_cand
+        ) t WHERE rank <= 3
+    ), truth AS MATERIALIZED (
+        SELECT qdoc, cdoc FROM (
+            SELECT qdoc, cdoc,
+                   row_number() OVER (
+                       PARTITION BY qdoc
+                       ORDER BY maxsim_q DESC, cdoc) AS rank
+            FROM scored_allc
+        ) t WHERE rank <= 3
+    ), m AS (
+        SELECT 'twostage' AS method, qdoc, cdoc FROM twostage
+        UNION ALL
+        SELECT 'exact', qdoc, cdoc FROM truth
+    ), counts AS (
+        SELECT m.method,
+               CAST(count(*) AS BIGINT) AS n_method,
+               CAST(sum(CASE WHEN t.cdoc IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM m LEFT JOIN truth t
+          ON t.qdoc = m.qdoc AND t.cdoc = m.cdoc
+        GROUP BY m.method
+    ), grid AS (
+        SELECT unnest(['exact', 'twostage']) AS method
+    ), tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+    SELECT g.method, tt.n_truth,
+           CAST(coalesce(c.n_method, 0) AS BIGINT) AS n_method,
+           CAST(coalesce(c.hits, 0) AS BIGINT) AS hits,
+           {round_sql('coalesce(c.hits, 0)::DOUBLE / tt.n_truth')} AS recall
+    FROM grid g LEFT JOIN counts c ON c.method = g.method
+    CROSS JOIN tt
+    """
+
+
+@register("q_sim_maxsim_recall", oracle=_maxsim_recall_oracle())
+def q_sim_maxsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxSim candidate-generation recall: the two-stage top-3 vs the
+    exact all-docs MaxSim truth (same scoring text, candidate set =
+    every doc). A relevant doc is missed only if NONE of its tokens
+    lands in any of any query token's probed cells — the multi-vector
+    redundancy (one hit among {toks} tokens x {np} probes x {qt}
+    query tokens suffices) that makes token-level pruning safer than
+    single-vector IVF at equal probe budget; this row measures it.
+
+    Scale: the truth stage scores |qdocs| x |docs| pairs with the
+    query-token frame broadcast (the linear audit class — the
+    production surface is the two-stage row; this is its priced
+    audit)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qt = emb.filter(F.col("vec_id") < _QTOK_MAX).select(
+        F.expr(f"vec_id div {MAXSIM_TOKS}").alias("qdoc")
+    ).distinct()
+    allc = (
+        qt.crossJoin(
+            emb.select(
+                F.expr(f"vec_id div {MAXSIM_TOKS}").alias("cdoc")
+            ).distinct()
+        )
+        .filter(F.col("cdoc") != F.col("qdoc"))
+    )
+    two = _maxsim_score(emb, _maxsim_candidates(spark, emb)).select(
+        F.col("query_doc").alias("qdoc"), F.col("doc_id").alias("cdoc")
+    )
+    truth = (
+        _maxsim_score(emb, allc)
+        .select(
+            F.col("query_doc").alias("qdoc"), F.col("doc_id").alias("cdoc")
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = two.withColumn("method", F.lit("twostage")).unionByName(
+        truth.withColumn("method", F.lit("exact"))
+    )
+    hit = truth.withColumn("is_hit", F.lit(1))
+    counts = (
+        m.join(hit, ["qdoc", "cdoc"], "left")
+        .groupBy("method")
+        .agg(
+            F.count("*").cast("long").alias("n_method"),
+            F.sum(F.coalesce(F.col("is_hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [("exact",), ("twostage",)], "method STRING"
+    )
+    tt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    return (
+        grid.join(counts, "method", "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "method",
+            "n_truth",
+            F.coalesce(F.col("n_method"), F.lit(0))
+            .cast("long")
+            .alias("n_method"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            round_agg(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.col("n_truth")
+            ).alias("recall"),
+        )
+    )
+
+
+q_sim_maxsim_recall.__doc__ = q_sim_maxsim_recall.__doc__.format(
+    toks=MAXSIM_TOKS, np=MAXSIM_NPROBE, qt=_QTOK_MAX
+)

@@ -78,6 +78,8 @@ def pq_store_for(spark: SparkSession, sf_dir: str):
     import os
     import shutil
 
+    from ..streaming.heavy import publish_store
+
     key = _pq_store_key(sf_dir + "\x00" + corpus_file_identity(sf_dir))
     store = os.path.join(PQ_INDEX_CACHE, key)
     if not os.path.isdir(os.path.join(store, "codes", "batch_id=-1")):
@@ -87,11 +89,7 @@ def pq_store_for(spark: SparkSession, sf_dir: str):
         _pq_monitor(tmp).init(
             emb, emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
         )
-        os.makedirs(PQ_INDEX_CACHE, exist_ok=True)
-        try:
-            os.rename(tmp, store)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+        publish_store(tmp, store)
     return _pq_monitor(store)
 
 
@@ -154,6 +152,7 @@ def _pq_del_store_for(spark: SparkSession, sf_dir: str):
     import os
     import shutil
 
+    from ..streaming.heavy import publish_store
     from .ann_delete import NSW_DELETE_MOD, NSW_DELETE_REM
     from ..functions.portable import hash56
 
@@ -182,11 +181,7 @@ def _pq_del_store_for(spark: SparkSession, sf_dir: str):
             hash56(F.col("vec_id")) % NSW_DELETE_MOD == NSW_DELETE_REM
         ).select("vec_id", "embedding", F.lit("delete").alias("op"))
         _pq_monitor(tmp)(batch, 0)
-        os.makedirs(PQ_INDEX_CACHE, exist_ok=True)
-        try:
-            os.rename(tmp, store)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+        publish_store(tmp, store)
     return _pq_monitor(store)
 
 
@@ -245,6 +240,74 @@ def q_sim_ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         emb.filter(F.col("vec_id") < PQ_QUERY_MAX),
         after_batch_id=0,
+        k=RERANK_SHORTLIST,
+    ).select("query_id", "neighbor_id")
+    return exact_rerank(emb, short, k=3)
+
+
+def _pq_rewrite_store_for(spark: SparkSession, sf_dir: str):
+    """The REWRITTEN (compacted) compressed store: the post-delete
+    store's code log rewritten through its tombstone mask
+    (PQIndexMonitor.rewrite) and published under the delete store's
+    key + a rewrite marker — deleting the delete store would not
+    invalidate this one's key material, so the key derives from the
+    same constants the delete store's does."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..streaming.heavy import publish_store
+    from .ann_delete import NSW_DELETE_MOD, NSW_DELETE_REM
+
+    base_key = _pq_store_key(sf_dir + "\x00" + corpus_file_identity(sf_dir))
+    key = hashlib.md5(
+        f"{base_key}\x00{NSW_DELETE_MOD}|{NSW_DELETE_REM}\x00rewrite".encode()
+    ).hexdigest()[:16]
+    store = os.path.join(PQ_INDEX_CACHE, f"rw-{key}")
+    if not os.path.isdir(os.path.join(store, "codes", "batch_id=-1")):
+        del_mon = _pq_del_store_for(spark, sf_dir)
+        tmp = f"{store}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        del_mon.rewrite(spark, tmp, after_batch_id=0)
+        publish_store(tmp, store)
+    return _pq_monitor(store)
+
+
+@register("q_sim_ivfpq_rewrite", oracle=_ivfpq_delete_oracle())
+def q_sim_ivfpq_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed retrieval served from the REWRITTEN (compacted)
+    code log — the offline reclamation q_sim_ivfpq_delete's masking
+    discipline defers, now priced (r12 verdict's #2 ask): the
+    post-delete store's code log is rewritten once through its
+    tombstone mask (PQIndexMonitor.rewrite — surviving rows
+    consolidate into one fresh sentinel partition, the tombstone log
+    disappears, dead bytes are reclaimed), and every run serves the
+    two-stage shape from the compacted store with NO live tombstone
+    set: the per-query anti-join degenerates against an empty mask
+    and the ADC scan touches no dead code row. Next to
+    q_sim_ivfpq_delete in the bench, this row is the measured answer
+    to "what does the deferred mask cost, and does the rewrite buy
+    it back".
+
+    Correctness contract — the equivalence gate: coding is
+    per-vector under frozen artifacts, so dropping masked rows
+    commutes with the scan and post-rewrite serve must equal masked
+    serve. This query registers q_sim_ivfpq_delete's oracle text
+    VERBATIM — a rewrite that loses a survivor, resurrects a
+    tombstone, or re-codes anything is a driver hash mismatch (and
+    the pytest pins store-level equality plus the no-tombs/row-count
+    invariants).
+
+    Scale: the rewrite is one anti-joined scan of the ~1/32-size hot
+    tier, written back partitioned — the classic offline compaction;
+    serving afterward is q_sim_ivfpq_serve's flat profile with the
+    mask cost removed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mon = _pq_rewrite_store_for(spark, sf_dir)
+    short = mon.adc_topk(
+        spark,
+        emb.filter(F.col("vec_id") < PQ_QUERY_MAX),
+        after_batch_id=-1,
         k=RERANK_SHORTLIST,
     ).select("query_id", "neighbor_id")
     return exact_rerank(emb, short, k=3)

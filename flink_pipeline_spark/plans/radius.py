@@ -1,0 +1,331 @@
+"""RADIUS (threshold) search — the vector-store query form the top-k
+family cannot express (r12 verdict's #5 ask): "every match within
+distance r" is what a dedup sweep, a GDPR similarity hold, or a
+duplicate-claim verifier actually asks, and both index families
+should serve it. Three rows:
+
+* ``q_sim_radius`` — IVF-probed radius search (probe the 2 best
+  cells, exact BIGINT quantized L2, threshold filter — NO per-query
+  window anywhere: the cheapest plan in the search family).
+* ``q_sim_hnsw_radius`` — the graph form SERVED FROM THE PERSISTED
+  STORE: the standard two-layer traversal, with the full visited set
+  (already scored — the hnsw_filtered_search insight) thresholded
+  instead of truncated to k.
+* ``q_sim_radius_recall`` — both vs the exact radius truth; the
+  radius analogue of q_ann_recall.
+
+Reference contract: ilveroluca/flink-pipeline has no vector surface;
+this family extends SURVEY §2.11 L3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import hash56_sql_duckdb, round_agg, round_sql
+from ..operators.llm import SQDIST_Q_SQL, radius_neighbors_ivf
+from .ann_filtered import _visited_sql
+from .llm_ops import (
+    HNSW_L1_MOD,
+    IVF_SEED_CENTROIDS,
+    NSW_HOPS,
+    PQ_QUERY_MAX,
+    _DISTQ_DUCK,
+    _NSW_DISTQM,
+    _NSW_QS_ENTRY_SQL,
+    _SEED_ASSIGN_DUCK,
+    _nsw_beam_sql,
+    _nsw_graph_sql_for,
+    hnsw_store_for,
+)
+from .registry import register
+
+# the radius in BIGINT ten-thousandths quantized squared L2 — the
+# family's shared distance. Fixture-calibrated: ~18-30 true matches
+# per query at sf0.001/0.01, ~110 at sf0.1 (measured), so the result
+# set exercises multi-match semantics without ballooning the audit.
+RADIUS_Q = 16000
+
+
+# the per-query probe choice on quantized cosine, PQ_QUERY_MAX queries
+# (the q_sim_ivfpq_topk probe text at this family's query set)
+_RADIUS_PROBES_DUCK = f"""probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY floor({{cos}} * 10000 + 0.5) / 10000 DESC,
+                                c.vec_id) AS rn
+            FROM embeddings q JOIN embeddings c
+              ON c.vec_id < {IVF_SEED_CENTROIDS}
+            WHERE q.vec_id < {PQ_QUERY_MAX}
+        ) t WHERE rn <= 2
+    )"""
+
+
+def _radius_probes_sql() -> str:
+    from .llm_ops import _COS_DUCK
+
+    return _RADIUS_PROBES_DUCK.format(
+        cos=_COS_DUCK.format(a="q.embedding", b="c.embedding")
+    )
+
+
+_RADIUS_IVF_SELECT = f"""SELECT p.query_id, m.vec_id AS neighbor_id,
+           {_DISTQ_DUCK.format(a='q.embedding', b='m.embedding')} AS dist_q
+    FROM probes p
+    JOIN embeddings q ON q.vec_id = p.query_id
+    JOIN assigned a ON a.cell = p.cell
+    JOIN embeddings m ON m.vec_id = a.vec_id
+    WHERE m.vec_id <> p.query_id
+      AND {_DISTQ_DUCK.format(a='q.embedding', b='m.embedding')}
+          <= {RADIUS_Q}"""
+
+
+@register(
+    "q_sim_radius",
+    oracle=f"""
+    WITH assigned AS ({_SEED_ASSIGN_DUCK}
+    ), {_radius_probes_sql()}
+    {_RADIUS_IVF_SELECT}
+    """,
+)
+def q_sim_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RADIUS search over the IVF index: every probed-cell member
+    within quantized squared L2 {r} of each query (vec_id < 4) — the
+    threshold form of q_sim_ivf_topk, completing the vector-store
+    query surface (top-k answers "best k", radius answers "all within
+    r"; a dedup sweep or similarity hold needs the latter). Probe
+    choice and distance replay bit-for-bit in the oracle (rounded
+    cosine probe rank, exact BIGINT distances, threshold as a WHERE
+    clause over the same distance text).
+
+    Scale: the LIGHTEST search plan in the family — broadcast probe
+    table onto the cell-pruned scan, pushed threshold filter, and NO
+    per-query window at all (top-k's one wide op, gone): zero
+    shuffles touch the candidate rows. Recall vs exact truth is
+    quantizer-bounded, audited in q_sim_radius_recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return radius_neighbors_ivf(
+        emb,
+        emb.filter(F.col("vec_id") < PQ_QUERY_MAX),
+        emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+        radius_q=RADIUS_Q,
+        nprobe=2,
+    )
+
+
+q_sim_radius.__doc__ = q_sim_radius.__doc__.format(r=RADIUS_Q)
+
+
+def _hnsw_radius_with() -> str:
+    """WITH-fragment: the standard two-layer descent (the
+    _hnsw_oracle_sql shape at the PQ_QUERY_MAX query set), the base
+    beam's scored visited set, and the thresholded result ``gradius``."""
+    l1 = f"""l1v AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE {hash56_sql_duckdb('vec_id')} % {HNSW_L1_MOD} = 0
+    )"""
+    hand_off = f"""e0 AS (
+        SELECT query_id, node FROM (
+            SELECT query_id, node,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_q, node) AS rn
+            FROM ub{NSW_HOPS}
+        ) t WHERE rn = 1
+    )"""
+    b0_l1 = f"""SELECT q.query_id, e.node, {_NSW_DISTQM} AS dist_q
+        FROM qs q CROSS JOIN uentry e JOIN embeddings m ON m.vec_id = e.node"""
+    b0_base = f"""SELECT q.query_id, e.node, {_NSW_DISTQM} AS dist_q
+        FROM qs q JOIN e0 e ON e.query_id = q.query_id
+        JOIN embeddings m ON m.vec_id = e.node"""
+    return (
+        f"""{l1}, {_nsw_graph_sql_for("l1v", "u")},
+    {_nsw_graph_sql_for("embeddings", "z")}, {_NSW_QS_ENTRY_SQL}, uentry AS (
+        SELECT min(vec_id) AS node FROM l1v
+    ), """
+        + _nsw_beam_sql("uadj", "u", b0=b0_l1)
+        + f", {hand_off}, "
+        + _nsw_beam_sql("zadj", "z", b0=b0_base)
+        + f""", {_visited_sql("z", "qs")}, gradius AS (
+        SELECT query_id, node AS neighbor_id, dist_q
+        FROM zvis
+        WHERE node <> query_id AND dist_q <= {RADIUS_Q}
+    )"""
+    )
+
+
+@register(
+    "q_sim_hnsw_radius",
+    oracle="\n    WITH "
+    + _hnsw_radius_with()
+    + "\n    SELECT query_id, neighbor_id, dist_q FROM gradius\n    ",
+)
+def q_sim_hnsw_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RADIUS search SERVED FROM THE PERSISTED GRAPH INDEX: the
+    standard two-layer descent + base beam over the shared store
+    (q_sim_hnsw_search's — no second index, no extra traversal), with
+    every node the search VISITS within quantized L2 {r} returned
+    instead of the top-k truncation. The visited set is the search's
+    full O(beam * 2*deg * hops) footprint, already scored — the same
+    insight filtered search uses — so the radius form costs exactly
+    the top-k plan minus the final window, plus one threshold filter.
+
+    Recall is bounded by what the beam visits (a true match the
+    traversal never reaches is missed — the graph analogue of the
+    quantizer bound, priced vs the exact truth and the IVF form in
+    q_sim_radius_recall; widening the beam is the knob, audited in
+    q_ann_hnsw_beam). Tombstones compose: served through the store's
+    mask like every other read.
+
+    Scale: identical serving footprint to q_sim_hnsw_search,
+    independent of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mon = hnsw_store_for(spark, sf_dir)
+    return mon.search_radius(
+        spark,
+        emb.filter(F.col("vec_id") < PQ_QUERY_MAX),
+        after_batch_id=-1,
+        radius_q=RADIUS_Q,
+    )
+
+
+q_sim_hnsw_radius.__doc__ = q_sim_hnsw_radius.__doc__.format(r=RADIUS_Q)
+
+
+def _radius_recall_oracle() -> str:
+    truth = f"""truth AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < {PQ_QUERY_MAX}
+          AND {_DISTQ_DUCK.format(a='q.embedding', b='e.embedding')}
+              <= {RADIUS_Q}
+    )"""
+    return (
+        f"""
+    WITH assigned AS ({_SEED_ASSIGN_DUCK}
+    ), {_radius_probes_sql()}, ivf AS (
+    {_RADIUS_IVF_SELECT}
+    ), {_hnsw_radius_with()}, {truth}, m AS (
+        SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+        UNION ALL
+        SELECT 'graph', query_id, neighbor_id FROM gradius
+        UNION ALL
+        SELECT 'exact', query_id, neighbor_id FROM truth
+    ), counts AS (
+        SELECT m.method,
+               CAST(count(*) AS BIGINT) AS n_method,
+               CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM m LEFT JOIN truth t
+          ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+        GROUP BY m.method
+    ), grid AS (
+        SELECT unnest(['exact', 'ivf', 'graph']) AS method
+    ), tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+    SELECT g.method, tt.n_truth,
+           CAST(coalesce(c.n_method, 0) AS BIGINT) AS n_method,
+           CAST(coalesce(c.hits, 0) AS BIGINT) AS hits,
+           {round_sql('coalesce(c.hits, 0)::DOUBLE / tt.n_truth')} AS recall,
+           CASE WHEN coalesce(c.n_method, 0) = 0 THEN 0.0
+                ELSE {round_sql('c.hits::DOUBLE / c.n_method')} END AS prec
+    FROM grid g LEFT JOIN counts c ON c.method = g.method
+    CROSS JOIN tt
+    """
+    )
+
+
+@register("q_sim_radius_recall", oracle=_radius_recall_oracle())
+def q_sim_radius_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-search recall audit — both serving forms vs the exact
+    radius truth (every corpus vector within {r} of each query — the
+    broadcast-query linear audit class):
+
+      'ivf'   — probed-cell radius (q_sim_radius): misses matches
+                assigned to unprobed cells (the quantizer bound);
+                precision is 1 by construction (every returned pair
+                is exact-verified by its own scoring).
+      'graph' — visited-set radius over the persisted store
+                (q_sim_hnsw_radius): misses matches the beam never
+                visits (the traversal bound); precision 1 likewise.
+      'exact' — the truth itself, the recall=1 control row.
+
+    The contrast is the operational answer to "which index serves a
+    radius sweep better at this beam/nprobe" — and unlike top-k
+    recall, radius recall degrades with the MATCH COUNT (a wider
+    radius needs more of the corpus visited), which is exactly what
+    the row pair shows as r grows.
+
+    Scale: truth is queries x corpus broadcast-query linear; methods
+    compose the registered searches; rollup on tiny frames."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
+    ivf = q_sim_radius(spark, sf_dir).select("query_id", "neighbor_id")
+    graph = q_sim_hnsw_radius(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    qd = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    truth = (
+        emb.join(F.broadcast(qd), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(SQDIST_Q_SQL.format(a="eq", b="embedding")).alias(
+                "dist_q"
+            ),
+        )
+        .filter(F.col("dist_q") <= RADIUS_Q)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    m = (
+        ivf.withColumn("method", F.lit("ivf"))
+        .unionByName(graph.withColumn("method", F.lit("graph")))
+        .unionByName(truth.withColumn("method", F.lit("exact")))
+    )
+    hit = truth.withColumn("is_hit", F.lit(1))
+    counts = (
+        m.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count("*").cast("long").alias("n_method"),
+            F.sum(F.coalesce(F.col("is_hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [("exact",), ("ivf",), ("graph",)], "method STRING"
+    )
+    tt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    return (
+        grid.join(counts, "method", "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "method",
+            "n_truth",
+            F.coalesce(F.col("n_method"), F.lit(0))
+            .cast("long")
+            .alias("n_method"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            round_agg(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.col("n_truth")
+            ).alias("recall"),
+            F.when(
+                F.coalesce(F.col("n_method"), F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                round_agg(F.col("hits").cast("double") / F.col("n_method"))
+            )
+            .alias("prec"),
+        )
+    )
+
+
+q_sim_radius_recall.__doc__ = q_sim_radius_recall.__doc__.format(r=RADIUS_Q)

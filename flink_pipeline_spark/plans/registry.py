@@ -44,6 +44,19 @@ def _evidence_order(d: dict) -> dict:
     return dict(sorted(d.items(), key=lambda kv: rank.get(kv[0], len(rank))))
 
 
+try:  # py4j is absent under Spark Connect — treat as no extra types
+    from py4j.protocol import Py4JError as _Py4JError
+
+    _PY4J_ERRORS: tuple[type[BaseException], ...] = (_Py4JError,)
+except ImportError:  # pragma: no cover - py4j ships with pyspark
+    _PY4J_ERRORS = ()
+
+# the ONLY exception shapes _boundary_hygiene may swallow: a stopped
+# SparkContext raises RuntimeError, a dead py4j bridge its transport
+# errors; everything else is real session corruption
+_HYGIENE_SWALLOW = (RuntimeError,) + _PY4J_ERRORS
+
+
 _BOUNDARY_COUNT = 0
 
 
@@ -62,13 +75,22 @@ def _boundary_hygiene(spark: SparkSession) -> None:
     contract — composed sub-queries are called through their module
     attributes, NOT through this wrapped surface, so a parent's
     persists are never cleared mid-query); every 8th entry also
-    nudges both garbage collectors for the checkpoint blocks."""
+    nudges both garbage collectors for the checkpoint blocks.
+
+    CONTRACT for embedding applications: entering the registry
+    surface invalidates ALL session caches, including persists the
+    application itself holds on the shared session — call queries
+    through their module attributes if your caches must survive."""
     global _BOUNDARY_COUNT
     _BOUNDARY_COUNT += 1
     try:
         spark.catalog.clearCache()
-    except Exception:
-        pass  # a stopped/remote context must never fail a query
+    except _HYGIENE_SWALLOW:
+        # ONLY the stopped/remote-context shapes (RuntimeError from a
+        # stopped SparkContext; py4j transport errors from a dead JVM
+        # bridge) — anything else is session corruption and must
+        # surface, not be swallowed (ADVICE r12)
+        pass
     if _BOUNDARY_COUNT % 8 == 0:
         # Python-side collection only: dropping dead py4j proxies is
         # what unblocks the ContextCleaner (the JVM collects on its
@@ -140,17 +162,21 @@ def _load_all() -> None:
         audio_dedup,
         corpus_ops,
         image_dedup,
+        index_refresh,
         joins,
         llm_ops,
+        maxsim,
         pipeline_queries,
         pq_serve,
         profiling,
+        radius,
         relational,
         sampling,
         scans,
         streaming_queries,
         training,
         udf_queries,
+        unindex,
         video_dedup,
         windows_sorts,
     )

@@ -166,9 +166,18 @@ def _frame_fp_sets(spark: SparkSession) -> DataFrame:
         )
     )
     kf = video_keyframes(files)
+    # the composite file#frame key splits back on '#' below — a file
+    # name containing '#' would corrupt the split silently, so the key
+    # build guards it in-plan (the generator controls names today;
+    # raise_error keeps the check JVM-side and free)
+    safe_file = F.expr(
+        "CASE WHEN file LIKE '%#%' THEN "
+        "CAST(raise_error('video fp: file name contains the # key "
+        "separator') AS STRING) ELSE file END"
+    )
     bands = dhash_bands(
         kf.select(
-            F.concat_ws("#", "file", "frame_idx").alias("file"), "content"
+            F.concat_ws("#", safe_file, "frame_idx").alias("file"), "content"
         )
     )
     fp = F.array_join(

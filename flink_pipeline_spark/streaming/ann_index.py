@@ -75,7 +75,7 @@ from ..operators.llm import (
     nsw_graph,
     nsw_insert,
 )
-from .heavy import partition_ids, prune_partitions
+from .heavy import partition_ids, prune_partitions, split_ops
 
 _ADJ_SCHEMA = "layer INT, src BIGINT, dst BIGINT, dist_q BIGINT"
 
@@ -191,14 +191,19 @@ class ANNIndexMonitor:
         vecs = self._read_vecs(spark, batch_id).join(
             tombs, "vec_id", "left_anti"
         )
-        if "op" in batch.columns:
-            dels = batch.filter(F.col("op") == "delete").select("vec_id")
-            arrivals = batch.filter(F.col("op") == "insert").select(
-                "vec_id", "embedding"
+        dels, arrivals = split_ops(batch)
+        # re-inserting a previously tombstoned vec_id is UNSUPPORTED
+        # (the id is dead forever — _read_tombs masks it on every
+        # read): folding such an arrival in would create dangling
+        # adjacency edges to a vector that can never be served, so the
+        # unsupported state is refused loudly instead of silently
+        # created (ADVICE r12). One tiny existence probe per batch.
+        if not arrivals.join(tombs, "vec_id", "semi").isEmpty():
+            raise ValueError(
+                "ann index: batch re-inserts previously tombstoned "
+                "vec_id(s) — unsupported (tombstoned ids are dead "
+                "forever; index under a fresh vec_id instead)"
             )
-        else:
-            dels = spark.createDataFrame([], "vec_id BIGINT")
-            arrivals = batch.select("vec_id", "embedding")
         adj0 = adj.filter(F.col("layer") == 0).drop("layer")
         adj1 = adj.filter(F.col("layer") == 1).drop("layer")
         # deletes FIRST: compact both layers, then arrivals beam over
@@ -263,6 +268,72 @@ class ANNIndexMonitor:
             beam=self.beam,
             hops=self.hops,
             exclude=tombs,
+        )
+
+    def search_radius(
+        self,
+        spark,
+        queries: DataFrame,
+        after_batch_id: int,
+        radius_q: int,
+    ) -> DataFrame:
+        """(query_id, neighbor_id, dist_q): RADIUS search served from
+        the store — every node the standard two-layer search VISITS
+        that lies within quantized squared L2 ``radius_q`` of the
+        query. The beam traversal is byte-identical to ``search``
+        (same descent, same hand-off, same footprint); only the
+        result rule changes: instead of truncating the final beam to
+        k, the full visited set (which the search already paid to
+        score — the hnsw_filtered_search insight) is thresholded.
+        Recall is bounded by what the beam visits (widen the beam to
+        raise it); tombstoned ids are excluded as in ``search``."""
+        from ..operators.llm import nsw_beam
+
+        adj = self._read_adj(spark, after_batch_id + 1)
+        tombs = self._read_tombs(spark, after_batch_id + 1)
+        vecs = self._read_vecs(spark, after_batch_id + 1).join(
+            tombs, "vec_id", "left_anti"
+        )
+        adj0 = adj.filter(F.col("layer") == 0).select("src", "dst")
+        adj1 = adj.filter(F.col("layer") == 1).select("src", "dst")
+        beam1 = nsw_beam(
+            vecs,
+            queries,
+            adj1,
+            beam=self.beam,
+            hops=self.hops,
+            entry_from=vecs.filter(self._is_l1()),
+        )
+        from pyspark.sql.window import Window
+
+        wq = Window.partitionBy("query_id").orderBy("dist_q", "node")
+        entries0 = (
+            beam1.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "node")
+        )
+        vis = nsw_beam(
+            vecs,
+            queries,
+            adj0,
+            beam=self.beam,
+            hops=self.hops,
+            entries=entries0,
+            keep_visited=True,
+        )
+        return (
+            vis.filter(F.col("node") != F.col("query_id"))
+            .join(
+                tombs.withColumnRenamed("vec_id", "node"),
+                "node",
+                "left_anti",
+            )
+            .filter(F.col("dist_q") <= radius_q)
+            .select(
+                "query_id",
+                F.col("node").alias("neighbor_id"),
+                "dist_q",
+            )
         )
 
     def search_filtered(

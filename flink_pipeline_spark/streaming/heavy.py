@@ -92,6 +92,61 @@ def prune_partitions(spark, path: str, keep_from: int) -> None:
             fs.delete(st.getPath(), True)
 
 
+def publish_store(tmp: str, store: str) -> None:
+    """Atomically publish a built store dir ``tmp`` at ``store`` — the
+    one publish rule every persisted-index builder shares. Concurrent
+    builders race benignly: one rename wins, the loser's rename fails
+    (target exists) and its private build dir is discarded. A rename
+    that fails for a NON-race reason (EXDEV, permissions) used to be
+    silently treated as a lost race, returning a monitor over a
+    nonexistent store that failed later with a confusing
+    missing-partition error (ADVICE r12) — so after the
+    rename/cleanup, the published dir must actually exist."""
+    import shutil
+
+    os.makedirs(os.path.dirname(store), exist_ok=True)
+    try:
+        os.rename(tmp, store)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.isdir(store):
+        raise RuntimeError(
+            f"store publish failed: {store} missing after rename from "
+            f"{tmp} — not a lost race (the winner's dir would exist); "
+            "check rename support (EXDEV?) and permissions on the "
+            "cache root"
+        )
+
+
+def split_ops(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(dels, arrivals) from a micro-batch frame that optionally
+    carries an ``op`` column — the one batch-splitting rule the
+    index-store monitors share. A frame without ``op`` is all
+    arrivals. A frame WITH ``op`` must carry only 'insert'/'delete':
+    a typo'd op value used to be silently dropped, losing data with
+    no error (ADVICE r12), so the split validates the batch first
+    (one tiny existence probe on the batch — bounded by the trigger,
+    never the stream)."""
+    spark = batch.sparkSession
+    if "op" not in batch.columns:
+        return (
+            spark.createDataFrame([], "vec_id BIGINT"),
+            batch.select("vec_id", "embedding"),
+        )
+    bad = batch.filter(
+        ~F.col("op").isin("insert", "delete") | F.col("op").isNull()
+    )
+    if not bad.isEmpty():
+        raise ValueError(
+            "index store: batch contains rows whose op is neither "
+            "'insert' nor 'delete' — refusing to silently drop data"
+        )
+    return (
+        batch.filter(F.col("op") == "delete").select("vec_id"),
+        batch.filter(F.col("op") == "insert").select("vec_id", "embedding"),
+    )
+
+
 class HeavyHitterMonitor:
     """foreachBatch sink: maintain a k-counter Misra-Gries summary of
     ``key_col`` frequencies across all batches seen so far."""

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.llm import ivfpq_artifacts, ivfpq_scan, pq_code_batch
-from .heavy import partition_ids
+from .heavy import partition_ids, split_ops
 
 _CODE_SCHEMA = "vec_id BIGINT, sub INT, code INT, cell BIGINT"
 
@@ -141,16 +141,22 @@ class PQIndexMonitor:
         crashed batch re-derives its partitions from its own input."""
         spark = batch.sparkSession
         cb, cents = self._read_artifacts(spark)
-        if "op" in batch.columns:
-            dels = batch.filter(F.col("op") == "delete").select("vec_id")
-            arrivals = batch.filter(F.col("op") == "insert").select(
-                "vec_id", "embedding"
+        dels, arrivals = split_ops(batch)
+        # the ann_index.py re-insert contract, applied to the
+        # compressed family: a tombstoned vec_id is masked on every
+        # read forever, so re-coding it would store rows that can
+        # never be served — refuse loudly (ADVICE r12)
+        tombs = self._read_tombs(spark, batch_id)
+        if not arrivals.join(tombs, "vec_id", "semi").isEmpty():
+            raise ValueError(
+                "pq index: batch re-inserts previously tombstoned "
+                "vec_id(s) — unsupported (tombstoned ids are dead "
+                "forever; code under a fresh vec_id instead)"
             )
+        if "op" in batch.columns:
             dels.write.mode("overwrite").parquet(
                 os.path.join(self._path("tombs"), f"batch_id={batch_id}")
             )
-        else:
-            arrivals = batch.select("vec_id", "embedding")
         pq_code_batch(
             arrivals,
             cb,
@@ -161,6 +167,54 @@ class PQIndexMonitor:
             "overwrite"
         ).parquet(
             os.path.join(self._path("codes"), f"batch_id={batch_id}")
+        )
+
+    # -- offline reclamation ---------------------------------------------
+
+    def rewrite(self, spark, out_dir: str, after_batch_id: int):
+        """Offline code-log COMPACTION — the log rewrite every
+        tombstone-masking store defers to (SCALING 12d; r12 verdict's
+        #2 ask): read the code log through the tombstone mask as of
+        after ``after_batch_id`` and write a FRESH store at
+        ``out_dir`` — the same frozen training artifacts (codebook +
+        centroids, copied by re-write so the output is self-contained),
+        one consolidated ``batch_id=-1`` code partition holding only
+        surviving rows, and NO tombstone log. Serving from the
+        rewritten store therefore pays neither the per-query anti-join
+        against a real tombstone set nor the scan over dead code rows,
+        and the tombstone partitions' bytes are reclaimed — this is
+        the FreshDiskANN merge step expressed on the flat family.
+
+        Correctness: coding is per-vector under frozen artifacts, so
+        dropping masked rows commutes with every downstream scan —
+        post-rewrite serve == masked serve by construction, and
+        q_sim_ivfpq_rewrite registers the masked row's oracle text
+        verbatim to keep that equivalence driver-gated.
+
+        Scale: one full scan of the hot tier (~1/32 the corpus float
+        bytes) with an anti-join against the tombstone set, written
+        back partitioned — the classic offline compaction job; run it
+        when the tombstone fraction makes the mask cost visible.
+        Returns a monitor over ``out_dir`` (callers publish atomically
+        via publish_store — the store_for convention)."""
+        cb, cents = self._read_artifacts(spark)
+        tombs = self._read_tombs(spark, after_batch_id + 1)
+        codes = self._read_codes(spark, after_batch_id + 1).join(
+            tombs, "vec_id", "left_anti"
+        )
+        cb.write.mode("overwrite").parquet(os.path.join(out_dir, "cb.parquet"))
+        cents.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "cents.parquet")
+        )
+        codes.select("vec_id", "sub", "code", "cell").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "codes", "batch_id=-1"))
+        return PQIndexMonitor(
+            out_dir,
+            n_codes=self.n_codes,
+            nprobe=self.nprobe,
+            m=self.m,
+            d_sub=self.d_sub,
         )
 
     # -- the serving path ----------------------------------------------

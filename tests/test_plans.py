@@ -340,11 +340,14 @@ _ALLOWED_BNLJ = {
 # (possibly unbounded) nested-loop join anywhere in these queries
 # trips the gate even though the query is "allowed".
 _BNLJ_MAX = {
-    "q_ann_filtered_recall": 125,  # 2 vetted IVF searches (2 each: probe
-                                 # rank + query broadcast) + truth +
-                                 # 1-row denominator broadcast + the
-                                 # r12 graph row (the q_sim_hnsw_filtered
-                                 # visited-beam plan, see below)
+    "q_ann_filtered_recall": 5,  # tightened to the exact current count
+                                 # (r12 verdict #6): 2 vetted IVF
+                                 # searches' probe-rank/query
+                                 # broadcasts + truth + the 1-row
+                                 # denominator — the graph row's beam
+                                 # BNLJs live in checkpointed sub-jobs
+                                 # since the r12 lineage fix, so any
+                                 # growth here is a real regression
     "q_sim_filtered_topk": 2,    # the q_sim_ivf_topk class: 8-row
                                  # centroid quantizer broadcast + k-row
                                  # query probe rank (filter only shrinks)
@@ -368,6 +371,26 @@ _BNLJ_MAX = {
     "q_sim_ivfpq_delete": 1,     # same class, over the masked code log
     "q_drift_projection": 1,     # 1-row n_dims_used scalar broadcast
     "q_dedup_video_fp_recall": 1,  # 1-row truth-denominator broadcast
+    # r13, exact current counts (all vetted classes):
+    "q_dedup_unindex_pq": 1,     # the probe stage's tiny centroid
+                                 # broadcast (the q_sim_ivfpq_serve class)
+    "q_dedup_unindex_recall": 1,  # broadcast-query non-equi truth join
+                                 # (the q_ann_delete_recall class)
+    "q_sim_ivfpq_rewrite": 1,    # the probe stage's centroid broadcast
+    "q_sim_radius": 2,           # centroid-quantizer broadcast + k-row
+                                 # query probe rank (the q_sim_ivf_topk
+                                 # class, minus its top-k window)
+    "q_sim_radius_recall": 3,    # the ivf row's 2 + the 1-row
+                                 # truth-denominator broadcast
+    "q_sim_maxsim_topk": 2,      # token-probe rank + assignment
+                                 # centroid broadcasts (q_sim_ivf_topk
+                                 # class at token granularity)
+    "q_sim_maxsim_recall": 3,    # same 2 + the truth's qdoc x docs
+                                 # grid broadcast (audit-only, 3 x
+                                 # |docs| rows)
+    "q_ann_drift_refresh": 6,    # two searches x (centroid broadcast +
+                                 # probe rank) + exact-truth query
+                                 # broadcast + the 1-row gate broadcast
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
