@@ -290,6 +290,7 @@ HEADLINE = [
     "q_sim_maxsim_topk",
     "q_sim_maxsim_recall",
     "q_sim_radius",
+    "q_sim_pq_radius",
     "q_sim_hnsw_radius",
     "q_sim_radius_recall",
     "q_ann_drift_refresh",

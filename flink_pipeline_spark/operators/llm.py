@@ -1998,14 +1998,16 @@ def ivfpq_scan(
     codebook: DataFrame,
     centroids: DataFrame,
     queries: DataFrame,
-    k: int = 3,
+    k: int | None = 3,
     nprobe: int = 2,
     m: int = 8,
     d_sub: int = 8,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, adist_q): the IVFADC probe/LUT/
     ADC stage over prebuilt artifacts — see ivfpq_topk (whose scan
-    this is, verbatim) for the algorithm and scale shape."""
+    this is, verbatim) for the algorithm and scale shape. ``k=None``
+    skips the final top-k window and returns the scored
+    (query_id, neighbor_id, adist_q) frame (the radius-scan hook)."""
     q = with_norm(queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("eq"),
@@ -2058,12 +2060,42 @@ def ivfpq_scan(
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("pdist_q").alias("adist_q"))
     )
+    if k is None:
+        # radius mode (ivfpq_radius_scan): the caller thresholds the
+        # scored frame instead of ranking it — no per-query window
+        return scored
     w = Window.partitionBy("query_id").orderBy("adist_q", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adist_q")
     )
+
+
+def ivfpq_radius_scan(
+    codes: DataFrame,
+    codebook: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    radius_adc: int,
+    nprobe: int = 2,
+    m: int = 8,
+    d_sub: int = 8,
+) -> DataFrame:
+    """(query_id, neighbor_id, adist_q): RADIUS form of the IVFADC
+    scan — every probed-cell code row whose ADC distance is within
+    ``radius_adc`` (the FAISS range_search shape on IVFPQ). Shares
+    ivfpq_scan's probe/LUT/ADC stages verbatim (k=None returns the
+    scored frame); the threshold replaces the per-query top-k window,
+    so like radius_neighbors_ivf NO shuffle touches the candidate
+    rows. ADC distances are approximations, so radius callers pass a
+    SLACKED cut and exact-verify survivors against the full-vector
+    tier (q_sim_pq_radius) — the two-stage radius discipline."""
+    scored = ivfpq_scan(
+        codes, codebook, centroids, queries,
+        k=None, nprobe=nprobe, m=m, d_sub=d_sub,
+    )
+    return scored.filter(F.col("adist_q") <= radius_adc)
 
 
 # ---------------------------------------------------------------------------

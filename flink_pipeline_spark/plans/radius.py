@@ -196,6 +196,96 @@ def q_sim_hnsw_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_sim_hnsw_radius.__doc__ = q_sim_hnsw_radius.__doc__.format(r=RADIUS_Q)
 
 
+# ADC threshold for the compressed radius stage: ADC distances are
+# approximations (residual quantization error in BOTH directions), so
+# the code-level cut carries 1.5x slack and survivors exact-verify
+# against the full-vector tier. Calibrated at sf0.01: every true
+# match among the probed candidates sits under 1.4x (max 22242 vs
+# RADIUS_Q 16000), so 1.5x loses none of them.
+RADIUS_ADC_Q = RADIUS_Q * 3 // 2
+
+
+def _pq_radius_body() -> str:
+    """The compressed radius query body: the REGISTERED IVFADC oracle's
+    probe/LUT/ADC chain with the final top-k rank replaced by the
+    slacked ADC threshold + the exact full-vector verify (the
+    two-stage radius discipline — the _register_ivfpq_rerank surgery
+    convention, truncate-at-anchor form)."""
+    from .registry import ORACLES
+
+    sql = ORACLES["q_sim_ivfpq_topk"]
+    anchor = "\n    SELECT query_id, neighbor_id, rank, adist_q FROM ("
+    assert sql.count(anchor) == 1, "ivfpq oracle tail changed"
+    head = sql[: sql.index(anchor)]
+    dist = _DISTQ_DUCK.format(a="q.embedding", b="n.embedding")
+    return (
+        head
+        + f"""
+    SELECT s.query_id, s.neighbor_id, {dist} AS dist_q
+    FROM scored s
+    JOIN embeddings q ON q.vec_id = s.query_id
+    JOIN embeddings n ON n.vec_id = s.neighbor_id
+    WHERE s.adist_q <= {RADIUS_ADC_Q} AND {dist} <= {RADIUS_Q}
+    """
+    )
+
+
+@register("q_sim_pq_radius", oracle=_pq_radius_body())
+def q_sim_pq_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RADIUS search on the COMPRESSED family, served from the
+    persisted IVFADC store — the FAISS range_search shape: the stored
+    code log is scanned once per probed cell with ADC distances (the
+    hot ~1/32-size tier, tombstones masked), rows within the SLACKED
+    code-level cut ({cut} = 1.5x the radius — ADC approximates in
+    both directions, so the code threshold must over-admit) survive
+    to the exact verify, which reads full vectors at shortlist width
+    only and keeps true matches within {r}. Completes the radius form
+    on all three index families (flat IVF, graph, compressed).
+
+    Correctness: survivors are exact-verified, so every returned pair
+    is a true match (precision 1 by construction); recall is bounded
+    by the probe choice and the slack (audited in
+    q_sim_radius_recall's 'pq' row). The oracle is the registered
+    IVFADC chain with the rank replaced by threshold + verify.
+
+    Scale: the ADC stage is the same broadcast-LUT hash join + integer
+    sum as compressed top-k with NO per-query window; the exact stage
+    touches O(|survivors|) full vectors — at production quantization
+    quality the code-level cut prunes hard (here the fixture's coarse
+    codebook admits most probed candidates, priced honestly in the
+    recall row's n_method)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from .pq_serve import pq_store_for
+
+    mon = pq_store_for(spark, sf_dir)
+    short = mon.adc_radius(
+        spark,
+        emb.filter(F.col("vec_id") < PQ_QUERY_MAX),
+        after_batch_id=-1,
+        radius_adc=RADIUS_ADC_Q,
+    ).select("query_id", "neighbor_id")
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    return (
+        emb.join(F.broadcast(short), F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(SQDIST_Q_SQL.format(a="eq", b="embedding")).alias(
+                "dist_q"
+            ),
+        )
+        .filter(F.col("dist_q") <= RADIUS_Q)
+    )
+
+
+q_sim_pq_radius.__doc__ = q_sim_pq_radius.__doc__.format(
+    cut=RADIUS_ADC_Q, r=RADIUS_Q
+)
+
+
 def _radius_recall_oracle() -> str:
     truth = f"""truth AS MATERIALIZED (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
@@ -209,8 +299,11 @@ def _radius_recall_oracle() -> str:
     WITH assigned AS ({_SEED_ASSIGN_DUCK}
     ), {_radius_probes_sql()}, ivf AS (
     {_RADIUS_IVF_SELECT}
+    ), pqr AS ({_pq_radius_body()}
     ), {_hnsw_radius_with()}, {truth}, m AS (
         SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+        UNION ALL
+        SELECT 'pq', query_id, neighbor_id FROM pqr
         UNION ALL
         SELECT 'graph', query_id, neighbor_id FROM gradius
         UNION ALL
@@ -224,7 +317,7 @@ def _radius_recall_oracle() -> str:
           ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
         GROUP BY m.method
     ), grid AS (
-        SELECT unnest(['exact', 'ivf', 'graph']) AS method
+        SELECT unnest(['exact', 'ivf', 'pq', 'graph']) AS method
     ), tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
     SELECT g.method, tt.n_truth,
            CAST(coalesce(c.n_method, 0) AS BIGINT) AS n_method,
@@ -248,6 +341,10 @@ def q_sim_radius_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 assigned to unprobed cells (the quantizer bound);
                 precision is 1 by construction (every returned pair
                 is exact-verified by its own scoring).
+      'pq'    — compressed radius over the persisted IVFADC store
+                (q_sim_pq_radius): the probe bound PLUS whatever the
+                slacked ADC cut drops; exact verify keeps precision
+                at 1.
       'graph' — visited-set radius over the persisted store
                 (q_sim_hnsw_radius): misses matches the beam never
                 visits (the traversal bound); precision 1 likewise.
@@ -264,6 +361,7 @@ def q_sim_radius_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
     ivf = q_sim_radius(spark, sf_dir).select("query_id", "neighbor_id")
+    pqr = q_sim_pq_radius(spark, sf_dir).select("query_id", "neighbor_id")
     graph = q_sim_hnsw_radius(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
@@ -285,6 +383,7 @@ def q_sim_radius_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = (
         ivf.withColumn("method", F.lit("ivf"))
+        .unionByName(pqr.withColumn("method", F.lit("pq")))
         .unionByName(graph.withColumn("method", F.lit("graph")))
         .unionByName(truth.withColumn("method", F.lit("exact")))
     )
@@ -300,7 +399,7 @@ def q_sim_radius_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     grid = spark.createDataFrame(
-        [("exact",), ("ivf",), ("graph",)], "method STRING"
+        [("exact",), ("ivf",), ("pq",), ("graph",)], "method STRING"
     )
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))
     return (

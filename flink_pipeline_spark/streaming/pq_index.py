@@ -43,7 +43,12 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.llm import ivfpq_artifacts, ivfpq_scan, pq_code_batch
+from ..operators.llm import (
+    ivfpq_artifacts,
+    ivfpq_radius_scan,
+    ivfpq_scan,
+    pq_code_batch,
+)
 from .heavy import partition_ids, split_ops
 
 _CODE_SCHEMA = "vec_id BIGINT, sub INT, code INT, cell BIGINT"
@@ -245,6 +250,31 @@ class PQIndexMonitor:
             cents,
             queries,
             k=k,
+            nprobe=self.nprobe,
+            m=self.m,
+            d_sub=self.d_sub,
+        )
+
+    def adc_radius(
+        self, spark, queries: DataFrame, after_batch_id: int, radius_adc: int
+    ) -> DataFrame:
+        """(query_id, neighbor_id, adist_q): RADIUS scan served from
+        the store — every probed-cell code row within ADC distance
+        ``radius_adc``, tombstones masked exactly as in adc_topk.
+        ADC distances approximate, so callers pass a slacked cut and
+        exact-verify survivors against the cold full-vector tier
+        (the q_sim_pq_radius two-stage radius discipline)."""
+        cb, cents = self._read_artifacts(spark)
+        tombs = self._read_tombs(spark, after_batch_id + 1)
+        codes = self._read_codes(spark, after_batch_id + 1).join(
+            tombs, "vec_id", "left_anti"
+        )
+        return ivfpq_radius_scan(
+            codes,
+            cb,
+            cents,
+            queries,
+            radius_adc=radius_adc,
             nprobe=self.nprobe,
             m=self.m,
             d_sub=self.d_sub,

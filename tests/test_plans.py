@@ -380,7 +380,10 @@ _BNLJ_MAX = {
     "q_sim_radius": 2,           # centroid-quantizer broadcast + k-row
                                  # query probe rank (the q_sim_ivf_topk
                                  # class, minus its top-k window)
-    "q_sim_radius_recall": 3,    # the ivf row's 2 + the 1-row
+    "q_sim_pq_radius": 1,        # the probe stage's centroid broadcast
+                                 # (the q_sim_ivfpq_serve class)
+    "q_sim_radius_recall": 4,    # the ivf row's 2 + the pq row's
+                                 # centroid broadcast + the 1-row
                                  # truth-denominator broadcast
     "q_sim_maxsim_topk": 2,      # token-probe rank + assignment
                                  # centroid broadcasts (q_sim_ivf_topk

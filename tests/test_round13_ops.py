@@ -144,11 +144,12 @@ def test_radius_and_maxsim_contracts(spark):
     from flink_pipeline_spark.plans.radius import (
         RADIUS_Q,
         q_sim_hnsw_radius,
+        q_sim_pq_radius,
         q_sim_radius,
         q_sim_radius_recall,
     )
 
-    for fn in (q_sim_radius, q_sim_hnsw_radius):
+    for fn in (q_sim_radius, q_sim_pq_radius, q_sim_hnsw_radius):
         rows = fn(spark, SMALL_SF).collect()
         assert rows, fn.__name__
         assert all(r.dist_q <= RADIUS_Q for r in rows), fn.__name__
@@ -157,7 +158,7 @@ def test_radius_and_maxsim_contracts(spark):
     assert audit["exact"].recall == 1.0
     # every method returns only true matches (precision 1): the radius
     # forms exact-verify their own results by construction
-    for m in ("ivf", "graph"):
+    for m in ("ivf", "pq", "graph"):
         assert audit[m].prec == 1.0, audit[m]
 
     from flink_pipeline_spark.plans.maxsim import (
