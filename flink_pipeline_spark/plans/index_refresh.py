@@ -35,6 +35,9 @@ from ..functions.portable import round_agg, round_sql
 from ..operators.llm import topk_neighbors, topk_neighbors_ivf
 from .llm_ops import (
     IVF_SEED_CENTROIDS,
+    PQ_QUERY_MAX,
+    RERANK_SHORTLIST,
+    _DISTQ_DUCK,
     _IVF_PROBES_DUCK,
     _SEED_ASSIGN_DUCK,
     _ivf_topk_select_duck,
@@ -389,5 +392,302 @@ def q_ann_drift_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
             "t_q",
             "drifted",
+        )
+    )
+
+
+def _pq_refresh_oracle() -> str:
+    """The compressed (IVFADC + exact rerank) drift-refresh contrast —
+    the q_sim_ivfpq_topk chain instantiated TWICE:
+
+      stale     — the frozen index's artifacts (coarse centroids =
+                  ORIGINAL seed vectors; residual codebook trained on
+                  ORIGINAL residuals — the two things pq stores freeze)
+                  serving the DRIFTED corpus: drifted vectors re-code
+                  against the frozen artifacts (the pq_code_batch
+                  arrival fold), drifted queries probe the frozen
+                  centroids, and only the exact rerank sees true
+                  drifted vectors.
+      refreshed — the same chain with every artifact re-trained on the
+                  post-drift corpus (one blanket table substitution of
+                  the registered rerank oracle).
+
+    Both ranked lists are exact-rescored (rerank cannot recover what a
+    stale shortlist never nominates — that is the point being priced).
+    """
+    from .llm_ops import _COS_DUCK, _RESID_DUCK
+    from .registry import ORACLES
+
+    cos_qc = _COS_DUCK.format(a="q.embedding", b="c.embedding")
+    cos_ec = _COS_DUCK.format(a="e.embedding", b="c.embedding")
+    dist = _DISTQ_DUCK.format(a="q.embedding", b="n.embedding")
+    # the stale chain: original-trained artifacts, drifted corpus/queries
+    stale = f"""oassigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.vec_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY floor({cos_ec} * 10000 + 0.5) / 10000 DESC,
+                                c.vec_id) AS rn
+            FROM embeddings e JOIN embeddings c
+              ON c.vec_id < {IVF_SEED_CENTROIDS}
+        ) t WHERE rn = 1
+    ), cent AS (
+        SELECT vec_id AS cell, embedding AS cvec
+        FROM embeddings WHERE vec_id < {IVF_SEED_CENTROIDS}
+    ), oresid AS (
+        SELECT e.vec_id, a.cell,
+               {_RESID_DUCK.format(a='e.embedding', b='c.cvec')} AS rv
+        FROM embeddings e
+        JOIN oassigned a USING (vec_id)
+        JOIN cent c ON c.cell = a.cell
+        WHERE e.vec_id < 16
+    ), osv AS (
+        SELECT r.vec_id, t.sub,
+               list_slice(r.rv, t.sub * 8 + 1, t.sub * 8 + 8) AS sv
+        FROM oresid r CROSS JOIN range(0, 8) t(sub)
+    ), cb AS (
+        SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv FROM osv
+    ), dassigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.vec_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY floor({_COS_DUCK.format(a='e.embedding',
+                                                        b='c.embedding')}
+                                      * 10000 + 0.5) / 10000 DESC,
+                                c.vec_id) AS rn
+            FROM drifted e JOIN embeddings c
+              ON c.vec_id < {IVF_SEED_CENTROIDS}
+        ) t WHERE rn = 1
+    ), dresid AS (
+        SELECT e.vec_id, a.cell,
+               {_RESID_DUCK.format(a='e.embedding', b='c.cvec')} AS rv
+        FROM drifted e
+        JOIN dassigned a USING (vec_id)
+        JOIN cent c ON c.cell = a.cell
+    ), dsv AS (
+        SELECT r.vec_id, r.cell, t.sub,
+               list_slice(r.rv, t.sub * 8 + 1, t.sub * 8 + 8) AS sv
+        FROM dresid r CROSS JOIN range(0, 8) t(sub)
+    ), dcodes AS (
+        SELECT vec_id, cell, sub, code FROM (
+            SELECT v.vec_id, v.cell, v.sub, c.code,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id, v.sub
+                       ORDER BY {_DISTQ_DUCK.format(a='v.sv', b='c.cv')},
+                                c.code
+                   ) AS rn
+            FROM dsv v JOIN cb c ON c.sub = v.sub
+        ) t WHERE rn = 1
+    ), sprobes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY floor({cos_qc} * 10000 + 0.5) / 10000 DESC,
+                                c.vec_id) AS rn
+            FROM drifted q JOIN embeddings c
+              ON c.vec_id < {IVF_SEED_CENTROIDS}
+            WHERE q.vec_id < {PQ_QUERY_MAX}
+        ) t WHERE rn <= 2
+    ), sqres AS (
+        SELECT p.query_id, p.cell,
+               {_RESID_DUCK.format(a='q.embedding', b='c.cvec')} AS rv
+        FROM sprobes p
+        JOIN drifted q ON q.vec_id = p.query_id
+        JOIN cent c ON c.cell = p.cell
+    ), sqsv AS (
+        SELECT query_id, cell, t.sub,
+               list_slice(rv, t.sub * 8 + 1, t.sub * 8 + 8) AS sv
+        FROM sqres CROSS JOIN range(0, 8) t(sub)
+    ), slut AS (
+        SELECT q.query_id, q.cell, q.sub, c.code,
+               {_DISTQ_DUCK.format(a='q.sv', b='c.cv')} AS pdist_q
+        FROM sqsv q JOIN cb c ON c.sub = q.sub
+    ), sscored AS (
+        SELECT l.query_id, x.vec_id AS neighbor_id,
+               CAST(sum(l.pdist_q) AS BIGINT) AS adist_q
+        FROM dcodes x
+        JOIN slut l ON l.cell = x.cell AND l.sub = x.sub AND l.code = x.code
+        WHERE x.vec_id <> l.query_id
+        GROUP BY l.query_id, x.vec_id
+    ), sshort AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY adist_q, neighbor_id
+                   ) AS rank
+            FROM sscored
+        ) t WHERE rank <= {RERANK_SHORTLIST}
+    ), stale AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT s.query_id, s.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY {dist}, s.neighbor_id) AS rank
+            FROM sshort s
+            JOIN drifted q ON q.vec_id = s.query_id
+            JOIN drifted n ON n.vec_id = s.neighbor_id
+        ) t WHERE rank <= 3
+    )"""
+    # the refreshed chain: the REGISTERED rerank oracle with every
+    # table reference moved to the drifted corpus (blanket — the text
+    # references no other table), embedded as one nested-query CTE
+    ref_sql = ORACLES["q_sim_ivfpq_rerank"]
+    assert "embeddings" in ref_sql and "drifted" not in ref_sql
+    ref_sql = ref_sql.replace("embeddings", "drifted")
+    truth = f"""truth AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DISTQ_DUCK.format(a='q.embedding',
+                                                    b='e.embedding')},
+                                e.vec_id) AS rank
+            FROM drifted q JOIN drifted e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < {PQ_QUERY_MAX}
+        ) t WHERE rank <= 3
+    )"""
+    return f"""
+    WITH {_DRIFTED_CTE}, {stale}, refreshed AS (
+        SELECT query_id, neighbor_id FROM ({ref_sql}) r
+    ), {truth}, m AS (
+        SELECT 'stale' AS method, query_id, neighbor_id FROM stale
+        UNION ALL
+        SELECT 'refreshed', query_id, neighbor_id FROM refreshed
+        UNION ALL
+        SELECT 'exact', query_id, neighbor_id FROM truth
+    ), counts AS (
+        SELECT m.method,
+               CAST(count(*) AS BIGINT) AS n_method,
+               CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM m LEFT JOIN truth t
+          ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+        GROUP BY m.method
+    ), grid AS (
+        SELECT unnest(['exact', 'stale', 'refreshed']) AS method
+    ), tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+    SELECT g.method, tt.n_truth,
+           CAST(coalesce(c.n_method, 0) AS BIGINT) AS n_method,
+           CAST(coalesce(c.hits, 0) AS BIGINT) AS hits,
+           {round_sql('coalesce(c.hits, 0)::DOUBLE / tt.n_truth')} AS recall
+    FROM grid g LEFT JOIN counts c ON c.method = g.method
+    CROSS JOIN tt
+    """
+
+
+@register("q_pq_drift_refresh", oracle=_pq_refresh_oracle())
+def q_pq_drift_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift refresh on the COMPRESSED family — the letter of the
+    monitoring→action ask: the pq store freezes BOTH the coarse
+    quantizer and the residual codebook (streaming/pq_index.py's
+    training artifacts), and this row prices serving the drifted
+    corpus through those frozen artifacts vs re-training them:
+
+      'stale'     — drifted vectors re-coded against the ORIGINAL
+                    centroids + ORIGINAL-residual codebook (exactly
+                    the pq store's arrival fold — coding is stateless
+                    given frozen artifacts, which is the property
+                    that makes the store cheap AND what makes drift
+                    hurt it), drifted queries probing the frozen
+                    centroids, exact rerank on the top-10 shortlist.
+      'refreshed' — the registered two-stage rerank chain with every
+                    artifact re-trained on the post-drift corpus (the
+                    offline rebuild the drift gate should trigger —
+                    exactly when the store's content key rotates).
+      'exact'     — post-drift brute-force truth (recall=1 control).
+
+    The rerank stage reads true full vectors in BOTH rows, so the
+    contrast isolates what the frozen quantizer+codebook cost in
+    SHORTLIST recall — the part reranking can never recover. The
+    basis-reversal drift scrambles both the cell routing and the
+    residual distribution the codebook was trained on.
+
+    Scale: two IVFADC chains + the linear truth stage — the
+    q_ann_drift_refresh plan class with the compressed machinery;
+    everything broadcast-probed, the corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.llm import (
+        ivfpq_artifacts,
+        ivfpq_scan,
+        ivfpq_topk,
+        pq_code_batch,
+        topk_neighbors_l2,
+    )
+    from .llm_ops import exact_rerank
+
+    dr = drifted_corpus(emb).localCheckpoint(eager=True)
+    queries = dr.filter(F.col("vec_id") < PQ_QUERY_MAX)
+    cents_o = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+    # stale: artifacts trained on the ORIGINAL corpus (the frozen pair)
+    cb_o, _ = ivfpq_artifacts(emb.filter(F.col("vec_id") < 16), cents_o)
+    dcodes = pq_code_batch(dr, cb_o, cents_o)
+    sshort = ivfpq_scan(
+        dcodes, cb_o, cents_o, queries, k=RERANK_SHORTLIST, nprobe=2
+    ).select("query_id", "neighbor_id")
+    # the two ranked lists checkpoint eagerly (12-row frames): the
+    # rollup references them through unions/joins, and carrying two
+    # full IVFADC lineages into the final stage costs plan size for
+    # nothing (the nsw_beam lineage lesson at audit scale)
+    stale = (
+        exact_rerank(dr, sshort, k=3)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    # refreshed: the registered two-stage chain on the drifted corpus
+    rshort = ivfpq_topk(
+        dr,
+        queries,
+        dr.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+        n_codes=16,
+        k=RERANK_SHORTLIST,
+        nprobe=2,
+    ).select("query_id", "neighbor_id")
+    refreshed = (
+        exact_rerank(dr, rshort, k=3)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        topk_neighbors_l2(dr, queries, k=3)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    m = (
+        stale.withColumn("method", F.lit("stale"))
+        .unionByName(refreshed.withColumn("method", F.lit("refreshed")))
+        .unionByName(truth.withColumn("method", F.lit("exact")))
+    )
+    hit = truth.withColumn("is_hit", F.lit(1))
+    counts = (
+        m.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count("*").cast("long").alias("n_method"),
+            F.sum(F.coalesce(F.col("is_hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [("exact",), ("stale",), ("refreshed",)], "method STRING"
+    )
+    tt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    return (
+        grid.join(counts, "method", "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "method",
+            "n_truth",
+            F.coalesce(F.col("n_method"), F.lit(0))
+            .cast("long")
+            .alias("n_method"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            round_agg(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.col("n_truth")
+            ).alias("recall"),
         )
     )

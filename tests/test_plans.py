@@ -394,6 +394,10 @@ _BNLJ_MAX = {
     "q_ann_drift_refresh": 6,    # two searches x (centroid broadcast +
                                  # probe rank) + exact-truth query
                                  # broadcast + the 1-row gate broadcast
+    "q_pq_drift_refresh": 1,     # the truth stage's broadcast-query
+                                 # non-equi join (both IVFADC chains'
+                                 # probe broadcasts live in the
+                                 # checkpointed shortlist sub-jobs)
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.

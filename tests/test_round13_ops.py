@@ -136,6 +136,18 @@ def test_drift_refresh_gate_trips_and_refresh_recovers(spark):
     assert rows["refreshed"].recall >= 0.9
 
 
+def test_pq_drift_refresh_contrast(spark):
+    """The compressed-family refresh claims: the frozen
+    quantizer+codebook lose shortlist recall on the drifted corpus,
+    re-training recovers it, and the exact row is the control."""
+    from flink_pipeline_spark.plans.index_refresh import q_pq_drift_refresh
+
+    rows = {r.method: r for r in q_pq_drift_refresh(spark, SMALL_SF).collect()}
+    assert set(rows) == {"exact", "stale", "refreshed"}
+    assert rows["exact"].recall == 1.0
+    assert rows["stale"].recall < rows["refreshed"].recall
+
+
 def test_radius_and_maxsim_contracts(spark):
     """Radius results are exactly the thresholded subset semantics
     (every returned pair verified within RADIUS_Q; precision 1 by
