@@ -136,6 +136,82 @@ def test_drift_refresh_gate_trips_and_refresh_recovers(spark):
     assert rows["refreshed"].recall >= 0.9
 
 
+def test_unindex_stream_equals_batch_and_replay(spark, tmp_path):
+    """Stream==batch for the DEDUP drop batch specifically: folding
+    dedup_drop_batch through the foreachBatch sink yields the same
+    compacted adjacency and served results as the direct operator
+    folds (nsw_delete per layer over the same drop set), and a
+    crash-replayed fold re-derives identical state."""
+    from flink_pipeline_spark.functions.portable import hash56
+    from flink_pipeline_spark.operators.llm import (
+        hnsw_search,
+        nsw_delete,
+        nsw_graph,
+    )
+    from flink_pipeline_spark.plans.llm_ops import (
+        EMBED_MULTI_MAX_CELL,
+        EMBED_PAIR_NPROBE,
+        HNSW_L1_MOD,
+        NSW_BEAM,
+        NSW_DEG,
+        NSW_HOPS,
+    )
+    from flink_pipeline_spark.plans.unindex import dedup_drop_batch
+
+    from .test_round11_ops import _adj_rows, _search_rows
+
+    emb = load_table(spark, SMALL_SF, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+    queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
+    batch = dedup_drop_batch(spark, SMALL_SF).localCheckpoint(eager=True)
+    dels = batch.select("vec_id")
+
+    mon = _mon(tmp_path)
+    mon.init(emb.select("vec_id", "embedding"), seeds)
+    mon(batch, 0)
+    got_adj = _adj_rows(mon, spark, 0)
+    got_search = _search_rows(mon, spark, queries, 0)
+
+    def l1(df):
+        return df.filter(hash56(F.col("vec_id")) % HNSW_L1_MOD == 0)
+
+    kw = dict(
+        deg=NSW_DEG,
+        max_cell=EMBED_MULTI_MAX_CELL,
+        nprobe=EMBED_PAIR_NPROBE,
+        keep_dist=True,
+    )
+    a0 = nsw_graph(emb.select("vec_id", "embedding"), seeds, **kw)
+    a1 = nsw_graph(l1(emb).select("vec_id", "embedding"), seeds, **kw)
+    a0 = nsw_delete(emb, a0, dels, NSW_DEG).localCheckpoint(eager=True)
+    a1 = nsw_delete(emb, a1, dels, NSW_DEG).localCheckpoint(eager=True)
+    want_adj = sorted(
+        [(0, r.src, r.dst, r.dist_q) for r in a0.collect()]
+        + [(1, r.src, r.dst, r.dist_q) for r in a1.collect()]
+    )
+    assert got_adj == want_adj and want_adj
+    live = emb.join(dels, "vec_id", "left_anti")
+    want_search = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.dist_q)
+        for r in hnsw_search(
+            live.select("vec_id", "embedding"),
+            queries,
+            a0.select("src", "dst"),
+            a1.select("src", "dst"),
+            l1_members=l1(live),
+            k=3,
+            beam=NSW_BEAM,
+            hops=NSW_HOPS,
+            exclude=dels,
+        ).collect()
+    )
+    assert got_search == want_search and got_search
+    # crash replay: the same batch re-folded re-derives identical state
+    mon(batch, 0)
+    assert _adj_rows(mon, spark, 0) == got_adj
+    assert _search_rows(mon, spark, queries, 0) == got_search
+
+
 def test_pq_drift_refresh_contrast(spark):
     """The compressed-family refresh claims: the frozen
     quantizer+codebook lose shortlist recall on the drifted corpus,
