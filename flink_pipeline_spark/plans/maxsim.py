@@ -256,6 +256,43 @@ q_sim_maxsim_topk.__doc__ = q_sim_maxsim_topk.__doc__.format(
 )
 
 
+PLAID_CANDIDATES = 8  # candidate docs per query surviving the prune
+
+
+def _plaid_ctes() -> str:
+    """cellsim/doccells/approx/candp CTE text: the centroid-
+    interaction prune. approx MaxSim(Q, D) = sum over q in Q of max
+    over the CELLS D's tokens occupy of sim_q(q, centroid(cell)) —
+    no doc token vector is touched until the exact stage."""
+    return f"""cellsim AS (
+        SELECT q.qtok, q.qdoc, c.vec_id AS cell,
+               {_SIM_Q_DUCK.format(a='q.eq', b='c.embedding')} AS sim_q
+        FROM qt q JOIN embeddings c
+          ON c.vec_id < {IVF_SEED_CENTROIDS}
+    ), doccells AS (
+        SELECT DISTINCT a.vec_id // {MAXSIM_TOKS} AS cdoc, a.cell
+        FROM assigned a
+    ), approx AS (
+        SELECT qdoc, cdoc,
+               CAST(sum(mx) AS BIGINT) AS amaxsim_q
+        FROM (
+            SELECT cs.qdoc, cs.qtok, d.cdoc, max(cs.sim_q) AS mx
+            FROM cellsim cs JOIN doccells d ON d.cell = cs.cell
+            WHERE d.cdoc <> cs.qdoc
+            GROUP BY cs.qdoc, cs.qtok, d.cdoc
+        ) s GROUP BY qdoc, cdoc
+    ), candp AS (
+        SELECT qdoc, cdoc FROM (
+            SELECT qdoc, cdoc,
+                   row_number() OVER (
+                       PARTITION BY qdoc
+                       ORDER BY amaxsim_q DESC, cdoc) AS rn
+            FROM approx
+        ) t WHERE rn <= {PLAID_CANDIDATES}
+    )"""
+
+
+
 def _maxsim_recall_oracle() -> str:
     all_cand = f"""allc AS (
         SELECT DISTINCT q.qdoc, d.vec_id // {MAXSIM_TOKS} AS cdoc
@@ -265,7 +302,16 @@ def _maxsim_recall_oracle() -> str:
     return f"""
     WITH assigned AS ({_SEED_ASSIGN_DUCK}
     ), {_MAXSIM_CTES}, {_maxsim_score_sql('cand')}, {all_cand},
-    {_maxsim_score_sql('allc')}, twostage AS (
+    {_maxsim_score_sql('allc')}, {_plaid_ctes()},
+    {_maxsim_score_sql('candp')}, plaid AS (
+        SELECT qdoc, cdoc FROM (
+            SELECT qdoc, cdoc,
+                   row_number() OVER (
+                       PARTITION BY qdoc
+                       ORDER BY maxsim_q DESC, cdoc) AS rank
+            FROM scored_candp
+        ) t WHERE rank <= 3
+    ), twostage AS (
         SELECT qdoc, cdoc FROM (
             SELECT qdoc, cdoc,
                    row_number() OVER (
@@ -284,6 +330,8 @@ def _maxsim_recall_oracle() -> str:
     ), m AS (
         SELECT 'twostage' AS method, qdoc, cdoc FROM twostage
         UNION ALL
+        SELECT 'plaid', qdoc, cdoc FROM plaid
+        UNION ALL
         SELECT 'exact', qdoc, cdoc FROM truth
     ), counts AS (
         SELECT m.method,
@@ -294,7 +342,7 @@ def _maxsim_recall_oracle() -> str:
           ON t.qdoc = m.qdoc AND t.cdoc = m.cdoc
         GROUP BY m.method
     ), grid AS (
-        SELECT unnest(['exact', 'twostage']) AS method
+        SELECT unnest(['exact', 'twostage', 'plaid']) AS method
     ), tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
     SELECT g.method, tt.n_truth,
            CAST(coalesce(c.n_method, 0) AS BIGINT) AS n_method,
@@ -334,6 +382,9 @@ def q_sim_maxsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     two = _maxsim_score(emb, _maxsim_candidates(spark, emb)).select(
         F.col("query_doc").alias("qdoc"), F.col("doc_id").alias("cdoc")
     )
+    plaid = q_sim_maxsim_plaid(spark, sf_dir).select(
+        F.col("query_doc").alias("qdoc"), F.col("doc_id").alias("cdoc")
+    )
     truth = (
         _maxsim_score(emb, allc)
         .select(
@@ -341,8 +392,10 @@ def q_sim_maxsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    m = two.withColumn("method", F.lit("twostage")).unionByName(
-        truth.withColumn("method", F.lit("exact"))
+    m = (
+        two.withColumn("method", F.lit("twostage"))
+        .unionByName(plaid.withColumn("method", F.lit("plaid")))
+        .unionByName(truth.withColumn("method", F.lit("exact")))
     )
     hit = truth.withColumn("is_hit", F.lit(1))
     counts = (
@@ -356,7 +409,7 @@ def q_sim_maxsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     grid = spark.createDataFrame(
-        [("exact",), ("twostage",)], "method STRING"
+        [("exact",), ("twostage",), ("plaid",)], "method STRING"
     )
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))
     return (
@@ -379,4 +432,107 @@ def q_sim_maxsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_sim_maxsim_recall.__doc__ = q_sim_maxsim_recall.__doc__.format(
     toks=MAXSIM_TOKS, np=MAXSIM_NPROBE, qt=_QTOK_MAX
+)
+
+
+# ---------------------------------------------------------------------------
+# PLAID-style centroid-interaction serving (Santhanam et al. 2022 —
+# ColBERTv2/PLAID): approximate every doc token by its IVF CELL
+# CENTROID, score approximate MaxSim from the tiny (query token x
+# centroid) dot table alone, keep the top-C candidate docs, exact
+# MaxSim only on those.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sim_maxsim_plaid",
+    oracle=f"""
+    WITH assigned AS ({_SEED_ASSIGN_DUCK}
+    ), {_MAXSIM_CTES}, {_plaid_ctes()}, {_maxsim_score_sql('candp')}
+    {_maxsim_final_sql('candp')}
+    """,
+)
+def q_sim_maxsim_plaid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENTROID-INTERACTION MaxSim serving — the PLAID prune
+    (Santhanam et al. 2022, the ColBERTv2 serving layout): stage 1
+    approximates every doc token by its IVF cell centroid, so the
+    approximate MaxSim for ALL docs is computable from the
+    |query tokens| x |centroids| dot table (here 12 x 8 — corpus-size
+    independent) joined onto the (doc, occupied-cell) table; the top-
+    {cands} candidate docs per query survive; stage 2 runs EXACT
+    MaxSim (the one shared scoring text) on the survivors only. The
+    contrast with q_sim_maxsim_topk's token-probe nomination is the
+    design point: token probes nominate any doc that SHARES a probed
+    cell (recall-biased, candidate count data-dependent), the
+    centroid prune RANKS docs on an actual (approximate) MaxSim score
+    (precision-biased, candidate count fixed at {cands}) — the two
+    production candidate-generation disciplines, both priced in
+    q_sim_maxsim_recall. On THESE fixtures the prune measures a NULL
+    (recall 0.11-0.22 vs token-probe's 1.0 across the SFs): isotropic
+    random tokens give cell centroids that carry almost no signal
+    about individual token dots, so the approximate ranking is
+    noise-ordered — the q_sim_graph_expand/nsw2 convention of keeping
+    the null visible applies; the prune pays exactly when the token
+    space is clustered (actual model embeddings), and this row is
+    where that payoff would show.
+
+    Oracle replays cell assignment, the centroid dot table, the
+    per-(query-token, doc) cell max, the candidate rank, and the
+    exact stage bit-for-bit (all sims BIGINT ten-thousandths dots).
+
+    Scale: stage 1 never touches a doc token vector — the centroid
+    dot table broadcasts onto the (doc, cell) occupancy table (one
+    row per doc per occupied cell, <= docs x min(toks, cells)); the
+    exact stage reads {cands} docs x {toks}^2 dots per query. At
+    100 TB the occupancy table IS the index's posting layout —
+    exactly what PLAID serves from."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.llm import with_norm  # noqa: F401 (family import)
+
+    cents = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+    qt = emb.filter(F.col("vec_id") < _QTOK_MAX).select(
+        F.col("vec_id").alias("qtok"),
+        F.expr(f"vec_id div {MAXSIM_TOKS}").alias("qdoc"),
+        F.col("embedding").alias("eq"),
+    )
+    cellsim = qt.join(
+        F.broadcast(
+            cents.select(
+                F.col("vec_id").alias("cell"),
+                F.col("embedding").alias("ec"),
+            )
+        )
+    ).select(
+        "qtok",
+        "qdoc",
+        "cell",
+        F.expr(_SIM_Q_SPARK.format(a="eq", b="ec")).alias("sim_q"),
+    )
+    doccells = (
+        ivf_assign(emb, cents)
+        .select(
+            F.expr(f"vec_id div {MAXSIM_TOKS}").alias("cdoc"), "cell"
+        )
+        .distinct()
+    )
+    approx = (
+        doccells.join(F.broadcast(cellsim), "cell")
+        .filter(F.col("cdoc") != F.col("qdoc"))
+        .groupBy("qdoc", "qtok", "cdoc")
+        .agg(F.max("sim_q").alias("mx"))
+        .groupBy("qdoc", "cdoc")
+        .agg(F.sum("mx").cast("long").alias("amaxsim_q"))
+    )
+    wp = Window.partitionBy("qdoc").orderBy(
+        F.col("amaxsim_q").desc(), "cdoc"
+    )
+    candp = (
+        approx.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= PLAID_CANDIDATES)
+        .select("qdoc", "cdoc")
+    )
+    return _maxsim_score(emb, candp)
+
+
+q_sim_maxsim_plaid.__doc__ = q_sim_maxsim_plaid.__doc__.format(
+    cands=PLAID_CANDIDATES, toks=MAXSIM_TOKS
 )

@@ -388,9 +388,12 @@ _BNLJ_MAX = {
     "q_sim_maxsim_topk": 2,      # token-probe rank + assignment
                                  # centroid broadcasts (q_sim_ivf_topk
                                  # class at token granularity)
-    "q_sim_maxsim_recall": 3,    # same 2 + the truth's qdoc x docs
-                                 # grid broadcast (audit-only, 3 x
-                                 # |docs| rows)
+    "q_sim_maxsim_plaid": 2,     # centroid dot-table + assignment
+                                 # centroid broadcasts (the
+                                 # q_sim_ivf_topk class)
+    "q_sim_maxsim_recall": 5,    # twostage's 2 + plaid's 2 + the
+                                 # truth's qdoc x docs grid broadcast
+                                 # (audit-only, 3 x |docs| rows)
     "q_ann_drift_refresh": 6,    # two searches x (centroid broadcast +
                                  # probe rank) + exact-truth query
                                  # broadcast + the 1-row gate broadcast
