@@ -71,6 +71,93 @@ def drifted_corpus(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", F.expr(_DRIFT_EXPR).alias("embedding"))
 
 
+def drift_gate_frame(emb: DataFrame, dr: DataFrame) -> DataFrame:
+    """One-row (t_q, drifted): the registered q_drift_projection
+    statistic between the ORIGINAL corpus (ref cohort) and the DRIFTED
+    corpus (cur cohort) — the gate block of q_ann_drift_refresh
+    factored out (r14) so the in-query refresh rows AND the persisted
+    refresh-store build (plans/refresh_serve.py) fire ONE decision
+    rule: a store must never refresh on a statistic the registered
+    monitoring row would not have tripped."""
+    ue = emb.select(
+        "vec_id",
+        F.lit(1).alias("is_ref"),
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE))"
+        ).alias("embedding"),
+    ).unionByName(dr.select("vec_id", F.lit(0).alias("is_ref"), "embedding"))
+    gq = ue.select(
+        "vec_id",
+        "is_ref",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "is_ref",
+        F.col("pos").cast("long").alias("pos"),
+        F.when(F.expr("(vec_id div 2) % 2 = 0"), 1)
+        .otherwise(0)
+        .alias("is_train"),
+        F.floor(F.col("xf") * 10000 + F.lit(0.5)).cast("long").alias("xq"),
+    )
+    gw = (
+        gq.filter(F.col("is_train") == 1)
+        .groupBy("pos")
+        .agg(
+            F.sum(F.when(F.col("is_ref") == 1, F.col("xq")).otherwise(0))
+            .cast("long")
+            .alias("srt"),
+            F.sum(F.when(F.col("is_ref") == 0, F.col("xq")).otherwise(0))
+            .cast("long")
+            .alias("sct"),
+            F.sum("is_ref").cast("long").alias("nrt"),
+            F.sum(1 - F.col("is_ref")).cast("long").alias("nct"),
+        )
+    )
+    gdirs = gw.select(
+        "pos",
+        F.when(F.col("srt") * F.col("nct") > F.col("sct") * F.col("nrt"), 1)
+        .when(F.col("srt") * F.col("nct") < F.col("sct") * F.col("nrt"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    gproj = (
+        gq.filter(F.col("is_train") == 0)
+        .join(F.broadcast(gdirs), "pos")
+        .groupBy("vec_id", "is_ref")
+        .agg(F.sum(F.col("xq") * F.col("sgn")).cast("long").alias("pq"))
+    )
+    return (
+        gproj.agg(
+            F.sum("is_ref").cast("long").alias("nr"),
+            F.sum(1 - F.col("is_ref")).cast("long").alias("nc"),
+            F.sum(F.when(F.col("is_ref") == 1, F.col("pq")).otherwise(0))
+            .cast("long")
+            .alias("sr"),
+            F.sum(F.when(F.col("is_ref") == 0, F.col("pq")).otherwise(0))
+            .cast("long")
+            .alias("sc"),
+            F.sum(
+                F.when(
+                    F.col("is_ref") == 1, F.col("pq") * F.col("pq")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("ssr"),
+            F.sum(
+                F.when(
+                    F.col("is_ref") == 0, F.col("pq") * F.col("pq")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("ssc"),
+        )
+        .selectExpr(
+            f"{_EDRIFT_T_SQL} AS t_q",
+            f"coalesce({_EDRIFT_T_SQL} > {EDRIFT_RAW_Q}, FALSE) AS drifted",
+        )
+    )
+
+
 def _sub(text: str, pairs: list[tuple[str, str]]) -> str:
     """Anchored table substitution on a shared oracle text — each
     (old, new) must match exactly once (the _register_ivfpq_rerank
@@ -277,84 +364,9 @@ def q_ann_drift_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
-    # the projection gate between original (ref) and drifted (cur)
-    ue = emb.select(
-        "vec_id",
-        F.lit(1).alias("is_ref"),
-        F.expr(
-            "transform(embedding, x -> CAST(x AS DOUBLE))"
-        ).alias("embedding"),
-    ).unionByName(dr.select("vec_id", F.lit(0).alias("is_ref"), "embedding"))
-    gq = ue.select(
-        "vec_id",
-        "is_ref",
-        F.posexplode("embedding").alias("pos", "xf"),
-    ).select(
-        "vec_id",
-        "is_ref",
-        F.col("pos").cast("long").alias("pos"),
-        F.when(F.expr("(vec_id div 2) % 2 = 0"), 1)
-        .otherwise(0)
-        .alias("is_train"),
-        F.floor(F.col("xf") * 10000 + F.lit(0.5)).cast("long").alias("xq"),
-    )
-    gw = (
-        gq.filter(F.col("is_train") == 1)
-        .groupBy("pos")
-        .agg(
-            F.sum(F.when(F.col("is_ref") == 1, F.col("xq")).otherwise(0))
-            .cast("long")
-            .alias("srt"),
-            F.sum(F.when(F.col("is_ref") == 0, F.col("xq")).otherwise(0))
-            .cast("long")
-            .alias("sct"),
-            F.sum("is_ref").cast("long").alias("nrt"),
-            F.sum(1 - F.col("is_ref")).cast("long").alias("nct"),
-        )
-    )
-    gdirs = gw.select(
-        "pos",
-        F.when(F.col("srt") * F.col("nct") > F.col("sct") * F.col("nrt"), 1)
-        .when(F.col("srt") * F.col("nct") < F.col("sct") * F.col("nrt"), -1)
-        .otherwise(0)
-        .alias("sgn"),
-    )
-    gproj = (
-        gq.filter(F.col("is_train") == 0)
-        .join(F.broadcast(gdirs), "pos")
-        .groupBy("vec_id", "is_ref")
-        .agg(F.sum(F.col("xq") * F.col("sgn")).cast("long").alias("pq"))
-    )
-    gate = (
-        gproj.agg(
-            F.sum("is_ref").cast("long").alias("nr"),
-            F.sum(1 - F.col("is_ref")).cast("long").alias("nc"),
-            F.sum(F.when(F.col("is_ref") == 1, F.col("pq")).otherwise(0))
-            .cast("long")
-            .alias("sr"),
-            F.sum(F.when(F.col("is_ref") == 0, F.col("pq")).otherwise(0))
-            .cast("long")
-            .alias("sc"),
-            F.sum(
-                F.when(
-                    F.col("is_ref") == 1, F.col("pq") * F.col("pq")
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("ssr"),
-            F.sum(
-                F.when(
-                    F.col("is_ref") == 0, F.col("pq") * F.col("pq")
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("ssc"),
-        )
-        .selectExpr(
-            f"{_EDRIFT_T_SQL} AS t_q",
-            f"coalesce({_EDRIFT_T_SQL} > {EDRIFT_RAW_Q}, FALSE) AS drifted",
-        )
-    )
+    # the projection gate between original (ref) and drifted (cur) —
+    # the shared decision rule (drift_gate_frame)
+    gate = drift_gate_frame(emb, dr)
     m = (
         stale.withColumn("method", F.lit("stale"))
         .unionByName(refreshed.withColumn("method", F.lit("refreshed")))

@@ -170,6 +170,7 @@ def _load_all() -> None:
         pq_serve,
         profiling,
         radius,
+        refresh_serve,
         relational,
         sampling,
         scans,

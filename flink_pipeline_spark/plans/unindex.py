@@ -23,10 +23,10 @@ llm_ops.py), intersected with the INDEXED id space — at sf0.1 the
 document corpus (5k) outnumbers the vector corpus (2k), exactly the
 production shape where only embedded documents occupy the index.
 
-Reference contract: ilveroluca/flink-pipeline workflow.py:60-118
-drives per-record transforms and has no index lifecycle; this family
-is engine-level capability the reference delegates to external
-services.
+Reference contract: ilveroluca/flink-pipeline workflow.py delegates
+all record-level dataflow to external engines and has no index
+lifecycle anywhere in its tree; this family is engine-level
+capability the reference delegates to external services.
 """
 
 from __future__ import annotations
@@ -51,7 +51,6 @@ from ..operators.llm import (
 from ..streaming.heavy import publish_store
 from .ann_delete import _final_survivor_sql, _hnsw_delete_ctes
 from .llm_ops import (
-    IVF_SEED_CENTROIDS,
     NSW_HOPS,
     PQ_QUERY_MAX,
     RERANK_SHORTLIST,

@@ -197,8 +197,16 @@ class ANNIndexMonitor:
         # read): folding such an arrival in would create dangling
         # adjacency edges to a vector that can never be served, so the
         # unsupported state is refused loudly instead of silently
-        # created (ADVICE r12). One tiny existence probe per batch.
-        if not arrivals.join(tombs, "vec_id", "semi").isEmpty():
+        # created (ADVICE r12). The guard covers BOTH tombstone
+        # sources: prior batches' logs AND this batch's own dels —
+        # a single batch carrying op='delete' and op='insert' for the
+        # same vec_id would otherwise write the id to the tombstone
+        # log while also inserting its adjacency rows, the exact
+        # dead-but-indexed state the guard refuses (ADVICE r13).
+        # One tiny existence probe per batch.
+        if not arrivals.join(
+            tombs.unionByName(dels), "vec_id", "semi"
+        ).isEmpty():
             raise ValueError(
                 "ann index: batch re-inserts previously tombstoned "
                 "vec_id(s) — unsupported (tombstoned ids are dead "

@@ -101,20 +101,27 @@ def publish_store(tmp: str, store: str) -> None:
     silently treated as a lost race, returning a monitor over a
     nonexistent store that failed later with a confusing
     missing-partition error (ADVICE r12) — so after the
-    rename/cleanup, the published dir must actually exist."""
+    rename/cleanup, the published dir must actually exist. The tmp
+    dir is deleted ONLY when the rename lost a benign race (the
+    winner's store exists afterward) — on a non-race failure (EXDEV,
+    permissions) the expensive build is left in place and its path
+    named in the error, so recovery is a manual move instead of a
+    full rebuild (ADVICE r13)."""
     import shutil
 
     os.makedirs(os.path.dirname(store), exist_ok=True)
     try:
         os.rename(tmp, store)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.isdir(store):
+            # lost a benign race: the winner published; discard ours
+            shutil.rmtree(tmp, ignore_errors=True)
     if not os.path.isdir(store):
         raise RuntimeError(
             f"store publish failed: {store} missing after rename from "
             f"{tmp} — not a lost race (the winner's dir would exist); "
             "check rename support (EXDEV?) and permissions on the "
-            "cache root"
+            f"cache root. The built artifacts are intact at {tmp}."
         )
 
 

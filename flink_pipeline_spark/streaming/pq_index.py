@@ -150,9 +150,14 @@ class PQIndexMonitor:
         # the ann_index.py re-insert contract, applied to the
         # compressed family: a tombstoned vec_id is masked on every
         # read forever, so re-coding it would store rows that can
-        # never be served — refuse loudly (ADVICE r12)
+        # never be served — refuse loudly (ADVICE r12). As in the
+        # graph store, the probe unions this batch's own dels with the
+        # prior tombstone log so a same-batch delete+insert of one
+        # vec_id is refused too (ADVICE r13).
         tombs = self._read_tombs(spark, batch_id)
-        if not arrivals.join(tombs, "vec_id", "semi").isEmpty():
+        if not arrivals.join(
+            tombs.unionByName(dels), "vec_id", "semi"
+        ).isEmpty():
             raise ValueError(
                 "pq index: batch re-inserts previously tombstoned "
                 "vec_id(s) — unsupported (tombstoned ids are dead "

@@ -401,6 +401,13 @@ _BNLJ_MAX = {
                                  # non-equi join (both IVFADC chains'
                                  # probe broadcasts live in the
                                  # checkpointed shortlist sub-jobs)
+    # r14, exact current counts:
+    "q_pq_refresh_serve": 1,     # the probe stage's tiny centroid
+                                 # broadcast (the q_sim_ivfpq_serve
+                                 # class, over the refreshed store)
+    "q_pq_refresh_serve_recall": 1,  # the 1-row n_truth denominator
+                                 # cross broadcast (served + truth
+                                 # lists are checkpointed sub-jobs)
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.

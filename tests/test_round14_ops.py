@@ -1,0 +1,168 @@
+"""Round-14 operator tests: the r13-ADVICE guards (same-batch
+delete+insert refusal in both index monitors, publish_store
+preserving the build dir on non-race failures), then the round's
+operator additions (drift→refresh→serve, MaxSim store, tombstone-
+density rewrite trigger, planted-cluster audits)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_pipeline_spark.catalog import load_table
+from flink_pipeline_spark.plans.llm_ops import IVF_SEED_CENTROIDS
+
+from .test_round11_ops import SMALL_SF, _mon
+
+
+def test_monitors_reject_same_batch_delete_insert(spark, tmp_path):
+    """A SINGLE batch carrying op='delete' and op='insert' for the
+    same vec_id must be refused by both monitors (ADVICE r13): the
+    prior-batch tombstone probe alone would let the id be written to
+    the tombstone log while its adjacency/code rows are also
+    inserted — the exact dead-but-indexed dangling state the
+    re-insert guard exists to prevent."""
+    from flink_pipeline_spark.streaming.pq_index import PQIndexMonitor
+
+    emb = load_table(spark, SMALL_SF, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+    small = emb.filter(F.col("vec_id") < 64).select("vec_id", "embedding")
+    mixed = (
+        small.filter(F.col("vec_id") == 5)
+        .select("vec_id", "embedding", F.lit("delete").alias("op"))
+        .unionByName(
+            small.filter(F.col("vec_id").isin(5, 9)).select(
+                "vec_id", "embedding", F.lit("insert").alias("op")
+            )
+        )
+    )
+
+    amon = _mon(tmp_path, "ann")
+    amon.init(small, seeds)
+    with pytest.raises(ValueError, match="re-inserts previously tombstoned"):
+        amon(mixed, 0)
+
+    pmon = PQIndexMonitor(str(tmp_path / "pq"))
+    pmon.init(small, seeds)
+    with pytest.raises(ValueError, match="re-inserts previously tombstoned"):
+        pmon(mixed, 0)
+
+
+def test_pq_refresh_fold_stream_equals_batch_and_replay(spark, tmp_path):
+    """The refresh's RE-CODE fold: init(head) + fold(tail) through
+    the monitor's own foreachBatch path equals a full-corpus init
+    (coding is stateless under the frozen re-trained artifacts), and
+    a crashed fold batch replays idempotently — stream==batch +
+    crash-replay for the refreshed store specifically."""
+    from flink_pipeline_spark.plans.refresh_serve import (
+        REFRESH_FOLD_MIN,
+        REFRESH_FOLD_MOD,
+        REFRESH_FOLD_REM,
+    )
+    from flink_pipeline_spark.plans.index_refresh import drifted_corpus
+    from flink_pipeline_spark.plans.pq_serve import _pq_monitor
+
+    emb = load_table(spark, SMALL_SF, "embeddings")
+    dr = drifted_corpus(emb).localCheckpoint(eager=True)
+    seeds = dr.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+    is_fold = (F.col("vec_id") >= REFRESH_FOLD_MIN) & (
+        F.col("vec_id") % REFRESH_FOLD_MOD == REFRESH_FOLD_REM
+    )
+
+    split = _pq_monitor(str(tmp_path / "split"))
+    split.init(dr.filter(~is_fold), seeds)
+    fold = dr.filter(is_fold).select("vec_id", "embedding")
+    split(fold, 0)
+    got = sorted(map(tuple, split._read_codes(spark, 1).collect()))
+
+    full = _pq_monitor(str(tmp_path / "full"))
+    full.init(dr, seeds)
+    want = sorted(map(tuple, full._read_codes(spark, 0).collect()))
+    assert got == want and got
+
+    split(fold, 0)  # crash replay: re-derives its own partition
+    assert sorted(map(tuple, split._read_codes(spark, 1).collect())) == want
+
+
+def test_refresh_refuses_undrifted_corpus(spark, tmp_path):
+    """The decision rule: a refresh build over a corpus the gate does
+    NOT flag must be refused — the frozen artifacts stay."""
+    from flink_pipeline_spark.plans.refresh_serve import _assert_gate_fired
+
+    emb = load_table(spark, SMALL_SF, "embeddings")
+    same = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+            "embedding"
+        ),
+    )
+    with pytest.raises(ValueError, match="drift gate did not fire"):
+        _assert_gate_fired(emb, same, str(tmp_path / "never"))
+    assert not (tmp_path / "never").exists()
+
+
+def test_refresh_stores_record_tripped_decision(spark):
+    """Both published refresh stores carry the tripped gate decision
+    (gate.parquet: drifted=TRUE, t far over the 1.96 threshold) —
+    the drift decision rides the store, not just the cache key."""
+    from flink_pipeline_spark.plans.refresh_serve import (
+        ann_refresh_store_for,
+        pq_refresh_store_for,
+    )
+
+    for mon in (
+        pq_refresh_store_for(spark, SMALL_SF),
+        ann_refresh_store_for(spark, SMALL_SF),
+    ):
+        gate = spark.read.parquet(
+            os.path.join(mon.store_dir, "gate.parquet")
+        ).collect()
+        assert len(gate) == 1 and gate[0].drifted
+        assert gate[0].t_q > 1.96
+
+
+def test_refresh_serve_recall_matches_in_query_refresh(spark):
+    """The Done criterion: post-refresh STORE serve recall equals the
+    in-query refreshed recall q_pq_drift_refresh prices — the last
+    hop of the monitoring loop serves what the refresh promised."""
+    from flink_pipeline_spark.plans.index_refresh import q_pq_drift_refresh
+    from flink_pipeline_spark.plans.refresh_serve import (
+        q_pq_refresh_serve_recall,
+    )
+
+    served = {
+        r.method: r.recall
+        for r in q_pq_refresh_serve_recall(spark, SMALL_SF).collect()
+    }
+    inquery = {
+        r.method: r.recall
+        for r in q_pq_drift_refresh(spark, SMALL_SF).collect()
+    }
+    assert served["served"] == inquery["refreshed"]
+    assert served["exact"] == 1.0
+
+
+def test_publish_store_preserves_tmp_on_non_race_failure(
+    tmp_path, monkeypatch
+):
+    """On a NON-race rename failure (EXDEV, permissions) the built
+    store dir must survive and be named in the error, so recovery is
+    a move instead of a full rebuild (ADVICE r13)."""
+    import os as _os
+
+    from flink_pipeline_spark.streaming.heavy import publish_store
+
+    tmp = tmp_path / "build"
+    tmp.mkdir()
+    (tmp / "artifact").write_text("expensive")
+    store = tmp_path / "cache" / "published"
+
+    def boom(src, dst):
+        raise OSError(18, "Invalid cross-device link")  # EXDEV
+
+    monkeypatch.setattr(_os, "rename", boom)
+    with pytest.raises(RuntimeError, match=str(tmp)):
+        publish_store(str(tmp), str(store))
+    assert (tmp / "artifact").read_text() == "expensive"
