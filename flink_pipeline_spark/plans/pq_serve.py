@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.portable import round_agg, round_sql
 from .llm_ops import (
     IVF_SEED_CENTROIDS,
     PQ_QUERY_MAX,
@@ -304,6 +305,250 @@ def q_sim_ivfpq_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask cost removed."""
     emb = load_table(spark, sf_dir, "embeddings")
     mon = _pq_rewrite_store_for(spark, sf_dir)
+    short = mon.adc_topk(
+        spark,
+        emb.filter(F.col("vec_id") < PQ_QUERY_MAX),
+        after_batch_id=-1,
+        k=RERANK_SHORTLIST,
+    ).select("query_id", "neighbor_id")
+    return exact_rerank(emb, short, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Tombstone-density rewrite TRIGGER + the high-density masked/rewritten
+# serving pair (r13 verdict's #3 ask)
+# ---------------------------------------------------------------------------
+
+# the HIGH-density delete slice: ~1/2 of the corpus tombstoned — the
+# regime where the deferred mask measurably costs (at the base 1/8
+# density the masked and rewritten serves bench within noise of each
+# other, SCALING 13e — i.e. the rewrite was priced exactly where it
+# doesn't matter)
+HD_DELETE_MOD = 2
+HD_DELETE_REM = 1
+# the compaction policy gate: rewrite when tombstones reach >= 1/4 of
+# the coded id space (exact integer comparison — no float enters the
+# decision). The base 1/8-density store sits under the gate (keep
+# masking), the 1/2-density store trips it (compact).
+REWRITE_TOMB_NUM = 1
+REWRITE_TOMB_DEN = 4
+
+
+def _pq_masked_oracle(mod: int, rem: int) -> str:
+    """The registered rerank oracle with a hash-slice tombstone mask
+    injected at the ADC code scan (assert-unique anchor — the
+    _register_ivfpq_rerank surgery convention), parameterized over the
+    slice so the base-density and high-density delete rows share ONE
+    mask-injection rule."""
+    from ..functions.portable import hash56_sql_duckdb
+
+    sql = ORACLES["q_sim_ivfpq_rerank"]
+    anchor = "WHERE x.vec_id <> l.query_id"
+    assert sql.count(anchor) == 1, "ivfpq rerank oracle shape changed"
+    h = hash56_sql_duckdb("x.vec_id")
+    return sql.replace(
+        anchor,
+        anchor + f"\n          AND {h} % {mod} <> {rem}",
+    )
+
+
+def _pq_hd_del_store_for(spark: SparkSession, sf_dir: str):
+    """The HIGH-density post-delete compressed store: the base pq
+    store's code log copied, the ~1/2 hash-slice tombstones folded
+    through the monitor's own foreachBatch path as batch 0 — the
+    _pq_del_store_for lifecycle at the density where the mask hurts."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..functions.portable import hash56
+    from ..streaming.heavy import publish_store
+
+    base_key = _pq_store_key(sf_dir + "\x00" + corpus_file_identity(sf_dir))
+    key = hashlib.md5(
+        f"{base_key}\x00{HD_DELETE_MOD}|{HD_DELETE_REM}".encode()
+    ).hexdigest()[:16]
+    store = os.path.join(PQ_INDEX_CACHE, f"hddel-{key}")
+    if not os.path.isdir(os.path.join(store, "tombs", "batch_id=0")):
+        base = pq_store_for(spark, sf_dir)
+        tmp = f"{store}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        for kind in ("cb.parquet", "cents.parquet"):
+            shutil.copytree(
+                os.path.join(base.store_dir, kind),
+                os.path.join(tmp, kind),
+            )
+        shutil.copytree(
+            os.path.join(base.store_dir, "codes", "batch_id=-1"),
+            os.path.join(tmp, "codes", "batch_id=-1"),
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        batch = emb.filter(
+            hash56(F.col("vec_id")) % HD_DELETE_MOD == HD_DELETE_REM
+        ).select("vec_id", "embedding", F.lit("delete").alias("op"))
+        _pq_monitor(tmp)(batch, 0)
+        publish_store(tmp, store)
+    return _pq_monitor(store)
+
+
+def _pq_hd_rewrite_store_for(spark: SparkSession, sf_dir: str):
+    """The high-density store COMPACTED: the ~1/2-tombstoned code log
+    rewritten through its mask (PQIndexMonitor.rewrite) — the action
+    the trigger row decides to take."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..streaming.heavy import publish_store
+
+    base_key = _pq_store_key(sf_dir + "\x00" + corpus_file_identity(sf_dir))
+    key = hashlib.md5(
+        f"{base_key}\x00{HD_DELETE_MOD}|{HD_DELETE_REM}\x00rewrite".encode()
+    ).hexdigest()[:16]
+    store = os.path.join(PQ_INDEX_CACHE, f"hdrw-{key}")
+    if not os.path.isdir(os.path.join(store, "codes", "batch_id=-1")):
+        del_mon = _pq_hd_del_store_for(spark, sf_dir)
+        tmp = f"{store}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        del_mon.rewrite(spark, tmp, after_batch_id=0)
+        publish_store(tmp, store)
+    return _pq_monitor(store)
+
+
+def _rewrite_trigger_oracle() -> str:
+    from ..functions.portable import hash56_sql_duckdb
+
+    from .ann_delete import NSW_DELETE_MOD, NSW_DELETE_REM
+
+    h = hash56_sql_duckdb("vec_id")
+    share = round_sql("n_tombs::DOUBLE / n_indexed")
+    rule = (
+        f"n_tombs * {REWRITE_TOMB_DEN} >= "
+        f"CAST(n_indexed AS BIGINT) * {REWRITE_TOMB_NUM}"
+    )
+    return f"""
+    WITH stats AS (
+        SELECT 'base' AS store,
+               CAST(count(*) AS BIGINT) AS n_indexed,
+               CAST(sum(CASE WHEN {h} % {NSW_DELETE_MOD} = {NSW_DELETE_REM}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_tombs
+        FROM embeddings
+        UNION ALL
+        SELECT 'high',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN {h} % {HD_DELETE_MOD} = {HD_DELETE_REM}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM embeddings
+    )
+    SELECT store, n_indexed, n_tombs,
+           {share} AS tomb_share,
+           {rule} AS rewrite
+    FROM stats
+    """
+
+
+@register("q_pq_rewrite_trigger", oracle=_rewrite_trigger_oracle())
+def q_pq_rewrite_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction POLICY GATE the rewrite lacked (r13 verdict's
+    #3 ask — the q_ann_drift_refresh convention on the compaction
+    axis): for each post-delete compressed store — the base
+    ~1/8-density one and the high ~1/2-density one — read the ACTUAL
+    persisted hot tier (code log + tombstone log, through the
+    monitor's own readers) and decide in-row whether the tombstone
+    share has reached the rewrite threshold ({num}/{den} of the coded
+    id space, an exact integer comparison). The base store sits under
+    the gate (keep masking — the measured masked-vs-rewritten delta
+    at that density is ~zero, SCALING 13e), the high store trips it
+    (compact — the q_sim_ivfpq_delete_hd / q_sim_ivfpq_rewrite_hd
+    bench pair prices what the decision buys at that density).
+
+    Correctness contract: the statistics come from the STORES, the
+    oracle recomputes them from the deterministic hash-slice
+    definitions — a store whose tombstone log diverges from the
+    registered delete rule (or whose code log lost rows) is a driver
+    hash mismatch.
+
+    Scale: two aggregations over the ~1/32-size hot tier's id
+    column — the cheapest possible monitoring row; in production the
+    trigger runs on the store's partition statistics alone."""
+    rows = []
+    for label, mon in (
+        ("base", _pq_del_store_for(spark, sf_dir)),
+        ("high", _pq_hd_del_store_for(spark, sf_dir)),
+    ):
+        codes = mon._read_codes(spark, 1)
+        tombs = mon._read_tombs(spark, 1)
+        rows.append(
+            codes.agg(
+                F.countDistinct("vec_id").cast("long").alias("n_indexed")
+            )
+            .crossJoin(
+                F.broadcast(
+                    tombs.agg(F.count("*").cast("long").alias("n_tombs"))
+                )
+            )
+            .select(
+                F.lit(label).alias("store"),
+                "n_indexed",
+                "n_tombs",
+                round_agg(
+                    F.col("n_tombs").cast("double") / F.col("n_indexed")
+                ).alias("tomb_share"),
+                (
+                    F.col("n_tombs") * REWRITE_TOMB_DEN
+                    >= F.col("n_indexed") * REWRITE_TOMB_NUM
+                ).alias("rewrite"),
+            )
+        )
+    return rows[0].unionByName(rows[1])
+
+
+q_pq_rewrite_trigger.__doc__ = q_pq_rewrite_trigger.__doc__.format(
+    num=REWRITE_TOMB_NUM, den=REWRITE_TOMB_DEN
+)
+
+
+@register(
+    "q_sim_ivfpq_delete_hd",
+    oracle=_pq_masked_oracle(HD_DELETE_MOD, HD_DELETE_REM),
+)
+def q_sim_ivfpq_delete_hd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed retrieval served through the ~1/2-density tombstone
+    MASK — the high-density half of the trigger's bench pair: the
+    code log still holds every coded row, half of them dead, and
+    every query pays the anti-join against the large tombstone set
+    plus the ADC scan over dead rows. This is the state the
+    q_pq_rewrite_trigger decision says to leave (compact it);
+    q_sim_ivfpq_rewrite_hd is the same store after taking the
+    decision. The oracle is the shared mask-injection rule at the HD
+    slice — a leaking mask is a driver hash mismatch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mon = _pq_hd_del_store_for(spark, sf_dir)
+    short = mon.adc_topk(
+        spark,
+        emb.filter(F.col("vec_id") < PQ_QUERY_MAX),
+        after_batch_id=0,
+        k=RERANK_SHORTLIST,
+    ).select("query_id", "neighbor_id")
+    return exact_rerank(emb, short, k=3)
+
+
+@register(
+    "q_sim_ivfpq_rewrite_hd",
+    oracle=_pq_masked_oracle(HD_DELETE_MOD, HD_DELETE_REM),
+)
+def q_sim_ivfpq_rewrite_hd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed retrieval served AFTER the triggered compaction:
+    the ~1/2-tombstoned code log rewritten once through its mask
+    (PQIndexMonitor.rewrite — survivors consolidate, the tombstone
+    log disappears, half the hot tier's bytes are reclaimed), then
+    served with no live mask. Registers the SAME masked-serve oracle
+    text verbatim (post-rewrite == masked-serve, the equivalence
+    gate), and benches next to q_sim_ivfpq_delete_hd — the measured
+    answer to "what does the mask cost at the density where the
+    trigger fires, and does the rewrite buy it back"."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mon = _pq_hd_rewrite_store_for(spark, sf_dir)
     short = mon.adc_topk(
         spark,
         emb.filter(F.col("vec_id") < PQ_QUERY_MAX),

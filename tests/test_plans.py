@@ -408,6 +408,11 @@ _BNLJ_MAX = {
     "q_pq_refresh_serve_recall": 1,  # the 1-row n_truth denominator
                                  # cross broadcast (served + truth
                                  # lists are checkpointed sub-jobs)
+    "q_pq_rewrite_trigger": 2,   # two 1-row n_tombs scalar cross
+                                 # broadcasts (one per audited store)
+    "q_sim_ivfpq_delete_hd": 1,  # the probe stage's centroid broadcast
+                                 # (the q_sim_ivfpq_delete class)
+    "q_sim_ivfpq_rewrite_hd": 1,  # same class, compacted log
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.

@@ -144,6 +144,54 @@ def test_refresh_serve_recall_matches_in_query_refresh(spark):
     assert served["exact"] == 1.0
 
 
+def test_rewrite_trigger_decisions_and_hd_compaction(spark):
+    """The compaction policy gate: the base ~1/8-density store sits
+    under the rewrite threshold, the ~1/2-density store trips it —
+    and taking the decision on the high-density store yields a
+    compacted log serving byte-identical results with no tombstone
+    log and roughly half the code rows gone."""
+    from flink_pipeline_spark.plans.llm_ops import RERANK_SHORTLIST
+    from flink_pipeline_spark.plans.pq_serve import (
+        _pq_hd_del_store_for,
+        _pq_hd_rewrite_store_for,
+        q_pq_rewrite_trigger,
+    )
+
+    decisions = {
+        r.store: r.rewrite
+        for r in q_pq_rewrite_trigger(spark, SMALL_SF).collect()
+    }
+    assert decisions == {"base": False, "high": True}
+
+    emb = load_table(spark, SMALL_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    masked = _pq_hd_del_store_for(spark, SMALL_SF)
+    rewritten = _pq_hd_rewrite_store_for(spark, SMALL_SF)
+    got_m = sorted(
+        map(
+            tuple,
+            masked.adc_topk(
+                spark, queries, after_batch_id=0, k=RERANK_SHORTLIST
+            ).collect(),
+        )
+    )
+    got_r = sorted(
+        map(
+            tuple,
+            rewritten.adc_topk(
+                spark, queries, after_batch_id=-1, k=RERANK_SHORTLIST
+            ).collect(),
+        )
+    )
+    assert got_m == got_r and got_m
+    assert not os.path.isdir(os.path.join(rewritten.store_dir, "tombs"))
+    n_rewritten = rewritten._read_codes(spark, 0).count()
+    n_unmasked = masked._read_codes(spark, 1).count()
+    # the HD slice tombstones ~half the corpus: the compacted log
+    # must have lost a large fraction, not a sliver
+    assert n_rewritten < 0.7 * n_unmasked
+
+
 def test_publish_store_preserves_tmp_on_non_race_failure(
     tmp_path, monkeypatch
 ):
