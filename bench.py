@@ -294,6 +294,23 @@ HEADLINE = [
     "q_sim_hnsw_radius",
     "q_sim_radius_recall",
     "q_ann_drift_refresh",
+    # r14: the two r13 post-artifact rows promoted per the
+    # promote-next-round convention (the compressed drift refresh and
+    # the PLAID centroid prune), then the round's serving additions —
+    # drift→refresh→SERVE on both persisted families, the MaxSim
+    # store-served pair (vs their build-per-run twins above), the
+    # high-density masked/rewritten pair the rewrite trigger prices
+    # (vs the ~zero delta of the 1/8-density pair above), and the
+    # trigger row itself
+    "q_pq_drift_refresh",
+    "q_sim_maxsim_plaid",
+    "q_pq_refresh_serve",
+    "q_ann_refresh_serve",
+    "q_sim_maxsim_search",
+    "q_sim_maxsim_plaid_search",
+    "q_sim_ivfpq_delete_hd",
+    "q_sim_ivfpq_rewrite_hd",
+    "q_pq_rewrite_trigger",
 ]
 
 CSV_HEADER = "repeat_num,attempt_num,retcode,log_file,total_secs,bcl_secs,align_secs"

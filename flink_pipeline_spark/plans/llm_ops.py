@@ -1828,6 +1828,72 @@ q_sim_ivfpq_rerank = _register_ivfpq_rerank()
 GRAPH_EXPAND_DEG = 2  # neighbors pulled in per shortlist member
 
 
+def graph_expand_topk(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """The q_sim_graph_expand body, corpus-parametric (r14): IVFADC
+    shortlist, one hop over the multiprobe pair graph's top-deg
+    links, exact rescoring — factored out so the registered isotropic
+    row and the planted-cluster audit (plans/clustered_audit.py) run
+    ONE expansion rule."""
+    short = ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < PQ_QUERY_MAX),
+        emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+        n_codes=16,
+        k=RERANK_SHORTLIST,
+        nprobe=2,
+    ).select("query_id", "neighbor_id")
+    pairs = cosine_pairs_ivf(
+        emb,
+        emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+        threshold=EMBED_PAIR_TAU,
+        max_cell=EMBED_MULTI_MAX_CELL,
+        nprobe=EMBED_PAIR_NPROBE,
+    )
+    sym = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos"
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cos"
+        )
+    )
+    wk = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    knn = (
+        sym.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= GRAPH_EXPAND_DEG)
+        .select("src", "dst")
+    )
+    hop = short.join(
+        knn, short.neighbor_id == knn.src
+    ).select("query_id", F.col("dst").alias("neighbor_id"))
+    expanded = (
+        short.unionByName(hop)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .distinct()
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    rescored = (
+        emb.join(
+            F.broadcast(expanded), F.col("vec_id") == F.col("neighbor_id")
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(SQDIST_Q_SQL.format(a="eq", b="embedding")).alias(
+                "dist_q"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_q", "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "dist_q")
+    )
+
+
 def _register_graph_expand():
     """Closure-registered: composes the registered IVFADC oracle (the
     shortlist) AND the registered multiprobe capped IVF pair oracle
@@ -1899,64 +1965,8 @@ def _register_graph_expand():
         touches O(shortlist x (1+{d})) full vectors per query — same
         random-read serving profile as the rerank stage. The corpus
         never shuffles."""
-        emb = load_table(spark, sf_dir, "embeddings")
-        short = ivfpq_topk(
-            emb,
-            emb.filter(F.col("vec_id") < PQ_QUERY_MAX),
-            emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
-            n_codes=16,
-            k=RERANK_SHORTLIST,
-            nprobe=2,
-        ).select("query_id", "neighbor_id")
-        pairs = cosine_pairs_ivf(
-            emb,
-            emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
-            threshold=EMBED_PAIR_TAU,
-            max_cell=EMBED_MULTI_MAX_CELL,
-            nprobe=EMBED_PAIR_NPROBE,
-        )
-        sym = pairs.select(
-            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos"
-        ).unionByName(
-            pairs.select(
-                F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cos"
-            )
-        )
-        wk = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
-        knn = (
-            sym.withColumn("rn", F.row_number().over(wk))
-            .filter(F.col("rn") <= GRAPH_EXPAND_DEG)
-            .select("src", "dst")
-        )
-        hop = short.join(
-            knn, short.neighbor_id == knn.src
-        ).select("query_id", F.col("dst").alias("neighbor_id"))
-        expanded = (
-            short.unionByName(hop)
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .distinct()
-        )
-        q = emb.select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
-        )
-        rescored = (
-            emb.join(
-                F.broadcast(expanded), F.col("vec_id") == F.col("neighbor_id")
-            )
-            .join(F.broadcast(q), "query_id")
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.expr(SQDIST_Q_SQL.format(a="eq", b="embedding")).alias(
-                    "dist_q"
-                ),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy("dist_q", "neighbor_id")
-        return (
-            rescored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 3)
-            .select("query_id", "neighbor_id", "rank", "dist_q")
+        return graph_expand_topk(
+            spark, load_table(spark, sf_dir, "embeddings")
         )
 
     q_sim_graph_expand.__doc__ = q_sim_graph_expand.__doc__.format(
@@ -2623,14 +2633,11 @@ def _register_nsw():
 q_sim_nsw_topk = _register_nsw()
 
 
-def _register_nsw_descent():
-    """Same composed oracle pieces as q_sim_nsw_topk, plus the 2-hop
-    candidate CTEs and a second select/shrink pass — both graphs and
-    both beam unrolls share ONE set of text builders, so the rounds
-    cannot fork."""
-    oracle = (
-        f"""
-    WITH {_NSW_GRAPH_SQL}, hop2 AS (
+# the NN-descent round CTEs (hop2 candidates -> exact rescoring ->
+# the identical select/adopt/shrink pass, adjacency named ``dadj``) —
+# one text shared by the registered descent row and the planted-
+# cluster audit (plans/clustered_audit.py)
+_NSW_DESCENT_CTES = f"""hop2 AS (
         SELECT a.src, b.dst FROM adj a JOIN adj b ON a.dst = b.src
     ), dc AS (
         SELECT c.vec_a, c.vec_b,
@@ -2648,7 +2655,17 @@ def _register_nsw_descent():
         SELECT vec_a AS src, vec_b AS dst, dist_q FROM dc
         UNION ALL
         SELECT vec_b AS src, vec_a AS dst, dist_q FROM dc
-    ), {_nsw_shrink_sql("dsym", "d")}, {_NSW_QS_ENTRY_SQL}, """
+    ), {_nsw_shrink_sql("dsym", "d")}"""
+
+
+def _register_nsw_descent():
+    """Same composed oracle pieces as q_sim_nsw_topk, plus the 2-hop
+    candidate CTEs and a second select/shrink pass — both graphs and
+    both beam unrolls share ONE set of text builders, so the rounds
+    cannot fork."""
+    oracle = (
+        f"""
+    WITH {_NSW_GRAPH_SQL}, {_NSW_DESCENT_CTES}, {_NSW_QS_ENTRY_SQL}, """
         + _nsw_beam_sql("dadj", "d")
         + _nsw_final_sql(f"db{NSW_HOPS}")
     )
@@ -3546,6 +3563,63 @@ _register_ann_recall()
 HNSW_BEAMS = (4, 8, 16)  # the serving-knob sweep: half / default / double
 
 
+def hnsw_beam_audit(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """The q_ann_hnsw_beam body, corpus-parametric (r14): two-layer
+    graphs built once, the beam-width sweep searched over them,
+    recall@3 vs exact truth per width — factored out so the
+    registered isotropic row and the planted-cluster audit
+    (plans/clustered_audit.py) run ONE sweep rule."""
+    seeds = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
+    queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
+    sub = emb.filter(
+        hash56(F.col("vec_id")) % HNSW_L1_MOD == 0
+    ).select("vec_id", "embedding")
+    gkw = dict(
+        deg=NSW_DEG,
+        max_cell=EMBED_MULTI_MAX_CELL,
+        nprobe=EMBED_PAIR_NPROBE,
+    )
+    adj1 = nsw_graph(sub, seeds, **gkw).localCheckpoint(eager=True)
+    adj0 = nsw_graph(emb, seeds, **gkw).localCheckpoint(eager=True)
+    truth = topk_neighbors_l2(emb, queries, k=3).localCheckpoint(
+        eager=True
+    )
+    denom = truth.agg(
+        F.countDistinct("query_id").cast("long").alias("nq"),
+        F.max("rank").cast("long").alias("k"),
+    )
+    pairs = truth.select("query_id", "neighbor_id").withColumn(
+        "hit", F.lit(1)
+    )
+    out = None
+    for b in HNSW_BEAMS:
+        res = hnsw_search(
+            emb,
+            queries,
+            adj0,
+            adj1,
+            l1_members=sub,
+            k=3,
+            beam=b,
+            hops=NSW_HOPS,
+        )
+        h = res.join(
+            F.broadcast(pairs), ["query_id", "neighbor_id"], "left"
+        ).agg(
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("hits")
+        )
+        row = h.crossJoin(F.broadcast(denom)).select(
+            F.lit(f"hnsw_b{b}").alias("method"),
+            F.col("nq").alias("n_queries"),
+            "hits",
+            round_agg(
+                F.col("hits").cast("double") / (F.col("k") * F.col("nq"))
+            ).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _register_hnsw_beam_audit() -> None:
     """HNSW beam-width sensitivity audit (r10 verdict ask #6): the
     recall-vs-cost curve of the SERVING knob, measured the way the
@@ -3636,56 +3710,9 @@ def _register_hnsw_beam_audit() -> None:
         (broadcast, O(beam * deg) rows each) — the corpus-sized build
         is shared and the truth is the audit-set brute force the
         recall family already prices."""
-        emb = load_table(spark, sf_dir, "embeddings")
-        seeds = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
-        queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
-        sub = emb.filter(
-            hash56(F.col("vec_id")) % HNSW_L1_MOD == 0
-        ).select("vec_id", "embedding")
-        gkw = dict(
-            deg=NSW_DEG,
-            max_cell=EMBED_MULTI_MAX_CELL,
-            nprobe=EMBED_PAIR_NPROBE,
+        return hnsw_beam_audit(
+            spark, load_table(spark, sf_dir, "embeddings")
         )
-        adj1 = nsw_graph(sub, seeds, **gkw).localCheckpoint(eager=True)
-        adj0 = nsw_graph(emb, seeds, **gkw).localCheckpoint(eager=True)
-        truth = topk_neighbors_l2(emb, queries, k=3).localCheckpoint(
-            eager=True
-        )
-        denom = truth.agg(
-            F.countDistinct("query_id").cast("long").alias("nq"),
-            F.max("rank").cast("long").alias("k"),
-        )
-        pairs = truth.select("query_id", "neighbor_id").withColumn(
-            "hit", F.lit(1)
-        )
-        out = None
-        for b in HNSW_BEAMS:
-            res = hnsw_search(
-                emb,
-                queries,
-                adj0,
-                adj1,
-                l1_members=sub,
-                k=3,
-                beam=b,
-                hops=NSW_HOPS,
-            )
-            h = res.join(
-                F.broadcast(pairs), ["query_id", "neighbor_id"], "left"
-            ).agg(
-                F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("hits")
-            )
-            row = h.crossJoin(F.broadcast(denom)).select(
-                F.lit(f"hnsw_b{b}").alias("method"),
-                F.col("nq").alias("n_queries"),
-                "hits",
-                round_agg(
-                    F.col("hits").cast("double") / (F.col("k") * F.col("nq"))
-                ).alias("recall"),
-            )
-            out = row if out is None else out.unionByName(row)
-        return out
 
     q_ann_hnsw_beam.__doc__ = q_ann_hnsw_beam.__doc__.format(
         beams="/".join(str(b) for b in HNSW_BEAMS)

@@ -375,6 +375,13 @@ def q_sim_maxsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     production surface is the two-stage row; this is its priced
     audit)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    return _maxsim_recall_frame(spark, emb)
+
+
+def _maxsim_recall_frame(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """The q_sim_maxsim_recall body, corpus-parametric (r14) so the
+    registered isotropic row and the planted-cluster audit
+    (plans/clustered_audit.py) run ONE audit rule."""
     qt = emb.filter(F.col("vec_id") < _QTOK_MAX).select(
         F.expr(f"vec_id div {MAXSIM_TOKS}").alias("qdoc")
     ).distinct()
@@ -389,7 +396,7 @@ def q_sim_maxsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     two = _maxsim_score(emb, _maxsim_candidates(spark, emb)).select(
         F.col("query_doc").alias("qdoc"), F.col("doc_id").alias("cdoc")
     )
-    plaid = q_sim_maxsim_plaid(spark, sf_dir).select(
+    plaid = _plaid_topk(spark, emb).select(
         F.col("query_doc").alias("qdoc"), F.col("doc_id").alias("cdoc")
     )
     truth = (

@@ -160,6 +160,7 @@ def _load_all() -> None:
         ann_delete,
         ann_filtered,
         audio_dedup,
+        clustered_audit,
         corpus_ops,
         image_dedup,
         index_refresh,

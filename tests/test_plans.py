@@ -420,6 +420,17 @@ _BNLJ_MAX = {
     "q_sim_maxsim_plaid_search": 1,  # the centroid dot-table broadcast
                                  # (occupancy comes from the stored
                                  # log)
+    "q_gexp_clustered": 1,       # the 1-row n_truth denominator cross
+                                 # broadcast (method lists checkpointed)
+    "q_nsw_descent_clustered": 6,  # four 1-row hit/denominator scalar
+                                 # cross broadcasts per round's row
+                                 # build (search+link lists are
+                                 # checkpointed sub-jobs)
+    "q_plaid_clustered": 5,      # the registered maxsim recall row's
+                                 # counts (twostage 2 + plaid 2 + the
+                                 # truth's qdoc x docs grid broadcast)
+    "q_hnsw_beam_clustered": 3,  # the registered beam sweep's three
+                                 # 1-row denominator cross broadcasts
 }
 # Row-at-a-time Python execution allowed ONLY for the UDTF coverage
 # demo (SURVEY §2.10 U5): Spark UDTFs are inherently BatchEvalPython.
