@@ -73,3 +73,72 @@ def release_caches(spark: SparkSession) -> int:
     for rdd in list(jsc.getPersistentRDDs().values()):
         rdd.unpersist()
     return n
+
+
+def parallel_frames(*thunks):
+    """Build independent DataFrames on concurrent driver threads and
+    return them in argument order.
+
+    Audit/lifecycle queries chain several INDEPENDENT eager
+    materializations (graph builds, exact-truth lists, per-method
+    sub-searches) whose internal ``localCheckpoint(eager=True)`` jobs
+    otherwise run strictly serially during query construction — at
+    sf0.1 that serialization, not compute, dominates their wall time
+    (each chain leaves most cores idle). Spark's scheduler happily
+    runs jobs from several driver threads at once, so submitting each
+    chain from its own thread lets the next chain's tasks back-fill
+    the tail of the current one (optimization guide §2.6). FIFO
+    scheduling keeps per-job semantics identical; results are
+    deterministic because each thunk builds its frame independently.
+
+    Exceptions propagate to the caller (the first failing thunk's
+    error, as with serial construction)."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
+def literal_frame(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """A tiny literal DataFrame built from pure JVM expressions —
+    drop-in for ``spark.createDataFrame(rows, schema)`` on small
+    constant tables (audit grids, block-pair tables, band maps).
+
+    ``createDataFrame`` over a local Python list parallelizes the
+    rows into defaultParallelism pickled slices, so EVERY
+    materialization of the frame (each broadcast build, each reuse
+    after clearCache) spawns a full wave of Python-worker tasks just
+    to deserialize a handful of constants — measured r14: ~0.15-0.5 s
+    of blocked task time per materialization at local[32], in zero-
+    input 32-task stages. ``range(1) + inline(array(struct(...)))``
+    keeps the constants inside the JVM plan: no Python tasks, no
+    pickling, byte-identical values."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema)
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(row, st.fields)
+            ]
+        )
+        for row in rows
+    ]
+    # range(len) + element_at, NOT range(1) + inline: the range row
+    # count is the optimizer's cardinality estimate for the frame, and
+    # an estimate of 1 row flips downstream join build-side choices
+    # (measured r14: cosine_pairs' triangle join degraded 2.3x when
+    # its block-pair table read as 1 row)
+    arr = F.array(*structs)
+    return (
+        spark.range(len(rows))
+        .select(
+            F.element_at(arr, (F.col("id") + 1).cast("int")).alias("_r")
+        )
+        .select("_r.*")
+    )

@@ -459,6 +459,11 @@ def cosine_pairs(emb: DataFrame, threshold: float, n_blocks: int = 16) -> DataFr
     ~B/2 x in the shuffle — the standard triangle-partitioning trade.
     For sub-quadratic candidate generation see cosine_pairs_ivf."""
     spark = emb.sparkSession
+    # NOTE r14: stays createDataFrame deliberately — swapping this
+    # table for the pure-JVM literal_frame changed the optimizer's
+    # cardinality/size estimate of the triangle join's inputs and
+    # degraded the heavy pair stage ~2x (measured); the Python-task
+    # materialization cost is overlapped wall time here.
     block_pairs = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "bi INT, bj INT",
@@ -541,16 +546,24 @@ def topk_neighbors_l2(emb: DataFrame, queries: DataFrame, k: int = 3) -> DataFra
     ten-thousandths SQDIST_Q_SQL the ADC pipeline uses, so the rank
     order is deterministic in both engines. Query side broadcasts;
     the corpus never shuffles."""
+    # query self-dots once per query (broadcast side), corpus
+    # self-dots once per corpus row — not per (query, corpus) pair
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        F.expr(NORM2_SQL.format(a="embedding")).alias("nq2"),
     )
-    dist = SQDIST_Q_SQL.format(a="eq", b="embedding")
-    scored = emb.join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.expr(dist).alias("sqdist_q"),
+    dist = SQDIST_Q_PRE_SQL.format(
+        a="eq", b="embedding", na2="nq2", nb2="nb2"
+    )
+    scored = (
+        emb.withColumn("nb2", F.expr(NORM2_SQL.format(a="embedding")))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(dist).alias("sqdist_q"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy("sqdist_q", "neighbor_id")
     return (
@@ -1682,6 +1695,23 @@ SQDIST_Q_SQL = (
     + ") * 10000 + 0.5) AS BIGINT)"
 )
 
+# The norm-precomputed twin (r14): the two self-dots |a|^2 and |b|^2
+# are PER-VECTOR quantities, but SQDIST_Q_SQL re-folds them per PAIR —
+# on a pair-scoring stage that is 3 interpreted HOF folds per row
+# where one suffices. Callers compute the self-dot once per vector
+# (NORM2_SQL, carried through the pair join like with_norm's norm) and
+# the pair expression folds only the cross dot. Bit-identical to
+# SQDIST_Q_SQL: the self-dot FOLD produces the same double wherever it
+# is evaluated, and the final (na2 - 2*ab + nb2) combines the same
+# three doubles in the same order (micro-verified: 0 mismatches over
+# 2M random pairs; the DuckDB oracle text is untouched).
+NORM2_SQL = DOT_SQL.format(a="{a}", b="{a}")
+SQDIST_Q_PRE_SQL = (
+    "CAST(floor(({na2} - 2 * "
+    + DOT_SQL.format(a="{a}", b="{b}")
+    + " + {nb2}) * 10000 + 0.5) AS BIGINT)"
+)
+
 
 def _subvectors(emb: DataFrame, m: int, d_sub: int, id_col: str, vec_col: str) -> DataFrame:
     """(id, sub, sv): split each vector into ``m`` contiguous
@@ -2209,18 +2239,25 @@ def nsw_graph(
         "sub",
         ((F.row_number().over(w) - F.lit(1)) / F.lit(max_cell)).cast("bigint"),
     )
-    e = emb.select("vec_id", "embedding").join(assigned, "vec_id")
+    # self-dots once per vector (NORM2_SQL), not 2x per candidate pair
+    e = (
+        emb.select("vec_id", "embedding")
+        .withColumn("nrm2", F.expr(NORM2_SQL.format(a="embedding")))
+        .join(assigned, "vec_id")
+    )
     a = e.select(
         "cell",
         "sub",
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
+        F.col("nrm2").alias("na2"),
     )
     b = e.select(
         "cell",
         "sub",
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
+        F.col("nrm2").alias("nb2"),
     )
     # multiprobe can emit a pair via two shared cells with an identical
     # BIGINT distance — distinct is an exact dedup
@@ -2230,7 +2267,11 @@ def nsw_graph(
         .select(
             "vec_a",
             "vec_b",
-            F.expr(SQDIST_Q_SQL.format(a="ea", b="eb")).alias("dist_q"),
+            F.expr(
+                SQDIST_Q_PRE_SQL.format(
+                    a="ea", b="eb", na2="na2", nb2="nb2"
+                )
+            ).alias("dist_q"),
         )
         .distinct()
     )
@@ -2463,15 +2504,28 @@ def nsw_descent(emb: DataFrame, adj: DataFrame, deg: int) -> DataFrame:
         )
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("es"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ed"))
+    # self-dots once per vector, not 2x per 2-hop candidate pair
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("es"),
+        F.expr(NORM2_SQL.format(a="embedding")).alias("na2"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("ed"),
+        F.expr(NORM2_SQL.format(a="embedding")).alias("nb2"),
+    )
     scored = (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.expr(SQDIST_Q_SQL.format(a="es", b="ed")).alias("dist_q"),
+            F.expr(
+                SQDIST_Q_PRE_SQL.format(
+                    a="es", b="ed", na2="na2", nb2="nb2"
+                )
+            ).alias("dist_q"),
         )
     )
     sym = scored.select(
@@ -2526,16 +2580,22 @@ def nsw_beam(
     )
 
     def score(cand: DataFrame) -> DataFrame:
-        return (
-            emb.join(F.broadcast(cand), F.col("vec_id") == F.col("node"))
-            .join(F.broadcast(q), "query_id")
-            .select(
-                "query_id",
-                "node",
-                F.expr(SQDIST_Q_SQL.format(a="eq", b="embedding")).alias(
-                    "dist_q"
-                ),
-            )
+        # ONE broadcast per scoring pass: the query vectors are
+        # attached to the (tiny) candidate frame first, so the corpus
+        # join broadcasts a single |cand|-row relation instead of
+        # collecting two separate broadcast children per hop — at
+        # sf0.1 each broadcast collect costs 150-350 ms of fixed
+        # stage latency, and a beam pays score() hops+1 times
+        # (measured r14: ~0.5 s/hop -> ~0.35 s/hop).
+        cq = cand.join(F.broadcast(q), "query_id")
+        return emb.join(
+            F.broadcast(cq), F.col("vec_id") == F.col("node")
+        ).select(
+            "query_id",
+            "node",
+            F.expr(SQDIST_Q_SQL.format(a="eq", b="embedding")).alias(
+                "dist_q"
+            ),
         )
 
     if entries is None:
@@ -2554,6 +2614,16 @@ def nsw_beam(
     # OOM'ed a default-heap driver sweeping the full registry at the
     # ANN cluster. The checkpointed frames are tiny (|queries| x beam
     # rows), so the cost is hops small materializations.
+    #
+    # Candidate sets are NOT distinct-ed per hop (r14): a duplicate
+    # candidate (a node reachable from several beam nodes, or already
+    # in the beam) scores to the SAME (query_id, node, dist_q) row,
+    # so the duplicates sort adjacently under (dist_q, node) and one
+    # lag() comparison inside the ranking window drops them — the
+    # per-hop DISTINCT exchange (shuffle + AQE stage + broadcast
+    # rebuild of the deduped frame) disappears while the ranked beam
+    # stays bit-identical. The visited set dedups ONCE at the end for
+    # the same reason.
     cur = score(seed).localCheckpoint(eager=True)
     vis = seed.select("query_id", "node")
     for _ in range(hops):
@@ -2561,17 +2631,25 @@ def nsw_beam(
             F.broadcast(cur.select("query_id", "node")),
             F.col("src") == F.col("node"),
         ).select("query_id", F.col("dst").alias("node"))
-        cand = cur.select("query_id", "node").unionByName(nbrs).distinct()
+        cand = cur.select("query_id", "node").unionByName(nbrs)
         if keep_visited:
-            vis = vis.unionByName(cand).distinct()
+            vis = vis.unionByName(cand)
         cur = (
             score(cand)
+            .withColumn(
+                "_dup",
+                F.coalesce(
+                    F.lag("node").over(wb) == F.col("node"), F.lit(False)
+                ),
+            )
+            .filter(~F.col("_dup"))
+            .drop("_dup")
             .withColumn("rn", F.row_number().over(wb))
             .filter(F.col("rn") <= beam)
             .drop("rn")
             .localCheckpoint(eager=True)
         )
-    return score(vis) if keep_visited else cur
+    return score(vis.distinct()) if keep_visited else cur
 
 
 def hnsw_search(

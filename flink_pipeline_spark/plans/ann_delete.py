@@ -34,9 +34,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import literal_frame, parallel_frames
 from ..catalog import load_table
 from ..functions.portable import hash56, hash56_sql_duckdb, round_agg, round_sql
-from ..operators.llm import SQDIST_Q_SQL, nsw_delete, nsw_graph, nsw_search
+from ..operators.llm import (
+    NORM2_SQL,
+    SQDIST_Q_PRE_SQL,
+    SQDIST_Q_SQL,
+    nsw_delete,
+    nsw_graph,
+    nsw_search,
+)
 from .llm_ops import (
     EMBED_MULTI_MAX_CELL,
     EMBED_PAIR_NPROBE,
@@ -328,37 +336,54 @@ def _register_delete_recall():
             max_cell=EMBED_MULTI_MAX_CELL,
             nprobe=EMBED_PAIR_NPROBE,
         )
-        adj0 = nsw_graph(emb, seeds, keep_dist=True, **kw).localCheckpoint(
-            eager=True
+        qd = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("eq"),
+            F.expr(NORM2_SQL.format(a="embedding")).alias("nq2"),
         )
-        dadj = nsw_delete(emb, adj0, dels, NSW_DEG).localCheckpoint(
-            eager=True
+        wt = Window.partitionBy("query_id").orderBy("dist_q", "neighbor_id")
+        # three INDEPENDENT eager chains — the original build + its
+        # delete-compaction, the survivor rebuild, and the exact truth
+        # — overlap on driver threads (guide §2.6) instead of running
+        # their checkpoint jobs back-to-back
+        dadj, radj, truth = parallel_frames(
+            lambda: nsw_delete(
+                emb,
+                nsw_graph(emb, seeds, keep_dist=True, **kw).localCheckpoint(
+                    eager=True
+                ),
+                dels,
+                NSW_DEG,
+            ).localCheckpoint(eager=True),
+            lambda: nsw_graph(surv, seeds, **kw).localCheckpoint(eager=True),
+            lambda: (
+                surv.withColumn(
+                    "nb2", F.expr(NORM2_SQL.format(a="embedding"))
+                )
+                .join(
+                    F.broadcast(qd), F.col("vec_id") != F.col("query_id")
+                )
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.expr(
+                        SQDIST_Q_PRE_SQL.format(
+                            a="eq", b="embedding", na2="nq2", nb2="nb2"
+                        )
+                    ).alias("dist_q"),
+                )
+                .withColumn("rank", F.row_number().over(wt))
+                .filter(F.col("rank") <= 3)
+                .select("query_id", "neighbor_id")
+                .localCheckpoint(eager=True)
+            ),
         )
-        radj = nsw_graph(surv, seeds, **kw).localCheckpoint(eager=True)
         skw = dict(k=3, beam=NSW_BEAM, hops=NSW_HOPS)
         comp = nsw_search(
             surv, queries, dadj.select("src", "dst"), exclude=dels, **skw
         ).select("query_id", "neighbor_id")
         reb = nsw_search(surv, queries, radj, **skw).select(
             "query_id", "neighbor_id"
-        )
-        qd = queries.select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
-        )
-        wt = Window.partitionBy("query_id").orderBy("dist_q", "neighbor_id")
-        truth = (
-            surv.join(F.broadcast(qd), F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                F.expr(SQDIST_Q_SQL.format(a="eq", b="embedding")).alias(
-                    "dist_q"
-                ),
-            )
-            .withColumn("rank", F.row_number().over(wt))
-            .filter(F.col("rank") <= 3)
-            .select("query_id", "neighbor_id")
-            .localCheckpoint(eager=True)
         )
         m = (
             comp.withColumn("method", F.lit("compacted"))
@@ -376,7 +401,7 @@ def _register_delete_recall():
                 .alias("hits"),
             )
         )
-        grid = spark.createDataFrame(
+        grid = literal_frame(spark, 
             [("exact",), ("compacted",), ("rebuilt",)], "method STRING"
         )
         tt = truth.agg(F.count("*").cast("long").alias("n_truth"))

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import literal_frame, parallel_frames
 from ..catalog import load_table
 from ..functions.portable import hash56_sql_duckdb, round_agg, round_sql
 from ..operators.llm import topk_neighbors, topk_neighbors_ivf
@@ -253,25 +254,29 @@ def q_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     cents = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
     filt = emb.filter(F.col("label") == FILT_LABEL)
-    truth = (
-        topk_neighbors(filt, queries, k=3)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
-    pre = q_sim_filtered_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
-    post = (
-        topk_neighbors_ivf(emb, queries, cents, k=3, nprobe=2)
-        .join(
-            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
-            "neighbor_id",
-        )
-        .filter(F.col("label") == FILT_LABEL)
-        .select("query_id", "neighbor_id")
-    )
-    graph = q_sim_hnsw_filtered(spark, sf_dir).select(
-        "query_id", "neighbor_id"
+    # the exact truth and the three strategy chains are independent —
+    # overlap their eager materializations on driver threads (§2.6)
+    truth, pre, post, graph = parallel_frames(
+        lambda: (
+            topk_neighbors(filt, queries, k=3)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        ),
+        lambda: q_sim_filtered_topk(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
+        lambda: (
+            topk_neighbors_ivf(emb, queries, cents, k=3, nprobe=2)
+            .join(
+                emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+                "neighbor_id",
+            )
+            .filter(F.col("label") == FILT_LABEL)
+            .select("query_id", "neighbor_id")
+        ),
+        lambda: q_sim_hnsw_filtered(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
     )
     m = (
         pre.withColumn("method", F.lit("pre"))
@@ -290,7 +295,7 @@ def q_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hits"),
         )
     )
-    grid = spark.createDataFrame(
+    grid = literal_frame(spark, 
         [("exact",), ("pre",), ("post",), ("graph",)], "method STRING"
     )
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))

@@ -59,6 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import literal_frame
 from ..catalog import load_table
 from ..functions.portable import HASH56_HEX_DIGITS, round_agg, round_sql
 from ..operators.llm import (
@@ -317,7 +318,7 @@ def _recall_rollup(
             .alias("hits"),
         )
     )
-    grid = spark.createDataFrame(
+    grid = literal_frame(spark, 
         [(n,) for n in ["exact"] + list(methods)], "method STRING"
     )
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))

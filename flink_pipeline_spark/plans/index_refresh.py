@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import literal_frame, parallel_frames
 from ..catalog import load_table
 from ..functions.portable import round_agg, round_sql
 from ..operators.llm import topk_neighbors, topk_neighbors_ivf
@@ -383,7 +384,7 @@ def q_ann_drift_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hits"),
         )
     )
-    grid = spark.createDataFrame(
+    grid = literal_frame(spark, 
         [("exact",), ("stale",), ("refreshed",)], "method STRING"
     )
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))
@@ -633,39 +634,50 @@ def q_pq_drift_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dr = drifted_corpus(emb).localCheckpoint(eager=True)
     queries = dr.filter(F.col("vec_id") < PQ_QUERY_MAX)
     cents_o = emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS)
-    # stale: artifacts trained on the ORIGINAL corpus (the frozen pair)
-    cb_o, _ = ivfpq_artifacts(emb.filter(F.col("vec_id") < 16), cents_o)
-    dcodes = pq_code_batch(dr, cb_o, cents_o)
-    sshort = ivfpq_scan(
-        dcodes, cb_o, cents_o, queries, k=RERANK_SHORTLIST, nprobe=2
-    ).select("query_id", "neighbor_id")
+
     # the two ranked lists checkpoint eagerly (12-row frames): the
     # rollup references them through unions/joins, and carrying two
     # full IVFADC lineages into the final stage costs plan size for
     # nothing (the nsw_beam lineage lesson at audit scale)
-    stale = (
-        exact_rerank(dr, sshort, k=3)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
-    # refreshed: the registered two-stage chain on the drifted corpus
-    rshort = ivfpq_topk(
-        dr,
-        queries,
-        dr.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
-        n_codes=16,
-        k=RERANK_SHORTLIST,
-        nprobe=2,
-    ).select("query_id", "neighbor_id")
-    refreshed = (
-        exact_rerank(dr, rshort, k=3)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
-    truth = (
-        topk_neighbors_l2(dr, queries, k=3)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+    def _stale_chain() -> DataFrame:
+        # artifacts trained on the ORIGINAL corpus (the frozen pair)
+        cb_o, _ = ivfpq_artifacts(emb.filter(F.col("vec_id") < 16), cents_o)
+        dcodes = pq_code_batch(dr, cb_o, cents_o)
+        sshort = ivfpq_scan(
+            dcodes, cb_o, cents_o, queries, k=RERANK_SHORTLIST, nprobe=2
+        ).select("query_id", "neighbor_id")
+        return (
+            exact_rerank(dr, sshort, k=3)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+
+    def _refreshed_chain() -> DataFrame:
+        # the registered two-stage chain on the drifted corpus
+        rshort = ivfpq_topk(
+            dr,
+            queries,
+            dr.filter(F.col("vec_id") < IVF_SEED_CENTROIDS),
+            n_codes=16,
+            k=RERANK_SHORTLIST,
+            nprobe=2,
+        ).select("query_id", "neighbor_id")
+        return (
+            exact_rerank(dr, rshort, k=3)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+
+    # the stale chain, the refreshed chain, and the exact truth are
+    # independent — overlap their eager work on driver threads (§2.6)
+    stale, refreshed, truth = parallel_frames(
+        _stale_chain,
+        _refreshed_chain,
+        lambda: (
+            topk_neighbors_l2(dr, queries, k=3)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        ),
     )
     m = (
         stale.withColumn("method", F.lit("stale"))
@@ -683,7 +695,7 @@ def q_pq_drift_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hits"),
         )
     )
-    grid = spark.createDataFrame(
+    grid = literal_frame(spark, 
         [("exact",), ("stale",), ("refreshed",)], "method STRING"
     )
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))

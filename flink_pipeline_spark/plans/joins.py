@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import literal_frame
 from ..catalog import load_table
 from ..functions.portable import money_sum, money_sum_sql, round_agg, round_sql
 from ..operators.filename import parse_read_files, parsed_read_files_sql
@@ -192,7 +193,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     band side is always tiny -> broadcast nested loop stays O(n*bands)
     with no shuffle of the fact table."""
     li = load_table(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(
+    bands = literal_frame(spark, 
         [("small", 0, 10), ("medium", 10, 25), ("large", 25, 60)],
         "band STRING, lo INT, hi INT",
     )

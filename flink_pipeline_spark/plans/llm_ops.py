@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import literal_frame, parallel_frames
 from ..catalog import load_table
 from ..functions.portable import (
     hash56,
@@ -2804,20 +2805,25 @@ def _register_hnsw():
         sub = emb.filter(
             hash56(F.col("vec_id")) % HNSW_L1_MOD == 0
         ).select("vec_id", "embedding")
-        adj1 = nsw_graph(
-            sub,
-            seeds,
-            deg=NSW_DEG,
-            max_cell=EMBED_MULTI_MAX_CELL,
-            nprobe=EMBED_PAIR_NPROBE,
-        ).localCheckpoint(eager=True)
-        adj0 = nsw_graph(
-            emb,
-            seeds,
-            deg=NSW_DEG,
-            max_cell=EMBED_MULTI_MAX_CELL,
-            nprobe=EMBED_PAIR_NPROBE,
-        ).localCheckpoint(eager=True)
+        # the two layer builds are independent eager chains — overlap
+        # them on driver threads (guide §2.6) instead of paying both
+        # build walls back-to-back
+        adj1, adj0 = parallel_frames(
+            lambda: nsw_graph(
+                sub,
+                seeds,
+                deg=NSW_DEG,
+                max_cell=EMBED_MULTI_MAX_CELL,
+                nprobe=EMBED_PAIR_NPROBE,
+            ).localCheckpoint(eager=True),
+            lambda: nsw_graph(
+                emb,
+                seeds,
+                deg=NSW_DEG,
+                max_cell=EMBED_MULTI_MAX_CELL,
+                nprobe=EMBED_PAIR_NPROBE,
+            ).localCheckpoint(eager=True),
+        )
         return hnsw_search(
             emb,
             queries,
@@ -4918,7 +4924,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax with deterministic tie-break, 'und' when nothing matches.
     (The n-gram-profile heuristic in miniature; the fixture vocabulary
     is synthetic, so marker lists are drawn from it.)"""
-    spark_lw = spark.createDataFrame(
+    spark_lw = literal_frame(spark, 
         [(lang, w) for lang, ws in sorted(LANGWORDS.items()) for w in ws],
         "lw_lang STRING, word STRING",
     )

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import literal_frame, parallel_frames
 from ..catalog import load_table
 from ..functions.portable import round_agg, round_sql
 from ..operators.llm import DOT_SQL, ivf_assign
@@ -393,18 +394,23 @@ def _maxsim_recall_frame(spark: SparkSession, emb: DataFrame) -> DataFrame:
         )
         .filter(F.col("cdoc") != F.col("qdoc"))
     )
-    two = _maxsim_score(emb, _maxsim_candidates(spark, emb)).select(
-        F.col("query_doc").alias("qdoc"), F.col("doc_id").alias("cdoc")
-    )
-    plaid = _plaid_topk(spark, emb).select(
-        F.col("query_doc").alias("qdoc"), F.col("doc_id").alias("cdoc")
-    )
-    truth = (
-        _maxsim_score(emb, allc)
-        .select(
+    # the two serving forms and the exact truth are independent
+    # chains — overlap their eager work on driver threads (§2.6)
+    two, plaid, truth = parallel_frames(
+        lambda: _maxsim_score(emb, _maxsim_candidates(spark, emb)).select(
             F.col("query_doc").alias("qdoc"), F.col("doc_id").alias("cdoc")
-        )
-        .localCheckpoint(eager=True)
+        ),
+        lambda: _plaid_topk(spark, emb).select(
+            F.col("query_doc").alias("qdoc"), F.col("doc_id").alias("cdoc")
+        ),
+        lambda: (
+            _maxsim_score(emb, allc)
+            .select(
+                F.col("query_doc").alias("qdoc"),
+                F.col("doc_id").alias("cdoc"),
+            )
+            .localCheckpoint(eager=True)
+        ),
     )
     m = (
         two.withColumn("method", F.lit("twostage"))
@@ -422,7 +428,7 @@ def _maxsim_recall_frame(spark: SparkSession, emb: DataFrame) -> DataFrame:
             .alias("hits"),
         )
     )
-    grid = spark.createDataFrame(
+    grid = literal_frame(spark, 
         [("exact",), ("twostage",), ("plaid",)], "method STRING"
     )
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))

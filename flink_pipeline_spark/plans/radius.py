@@ -23,9 +23,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import literal_frame, parallel_frames
 from ..catalog import load_table
 from ..functions.portable import hash56_sql_duckdb, round_agg, round_sql
-from ..operators.llm import SQDIST_Q_SQL, radius_neighbors_ivf
+from ..operators.llm import (
+    NORM2_SQL,
+    SQDIST_Q_PRE_SQL,
+    SQDIST_Q_SQL,
+    radius_neighbors_ivf,
+)
 from .ann_filtered import _visited_sql
 from .llm_ops import (
     HNSW_L1_MOD,
@@ -360,26 +366,42 @@ def q_sim_radius_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     compose the registered searches; rollup on tiny frames."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
-    ivf = q_sim_radius(spark, sf_dir).select("query_id", "neighbor_id")
-    pqr = q_sim_pq_radius(spark, sf_dir).select("query_id", "neighbor_id")
-    graph = q_sim_hnsw_radius(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
     qd = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        F.expr(NORM2_SQL.format(a="embedding")).alias("nq2"),
     )
-    truth = (
-        emb.join(F.broadcast(qd), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(SQDIST_Q_SQL.format(a="eq", b="embedding")).alias(
-                "dist_q"
-            ),
-        )
-        .filter(F.col("dist_q") <= RADIUS_Q)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+    # the three serving forms and the exact truth are independent
+    # chains (each with its own internal eager materializations) —
+    # build them on concurrent driver threads (guide §2.6)
+    ivf, pqr, graph, truth = parallel_frames(
+        lambda: q_sim_radius(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
+        lambda: q_sim_pq_radius(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
+        lambda: q_sim_hnsw_radius(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
+        lambda: (
+            emb.withColumn(
+                "nb2", F.expr(NORM2_SQL.format(a="embedding"))
+            )
+            .join(F.broadcast(qd), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.expr(
+                    SQDIST_Q_PRE_SQL.format(
+                        a="eq", b="embedding", na2="nq2", nb2="nb2"
+                    )
+                ).alias("dist_q"),
+            )
+            .filter(F.col("dist_q") <= RADIUS_Q)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        ),
     )
     m = (
         ivf.withColumn("method", F.lit("ivf"))
@@ -398,7 +420,7 @@ def q_sim_radius_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hits"),
         )
     )
-    grid = spark.createDataFrame(
+    grid = literal_frame(spark, 
         [("exact",), ("ivf",), ("pq",), ("graph",)], "method STRING"
     )
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))

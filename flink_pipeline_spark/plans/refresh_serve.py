@@ -62,6 +62,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import literal_frame
 from ..catalog import load_table
 from ..functions.portable import round_agg, round_sql
 from ..operators.llm import topk_neighbors_l2
@@ -311,7 +312,7 @@ def q_pq_refresh_serve_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hits"),
         )
     )
-    grid = spark.createDataFrame([("exact",), ("served",)], "method STRING")
+    grid = literal_frame(spark, [("exact",), ("served",)], "method STRING")
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))
     return (
         grid.join(counts, "method", "left")

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import literal_frame
 from ..catalog import load_table
 from ..functions.portable import epoch_s, money_sum, money_sum_sql, round_agg, round_sql
 from ..sources.fixtures import fixture_df, fixture_values_sql
@@ -304,7 +305,7 @@ def q_log_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """strip/rstrip analogs — reference workflow.py:181-185, 251-252."""
     rows = [("  hello  ",), ("world   ",), ("   spark",), ("path/to/dir///",), ("clean",)]
-    df = spark.createDataFrame(rows, "x STRING")
+    df = literal_frame(spark, rows, "x STRING")
     return df.select(
         F.trim("x").alias("t"),
         F.rtrim("x").alias("r"),

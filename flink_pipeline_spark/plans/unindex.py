@@ -39,9 +39,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import literal_frame, parallel_frames
 from ..catalog import load_table
 from ..functions.portable import round_agg, round_sql
 from ..operators.llm import (
+    NORM2_SQL,
+    SQDIST_Q_PRE_SQL,
     SQDIST_Q_SQL,
     connected_components,
     doc_shingles,
@@ -378,31 +381,54 @@ def q_dedup_unindex_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(beam * deg * hops) per query; the rollup runs on <= a few
     dozen rows."""
     emb = load_table(spark, sf_dir, "embeddings")
-    mon = hnsw_unindex_store_for(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
-    drops = dedup_drop_batch(spark, sf_dir).select("vec_id")
-    served = mon.search(spark, queries, after_batch_id=0).select(
-        "query_id", "neighbor_id"
-    )
-    surv = emb.join(drops, "vec_id", "left_anti")
     qd = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        F.expr(NORM2_SQL.format(a="embedding")).alias("nq2"),
     )
     wt = Window.partitionBy("query_id").orderBy("dist_q", "neighbor_id")
-    truth = (
-        surv.join(F.broadcast(qd), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(SQDIST_Q_SQL.format(a="eq", b="embedding")).alias(
-                "dist_q"
-            ),
+
+    def _served_chain() -> DataFrame:
+        mon = hnsw_unindex_store_for(spark, sf_dir)
+        return mon.search(spark, queries, after_batch_id=0).select(
+            "query_id", "neighbor_id"
         )
-        .withColumn("rank", F.row_number().over(wt))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
+
+    def _truth_chain() -> tuple[DataFrame, DataFrame]:
+        # checkpoint the drop set once: the dedup chain (shingles,
+        # LSH, verify, connected components) otherwise re-executes in
+        # BOTH the truth build and the final n_dropped_served rollup
+        drops = (
+            dedup_drop_batch(spark, sf_dir)
+            .select("vec_id")
+            .localCheckpoint(eager=True)
+        )
+        surv = emb.join(drops, "vec_id", "left_anti")
+        truth = (
+            surv.withColumn(
+                "nb2", F.expr(NORM2_SQL.format(a="embedding"))
+            )
+            .join(F.broadcast(qd), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.expr(
+                    SQDIST_Q_PRE_SQL.format(
+                        a="eq", b="embedding", na2="nq2", nb2="nb2"
+                    )
+                ).alias("dist_q"),
+            )
+            .withColumn("rank", F.row_number().over(wt))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+        return drops, truth
+
+    # the store-served search and the drop-set/exact-truth chain are
+    # independent — overlap them on driver threads (guide §2.6)
+    served, (drops, truth) = parallel_frames(_served_chain, _truth_chain)
     m = served.withColumn("method", F.lit("served")).unionByName(
         truth.withColumn("method", F.lit("exact"))
     )
@@ -424,7 +450,7 @@ def q_dedup_unindex_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dropped_served"),
         )
     )
-    grid = spark.createDataFrame(
+    grid = literal_frame(spark, 
         [("exact",), ("served",)], "method STRING"
     )
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import literal_frame
 from ..catalog import load_table
 from ..functions.portable import round_agg, round_sql
 from ..operators.filename import parse_read_files, parsed_read_files_sql
@@ -327,5 +328,5 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("nationkey")
     )
-    s = spark.createDataFrame([(k,) for k in range(10)], "nationkey INT")
+    s = literal_frame(spark, [(k,) for k in range(10)], "nationkey INT")
     return n.subtract(s)

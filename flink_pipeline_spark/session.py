@@ -37,6 +37,20 @@ class EngineConf:
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", os.cpu_count() or 8)
         )
     )
+    # AQE coalescing floor (r14): partition BYTES are AQE's only proxy
+    # for work, but this engine's hottest stages fold 64-float arrays
+    # through interpreted higher-order functions (~3-5 us/row — orders
+    # of magnitude above normal columnar row cost), so the default 1m
+    # floor coalesces a multi-core pair-scoring stage onto 2-3 tasks
+    # (measured: q_dedup_embed_cosine 4.45 -> 2.90 s at 64k). At
+    # production scale post-shuffle partitions are far above either
+    # floor, so the setting is inert there; override via env for
+    # cluster tuning.
+    aqe_min_partition_size: str = field(
+        default_factory=lambda: os.environ.get(
+            "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"
+        )
+    )
     driver_memory: str = "48g"
     timezone: str = "UTC"
     adaptive: bool = True
@@ -73,6 +87,10 @@ def get_session(conf: EngineConf | None = None) -> SparkSession:
         .config("spark.sql.adaptive.enabled", str(conf.adaptive).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            conf.aqe_min_partition_size,
+        )
         .config("spark.driver.memory", conf.driver_memory)
         .config("spark.sql.session.timeZone", conf.timezone)
         .config("spark.sql.execution.arrow.pyspark.enabled", str(conf.arrow).lower())
