@@ -38,17 +38,20 @@ class EngineConf:
         )
     )
     # AQE coalescing floor (r14): partition BYTES are AQE's only proxy
-    # for work, but this engine's hottest stages fold 64-float arrays
-    # through interpreted higher-order functions (~3-5 us/row — orders
-    # of magnitude above normal columnar row cost), so the default 1m
-    # floor coalesces a multi-core pair-scoring stage onto 2-3 tasks
-    # (measured: q_dedup_embed_cosine 4.45 -> 2.90 s at 64k). At
-    # production scale post-shuffle partitions are far above either
-    # floor, so the setting is inert there; override via env for
-    # cluster tuning.
+    # for work, and the engine's hottest stages fold 64-float arrays
+    # through interpreted higher-order functions (~3-5 us/row), so a
+    # lower floor widens those CPU-dense stages (measured:
+    # q_dedup_embed_cosine 4.27 -> 1.93 s at 64k). But the same floor
+    # multiplies the task count of every SMALL shuffle, and the
+    # iterative/graph tail pays more than the fold stages save
+    # (q_graph_pagerank 2.95 -> 4.40 s at 64k, min-of-3 A/B; the full
+    # 152-query bench read net-flat). Default therefore stays Spark's
+    # 1m; the knob is exposed because the right value is workload- and
+    # scale-dependent (at production scale post-shuffle partitions are
+    # far above either floor and the setting is inert).
     aqe_min_partition_size: str = field(
         default_factory=lambda: os.environ.get(
-            "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"
+            "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1m"
         )
     )
     driver_memory: str = "48g"
