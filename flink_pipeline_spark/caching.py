@@ -75,6 +75,26 @@ def release_caches(spark: SparkSession) -> int:
     return n
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """``persist()`` + force the cache to fill NOW (one count() job),
+    returning ``df``.
+
+    A lazily-persisted frame consumed by several branches of ONE
+    action is computed CONCURRENTLY by every branch until the cache
+    fills — Spark's cache has no "wait for the partition another task
+    is already computing" gate, so an expensive shared subtree (the
+    shingle pass, an IVF assignment, a verified pair graph) runs 2-5x
+    before any block lands (measured r15: the minhash verify stage of
+    q_dedup_recall fell 4.3 s -> 0.9 s once its shingle sets were
+    materialized first). One count() pays the subtree exactly once and
+    every consumer then reads the cache. Storage semantics are
+    identical to persist(): blocks are LRU-evictable and released by
+    release_caches()/clearCache."""
+    df.persist()
+    df.count()
+    return df
+
+
 def parallel_frames(*thunks):
     """Build independent DataFrames on concurrent driver threads and
     return them in argument order.
@@ -91,8 +111,10 @@ def parallel_frames(*thunks):
     scheduling keeps per-job semantics identical; results are
     deterministic because each thunk builds its frame independently.
 
-    Exceptions propagate to the caller (the first failing thunk's
-    error, as with serial construction)."""
+    Exceptions propagate to the caller: the LOWEST-INDEX failing
+    thunk's error wins (results are awaited in argument order), and
+    sibling thunks still run to completion — their Spark jobs are not
+    cancelled — before the pool exits."""
     if len(thunks) == 1:
         return [thunks[0]()]
     from concurrent.futures import ThreadPoolExecutor
@@ -117,9 +139,14 @@ def literal_frame(spark: SparkSession, rows, schema: str) -> DataFrame:
     keeps the constants inside the JVM plan: no Python tasks, no
     pickling, byte-identical values."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.types import StructType
 
-    st = _parse_datatype_string(schema)
+    if not rows:
+        # F.array() of zero struct elements leaves the column untyped
+        # and star-expansion fails with a cryptic analysis error
+        # (ADVICE r14); the row path handles [] fine and is never hot.
+        return spark.createDataFrame([], schema)
+    st = StructType.fromDDL(schema)
     structs = [
         F.struct(
             *[

@@ -48,16 +48,31 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     _ship_package(spark)
 
 
+import threading as _threading
+
 _SHIPPED: set[int] = set()
+_SHIP_LOCK = _threading.Lock()
 
 
 def _ship_package(spark: SparkSession) -> None:
     """addPyFile a zip of flink_pipeline_spark so executor-side Python
-    workers can unpickle UDF closures referencing it."""
+    workers can unpickle UDF closures referencing it.
+
+    Thread-safe (ADVICE r14): parallel_frames makes load_table
+    reachable from concurrent driver threads, and the zip path is
+    per-PID, not per-thread — without the lock two first-callers
+    would rewrite the same zip while one hands it to addPyFile."""
     sc = spark.sparkContext
     key = id(sc)
     if key in _SHIPPED:
         return
+    with _SHIP_LOCK:
+        if key in _SHIPPED:
+            return
+        _ship_package_locked(sc, key)
+
+
+def _ship_package_locked(sc, key: int) -> None:
     import tempfile
     import zipfile
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caching import eager_checkpoint
+from ..caching import eager_checkpoint, materialize
 from ..functions.portable import hash56, hash56_sql_spark, round_agg
 from ..functions.text import (
     MINHASH_PARAMS,
@@ -61,6 +61,11 @@ def _fan_out(df: DataFrame) -> DataFrame:
     p = df.sparkSession.sparkContext.defaultParallelism
     width = len(df.inputFiles()) or df.rdd.getNumPartitions()
     return df.repartition(p) if width < p else df
+
+
+fan_out = _fan_out  # public name: plans use it to widen 1-file corpus
+# scans before CPU-dense explode/hash projections (same no-op-at-scale
+# contract as the private helper)
 
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -114,9 +119,13 @@ def minhash_wide(docs: DataFrame, n: int = 3, sets: DataFrame | None = None) -> 
     )
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, i, mh): long-form view of minhash_wide."""
-    wide = minhash_wide(docs, n)
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, sets: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, i, mh): long-form view of minhash_wide. Pass a
+    persisted ``sets`` to share one shingling pass with the caller's
+    other stages (same contract as minhash_wide)."""
+    wide = minhash_wide(docs, n, sets=sets)
     k = len(MINHASH_PARAMS)
     stack = ", ".join(f"{i}, mh_{i}" for i in range(k))
     return wide.selectExpr("doc_id", f"stack({k}, {stack}) AS (i, mh)")
@@ -232,7 +241,7 @@ def verified_near_dups(
     # final lazy plan so it cannot release before the caller
     # materializes — long-lived sessions sweep with release_caches().
     if sets is None:
-        sets = doc_shingles(docs, n).persist()
+        sets = doc_shingles(docs, n).transform(materialize)
     return scored_pairs(candidates, sets, JACC_SQL, "jacc", threshold)
 
 
@@ -298,7 +307,7 @@ def containment_pairs(
     volume by orders of magnitude — the arrays-attach join is the
     measured cost center at scale (scripts/scale_probe.py)."""
     if sets is None:
-        sets = doc_shingles(docs, n).persist()
+        sets = doc_shingles(docs, n).transform(materialize)
     cand = capped_bucket_pairs(
         exploded_from_sets(sets), ["shingle"], max_df, min_shared=2
     )
@@ -328,12 +337,20 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     lets simhash_pairs widen its signature for corpus-scale block
     selectivity."""
     toks = _fan_out(docs).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    hashed = toks.select(
-        "doc_id", F.expr(hash56_sql_spark("tok")).alias("x")
+    # r15 (guide §2.3 "aggregate before you shuffle"): collapse the
+    # token stream to per-(doc, TYPE) counts first — a multiset's bit
+    # contribution is cnt * (+/-1), an exact integer reweighting of the
+    # same sum — so the md5 runs once per (doc, type) instead of once
+    # per occurrence and the ``bits`` CASE-sums fold ~2.7x fewer rows
+    # (270k -> ~100k at sf0.1). The (doc, tok) groupBy partial-aggs
+    # map-side, fused with the explode.
+    tokcnt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    hashed = tokcnt.select(
+        "doc_id", "c", F.expr(hash56_sql_spark("tok")).alias("x")
     )
     bit_sums = [
         F.sum(
-            F.when(F.expr(f"((x >> {b}) & 1) = 1"), 1).otherwise(-1)
+            F.when(F.expr(f"((x >> {b}) & 1) = 1"), F.col("c")).otherwise(-F.col("c"))
         ).alias(f"s{b}")
         for b in range(bits)
     ]
@@ -496,6 +513,21 @@ def cosine_pairs(emb: DataFrame, threshold: float, n_blocks: int = 16) -> DataFr
         .drop("blk")
     )
     cos = F.expr(DOT_SQL.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    # Pin the pair-scoring stage's width (r14 VERDICT item 1, guide
+    # §2.2/§2.5): AQE coalesces post-shuffle partitions by BYTES, and
+    # the replicated sides are only a few MB at calibration scale, so
+    # the O(n^2) interpreted-fold stage — the one genuinely
+    # compute-bound stage in the embed family (8->32-core scaling
+    # ratio 2.1) — was coalesced onto 2-3 tasks while 29 cores idled.
+    # An explicit numbered repartition on the join key is the per-stage
+    # fix the r14 A/B adjudicated for (the global AQE floor regressed
+    # the iterative tail): the join reuses the exchange (same key, same
+    # width — no extra shuffle), and AQE never coalesces a
+    # user-numbered repartition. Width = defaultParallelism, i.e. the
+    # cluster's core count — scale-adaptive, not a local[32] constant.
+    n_part = max(emb.sparkSession.sparkContext.defaultParallelism, n_blocks)
+    a = a.repartition(n_part, "bi", "bj")
+    b = b.repartition(n_part, "bi", "bj")
     # Cross-block pairs (bi < bj) appear exactly once with arbitrary id
     # order (fixed by least/greatest); same-block pairs appear twice and
     # are halved by the ida < idb filter.
@@ -716,7 +748,7 @@ def cosine_pairs_ivf(
     assigned = base.withColumn(
         "sub",
         ((F.row_number().over(w) - F.lit(1)) / F.lit(max_cell)).cast("bigint"),
-    ).persist()
+    ).transform(materialize)
     e = with_norm(emb).join(assigned, "vec_id")
     a = e.select(
         "cell",
@@ -733,6 +765,15 @@ def cosine_pairs_ivf(
         F.col("norm").alias("nb"),
     )
     cos = F.expr(DOT_SQL.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    # Pin the within-cell pair-scoring width exactly as cosine_pairs
+    # does for the triangle join (guide §2.2/§2.5): the (cell, sub)
+    # shuffle is small in BYTES, so AQE coalesced the quadratic
+    # per-cell fold onto a couple of tasks; a numbered repartition on
+    # the join key keeps the stage at cluster width with no extra
+    # exchange (the join reuses the partitioning).
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    a = a.repartition(n_part, "cell", "sub")
+    b = b.repartition(n_part, "cell", "sub")
     out = (
         a.join(b, ["cell", "sub"])
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -1352,8 +1393,8 @@ def incremental_dedup(
     # + one extra digest-pass source scan) — constant, not a curve
     # change (SCALING.md r7: exponent 1.03), and negligible against
     # corpus scans at real scale.
-    sets = doc_shingles(docs, n).persist()
-    sigs = lsh_band_signatures(docs, n, sets=sets).persist()
+    sets = doc_shingles(docs, n).transform(materialize)
+    sigs = lsh_band_signatures(docs, n, sets=sets).transform(materialize)
     near = eager_checkpoint(
         neardup_probe(is_new, sets, sigs, threshold, max_bucket)
     )
@@ -1964,7 +2005,7 @@ def ivfpq_artifacts(
     frames plus the centroid set ARE what a compressed serving node
     persists (the DiskANN memory-bounded layout: codes hot, full
     vectors cold in the corpus parquet)."""
-    assigned = ivf_assign(emb, centroids).persist()
+    assigned = ivf_assign(emb, centroids).transform(materialize)
     cents = centroids.select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
     )

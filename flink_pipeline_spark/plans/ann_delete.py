@@ -401,7 +401,7 @@ def _register_delete_recall():
                 .alias("hits"),
             )
         )
-        grid = literal_frame(spark, 
+        grid = literal_frame(spark,
             [("exact",), ("compacted",), ("rebuilt",)], "method STRING"
         )
         tt = truth.agg(F.count("*").cast("long").alias("n_truth"))

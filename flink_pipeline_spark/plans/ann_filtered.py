@@ -295,7 +295,7 @@ def q_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hits"),
         )
     )
-    grid = literal_frame(spark, 
+    grid = literal_frame(spark,
         [("exact",), ("pre",), ("post",), ("graph",)], "method STRING"
     )
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))

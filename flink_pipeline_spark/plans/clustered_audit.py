@@ -318,7 +318,7 @@ def _recall_rollup(
             .alias("hits"),
         )
     )
-    grid = literal_frame(spark, 
+    grid = literal_frame(spark,
         [(n,) for n in ["exact"] + list(methods)], "method STRING"
     )
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..caching import materialize
 from ..functions.portable import round_agg
 from ..operators.llm import (
     connected_components,
@@ -84,7 +85,7 @@ def _register_dedup_soft() -> None:
         (tiny) member table against the corpus scan — no new shuffle
         beyond what the clustering already paid."""
         d = load_table(spark, sf_dir, "documents")
-        sets = doc_shingles(d).persist()
+        sets = doc_shingles(d).transform(materialize)
         pairs = (
             verified_near_dups(
                 d, lsh_candidate_pairs(d, sets=sets), threshold=0.8, sets=sets
@@ -259,9 +260,23 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = nodes.crossJoin(F.broadcast(base)).select(
         "id", F.col("b").alias("r")
     )
+    # r15 (guide §3.1, §2.4): the rank vector and the incoming-sum are
+    # both NODES-sized (orders of magnitude smaller than the edge
+    # list), but their size ESTIMATES come from an aggregation over the
+    # checkpointed edge frame, so the planner sort-merge-joined every
+    # iteration — two full exchanges + sorts of the EDGE list per
+    # superstep (plans/r15/q_graph_pagerank_before.txt). Explicit
+    # broadcast hints pin both per-iteration joins to BroadcastHashJoin:
+    # edges never re-shuffle after the build, and the only per-iteration
+    # exchange left is the map-side-partially-aggregated contribution
+    # shuffle (node-sized after partial agg). Rank mass is BIGINT
+    # fixed-point, so join strategy cannot change any value. At true
+    # scale the rank vector is #nodes rows — broadcastability is the
+    # standard Pregel-alternative trade and the hint keeps the decision
+    # deliberate rather than estimate-driven.
     for _ in range(PR_ITERS):
         inc = (
-            edges.join(rank, edges.src == rank.id)
+            edges.join(F.broadcast(rank), edges.src == rank.id)
             .select(
                 F.col("dst").alias("inc_id"),
                 F.expr("(r * w) div ow").alias("contrib"),
@@ -271,7 +286,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rank = (
             nodes.crossJoin(F.broadcast(base))
-            .join(inc, nodes.id == inc.inc_id, "left")
+            .join(F.broadcast(inc), nodes.id == inc.inc_id, "left")
             .select(
                 "id",
                 F.expr(
@@ -1048,7 +1063,7 @@ def _register_graph_triangles() -> None:
         canonicalization already approximates on id-clustered dup
         families."""
         d = load_table(spark, sf_dir, "documents")
-        sets = doc_shingles(d).persist()
+        sets = doc_shingles(d).transform(materialize)
         pairs = verified_near_dups(
             d, lsh_candidate_pairs(d, sets=sets), threshold=0.8, sets=sets
         ).select("doc_a", "doc_b")

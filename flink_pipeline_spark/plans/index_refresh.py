@@ -384,7 +384,7 @@ def q_ann_drift_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hits"),
         )
     )
-    grid = literal_frame(spark, 
+    grid = literal_frame(spark,
         [("exact",), ("stale",), ("refreshed",)], "method STRING"
     )
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))
@@ -695,7 +695,7 @@ def q_pq_drift_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hits"),
         )
     )
-    grid = literal_frame(spark, 
+    grid = literal_frame(spark,
         [("exact",), ("stale",), ("refreshed",)], "method STRING"
     )
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))

@@ -193,7 +193,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     band side is always tiny -> broadcast nested loop stays O(n*bands)
     with no shuffle of the fact table."""
     li = load_table(spark, sf_dir, "lineitem")
-    bands = literal_frame(spark, 
+    bands = literal_frame(spark,
         [("small", 0, 10), ("medium", 10, 25), ("large", 25, 60)],
         "band STRING, lo INT, hi INT",
     )

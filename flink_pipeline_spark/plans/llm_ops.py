@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caching import literal_frame, parallel_frames
+from ..caching import literal_frame, materialize, parallel_frames
 from ..catalog import load_table
 from ..functions.portable import (
     hash56,
@@ -44,6 +44,7 @@ from ..operators.llm import (
     cosine_pairs_ivf,
     doc_shingles,
     exploded_from_sets,
+    fan_out,
     ivf_assign,
     lsh_candidate_pairs,
     minhash_signatures,  # noqa: F401 (re-exported for tests)
@@ -194,7 +195,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass and the verify pass — one shingling of the corpus total. See
     operators/llm.py for the 100 TB notes."""
     d = load_table(spark, sf_dir, "documents")
-    sets = doc_shingles(d).persist()
+    sets = doc_shingles(d).transform(materialize)
     return verified_near_dups(
         d, lsh_candidate_pairs(d, sets=sets), threshold=0.8, sets=sets
     )
@@ -264,7 +265,7 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sets = doc_shingles(d).persist()
     cand = lsh_candidate_pairs(d, sets=sets)
-    mh = minhash_signatures(d)
+    mh = minhash_signatures(d, sets=sets)
     ma = mh.select(
         F.col("doc_id").alias("doc_a"), "i", F.col("mh").alias("mha")
     )
@@ -500,7 +501,7 @@ def _register_dedup_recall() -> None:
         # the MinHash pipeline (sets flows into candidate generation
         # and verify exactly as inside q_dedup_minhash — same operator
         # calls, shared cache instead of a second shingle pass)
-        sets = doc_shingles(d).persist()
+        sets = doc_shingles(d).transform(materialize)
         ex = exploded_from_sets(sets)
         sz = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
         a = ex.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh"))
@@ -519,7 +520,6 @@ def _register_dedup_recall() -> None:
             .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
             .filter(round_agg(jacc) >= TEXT_RECALL_TAU)
             .select("doc_a", "doc_b")
-            .persist()
         )
         denom = truth.agg(F.count("*").cast("long").alias("n_truth"))
 
@@ -561,12 +561,23 @@ def _register_dedup_recall() -> None:
         mh = verified_near_dups(
             d, lsh_candidate_pairs(d, sets=sets), threshold=0.8, sets=sets
         )
+        # r15 (guide §2.6): the four pair generators (exact truth,
+        # minhash verify, 56-bit simhash, 16-bit simhash) are
+        # INDEPENDENT once the shared shingle sets are cached —
+        # materialize them from concurrent driver threads so the FIFO
+        # scheduler back-fills each chain's stage tail instead of
+        # running ~45 core-s of chains phase-by-phase; the final audit
+        # is then three tiny hit joins over cached pair lists.
+        truth, mh, sh, cal = parallel_frames(
+            lambda: materialize(truth),
+            lambda: materialize(mh),
+            lambda: materialize(q_dedup_simhash_pairs(spark, sf_dir)),
+            lambda: materialize(q_dedup_simhash_pairs_calib(spark, sf_dir)),
+        )
         return (
             audit(mh, "minhash")
-            .unionByName(audit(q_dedup_simhash_pairs(spark, sf_dir), "simhash"))
-            .unionByName(
-                audit(q_dedup_simhash_pairs_calib(spark, sf_dir), "simhash_calib")
-            )
+            .unionByName(audit(sh, "simhash"))
+            .unionByName(audit(cal, "simhash_calib"))
         )
 
     q_dedup_recall.__doc__ = q_dedup_recall.__doc__.format(tau=TEXT_RECALL_TAU)
@@ -731,7 +742,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sets = d.select(
         "doc_id", F.expr(shingles_sql("spark", "text", 2)).alias("s")
-    ).persist()
+    ).transform(materialize)
     skel = d.select(
         "doc_id", "lang", "n_chars", F.floor(F.col("n_chars") / 20).alias("bin")
     )
@@ -1533,7 +1544,7 @@ def q_sim_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment + mean agg) would execute twice
     cb = pq_codebook_refine(
         emb, pq_codebook_from(emb, n_codes=16), iters=1
-    ).persist()
+    ).transform(materialize)
     return pq_topk(emb, emb.filter(F.col("vec_id") < PQ_QUERY_MAX), cb, k=3)
 
 
@@ -2057,7 +2068,7 @@ def _register_kmeans() -> None:
         # executes twice
         cents = kmeans_refine(
             emb, emb.filter(F.col("vec_id") < IVF_SEED_CENTROIDS), iters=2
-        ).persist()
+        ).transform(materialize)
         final = ivf_assign(
             emb,
             cents.select(
@@ -3456,12 +3467,12 @@ def _register_ann_recall() -> None:
         exact_cos = (
             q_sim_topk(spark, sf_dir)
             .filter(F.col("query_id") < PQ_QUERY_MAX)
-            .persist()
+            .transform(materialize)
         )
         emb = load_table(spark, sf_dir, "embeddings")
         exact_l2 = topk_neighbors_l2(
             emb, emb.filter(F.col("vec_id") < PQ_QUERY_MAX), k=3
-        ).persist()
+        ).transform(materialize)
         # exact raw-dot truth for the SQ row (SQ codes approximate the
         # shifted dot, so its metric is the dot product itself)
         qd = emb.filter(F.col("vec_id") < PQ_QUERY_MAX).select(
@@ -3481,7 +3492,7 @@ def _register_ann_recall() -> None:
             .withColumn("rank", F.row_number().over(wdot))
             .filter(F.col("rank") <= 3)
             .select("query_id", "neighbor_id", "rank")
-            .persist()
+            .transform(materialize)
         )
         ivf = q_sim_ivf_topk(spark, sf_dir).filter(
             F.col("query_id") < PQ_QUERY_MAX
@@ -4924,7 +4935,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax with deterministic tie-break, 'und' when nothing matches.
     (The n-gram-profile heuristic in miniature; the fixture vocabulary
     is synthetic, so marker lists are drawn from it.)"""
-    spark_lw = literal_frame(spark, 
+    spark_lw = literal_frame(spark,
         [(lang, w) for lang, ws in sorted(LANGWORDS.items()) for w in ws],
         "lw_lang STRING, word STRING",
     )
@@ -5054,8 +5065,31 @@ def _register_langid_ngram() -> None:
         (bucket, class) cells. Nothing shuffles wider than the
         per-doc-class score table, which any per-class scorer needs."""
         d = load_table(spark, sf_dir, "documents")
+        # r15 restructure (guide §1.2 per-task work): the md5 bucket
+        # hash is a pure function of the TRIGRAM, so hash each
+        # DISTINCT trigram once and broadcast-join the buckets back —
+        # 1.47M per-position md5+conv evaluations collapse to |trigram
+        # vocabulary| (377 at sf0.1; bounded by charset^3 — a
+        # type-table, the same convention as the vocab-sized LM
+        # tables). fan_out widens the one-file corpus scan so the
+        # position explode doesn't run single-task; materialize fills
+        # the cache once instead of letting the fit/score branches
+        # race it. Bucket values are bit-identical (same md5 text on
+        # the same string); the oracle still hashes per occurrence.
+        # pre-aggregate per (doc, class, bucket) BEFORE caching (r15,
+        # guide §2.3 "aggregate before you shuffle" + §5 cache sizing):
+        # the raw per-position frame is ~len(text) rows per doc, and
+        # every consumer (fit, bucket list, scoring) re-scanned 1.47M
+        # cached rows at sf0.1; the per-(doc, bucket) occurrence counts
+        # are all any consumer needs, and that aggregate is bounded by
+        # #docs x D rows. The hash+mod and the partial agg run FUSED
+        # with the explode in the scan stage (one corpus pass total);
+        # fan_out widens the one-file scan so that pass isn't
+        # single-task. A distinct-trigram type table was measured and
+        # rejected: building it costs a second full position explode,
+        # which outweighs the saved per-position md5 (4.3 -> 5.9 s).
         g = (
-            d.filter(F.length("text") >= 3)
+            fan_out(d).filter(F.length("text") >= 3)
             .select(
                 "doc_id",
                 F.col("lang").alias("dlang"),
@@ -5071,10 +5105,12 @@ def _register_langid_ngram() -> None:
                     F.expr(hash56_sql_spark("substring(text, pos, 3)")) % D
                 ).alias("b"),
             )
-            .persist()
+            .groupBy("doc_id", "dlang", "b")
+            .agg(F.count("*").cast("long").alias("c"))
+            .transform(materialize)
         )
         cls = g.groupBy("b", "dlang").agg(
-            F.count("*").cast("double").alias("cnt")
+            F.sum("c").cast("double").alias("cnt")
         )
         tot = cls.groupBy("dlang").agg(F.sum("cnt").alias("tot_l")).select(
             F.col("dlang").alias("lang"), "tot_l"
@@ -5124,9 +5160,7 @@ def _register_langid_ngram() -> None:
         # of one row per character — at real document lengths (>> D)
         # that caps the fan-out input by ~len/D, and the weighted sum
         # stays exact (integer cnt x integer w_q)
-        gb = g.groupBy("doc_id", "b").agg(
-            F.count("*").cast("long").alias("cnt")
-        )
+        gb = g.select("doc_id", "b", F.col("c").alias("cnt"))
         sc = (
             gb.join(F.broadcast(w), "b")
             .groupBy("doc_id", "lang", "lrank")
@@ -5926,7 +5960,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the iterative distributed algorithm is hash-gated against a
     declarative ground truth."""
     d = load_table(spark, sf_dir, "documents")
-    sets = doc_shingles(d).persist()
+    sets = doc_shingles(d).transform(materialize)
     pairs = (
         verified_near_dups(
             d, lsh_candidate_pairs(d, sets=sets), threshold=0.8, sets=sets
@@ -6064,7 +6098,7 @@ def _register_semantic_dedup() -> None:
         # centroid-distance stage (the shared-constants contract keeps
         # this identical to the registered q_dedup_embed_ivf, which the
         # oracle composes verbatim)
-        assigned = ivf_assign(emb, cents).persist()
+        assigned = ivf_assign(emb, cents).transform(materialize)
         pairs = cosine_pairs_ivf(
             emb,
             cents,
@@ -6095,7 +6129,7 @@ def _register_semantic_dedup() -> None:
                 "cell",
             )
             .select("vec_id", "cell", round_agg(cos_c).alias("cos_centroid"))
-            .persist()
+            .transform(materialize)
         )
         members = groups.join(cosc, "vec_id")
         keepers = (
@@ -6218,7 +6252,7 @@ def _register_keeper_quality() -> None:
         keep ids well under it; at wider id spaces widen the shift."""
         clusters = q_dedup_clusters(spark, sf_dir)
         qual = q_text_quality(spark, sf_dir).select("doc_id", "quality")
-        m = clusters.join(qual, "doc_id").persist()
+        m = clusters.join(qual, "doc_id").transform(materialize)
         k = (
             F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
             * F.lit(4294967296).cast("long")
@@ -6294,7 +6328,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast when small; the accounting aggregate is partial/merged.
     Nothing in the final pass carries shingle or signature state."""
     d = load_table(spark, sf_dir, "documents")
-    sets = doc_shingles(d).persist()
+    sets = doc_shingles(d).transform(materialize)
     pairs = (
         verified_near_dups(
             d, lsh_candidate_pairs(d, sets=sets), threshold=0.8, sets=sets
@@ -6915,7 +6949,10 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounding hot-key fan-out at corpus scale), sum(df^2) bounded like
     q_dedup_containment."""
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", F.split("text", " ").alias("t"))
+    # fan_out (r15, guide §2.5): the per-gram md5 projection below is
+    # the query's dominant kernel and otherwise runs on the ONE scan
+    # task of the single-file calibration corpus
+    base = fan_out(d).select("doc_id", F.split("text", " ").alias("t"))
     g = base.select(
         "doc_id",
         (F.size("t") - (WINNOW_K - 1)).alias("ng"),
@@ -6940,7 +6977,10 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = g.select(
         "doc_id", "pos", "ng", F.min("h").over(w).alias("fh")
     ).filter(F.col("pos") <= F.col("ng") - (WINNOW_W - 1))
-    fp0 = sel.select("doc_id", "fh").distinct()
+    # materialize (r15): fp0 is consumed by the df-cap agg AND the
+    # keep join — lazily persisted it would race (two full gram+window
+    # passes inside one action)
+    fp0 = materialize(sel.select("doc_id", "fh").distinct())
     keepf = (
         fp0.groupBy("fh")
         .agg(F.count("*").alias("df"))

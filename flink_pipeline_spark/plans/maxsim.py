@@ -428,7 +428,7 @@ def _maxsim_recall_frame(spark: SparkSession, emb: DataFrame) -> DataFrame:
             .alias("hits"),
         )
     )
-    grid = literal_frame(spark, 
+    grid = literal_frame(spark,
         [("exact",), ("twostage",), ("plaid",)], "method STRING"
     )
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))

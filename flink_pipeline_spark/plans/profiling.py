@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..caching import materialize
 from ..functions.portable import (
     epoch_s_sql_duckdb,
     hash56,
@@ -1815,15 +1816,28 @@ def q_freq_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     — production ships the grid alone and answers point queries from
     {d} lookups."""
     d = load_table(spark, sf_dir, "documents")
-    grid = (
-        cm_cells(d)
-        .groupBy("d", "bucket")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
-    probes = (
-        toks.groupBy("tok")
+    # r15 (guide §2.3 "aggregate before you shuffle"): the grid is a
+    # pure function of per-TYPE counts — collapse the token stream to
+    # (tok, cnt) once (map-side partial agg fused with the explode,
+    # the only corpus pass), then fan out TYPES x CM_D cells and sum
+    # counts. Identical cell totals (sum of per-type counts = count of
+    # occurrences); the per-occurrence fan-out previously exploded
+    # |corpus| x CM_D rows through one scan task. The shared type
+    # table is materialized so grid and probes don't race the pass.
+    tokcnt = materialize(
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
         .agg(F.count("*").cast("long").alias("exact_cnt"))
+    )
+    grid = (
+        tokcnt.select(
+            "exact_cnt", F.posexplode(cm_bucket_array()).alias("d", "bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.sum("exact_cnt").cast("long").alias("cnt"))
+    )
+    probes = (
+        tokcnt
         .orderBy(F.col("exact_cnt").desc(), "tok")
         .limit(CM_PROBES)
     )
@@ -1917,7 +1931,6 @@ def q_freq_cm_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical discipline to q_freq_cm — vocabulary-independent
     grid shuffle, fixed probe broadcast, the exact pass is the audit."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
     # every (w, d) cell address comes from cm_bucket_array(w) — the ONE
     # addressing function its docstring promises, so the hash family
     # cannot fork between the audit and the sketch (ADVICE r11)
@@ -1932,15 +1945,23 @@ def q_freq_cm_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             for di in range(CM_D)
         ]
     )
-    cells = toks.select(F.explode(entries).alias("e")).select(
-        "e.w", "e.d", "e.bucket"
+    # r15 (guide §2.3, same restructure as q_freq_cm): per-TYPE counts
+    # first (one corpus pass), then the widths x depth fan-out runs
+    # over the type table and the combined grid sums counts — the
+    # |corpus| x (|widths| x depth) single-task explode is gone.
+    tokcnt = materialize(
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+    )
+    cells = tokcnt.select("exact_cnt", F.explode(entries).alias("e")).select(
+        "exact_cnt", "e.w", "e.d", "e.bucket"
     )
     grid = cells.groupBy("w", "d", "bucket").agg(
-        F.count("*").cast("long").alias("cnt")
+        F.sum("exact_cnt").cast("long").alias("cnt")
     )
     probes = (
-        toks.groupBy("tok")
-        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        tokcnt
         .orderBy(F.col("exact_cnt").desc(), "tok")
         .limit(CM_PROBES)
     )

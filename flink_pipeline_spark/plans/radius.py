@@ -420,7 +420,7 @@ def q_sim_radius_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hits"),
         )
     )
-    grid = literal_frame(spark, 
+    grid = literal_frame(spark,
         [("exact",), ("ivf",), ("pq",), ("graph",)], "method STRING"
     )
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))

@@ -28,6 +28,7 @@ from ..functions.portable import (
     round_sql,
 )
 from ..functions.text import QUALITY_SCORE_SQL, quality_score, shingles_sql
+from ..operators.llm import fan_out
 from .registry import ORACLES, register
 
 # Sequence-packing token budget (tokens per training sequence). Small
@@ -139,7 +140,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE picks the strategy — broadcast when hits is actually small,
     shuffle join on the 8-byte doc_id key otherwise."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
+    # fan_out: the calibration corpus is one parquet file, so this
+    # CPU-dense shingle explode+hash otherwise runs on ONE task
+    # (guide SS2.5 input skew; measured r15 on q_decontaminate_bloom:
+    # three serialized ~1.5 s single-task probe stages)
+    sh = fan_out(d).select(
         "doc_id",
         "source",
         F.explode(F.expr(shingles_sql("spark", "text", 3))).alias("sh"),
@@ -376,7 +381,11 @@ def q_decontaminate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic (n_hit * 10 >= n_shingles), no float threshold
     to drift between engines."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
+    # fan_out: the calibration corpus is one parquet file, so this
+    # CPU-dense shingle explode+hash otherwise runs on ONE task
+    # (guide SS2.5 input skew; measured r15 on q_decontaminate_bloom:
+    # three serialized ~1.5 s single-task probe stages)
+    sh = fan_out(d).select(
         "doc_id",
         "source",
         F.explode(F.expr(shingles_sql("spark", "text", 3))).alias("sh"),
@@ -586,7 +595,11 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_decontaminate, plans/training.py) beyond the reference's
     per-sample demux surface (workflow.py:232-260)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
+    # fan_out: the calibration corpus is one parquet file, so this
+    # CPU-dense shingle explode+hash otherwise runs on ONE task
+    # (guide SS2.5 input skew; measured r15 on q_decontaminate_bloom:
+    # three serialized ~1.5 s single-task probe stages)
+    sh = fan_out(d).select(
         "doc_id",
         "source",
         F.explode(F.expr(shingles_sql("spark", "text", 3))).alias("sh"),
@@ -2023,11 +2036,24 @@ def _register_mixture_doremi() -> None:
         from .registry import QUERIES
 
         d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-        u = QUERIES["q_text_surprisal"](spark, sf_dir).select(
-            "doc_id", "n_tokens", F.col("surprisal_q").alias("uq")
-        )
-        b = QUERIES["q_text_surprisal_2g"](spark, sf_dir).select(
-            "doc_id", F.col("surprisal_q").alias("bq")
+        # r15 (guide §2.6): the two LM scorers are independent corpus
+        # passes — materialize them on concurrent driver threads so
+        # the reweighter's doc_id joins read two cached doc-level
+        # score tables instead of racing both scorer pipelines inside
+        # one action.
+        from ..caching import materialize, parallel_frames
+
+        u, b = parallel_frames(
+            lambda: materialize(
+                QUERIES["q_text_surprisal"](spark, sf_dir).select(
+                    "doc_id", "n_tokens", F.col("surprisal_q").alias("uq")
+                )
+            ),
+            lambda: materialize(
+                QUERIES["q_text_surprisal_2g"](spark, sf_dir).select(
+                    "doc_id", F.col("surprisal_q").alias("bq")
+                )
+            ),
         )
         per = (
             d.join(u, "doc_id")
@@ -2333,14 +2359,32 @@ def _register_dataset_card() -> None:
             .filter(F.col("rn") == 1)
             .select("source", F.col("lang").alias("top_lang"), "c")
         )
-        dd = q_dedup_apply(spark, sf_dir).select(
-            "source", F.col("n_dropped").alias("n_dup_dropped")
+        # r15 (guide §2.6): the four profile sections are independent
+        # pipelines — the dedup-apply chain's eager CC checkpoints
+        # otherwise serialize in front of everything, so construct it
+        # on one driver thread while the other sections' (small,
+        # per-source/grid) frames materialize concurrently and the
+        # final card is a chain of tiny cached-frame joins.
+        from ..caching import materialize, parallel_frames
+
+        dd, pii, kmv, gop = parallel_frames(
+            lambda: materialize(
+                q_dedup_apply(spark, sf_dir).select(
+                    "source", F.col("n_dropped").alias("n_dup_dropped")
+                )
+            ),
+            lambda: materialize(
+                q_pii_scrub(spark, sf_dir).select("source", "n_redactions")
+            ),
+            lambda: materialize(
+                q_distinct_kmv(spark, sf_dir).select(
+                    "source", F.col("kmv_estimate").alias("vocab_kmv")
+                )
+            ),
+            lambda: materialize(
+                q_gopher_rules(spark, sf_dir).select("doc_id", "passes")
+            ),
         )
-        pii = q_pii_scrub(spark, sf_dir).select("source", "n_redactions")
-        kmv = q_distinct_kmv(spark, sf_dir).select(
-            "source", F.col("kmv_estimate").alias("vocab_kmv")
-        )
-        gop = q_gopher_rules(spark, sf_dir).select("doc_id", "passes")
         gpass = (
             d.select("doc_id", "source")
             .join(gop, "doc_id")

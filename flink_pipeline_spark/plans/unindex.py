@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caching import literal_frame, parallel_frames
+from ..caching import literal_frame, materialize, parallel_frames
 from ..catalog import load_table
 from ..functions.portable import round_agg, round_sql
 from ..operators.llm import (
@@ -119,7 +119,7 @@ def dedup_drop_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline's output as the delete feed."""
     d = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    sets = doc_shingles(d).persist()
+    sets = doc_shingles(d).transform(materialize)
     pairs = (
         verified_near_dups(
             d, lsh_candidate_pairs(d, sets=sets), threshold=0.8, sets=sets
@@ -450,7 +450,7 @@ def q_dedup_unindex_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dropped_served"),
         )
     )
-    grid = literal_frame(spark, 
+    grid = literal_frame(spark,
         [("exact",), ("served",)], "method STRING"
     )
     tt = truth.agg(F.count("*").cast("long").alias("n_truth"))
