@@ -336,21 +336,20 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     sampling wants every available bit, and 56 usable bits is what
     lets simhash_pairs widen its signature for corpus-scale block
     selectivity."""
+    # r15 NOTE: a per-(doc, type) pre-aggregation (count first, weight
+    # the bit sums by cnt — exact integer reweighting) was measured
+    # and REVERTED: the extra (doc_id, tok) shuffle costs more than
+    # the saved md5/agg rows at calibration scale (q_dedup_simhash_pairs
+    # 1.60 -> 2.32 s in the round-15 full-protocol bench). The
+    # single-agg form keeps the token stream entirely map-side until
+    # the per-doc partial agg.
     toks = _fan_out(docs).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    # r15 (guide §2.3 "aggregate before you shuffle"): collapse the
-    # token stream to per-(doc, TYPE) counts first — a multiset's bit
-    # contribution is cnt * (+/-1), an exact integer reweighting of the
-    # same sum — so the md5 runs once per (doc, type) instead of once
-    # per occurrence and the ``bits`` CASE-sums fold ~2.7x fewer rows
-    # (270k -> ~100k at sf0.1). The (doc, tok) groupBy partial-aggs
-    # map-side, fused with the explode.
-    tokcnt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
-    hashed = tokcnt.select(
-        "doc_id", "c", F.expr(hash56_sql_spark("tok")).alias("x")
+    hashed = toks.select(
+        "doc_id", F.expr(hash56_sql_spark("tok")).alias("x")
     )
     bit_sums = [
         F.sum(
-            F.when(F.expr(f"((x >> {b}) & 1) = 1"), F.col("c")).otherwise(-F.col("c"))
+            F.when(F.expr(f"((x >> {b}) & 1) = 1"), 1).otherwise(-1)
         ).alias(f"s{b}")
         for b in range(bits)
     ]

@@ -6949,10 +6949,11 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounding hot-key fan-out at corpus scale), sum(df^2) bounded like
     q_dedup_containment."""
     d = load_table(spark, sf_dir, "documents")
-    # fan_out (r15, guide §2.5): the per-gram md5 projection below is
-    # the query's dominant kernel and otherwise runs on the ONE scan
-    # task of the single-file calibration corpus
-    base = fan_out(d).select("doc_id", F.split("text", " ").alias("t"))
+    # r15 NOTE: fan_out before the gram pass and a materialized fp0
+    # were measured and REVERTED (2.37 -> 2.95 s in the full-protocol
+    # bench): the repartition ships the full text column and the
+    # materialization serializes phases the single action overlapped.
+    base = d.select("doc_id", F.split("text", " ").alias("t"))
     g = base.select(
         "doc_id",
         (F.size("t") - (WINNOW_K - 1)).alias("ng"),
@@ -6977,10 +6978,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = g.select(
         "doc_id", "pos", "ng", F.min("h").over(w).alias("fh")
     ).filter(F.col("pos") <= F.col("ng") - (WINNOW_W - 1))
-    # materialize (r15): fp0 is consumed by the df-cap agg AND the
-    # keep join — lazily persisted it would race (two full gram+window
-    # passes inside one action)
-    fp0 = materialize(sel.select("doc_id", "fh").distinct())
+    fp0 = sel.select("doc_id", "fh").distinct()
     keepf = (
         fp0.groupBy("fh")
         .agg(F.count("*").alias("df"))
